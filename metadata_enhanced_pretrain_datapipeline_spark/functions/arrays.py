@@ -1,0 +1,48 @@
+"""Vector math over array<float> columns — JVM-side, no UDFs.
+
+Used by the embedding-scoring operators (reference
+embeddings_filter.py:44-55 runs a torch MLP; our linear/cosine scorers keep
+the hot path inside whole-stage codegen, and the true-MLP path lives in
+operators/annotators.py as an Arrow-batched pandas UDF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + aggregate (codegen'd, no Python)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def positional_dot(a: Column, weight_of_pos) -> Column:
+    """Σ aᵢ·w(i) with a deterministic position-dependent weight function —
+    the oracle-checkable linear scorer standing in for the MLP
+    (embeddings_filter.py:44-55). ``weight_of_pos`` maps a 0-based index
+    Column to a weight Column."""
+    n = F.size(a)
+    return F.aggregate(
+        F.zip_with(
+            a,
+            F.sequence(F.lit(0), n - F.lit(1)),
+            lambda v, i: v.cast("double") * weight_of_pos(i),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )

@@ -1,0 +1,91 @@
+"""Text analysis primitives: tokenization, shingles, quality stats.
+
+These back the text-analysis extension operators (language-ID heuristic,
+quality scoring, token counting, fingerprinting) and the dedup shingling.
+All JVM-side expressions — the 100 TB hot path never enters Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: BPE-ish word/number/punct splitter (public GPT-2-style pattern, simplified
+#: to the RE2-compatible subset so the DuckDB oracle can run the same regex).
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens_ws(text: Column) -> Column:
+    """Whitespace tokens (reference counts tokens by whitespace split before
+    re-tokenizing, e.g. gutenberg create_excerpt.py:101-104)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count_regex(text: Column) -> Column:
+    """BPE-ish token count via regexp_extract_all — the cheap token-budget
+    estimator for pretraining-data accounting."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), F.lit(0)))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """n-gram word shingles, distinct, as array<string>.
+
+    element_at is 1-based; sequence generates the start positions. All
+    codegen'd; explode happens only where the caller needs set semantics.
+    """
+    toks = tokens_ws(text)
+    k = F.size(toks)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k - F.lit(n - 1), F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
+            ),
+        )
+    )
+
+
+def char_ngrams(text: Column, n: int = 5) -> Column:
+    """Distinct character n-grams (SimHash / fingerprint features)."""
+    k = F.length(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k - F.lit(n - 1), F.lit(0))),
+            lambda i: text.substr(i, F.lit(n)),
+        )
+    )
+
+
+def quality_stats(text: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio quality features
+    (the datatrove-style quality-signal family, computed relationally)."""
+    toks = tokens_ws(text)
+    n_toks = F.size(toks)
+    stop = F.array([F.lit(w) for w in ("the", "a", "of", "to", "and", "in", "is")])
+    n_stop = F.size(F.array_intersect(toks, stop))
+    return {
+        "n_chars": F.length(text),
+        "n_tokens": n_toks,
+        "avg_token_len": (F.length(text) - n_toks + 1) / n_toks,
+        "stopword_ratio": n_stop.cast("double") / n_toks,
+        "punct_count": F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), F.lit(0))),
+    }
+
+
+#: tiny per-language stopword lists for the n-gram language-ID heuristic
+#: (public-knowledge lists; the reference uses fasttext lang-id via datatrove).
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "la", "que", "los", "es"],
+}
+
+
+def lang_id_scores(text: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts; argmax is the predicted language."""
+    toks = tokens_ws(F.lower(text))
+    return {
+        lang: F.size(F.array_intersect(toks, F.array([F.lit(w) for w in words])))
+        for lang, words in LANG_MARKERS.items()
+    }

@@ -1,0 +1,62 @@
+"""Aggregations (SURVEY.md §2.5) and the event-time window family.
+
+The one non-trivial reference aggregate is the two-phase threshold
+estimation (G1, embeddings_filter.py:74-108 + fineweb/main.py:113-119):
+sample → score → quantile → broadcast the scalar into a filter. That
+two-job shape is inherent (the threshold must exist before the filter) and
+is preserved here; everything else is plain groupBy/agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def estimate_threshold(df: DataFrame, score_col: Column, keep_top_p: float,
+                       sample_rate: float | None = None,
+                       key: Column | None = None) -> float:
+    """G1 — estimate the score cutoff keeping the top ``keep_top_p``
+    fraction (reference samples ≤1M rows then np.quantile(scores, 1-p),
+    embeddings_filter.py:85-108). Exact percentile on an optional
+    deterministic hash-sample; returns a driver-side scalar to broadcast
+    into the filter (J4)."""
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.filters import hash_sample
+
+    scored = df.select(score_col.alias("__s"), *( [key.alias("__k")] if key is not None else []))
+    if sample_rate is not None and key is not None:
+        scored = hash_sample(scored, F.col("__k"), sample_rate)
+    row = scored.agg(F.expr(f"percentile(__s, {1 - keep_top_p})").alias("t")).collect()[0]
+    return float(row["t"])
+
+
+def quantile_threshold_filter(df: DataFrame, score_col: Column,
+                              keep_top_p: float) -> DataFrame:
+    """G1+F6 composed — the fineweb quality gate (fineweb/main.py:113-121):
+    estimate the threshold, then keep rows with score > t."""
+    t = estimate_threshold(df, score_col, keep_top_p)
+    return df.filter(score_col > F.lit(t))
+
+
+def group_count(df: DataFrame, col: str) -> DataFrame:
+    """G3 — value_counts sorted by key (code_processing.py:63-70)."""
+    return df.groupBy(col).count().orderBy(col)
+
+
+def duplicate_counts(df: DataFrame, key: str) -> DataFrame:
+    """G4 — ids appearing more than once (create_excerpt.py:184-185
+    uniqueness assert as a query)."""
+    return df.groupBy(key).agg(F.count("*").alias("cnt")).filter(F.col("cnt") > 1)
+
+
+def tumbling_window_agg(df: DataFrame, ts_col: str, keys: list[str],
+                        duration: str = "1 hour",
+                        aggs: list[Column] | None = None) -> DataFrame:
+    """Event-time tumbling window aggregation over the events table —
+    `window()` is epoch-aligned, so the batch result matches
+    date_trunc-based oracles and the streaming variant
+    (streaming/events.py) shares the same expression."""
+    aggs = aggs or [F.count("*").alias("n")]
+    out = df.groupBy(F.window(F.col(ts_col), duration).alias("w"), *keys).agg(*aggs)
+    agg_names = [c for c in out.columns if c not in {"w", *keys}]
+    return out.select(F.col("w.start").alias("window_start"), *keys, *agg_names)

@@ -1,0 +1,153 @@
+"""Annotators (SURVEY.md §2.4): model scorers, chunking, URL features.
+
+The ML-backed reference annotators (XLM-R embeddings
+xlmr_embedding_annotator.py:4-91; MLP quality/toxicity scorers
+embeddings_filter.py:44-55, toxic_filter.py:11-89) become Arrow-batched
+pandas UDFs with a per-executor model singleton — the Spark idiom for
+"load the model once per worker, score in batches" (reference batches
+manually at toxic_filter.py:123). Transformer encoders aren't in this
+container, so the *encoder* is a clearly-marked deterministic stub while
+the Spark plumbing (schema, batching, regrouping) is real and tested.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from metadata_enhanced_pretrain_datapipeline_spark.functions.arrays import positional_dot
+
+# ---------------------------------------------------------------------------
+# MLP scorer (reference embeddings_filter.py:44-55: Linear(768,256)+ReLU+
+# Linear(256,1)+sigmoid). Weights are deterministic (seeded numpy) — a
+# stand-in for the trained checkpoint, same shapes and dataflow.
+# ---------------------------------------------------------------------------
+
+_MLP_CACHE: dict[tuple[int, int], tuple[np.ndarray, ...]] = {}
+
+
+def _mlp_weights(dim: int, hidden: int = 16) -> tuple[np.ndarray, ...]:
+    """Per-executor singleton — built once per (dim, hidden) per worker,
+    mirroring the reference's per-task model load."""
+    key = (dim, hidden)
+    if key not in _MLP_CACHE:
+        rng = np.random.default_rng(42)
+        w1 = rng.standard_normal((dim, hidden)) / np.sqrt(dim)
+        b1 = np.zeros(hidden)
+        w2 = rng.standard_normal((hidden, 1)) / np.sqrt(hidden)
+        b2 = np.zeros(1)
+        _MLP_CACHE[key] = (w1, b1, w2, b2)
+    return _MLP_CACHE[key]
+
+
+def mlp_score_udf(dim: int, hidden: int = 16):
+    """Vectorized scorer: array<float> → sigmoid(MLP(x)) ∈ (0,1).
+
+    Arrow batches in/out (pandas_udf) — the 10-100× faster path vs
+    row-at-a-time UDFs; batch size governed by
+    spark.sql.execution.arrow.maxRecordsPerBatch (reference batches 10k,
+    embeddings_filter.py:21).
+    """
+
+    @pandas_udf("double")
+    def score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        w1, b1, w2, b2 = _mlp_weights(dim, hidden)
+        for s in batches:
+            x = np.stack(s.to_numpy())
+            h = np.maximum(x @ w1 + b1, 0.0)
+            z = (h @ w2 + b2).ravel()
+            yield pd.Series(1.0 / (1.0 + np.exp(-z)))
+
+    return score
+
+
+def mlp_quality_filter(df: DataFrame, vec_col: str = "embedding",
+                       threshold: float = 0.5, dim: int = 64) -> DataFrame:
+    """F6 — EmbeddingBinaryClassifierFilter: score embeddings[0] with the
+    MLP, annotate quality_score, KEEP score > threshold
+    (reference embeddings_filter.py:13-41)."""
+    scored = df.withColumn("quality_score", mlp_score_udf(dim)(F.col(vec_col)))
+    return scored.filter(F.col("quality_score") > F.lit(threshold))
+
+
+def linear_score(vec: Column) -> Column:
+    """The SQL-expressible linear scorer (oracle-checkable analogue of the
+    MLP): Σ vᵢ·w(i) with w(i) = ((i·37) mod 21 − 10)/10."""
+    return positional_dot(
+        vec, lambda i: ((i * F.lit(37)) % F.lit(21) - F.lit(10)).cast("double") / F.lit(10.0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chunking (reference xlmr_embedding_annotator.py:54-61: 512-token windows
+# with return_overflowing_tokens → N chunks per doc; regrouped at :78-90).
+# ---------------------------------------------------------------------------
+
+
+def explode_chunks(df: DataFrame, tokens_col: Column, chunk_len: int,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Split a token array into ⌈n/chunk_len⌉ windows and explode — one row
+    per chunk with (id, chunk_idx, chunk). Narrow op: fan-out happens on the
+    scan partition, no shuffle."""
+    n_chunks = F.ceil(F.size(tokens_col) / F.lit(chunk_len)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(tokens_col, i * F.lit(chunk_len) + 1, F.lit(chunk_len)),
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "chunk"),
+    )
+
+
+def regroup_chunk_scores(chunked: DataFrame, score_col: str = "score",
+                         id_col: str = "doc_id") -> DataFrame:
+    """A2/G5 — doc score = max over chunk scores (reference np.max at
+    toxic_filter.py:142-145). One groupBy on the doc id; with the explode
+    above this is the explode→score→regroup pattern that replaces the
+    reference's in-process overflow bookkeeping (xlmr:78-90)."""
+    return chunked.groupBy(id_col).agg(F.max(score_col).alias("doc_score"))
+
+
+# ---------------------------------------------------------------------------
+# Misc scalar annotators
+# ---------------------------------------------------------------------------
+
+
+def split_score_columns(df: DataFrame, output_col: str = "output") -> DataFrame:
+    """A5 — split a 'c p e d' score string into 4 int columns
+    (reference code_processing.py:27-29)."""
+    names = ["clarity", "practice", "educational", "difficulty"]
+    return df.select(
+        "*",
+        *[
+            F.split_part(F.col(output_col), F.lit(" "), F.lit(i + 1)).try_cast("int").alias(n)
+            for i, n in enumerate(names)
+        ],
+    )
+
+
+def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """A8 — URL metadata builders (tokenize_with_metadata.py:145-184):
+    domain, path-suffix, raw url. The stochastic emission gate
+    (rand(seed) < meta_data_ratio) is intentionally omitted from the
+    oracle path; use `with_stochastic_gate` for reference parity."""
+    from metadata_enhanced_pretrain_datapipeline_spark.functions.urlf import url_host, url_suffix
+
+    u = F.col(url_col)
+    return df.withColumn("url_domain", url_host(u)).withColumn("url_suffix", url_suffix(u))
+
+
+def with_stochastic_gate(df: DataFrame, col: str, ratio: float, seed: int = 42) -> DataFrame:
+    """The reference's seeded emission gate (tokenize_with_metadata.py:153):
+    keep the annotation w.p. ratio else empty string. Seeded rand() is
+    partition-order dependent in Spark — fine here (reference is equally
+    order-dependent), but excluded from oracle checks."""
+    return df.withColumn(
+        col, F.when(F.rand(seed) < F.lit(ratio), F.col(col)).otherwise(F.lit(""))
+    )

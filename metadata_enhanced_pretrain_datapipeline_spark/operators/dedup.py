@@ -1,0 +1,178 @@
+"""Deduplication operators — exact and near-duplicate.
+
+The reference only has order-dependent exact id-dedup
+(gutenberg create_excerpt.py:113-118,170-181). A pretraining-data engine at
+100 TB needs the full family; these are the extension operators (prompt +
+SURVEY.md §7.1 M5): exact text dedup, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design:
+- exact dedup: hash-groupBy on a 64-bit digest of normalized text — one
+  shuffle keyed by digest, never by the text itself.
+- MinHash-LSH: signatures are a narrow projection (array exprs, no UDF);
+  the band→bucket groupBy is the only shuffle; candidate pairs are verified
+  with exact Jaccard only within buckets. No O(n²) stage anywhere.
+- embedding near-dup reuses the LSH bucketing from similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from metadata_enhanced_pretrain_datapipeline_spark.functions.hashing import md5_hash64, minhash_expr
+from metadata_enhanced_pretrain_datapipeline_spark.functions.text import word_shingles
+
+# Per-component MinHash constants: deterministic (a, b) pairs derived from
+# small primes — public construction, seedless so reruns agree.
+_MINHASH_PARAMS = [(2 * i + 1, 7919 * (i + 1)) for i in range(32)]
+
+
+def normalized_text_key(text: Column) -> Column:
+    """Digest key for exact near-whitespace dedup: lower + collapse runs of
+    whitespace + trim, then the portable 60-bit md5 hash."""
+    return md5_hash64(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))))
+
+
+def dedup_exact(df: DataFrame, key: Column, order: list[Column]) -> DataFrame:
+    """F11 — first-wins exact dedup: keep the first row per key under the
+    given order (reference seen-set semantics, create_excerpt.py:113-118).
+    row_number window ≡ one shuffle on the key."""
+    w = Window.partitionBy(key).orderBy(*order)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def dedup_exact_text(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact-text dedup keyed on the normalized digest; keeps min-id per
+    group (deterministic, order-free → safe under AQE re-planning)."""
+    keyed = df.withColumn("__k", normalized_text_key(F.col(text_col)))
+    w = Window.partitionBy("__k").orderBy(F.col(id_col))
+    return keyed.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__k", "__rn")
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", num_hashes: int = 32,
+                       shingle_n: int = 3) -> DataFrame:
+    """Per-doc MinHash signature: shingle → portable hash → k parallel
+    min-hashes. Pure array expressions (no UDF, no explode): the signature
+    column is computed inside whole-stage codegen."""
+    sh = word_shingles(F.col(text_col), n=shingle_n)
+    hashes = F.transform(sh, lambda s: md5_hash64(s))
+    sig_cols = [
+        minhash_expr(hashes, a, b).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_MINHASH_PARAMS[:num_hashes])
+    ]
+    return df.withColumn("__hashes", hashes).select("*", *sig_cols).drop("__hashes")
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                      num_hashes: int = 32, bands: int = 8,
+                      shingle_n: int = 3) -> DataFrame:
+    """MinHash-LSH candidate pairs: band the signature, bucket-join within
+    bands, emit (id_a, id_b) with id_a < id_b.
+
+    bands×rows layout: num_hashes = bands * rows_per_band. Docs sharing ALL
+    rows of any band collide. The self-join happens per (band, bucket-key)
+    group — bounded by bucket size, not corpus size.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df.select(id_col, text_col), text_col, num_hashes, shingle_n)
+    band_cols = []
+    for b in range(bands):
+        members = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws("_", *members).alias("key"))
+        )
+    buckets = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = buckets.alias("a")
+    b2 = buckets.alias("b")
+    pairs = (
+        a.join(b2, ["band", "key"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                  shingle_n: int = 3, min_jaccard: float = 0.0) -> DataFrame:
+    """n-gram Jaccard similarity for candidate pairs via a shingle inverted
+    index: explode distinct shingles, self-join on shingle, count common
+    shingles per pair, then |A∩B| / (|A|+|B|-|A∩B|).
+
+    The join is keyed by shingle — a hot shingle (stopword trigram) can
+    skew; AQE skew-join splits it, and `min_jaccard` prunes the long tail
+    early. For full-corpus dedup prefer minhash_lsh_pairs; this operator is
+    the exact verifier within LSH buckets.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.size(word_shingles(F.col(text_col), shingle_n)).alias("n_sh"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = inter.withColumn(
+        "jaccard",
+        F.col("n_common").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+    ).select("id_a", "id_b", "jaccard")
+    return jac.filter(F.col("jaccard") >= F.lit(min_jaccard))
+
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
+    """SimHash fingerprint: per-shingle portable hash → per-bit weighted
+    vote → fingerprint int. Expressed with aggregate() over the shingle
+    array per row — no explode, no shuffle.
+
+    bit_b(doc) = 1 if Σ_shingles sign(bit_b(hash)) > 0.
+    """
+    sh = word_shingles(F.col(text_col), 3)
+    hashes = F.transform(sh, lambda s: md5_hash64(s))
+    def bit_vote(b: int):
+        # vote for bit b: +1 if hash has bit set, else -1, summed via aggregate
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b) % 2 == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+
+    fingerprint = F.lit(0).cast("long")
+    for b in range(bits):
+        fingerprint = fingerprint + F.when(bit_vote(b) > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return df.withColumn("simhash", fingerprint)
+
+
+def embedding_near_dup(df: DataFrame, id_col: str = "vec_id",
+                       vec_col: str = "embedding", threshold: float = 0.95,
+                       num_planes: int = 8) -> DataFrame:
+    """Embedding-cosine near-dup: LSH-bucket by hyperplane signs (see
+    similarity.lsh_bucket), exact cosine only within buckets, keep pairs
+    with cosine ≥ threshold."""
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.similarity import lsh_bucket
+    from metadata_enhanced_pretrain_datapipeline_spark.functions.arrays import cosine_similarity
+
+    b = lsh_bucket(F.col(vec_col), num_planes)
+    keyed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), b.alias("bucket"))
+    l, r = keyed.alias("l"), keyed.alias("r")
+    return (
+        l.join(r, "bucket")
+        .filter(F.col("l.id") < F.col("r.id"))
+        .withColumn("cosine", cosine_similarity(F.col("l.v"), F.col("r.v")))
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"), "cosine")
+    )

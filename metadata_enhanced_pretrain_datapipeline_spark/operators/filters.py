@@ -1,0 +1,117 @@
+"""Filters (SURVEY.md §2.3, F1-F16).
+
+Every filter here is a pure Column predicate or a broadcast join — the two
+shapes Catalyst can push down / broadcast. The exclusion-sink ("removed
+rows go to a second writer", reference fineweb/main.py:104-140) is handled
+by the pipeline composer (plans/pipeline.py), which splits on the same
+predicate, so filters only *declare* predicates.
+
+Scale notes:
+- blocklist filters are LEFT ANTI joins with an explicit broadcast() of the
+  small side — at 100 TB the documents side never shuffles.
+- sampling/sharding is hash-based (functions/hashing.py), deterministic
+  under retries and identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from metadata_enhanced_pretrain_datapipeline_spark.functions.hashing import hash_bucket
+
+
+def length_filter(text: Column, min_chars: int) -> Column:
+    """F10 — keep docs with at least ``min_chars`` characters
+    (reference create_excerpt.py:176-180)."""
+    return F.length(text) >= F.lit(min_chars)
+
+
+def threshold_lt(score: Column, threshold: float) -> Column:
+    """F7 — ToxicityBinaryClassifierFilter keep-side: score < t
+    (reference toxic_filter.py:157-179; per-language thresholds
+    fineweb-2/main.py:36-105)."""
+    return score < F.lit(threshold)
+
+
+def threshold_ge(score: Column, threshold: float) -> Column:
+    """F9 — CodeQualityThresholdFilter: score >= t
+    (reference code_quality_filter.py:39-55)."""
+    return score >= F.lit(threshold)
+
+
+def conjunctive_threshold(bounds: dict[str, float]) -> Column:
+    """F8 — CodeMetricsThresholdFilter: AND of lower bounds on int columns
+    (reference code_quality_filter.py:28-34)."""
+    pred = F.lit(True)
+    for name, lo in bounds.items():
+        pred = pred & (F.col(name) >= F.lit(lo))
+    return pred
+
+
+def valid_int(col: Column, lo: int, hi: int) -> Column:
+    """F12 — coerce-to-int-else-drop + range validity
+    (reference code_processing.py:15-44, pd.to_numeric(errors='coerce'))."""
+    c = col.cast("string")
+    i = c.try_cast("int")
+    return i.isNotNull() & (i >= F.lit(lo)) & (i <= F.lit(hi))
+
+
+def id_anti_join(df: DataFrame, blocklist: DataFrame, key: str = "id") -> DataFrame:
+    """F1/J1 — IdFilter: drop docs whose id is in the blocklist
+    (reference robots_filter.py:95-121; blocklist built by load_robots
+    robots_filter.py:124-143). Broadcast LEFT ANTI — the big side stays
+    shuffle-free."""
+    return df.join(F.broadcast(blocklist.select(key).distinct()), key, "left_anti")
+
+
+def domain_blocklist_filter(df: DataFrame, domain_col: Column, blocked: DataFrame,
+                            blocked_col: str = "domain") -> DataFrame:
+    """F3/J3 — URLFilter with extra_domains: drop rows whose extracted host
+    is blocklisted (reference dclm-edu/main.py:63-72)."""
+    probe = df.withColumn("__domain", domain_col)
+    out = probe.join(
+        F.broadcast(blocked.select(F.col(blocked_col).alias("__domain")).distinct()),
+        "__domain",
+        "left_anti",
+    )
+    return out.drop("__domain")
+
+
+def hash_sample(df: DataFrame, key: Column, rate: float, salt: int = 42) -> DataFrame:
+    """F4 — SamplerFilter, deterministic variant: keep ``rate`` of rows by
+    hash of a stable key (reference keeps w.p. rate with seed=42,
+    fineweb-2/main.py:286-295). Hash-based → identical across retries,
+    engines, and cluster sizes; `df.sample` is not."""
+    n = 1_000_003
+    return df.filter(hash_bucket(key, n, b=salt) < F.lit(int(rate * n)))
+
+
+def shard_select(df: DataFrame, key: Column, shard: int, num_shards: int) -> DataFrame:
+    """F16 — process shard i of n (reference dataset.shard,
+    code_annotation.py:92)."""
+    return df.filter(hash_bucket(key, num_shards) == F.lit(shard))
+
+
+def quantile_gate(df: DataFrame, cols: list[str], q: float) -> DataFrame:
+    """F13 — keep rows where ALL label columns ≥ their per-column quantile
+    (reference code_filtering.py:27-29).
+
+    Two-phase, as in the reference: one exact-percentile aggregation (a
+    single 1-row result), broadcast back as a cross join, then a conjunctive
+    filter. At scale the agg is one shuffle-to-one-row; the filter is a
+    narrow map over the fact table — no second shuffle.
+    """
+    aggs = [F.expr(f"percentile({c}, {q})").alias(f"__t_{c}") for c in cols]
+    thresholds = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(thresholds))
+    pred = F.lit(True)
+    for c in cols:
+        pred = pred & (F.col(c) >= F.col(f"__t_{c}"))
+    return out.filter(pred).drop(*[f"__t_{c}" for c in cols])
+
+
+def token_count_verify(tokens: Column, expected: int) -> Column:
+    """F14 — keep rows whose token array has exactly N entries
+    (reference create_excerpt.py:121-125,214-218)."""
+    return F.size(tokens) == F.lit(expected)

@@ -1,0 +1,100 @@
+"""Formatters (SURVEY.md §2.4 A3/A9): PII scrubbing and template builders.
+
+All pure string expressions — regexp_replace chains and concat — so they
+stay inside whole-stage codegen. The reference implements these as per-row
+Python (pii_formatter.py, template adapters); at 100 TB that difference is
+the whole ballgame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Regex parity with the reference PII formatter
+# (src/.../formatters/pii_formatter.py:63-70). Kept RE2-compatible so the
+# DuckDB oracle can run the identical patterns.
+EMAIL_REGEX = r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b"
+IPV4_REGEX = (
+    r"\b(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}"
+    r"(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\b"
+)
+IBAN_REGEX = r"\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\b"
+
+EMAIL_TAG = "<email-pii>"
+IP_TAG = "<ip-pii>"
+IBAN_TAG = "<iban-pii>"
+
+#: (pattern, replacement) in the reference's pass order — email → ip → iban
+#: (pii_formatter.py:93-114). Order matters: replacing an email substring can
+#: alter later IP matches; we replicate the exact pass order.
+PII_PASSES = [(EMAIL_REGEX, EMAIL_TAG), (IPV4_REGEX, IP_TAG), (IBAN_REGEX, IBAN_TAG)]
+
+
+def pii_scrub(text: Column) -> Column:
+    """A3 rewrite — replace ALL occurrences of each PII family, in pass
+    order (pii_formatter.py:63-70,93-114)."""
+    out = text
+    for pat, tag in PII_PASSES:
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
+def pii_count(text: Column) -> Column:
+    """A3 counter — number of *unique* matched PII strings across families
+    (pii_formatter.py:78,88-99,117: replacement hits all occurrences, the
+    count is of distinct matched strings). Counted per family on the text
+    as seen by that pass, mirroring the sequential passes."""
+    counts = []
+    seen = text
+    for pat, tag in PII_PASSES:
+        counts.append(F.size(F.array_distinct(F.regexp_extract_all(seen, F.lit(pat), F.lit(0)))))
+        seen = F.regexp_replace(seen, pat, tag)
+    total = counts[0]
+    for c in counts[1:]:
+        total = total + c
+    return total
+
+
+def pii_list(text: Column) -> Column:
+    """A3 optional — the distinct matched PII strings (pii_formatter.py:118-119)."""
+    arrs = []
+    seen = text
+    for pat, tag in PII_PASSES:
+        arrs.append(F.array_distinct(F.regexp_extract_all(seen, F.lit(pat), F.lit(0))))
+        seen = F.regexp_replace(seen, pat, tag)
+    return F.concat(*arrs)
+
+
+def flan_template(inputs: Column, labels: Column) -> Column:
+    """A9 — '"User:\\n{in}\\nAssistant:\\n{out}"'
+    (reference provenance-flan/main.py:43-45)."""
+    nl = F.lit("\n")
+    return F.concat(F.lit("User:"), nl, inputs, nl, F.lit("Assistant:"), nl, labels)
+
+
+def chat_flatten(conversations: Column) -> Column:
+    """A9 — flatten array<struct<from,value>> chat logs to
+    '"user: …\\nassistant: …"' (reference euroblocks/main.py:25-36)."""
+    return F.array_join(
+        F.transform(conversations, lambda m: F.concat(m["from"], F.lit(": "), m["value"])),
+        "\n",
+    )
+
+
+def bidirectional_pairs(df: DataFrame, l1: Column, t1: Column, l2: Column, t2: Column,
+                        out_col: str = "text") -> DataFrame:
+    """A9 — emit BOTH directions '"{l1}: {t1}\\n{l2}: {t2}"' and the reverse,
+    2 rows per input (reference europarl/main_bidirectional.py:43-48;
+    paradocs.py:41-46). flatMap ≡ explode over a 2-element array."""
+    nl = F.lit("\n")
+    fwd = F.concat(l1, F.lit(": "), t1, nl, l2, F.lit(": "), t2)
+    rev = F.concat(l2, F.lit(": "), t2, nl, l1, F.lit(": "), t1)
+    return df.withColumn(out_col, F.explode(F.array(fwd, rev)))
+
+
+def fasttext_line(label: Column, text: Column) -> Column:
+    """K5 — fasttext training line '__label__<k> <text-escaped>'
+    (reference code_processing.py:80-111, format at 85-86)."""
+    esc = F.regexp_replace(F.regexp_replace(text, r"\\", r"\\\\"), "\n", r"\\n")
+    return F.concat(F.lit("__label__"), label.cast("string"), F.lit(" "), esc)

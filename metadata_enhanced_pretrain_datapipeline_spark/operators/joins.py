@@ -1,0 +1,63 @@
+"""Join strategies (SURVEY.md §2.6) including the as-of extension.
+
+The reference's joins are all broadcast lookups (robots id-set, domain
+dict); the engine exposes the full Spark join surface and adds an as-of
+join. Strategy guidance baked into each helper:
+
+- dimension tables (region/nation/customer at documents-scale) →
+  `broadcast()` — at 100 TB the fact table must never shuffle for a
+  kilobyte dimension.
+- fact⋈fact → sort-merge with AQE skew splitting (default).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def broadcast_lookup(fact: DataFrame, dim: DataFrame, on: str | list[str],
+                     how: str = "left") -> DataFrame:
+    """J2 — dict-lookup join (domain → robots.txt content,
+    dclm-edu/main.py:75-77 + robots_filter.py:44-58)."""
+    return fact.join(F.broadcast(dim), on, how)
+
+
+def asof_join(left: DataFrame, right: DataFrame, left_key: str, right_key: str,
+              left_ts: str, right_ts: str, right_vals: list[str]) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    right_ts <= left_ts on the same key (extension — q_asof_event_join).
+
+    Physical shape (the scalable one, per SURVEY §2.6): UNION the two
+    streams tagged by side, one window sorted by (key, ts) carrying
+    last_value(right_vals) forward, then keep left rows. ONE shuffle on the
+    key — vs a naive join+filter+argmax which shuffles the cross product.
+    """
+    lt = left.select(
+        F.col(left_key).alias("__k"), F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"), F.struct(*left.columns).alias("__l"),
+        *[F.lit(None).cast(right.schema[v].dataType).alias(f"__r_{v}") for v in right_vals],
+    )
+    rt = right.select(
+        F.col(right_key).alias("__k"), F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"), F.lit(None).cast(lt.schema["__l"].dataType).alias("__l"),
+        *[F.col(v).alias(f"__r_{v}") for v in right_vals],
+    )
+    unioned = lt.unionByName(rt)
+    # right rows sort before left rows at equal ts (side 0 < 1) so an order
+    # landing exactly at the event ts is visible to it (<=, asof semantics).
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"__r_{v}", ignorenulls=True).over(w).alias(f"__c_{v}")
+            for v in right_vals
+        ],
+    ).filter(F.col("__side") == 1)
+    return carried.select(
+        F.col("__l.*"), *[F.col(f"__c_{v}").alias(v) for v in right_vals]
+    )

@@ -1,0 +1,76 @@
+"""Sampling / ordering / replication operators (SURVEY.md §2.7-2.8).
+
+Determinism policy: anything oracle-checked orders/samples by a portable
+hash of a stable key (functions/hashing.py), never by `rand()` — rerun- and
+engine-stable, and shuffle-free where a predicate suffices.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from metadata_enhanced_pretrain_datapipeline_spark.functions.hashing import lin_hash
+
+
+def deterministic_shuffle(df: DataFrame, key: Column, salt: int = 42) -> DataFrame:
+    """O3 — reference shuffles with a seeded RNG
+    (paradocs.py:165 `sample(frac=1, random_state=42)`); we order by a
+    salted hash of the key: same permutation everywhere. One range-shuffle,
+    same cost as orderBy(rand()) but reproducible."""
+    return df.orderBy(lin_hash(key, b=salt), key)
+
+
+def positional_split(df: DataFrame, key: Column, train_frac: float,
+                     tag_col: str = "split") -> DataFrame:
+    """O5 — train/test split by position (reference code_processing.py:160-163).
+
+    Position = rank by hash order (deterministic shuffle) — a window over
+    the whole table. Fine at test scale; at 100 TB use `hash_sample` (no
+    global window) instead; this operator exists for reference parity.
+    """
+    w = Window.orderBy(lin_hash(key), key)
+    n = df.count()
+    cut = int(n * train_frac)
+    return df.withColumn(
+        tag_col, F.when(F.row_number().over(w) <= F.lit(cut), "train").otherwise("test")
+    )
+
+
+def balanced_sample(df: DataFrame, label_col: str, key: Column) -> DataFrame:
+    """F15 — downsample every class to the minority-class size
+    (reference preprocessing.py:37-40).
+
+    Deterministic: rank rows within each class by hashed key, keep the
+    first `min_count`. Two shuffles total (one count agg, one window);
+    the window partitions by class so skew is bounded by class size —
+    salting is unnecessary because we only keep min_count per class.
+    """
+    counts = df.groupBy(label_col).count()
+    min_count = counts.agg(F.min("count").alias("m"))
+    w = Window.partitionBy(label_col).orderBy(lin_hash(key), key)
+    ranked = df.withColumn("__rk", F.row_number().over(w))
+    return (
+        ranked.crossJoin(F.broadcast(min_count))
+        .filter(F.col("__rk") <= F.col("m"))
+        .drop("__rk", "m")
+    )
+
+
+def replicate_buckets(df: DataFrame, reps: Column, keep_rep_index: bool = False) -> DataFrame:
+    """U2 — replicate each row k times, k per-row (reference gutenberg
+    create_replicas.py:38-96: repetition schedule over buckets of 500).
+
+    `explode(sequence(1, k))` — fan-out without shuffle; output partition
+    sizes grow by the local replication factor, so follow with a
+    repartition if k is large and skewed.
+    """
+    out = df.withColumn("__rep", F.explode(F.sequence(F.lit(1), reps)))
+    return out if keep_rep_index else out.drop("__rep")
+
+
+def top_k(df: DataFrame, order: list[Column], k: int) -> DataFrame:
+    """O6 — deterministic top-k. Spark plans orderBy+limit as TakeOrdered:
+    per-partition partial top-k then a single-reduce merge — no full sort
+    at scale."""
+    return df.orderBy(*order).limit(k)

@@ -1,0 +1,110 @@
+"""Pipeline composer — the reference's "list of steps" model
+(fineweb/main.py:96-149) as a planner over DataFrame transformations.
+
+What the composer adds beyond plain chaining:
+
+1. **Exclusion sinks (K3)** — the structural feature that makes the
+   reference a DAG, not a tree: every filter may route rejected rows (full
+   Document shape + a rejection-reason tag) to a second sink
+   (fineweb/main.py:104-140). We implement kept/removed as two filters over
+   a SHARED upstream and decide persistence: the upstream is persisted once
+   before the first dual-output filter so expensive annotators (ML scores)
+   are not recomputed per branch — the reference gets this for free by
+   teeing inside one process; Spark needs the explicit persist (SURVEY §4).
+
+2. **Step ordering is preserved** — Catalyst will not reorder Python-UDF
+   filters across each other, and the reference's cheap-before-expensive
+   ordering (robots before ML, fineweb/main.py:96-149) is part of the
+   semantics. Pure-Column predicates still get pushed/fused freely.
+
+3. **observe() metrics (G6)** — per-step kept/removed counters replace the
+   reference's per-rank stats + merge_stats job (slurm_nodes.py:199-220).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+@dataclass
+class FilterStep:
+    """A predicate filter with an optional exclusion sink.
+
+    `predicate`: Column (pure, pushable) OR a callable df→df returning the
+    kept rows (for join-shaped filters like id_anti_join).
+    `exclusion_writer`: callable(df) invoked with the removed rows.
+    """
+
+    name: str
+    predicate: Column | Callable[[DataFrame], DataFrame]
+    exclusion_writer: Callable[[DataFrame], None] | None = None
+    reason: str | None = None
+
+
+@dataclass
+class MapStep:
+    """A 1→1 (or 1→n via explode) transformation: callable df→df."""
+
+    name: str
+    fn: Callable[[DataFrame], DataFrame]
+
+
+@dataclass
+class Pipeline:
+    """Compose steps into one lazy DataFrame plan; run() executes sinks.
+
+    Mirrors the reference executor contract (pipeline list → run) minus the
+    Slurm machinery: ranks are partitions, merge_stats is observe().
+    """
+
+    steps: list[FilterStep | MapStep] = field(default_factory=list)
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        """Pure composition — returns the kept-rows DataFrame without
+        executing sinks (for tests / further composition)."""
+        out = df
+        for step in self.steps:
+            if isinstance(step, MapStep):
+                out = step.fn(out)
+            elif isinstance(step.predicate, Column):
+                out = out.filter(step.predicate)
+            else:
+                out = step.predicate(out)
+        return out
+
+    def run(self, df: DataFrame, sink: Callable[[DataFrame], None] | None = None) -> DataFrame:
+        """Execute with exclusion sinks. Upstreams feeding a dual output are
+        persisted (MEMORY_AND_DISK) and unpersisted after both branches are
+        consumed. Invariant (tested): kept ∪ removed = input, disjoint."""
+        out = df
+        persisted: list[DataFrame] = []
+        for step in self.steps:
+            if isinstance(step, MapStep):
+                out = step.fn(out)
+                continue
+            needs_tee = step.exclusion_writer is not None
+            if needs_tee:
+                out = out.persist(StorageLevel.MEMORY_AND_DISK)
+                persisted.append(out)
+            if isinstance(step.predicate, Column):
+                kept = out.filter(step.predicate)
+                removed = out.filter(~step.predicate | step.predicate.isNull())
+            else:
+                kept = step.predicate(out)
+                removed = out.join(kept.select(kept.columns[0]).withColumnRenamed(
+                    kept.columns[0], "__kept_key"), on=F.col(out.columns[0]) == F.col("__kept_key"),
+                    how="left_anti")
+            if needs_tee:
+                tagged = removed.withColumn("reason", F.lit(step.reason or step.name))
+                step.exclusion_writer(tagged)
+            out = kept
+        if sink is not None:
+            sink(out)
+        for p in persisted:
+            p.unpersist()
+        return out

@@ -1,0 +1,1295 @@
+"""Driver-contract query registry: SURVEY.md §2 inventory as
+(spark_fn, oracle_sql) pairs runnable on the TESTDATA.md tables.
+
+Conventions (FIXTURES.md §C):
+- every computed column aliased identically in Spark and SQL;
+- doubles rounded (4-6 dp) so summation-order noise can't flip the
+  driver's value hash; counts cast to BIGINT in DuckDB (sum(int) is
+  HUGEINT there);
+- timestamps emitted as formatted strings (engine-neutral);
+- all determinism is hash-based (functions/hashing.py) — no rand().
+
+Ops whose semantics aren't SQL-expressible (model inference, stateful
+packing, running-length segmentation, LSH banding) register no oracle →
+the driver records a rows-only check (marked † in SURVEY §2).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from metadata_enhanced_pretrain_datapipeline_spark.session import tune_for_oracle
+from metadata_enhanced_pretrain_datapipeline_spark.functions.arrays import cosine_similarity
+from metadata_enhanced_pretrain_datapipeline_spark.functions.hashing import lin_hash, md5_hash64
+from metadata_enhanced_pretrain_datapipeline_spark.functions.text import TOKEN_REGEX, tokens_ws
+from metadata_enhanced_pretrain_datapipeline_spark.functions.urlf import HOST_REGEX, SUFFIX_REGEX, url_host, url_suffix
+from metadata_enhanced_pretrain_datapipeline_spark.operators import (
+    aggregates,
+    annotators,
+    dedup,
+    filters,
+    formatters,
+    joins,
+    sampling,
+    segment,
+    similarity,
+    tokens,
+)
+
+QuerySpec = tuple[Callable[[SparkSession, str], DataFrame], str | None]
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune_for_oracle(spark)
+            return fn(spark, sf_dir)
+
+        _REGISTRY[name] = (wrapped, oracle)
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _ns_to_ts(df: DataFrame, col: str) -> DataFrame:
+    """The testdata parquet stores TIMESTAMP(NANOS); Spark reads it as long
+    nanos under spark.sql.legacy.parquet.nanosAsLong (session.py). Integer-
+    divide to µs (never float: 1.7e18 ns exceeds double's 2^53 precision)."""
+    if dict(df.dtypes).get(col) == "bigint":
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    return df
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ns_to_ts(load(spark, sf_dir, "events"), "ts")
+
+
+def load_orders_dated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ns_to_ts(load(spark, sf_dir, "orders"), "o_orderdate")
+
+
+# portable hash, SQL renderings -------------------------------------------
+LIN = "(({k}) * 9973 + 12345) % 1000003"
+
+
+def lin_sql(key: str) -> str:
+    return LIN.format(k=key)
+
+
+# ===========================================================================
+# §2.1/2.3 — scans, projections, predicate filters
+# ===========================================================================
+
+
+@register(
+    "q_scan_parquet",
+    "SELECT doc_id, lang, source, n_chars FROM documents",
+)
+def q_scan_parquet(spark, sf):
+    """S1 — projection-only scan; .explain shows ReadSchema pruned to 4 cols
+    (reference ParquetReader, fineweb/main.py:97-99)."""
+    return load(spark, sf, "documents").select("doc_id", "lang", "source", "n_chars")
+
+
+@register(
+    "q_length_filter",
+    "SELECT doc_id, n_chars FROM documents WHERE length(text) >= 400",
+)
+def q_length_filter(spark, sf):
+    """F10 (create_excerpt.py:176-180)."""
+    d = load(spark, sf, "documents")
+    return d.filter(filters.length_filter(F.col("text"), 400)).select("doc_id", "n_chars")
+
+
+@register(
+    "q_predicate_filter",
+    "SELECT doc_id, lang, n_chars FROM documents "
+    "WHERE lang = 'en' AND n_chars BETWEEN 200 AND 800",
+)
+def q_predicate_filter(spark, sf):
+    """F5 — LambdaFilter ≡ arbitrary Column predicate (provenance-flan/main.py:10)."""
+    d = load(spark, sf, "documents")
+    return d.filter((F.col("lang") == "en") & F.col("n_chars").between(200, 800)).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@register(
+    "q_threshold_filter_lt",
+    "SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal < 1000.0",
+)
+def q_threshold_filter_lt(spark, sf):
+    """F7 — ToxicityBinaryClassifierFilter keep-side: score < t
+    (toxic_filter.py:157-179)."""
+    c = load(spark, sf, "customer")
+    return c.filter(filters.threshold_lt(F.col("c_acctbal"), 1000.0)).select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+@register(
+    "q_threshold_filter_ge",
+    "SELECT p_partkey, p_size FROM part WHERE p_size >= 25",
+)
+def q_threshold_filter_ge(spark, sf):
+    """F9 — CodeQualityThresholdFilter (code_quality_filter.py:39-55)."""
+    p = load(spark, sf, "part")
+    return p.filter(filters.threshold_ge(F.col("p_size"), 25)).select("p_partkey", "p_size")
+
+
+_DERIVED_SCORES = (
+    "SELECT doc_id, (doc_id * 7) % 10 AS clarity, (doc_id * 11) % 10 AS practice, "
+    "(doc_id * 13) % 10 AS educational, (doc_id * 5) % 3 AS difficulty FROM documents"
+)
+
+
+def _derived_scores(spark, sf):
+    """FIXTURES.md §B5 stand-in: deterministic code-quality int columns."""
+    return load(spark, sf, "documents").select(
+        "doc_id",
+        ((F.col("doc_id") * 7) % 10).alias("clarity"),
+        ((F.col("doc_id") * 11) % 10).alias("practice"),
+        ((F.col("doc_id") * 13) % 10).alias("educational"),
+        ((F.col("doc_id") * 5) % 3).alias("difficulty"),
+    )
+
+
+@register(
+    "q_conjunctive_threshold",
+    f"SELECT doc_id, clarity, practice, educational, difficulty FROM ({_DERIVED_SCORES}) "
+    "WHERE clarity >= 2 AND practice >= 2 AND educational >= 2 AND difficulty >= 1",
+)
+def q_conjunctive_threshold(spark, sf):
+    """F8 — CodeMetricsThresholdFilter: AND of 4 lower bounds
+    (code_quality_filter.py:28-34)."""
+    return _derived_scores(spark, sf).filter(
+        filters.conjunctive_threshold(
+            {"clarity": 2, "practice": 2, "educational": 2, "difficulty": 1}
+        )
+    )
+
+
+@register(
+    "q_try_cast_valid",
+    "SELECT doc_id, TRY_CAST(raw AS INT) AS score FROM ("
+    "  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN 'x' "
+    "         ELSE CAST(doc_id % 10 AS VARCHAR) END AS raw FROM documents) "
+    "WHERE TRY_CAST(raw AS INT) IS NOT NULL AND TRY_CAST(raw AS INT) BETWEEN 0 AND 9",
+)
+def q_try_cast_valid(spark, sf):
+    """F12 — pd.to_numeric(errors='coerce') + dropna + range validity
+    (code_processing.py:15-44)."""
+    d = load(spark, sf, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.lit("x"))
+        .otherwise((F.col("doc_id") % 10).cast("string"))
+        .alias("raw"),
+    )
+    return d.filter(filters.valid_int(F.col("raw"), 0, 9)).select(
+        "doc_id", F.col("raw").try_cast("int").alias("score")
+    )
+
+
+@register(
+    "q_substring",
+    "SELECT doc_id, substring(text, 11, 50) AS excerpt FROM documents WHERE n_chars >= 100",
+)
+def q_substring(spark, sf):
+    """W4 — char-position substring (create_excerpt.py:72)."""
+    d = load(spark, sf, "documents")
+    return d.filter(F.col("n_chars") >= 100).select(
+        "doc_id", F.substring("text", 11, 50).alias("excerpt")
+    )
+
+
+_SCORE_STRINGS = (
+    "SELECT doc_id, CAST((doc_id*7)%10 AS VARCHAR) || ' ' || CAST((doc_id*11)%10 AS VARCHAR)"
+    " || ' ' || CAST((doc_id*13)%10 AS VARCHAR) || ' ' || CAST((doc_id*5)%3 AS VARCHAR)"
+    " AS output FROM documents"
+)
+
+
+@register(
+    "q_split_columns",
+    f"SELECT doc_id, TRY_CAST(split_part(output, ' ', 1) AS INT) AS clarity, "
+    "TRY_CAST(split_part(output, ' ', 2) AS INT) AS practice, "
+    "TRY_CAST(split_part(output, ' ', 3) AS INT) AS educational, "
+    f"TRY_CAST(split_part(output, ' ', 4) AS INT) AS difficulty FROM ({_SCORE_STRINGS})",
+)
+def q_split_columns(spark, sf):
+    """A5 — 'c p e d' score-string split into 4 int columns
+    (code_processing.py:27-29)."""
+    d = load(spark, sf, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            ((F.col("doc_id") * 7) % 10).cast("string"),
+            ((F.col("doc_id") * 11) % 10).cast("string"),
+            ((F.col("doc_id") * 13) % 10).cast("string"),
+            ((F.col("doc_id") * 5) % 3).cast("string"),
+        ).alias("output"),
+    )
+    return annotators.split_score_columns(d).select(
+        "doc_id", "clarity", "practice", "educational", "difficulty"
+    )
+
+
+@register(
+    "q_hash_sample",
+    f"SELECT doc_id, lang FROM documents WHERE {lin_sql('doc_id')} < 100000",
+)
+def q_hash_sample(spark, sf):
+    """F4 — SamplerFilter, deterministic hash variant, rate≈0.1
+    (fineweb-2/main.py:286-295; rationale in functions/hashing.py)."""
+    d = load(spark, sf, "documents")
+    return filters.hash_sample(d, F.col("doc_id"), 100000 / 1000003, salt=12345).select(
+        "doc_id", "lang"
+    )
+
+
+@register(
+    "q_shard_select",
+    f"SELECT doc_id FROM documents WHERE ({lin_sql('doc_id')}) % 8 = 3",
+)
+def q_shard_select(spark, sf):
+    """F16 — process shard 3 of 8 (code_annotation.py:92)."""
+    d = load(spark, sf, "documents")
+    return filters.shard_select(d, F.col("doc_id"), 3, 8).select("doc_id")
+
+
+# ===========================================================================
+# §2.3/2.5 — dedup + duplicate accounting
+# ===========================================================================
+
+
+@register(
+    "q_dedup_exact",
+    "SELECT dup_key, doc_id FROM ("
+    "  SELECT doc_id % 100 AS dup_key, doc_id, "
+    "         row_number() OVER (PARTITION BY doc_id % 100 ORDER BY doc_id) AS rn "
+    "  FROM documents) WHERE rn = 1",
+)
+def q_dedup_exact(spark, sf):
+    """F11 — first-wins exact dedup (create_excerpt.py:113-118)."""
+    d = load(spark, sf, "documents").select((F.col("doc_id") % 100).alias("dup_key"), "doc_id")
+    return dedup.dedup_exact(d, F.col("dup_key"), [F.col("doc_id")]).select("dup_key", "doc_id")
+
+
+@register(
+    "q_dup_count",
+    "SELECT dup_key, cnt FROM (SELECT doc_id % 100 AS dup_key, count(*) AS cnt "
+    "FROM documents GROUP BY doc_id % 100) WHERE cnt > 1",
+)
+def q_dup_count(spark, sf):
+    """G4 — duplicate accounting (create_excerpt.py:184-185)."""
+    d = load(spark, sf, "documents").select((F.col("doc_id") % 100).alias("dup_key"))
+    return aggregates.duplicate_counts(d, "dup_key")
+
+
+@register(
+    "q_dedup_exact_text",
+    "SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS text_key, "
+    "CAST(min(doc_id) AS BIGINT) AS keeper_id, count(*) AS n_copies "
+    "FROM documents GROUP BY 1",
+)
+def q_dedup_exact_text(spark, sf):
+    """Extension — exact-text dedup groups keyed on the normalized digest
+    (hash-groupBy; one shuffle on a 32-byte key, never on the text)."""
+    d = load(spark, sf, "documents")
+    key = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    return d.groupBy(key.alias("text_key")).agg(
+        F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies")
+    )
+
+
+# ===========================================================================
+# §2.6 — joins
+# ===========================================================================
+
+
+@register(
+    "q_id_anti_join",
+    "SELECT doc_id, source FROM documents WHERE doc_id NOT IN "
+    "(SELECT doc_id FROM documents WHERE doc_id % 10 = 0)",
+)
+def q_id_anti_join(spark, sf):
+    """F1/J1 — IdFilter as broadcast LEFT ANTI (robots_filter.py:95-121;
+    FIXTURES.md §B2: every 10th doc blocked)."""
+    d = load(spark, sf, "documents")
+    blocklist = d.filter(F.col("doc_id") % 10 == 0).select("doc_id")
+    return filters.id_anti_join(d, blocklist, "doc_id").select("doc_id", "source")
+
+
+@register(
+    "q_domain_blocklist",
+    "SELECT doc_id, source || '.example.com' AS domain FROM documents "
+    "WHERE source || '.example.com' NOT IN "
+    "('src0.example.com','src1.example.com','src2.example.com')",
+)
+def q_domain_blocklist(spark, sf):
+    """F3/J3 — URLFilter extra_domains (dclm-edu/main.py:63-72)."""
+    d = load(spark, sf, "documents").withColumn(
+        "domain", F.concat(F.col("source"), F.lit(".example.com"))
+    )
+    blocked = spark.createDataFrame(
+        [(f"src{i}.example.com",) for i in range(3)], "domain string"
+    )
+    return filters.domain_blocklist_filter(d, F.col("domain"), blocked).select(
+        "doc_id", "domain"
+    )
+
+
+@register(
+    "q_domain_left_join",
+    "SELECT d.doc_id, d.source, coalesce(r.content, '<missing>') AS robots FROM documents d "
+    "LEFT JOIN (SELECT 'src' || CAST(r.i AS VARCHAR) AS domain, "
+    "           'User-agent: *' || CAST(r.i AS VARCHAR) AS content "
+    "           FROM generate_series(0, 9) r(i)) r ON d.source = r.domain",
+)
+def q_domain_left_join(spark, sf):
+    """J2 — broadcast dict lookup: domain → robots.txt content
+    (dclm-edu/main.py:75-77 probe at robots_filter.py:44-58)."""
+    d = load(spark, sf, "documents")
+    dim = spark.range(10).select(
+        F.concat(F.lit("src"), F.col("id").cast("string")).alias("domain"),
+        F.concat(F.lit("User-agent: *"), F.col("id").cast("string")).alias("content"),
+    )
+    out = joins.broadcast_lookup(d, dim, on=[d.source == dim.domain], how="left")
+    return out.select(
+        "doc_id", "source", F.coalesce("content", F.lit("<missing>")).alias("robots")
+    )
+
+
+@register(
+    "q_join_inner",
+    "SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue "
+    "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment",
+)
+def q_join_inner(spark, sf):
+    o, c = load(spark, sf, "orders"), load(spark, sf, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+@register(
+    "q_join_multiway",
+    "SELECT r_name, count(*) AS n_items, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name",
+)
+def q_join_multiway(spark, sf):
+    """J — 5-way star join. lineitem⋈orders sort-merge (fact⋈fact);
+    customer/nation/region broadcast — the fact side shuffles once."""
+    li = load(spark, sf, "lineitem")
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@register(
+    "q_join_semi",
+    "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)",
+)
+def q_join_semi(spark, sf):
+    c, o = load(spark, sf, "customer"), load(spark, sf, "orders")
+    big = o.filter(F.col("o_totalprice") > 450000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "q_join_anti",
+    "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN "
+    "(SELECT o_custkey FROM orders WHERE o_totalprice > 450000)",
+)
+def q_join_anti(spark, sf):
+    c, o = load(spark, sf, "customer"), load(spark, sf, "orders")
+    big = o.filter(F.col("o_totalprice") > 450000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "q_join_outer",
+    "SELECT c_custkey, count(o_orderkey) AS n_orders FROM customer "
+    "LEFT JOIN orders ON o_custkey = c_custkey GROUP BY c_custkey",
+)
+def q_join_outer(spark, sf):
+    c, o = load(spark, sf, "customer"), load(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+# ===========================================================================
+# §2.8 — set ops / replication
+# ===========================================================================
+
+
+@register(
+    "q_union_all",
+    "SELECT lang, count(*) AS n FROM ("
+    "  SELECT lang FROM documents WHERE lang = 'en' "
+    "  UNION ALL SELECT lang FROM documents WHERE lang = 'de') GROUP BY lang",
+)
+def q_union_all(spark, sf):
+    """U1 — pd.concat ≡ unionByName (code_processing.py:23)."""
+    d = load(spark, sf, "documents")
+    u = d.filter(F.col("lang") == "en").select("lang").unionByName(
+        d.filter(F.col("lang") == "de").select("lang")
+    )
+    return u.groupBy("lang").agg(F.count("*").alias("n"))
+
+
+@register(
+    "q_except_ids",
+    "SELECT doc_id FROM documents EXCEPT SELECT doc_id FROM documents WHERE doc_id % 10 = 0",
+)
+def q_except_ids(spark, sf):
+    """U3 — except (set membership, F1 semantics)."""
+    d = load(spark, sf, "documents")
+    return d.select("doc_id").exceptAll(
+        d.filter(F.col("doc_id") % 10 == 0).select("doc_id")
+    )
+
+
+@register(
+    "q_replicate_buckets",
+    "SELECT d.doc_id, d.k, g.i AS rep_idx FROM "
+    "(SELECT doc_id, (doc_id % 4) + 1 AS k FROM documents) d "
+    "JOIN generate_series(1, 4) g(i) ON g.i <= d.k",
+)
+def q_replicate_buckets(spark, sf):
+    """U2 — replication ×k by bucket (create_replicas.py:38-96):
+    explode(sequence(1,k)) — shuffle-free fan-out."""
+    d = load(spark, sf, "documents").select(
+        "doc_id", ((F.col("doc_id") % 4) + 1).alias("k")
+    )
+    return sampling.replicate_buckets(d, F.col("k"), keep_rep_index=True).withColumnRenamed(
+        "__rep", "rep_idx"
+    )
+
+
+# ===========================================================================
+# §2.5 — aggregations
+# ===========================================================================
+
+
+@register(
+    "q_group_count",
+    "SELECT lang, count(*) AS count FROM documents GROUP BY lang ORDER BY lang",
+)
+def q_group_count(spark, sf):
+    """G3 — value_counts (code_processing.py:63-70)."""
+    return aggregates.group_count(load(spark, sf, "documents"), "lang")
+
+
+@register(
+    "q_token_sum",
+    "SELECT source, CAST(sum(n_chars) AS BIGINT) AS total_chars, "
+    "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens "
+    "FROM documents GROUP BY source",
+)
+def q_token_sum(spark, sf):
+    """G6 — per-rank stat accumulation + merge ≡ one agg
+    (megatron_tokenizer.py:283, slurm_nodes.py:199-220)."""
+    d = load(spark, sf, "documents")
+    return d.groupBy("source").agg(
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+    )
+
+
+@register(
+    "q_quantile_threshold",
+    "SELECT round(quantile_cont(c_acctbal, 0.9), 6) AS threshold FROM customer",
+)
+def q_quantile_threshold(spark, sf):
+    """G1 — the quantile half of estimate_classifier_threshold
+    (embeddings_filter.py:74-108): exact percentile, one-row result."""
+    c = load(spark, sf, "customer")
+    return c.agg(F.round(F.expr("percentile(c_acctbal, 0.9)"), 6).alias("threshold"))
+
+
+@register(
+    "q_quantile_gate",
+    f"WITH t AS ({_DERIVED_SCORES}), "
+    "q AS (SELECT quantile_cont(clarity, 0.5) AS tc, quantile_cont(practice, 0.5) AS tp, "
+    "      quantile_cont(educational, 0.5) AS te FROM t) "
+    "SELECT doc_id, clarity, practice, educational FROM t, q "
+    "WHERE clarity >= tc AND practice >= tp AND educational >= te",
+)
+def q_quantile_gate(spark, sf):
+    """F13/G2/J4 — per-column quantile thresholds broadcast back as a
+    conjunctive gate (code_filtering.py:27-29)."""
+    t = _derived_scores(spark, sf)
+    return filters.quantile_gate(t, ["clarity", "practice", "educational"], 0.5).select(
+        "doc_id", "clarity", "practice", "educational"
+    )
+
+
+@register(
+    "q_grouping_sets",
+    "SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source, "
+    "count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents "
+    "GROUP BY GROUPING SETS ((lang, source), (lang), ())",
+)
+def q_grouping_sets(spark, sf):
+    """Extension (SURVEY §2.5 note) — grouping sets come free: rollup(lang,
+    source) ≡ GROUPING SETS ((lang,source),(lang),())."""
+    d = load(spark, sf, "documents")
+    return (
+        d.rollup("lang", "source")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("total_chars"))
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "n",
+            "total_chars",
+        )
+    )
+
+
+# ===========================================================================
+# §2.7 — sorts / limits / splits / shuffle
+# ===========================================================================
+
+
+@register(
+    "q_top_k",
+    "SELECT o_orderkey, o_totalprice FROM orders "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100",
+)
+def q_top_k(spark, sf):
+    """O6/O4 — TakeOrdered: per-partition partial top-k, single merge."""
+    o = load(spark, sf, "orders")
+    return sampling.top_k(
+        o.select("o_orderkey", "o_totalprice"),
+        [F.desc("o_totalprice"), F.col("o_orderkey")],
+        100,
+    )
+
+
+@register(
+    "q_limit",
+    "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 50",
+)
+def q_limit(spark, sf):
+    """O4 — head/limit (paradocs.py:167-170)."""
+    return load(spark, sf, "orders").select("o_orderkey").orderBy("o_orderkey").limit(50)
+
+
+@register(
+    "q_deterministic_shuffle",
+    f"SELECT doc_id, row_number() OVER (ORDER BY {lin_sql('doc_id')}, doc_id) AS pos "
+    "FROM documents",
+)
+def q_deterministic_shuffle(spark, sf):
+    """O3 — seeded-shuffle parity via hash ordering (paradocs.py:165;
+    determinism policy in operators/sampling.py)."""
+    d = load(spark, sf, "documents")
+    w = Window.orderBy(lin_hash(F.col("doc_id")), F.col("doc_id"))
+    return d.select("doc_id", F.row_number().over(w).alias("pos"))
+
+
+@register(
+    "q_positional_split",
+    "SELECT doc_id, CASE WHEN rn <= CAST(floor(0.8 * cnt) AS BIGINT) "
+    "THEN 'train' ELSE 'test' END AS split FROM ("
+    f"  SELECT doc_id, row_number() OVER (ORDER BY {lin_sql('doc_id')}, doc_id) AS rn, "
+    "          count(*) OVER () AS cnt FROM documents)",
+)
+def q_positional_split(spark, sf):
+    """O5 — positional train/test split (code_processing.py:160-163)."""
+    d = load(spark, sf, "documents")
+    w = Window.orderBy(lin_hash(F.col("doc_id")), F.col("doc_id"))
+    wall = Window.partitionBy()
+    return d.select(
+        "doc_id",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wall).alias("cnt"),
+    ).select(
+        "doc_id",
+        F.when(
+            F.col("rn") <= F.floor(0.8 * F.col("cnt")).cast("long"), "train"
+        )
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "q_balanced_sample",
+    "WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label), "
+    "m AS (SELECT min(n) AS mn FROM c), "
+    f"r AS (SELECT label, vec_id, row_number() OVER (PARTITION BY label "
+    f"      ORDER BY {lin_sql('vec_id')}, vec_id) AS rn FROM embeddings) "
+    "SELECT label, count(*) AS n_rows FROM r, m WHERE rn <= mn GROUP BY label",
+)
+def q_balanced_sample(spark, sf):
+    """F15 — class-balancing subsample, deterministic variant
+    (preprocessing.py:37-40)."""
+    e = load(spark, sf, "embeddings")
+    balanced = sampling.balanced_sample(e, "label", F.col("vec_id"))
+    return balanced.groupBy("label").agg(F.count("*").alias("n_rows"))
+
+
+# ===========================================================================
+# §2.4 — formatters / annotators (SQL-expressible halves)
+# ===========================================================================
+
+_PII_TEXT = (
+    "'Contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 10.0.' || "
+    "CAST(doc_id % 256 AS VARCHAR) || '.7 iban DE89370400440532013000 ' || text"
+)
+
+
+def _pii_text_col():
+    return F.concat(
+        F.lit("Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 iban DE89370400440532013000 "),
+        F.col("text"),
+    )
+
+
+def _pii_scrub_sql(expr: str) -> str:
+    out = expr
+    for pat, tag in formatters.PII_PASSES:
+        out = f"regexp_replace({out}, '{pat}', '{tag}', 'g')"
+    return out
+
+
+def _pii_count_sql(expr: str) -> str:
+    parts, seen = [], expr
+    for pat, tag in formatters.PII_PASSES:
+        parts.append(f"len(list_distinct(regexp_extract_all({seen}, '{pat}')))")
+        seen = f"regexp_replace({seen}, '{pat}', '{tag}', 'g')"
+    return " + ".join(parts)
+
+
+@register(
+    "q_pii_scrub",
+    f"SELECT doc_id, substring({_pii_scrub_sql(_PII_TEXT)}, 1, 80) AS scrubbed, "
+    f"CAST({_pii_count_sql(_PII_TEXT)} AS INT) AS pii_count "
+    "FROM documents",
+)
+def q_pii_scrub(spark, sf):
+    """A3 — PIIFormatter: email→ip→iban pass order, replace-all, count of
+    unique matched strings (pii_formatter.py:63-70,93-119)."""
+    d = load(spark, sf, "documents").withColumn("__t", _pii_text_col())
+    return d.select(
+        "doc_id",
+        F.substring(formatters.pii_scrub(F.col("__t")), 1, 80).alias("scrubbed"),
+        formatters.pii_count(F.col("__t")).cast("int").alias("pii_count"),
+    )
+
+
+_URL = (
+    "'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) || '?q=' || lang"
+)
+
+
+@register(
+    "q_url_parse_features",
+    f"SELECT doc_id, regexp_extract({_URL}, '{HOST_REGEX}', 1) AS url_domain, "
+    f"regexp_extract({_URL}, '{SUFFIX_REGEX}', 1) AS url_suffix FROM documents",
+)
+def q_url_parse_features(spark, sf):
+    """A8 — URL metadata builders (tokenize_with_metadata.py:145-184);
+    F2's SQL-expressible host extraction (robots_filter.py:44-58)."""
+    d = load(spark, sf, "documents").withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?q="),
+            F.col("lang"),
+        ),
+    )
+    return d.select(
+        "doc_id",
+        url_host(F.col("url")).alias("url_domain"),
+        url_suffix(F.col("url")).alias("url_suffix"),
+    )
+
+
+@register(
+    "q_template_concat",
+    "SELECT doc_id, 'User:' || chr(10) || substring(text, 1, 40) || chr(10) || "
+    "'Assistant:' || chr(10) || lang AS prompt FROM documents",
+)
+def q_template_concat(spark, sf):
+    """A9 — FLAN template (provenance-flan/main.py:43-45)."""
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        formatters.flan_template(F.substring("text", 1, 40), F.col("lang")).alias("prompt"),
+    )
+
+
+@register(
+    "q_chat_flatten",
+    "SELECT doc_id, 'user: ' || substring(text, 1, 30) || chr(10) || "
+    "'assistant: ' || substring(text, 31, 30) AS flat FROM documents",
+)
+def q_chat_flatten(spark, sf):
+    """A9 — chat-log flatten over array<struct<from,value>>
+    (euroblocks/main.py:25-36). Spark builds the real nested structure and
+    flattens it; the oracle computes the equivalent string directly."""
+    d = load(spark, sf, "documents").withColumn(
+        "conversations",
+        F.array(
+            F.struct(F.lit("user").alias("from"), F.substring("text", 1, 30).alias("value")),
+            F.struct(
+                F.lit("assistant").alias("from"), F.substring("text", 31, 30).alias("value")
+            ),
+        ),
+    )
+    return d.select(
+        "doc_id", formatters.chat_flatten(F.col("conversations")).alias("flat")
+    )
+
+
+@register(
+    "q_bidirectional_explode",
+    "SELECT doc_id, 'en' || ': ' || substring(text, 1, 30) || chr(10) || lang || ': ' || "
+    "substring(text, 31, 30) AS text FROM documents "
+    "UNION ALL SELECT doc_id, lang || ': ' || substring(text, 31, 30) || chr(10) || "
+    "'en' || ': ' || substring(text, 1, 30) AS text FROM documents",
+)
+def q_bidirectional_explode(spark, sf):
+    """A9 — bidirectional pair emission, 2 rows per input
+    (europarl/main_bidirectional.py:43-48; paradocs.py:41-46)."""
+    d = load(spark, sf, "documents")
+    return formatters.bidirectional_pairs(
+        d,
+        F.lit("en"),
+        F.substring("text", 1, 30),
+        F.col("lang"),
+        F.substring("text", 31, 30),
+    ).select("doc_id", "text")
+
+
+@register(
+    "q_adapter_template",
+    "SELECT CAST(doc_id AS VARCHAR) AS id, text, "
+    "to_json(struct_pack(lang := lang, source := source)) AS metadata_json FROM documents",
+)
+def q_adapter_template(spark, sf):
+    """S7 — reader adapter: normalize into the Document shape with JSON
+    metadata round-trip (finemath/main.py:46-66)."""
+    d = load(spark, sf, "documents")
+    return d.select(
+        F.col("doc_id").cast("string").alias("id"),
+        "text",
+        F.to_json(F.struct(F.col("lang"), F.col("source"))).alias("metadata_json"),
+    )
+
+
+# ===========================================================================
+# arrays / chunking / embeddings
+# ===========================================================================
+
+
+@register(
+    "q_array_slice",
+    "SELECT doc_id, array_to_string(list_slice(string_split(text, ' '), off, off + 15), ' ') "
+    "AS excerpt FROM (SELECT doc_id, text, "
+    f"1 + ({lin_sql('doc_id')}) % (len(string_split(text, ' ')) - 15) AS off "
+    "FROM documents WHERE len(string_split(text, ' ')) >= 24)",
+)
+def q_array_slice(spark, sf):
+    """W3 — excerpt at seeded random offset ≡ hash-derived offset
+    (create_excerpt.py:82-110)."""
+    d = load(spark, sf, "documents").withColumn("toks", F.split("text", " "))
+    d = d.filter(F.size("toks") >= 24).withColumn(
+        "off", (F.lit(1) + lin_hash(F.col("doc_id")) % (F.size("toks") - 15)).cast("int")
+    )
+    return d.select(
+        "doc_id", F.array_join(F.slice("toks", F.col("off"), 16), " ").alias("excerpt")
+    )
+
+
+@register(
+    "q_chunk_explode_regroup",
+    "SELECT doc_id, CAST(ceil(len(string_split(text, ' ')) / 32.0) AS BIGINT) AS n_chunks "
+    "FROM documents",
+)
+def q_chunk_explode_regroup(spark, sf):
+    """A1 skeleton — 512-token overflow-window arithmetic at chunk_len=32:
+    Spark explodes real chunks and regroups; oracle computes ⌈n/32⌉
+    (xlmr_embedding_annotator.py:54-61,78-90)."""
+    d = load(spark, sf, "documents").select("doc_id", tokens_ws(F.col("text")).alias("toks"))
+    chunked = annotators.explode_chunks(d, F.col("toks"), 32)
+    return chunked.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_chunks"))
+
+
+_DOT_SQL = (
+    "SELECT vec_id, round(sum(CAST(v AS DOUBLE) * ((((i - 1) * 37) % 21 - 10) / 10.0)), 6) "
+    "AS score FROM (SELECT vec_id, unnest(embedding) AS v, "
+    "generate_subscripts(embedding, 1) AS i FROM embeddings) GROUP BY vec_id"
+)
+
+
+@register("q_dot_product_score", _DOT_SQL)
+def q_dot_product_score(spark, sf):
+    """F6 oracle-able half — linear scorer over embeddings
+    (the SQL-checkable analogue of the MLP, embeddings_filter.py:44-55)."""
+    e = load(spark, sf, "embeddings")
+    return e.select(
+        "vec_id", F.round(annotators.linear_score(F.col("embedding")), 6).alias("score")
+    )
+
+
+@register(
+    "q_array_max_score",
+    f"SELECT doc_key, round(max(score), 6) AS doc_score FROM "
+    f"(SELECT vec_id % 100 AS doc_key, score FROM ({_DOT_SQL})) GROUP BY doc_key",
+)
+def q_array_max_score(spark, sf):
+    """A2/G5 — doc toxic score = max over per-chunk scores
+    (toxic_filter.py:142-145): rows stand in for chunks, vec_id%100 is the
+    doc key; explode→score→regroup."""
+    e = load(spark, sf, "embeddings")
+    scored = e.select(
+        (F.col("vec_id") % 100).alias("doc_key"),
+        F.round(annotators.linear_score(F.col("embedding")), 6).alias("score"),
+    )
+    return scored.groupBy("doc_key").agg(F.round(F.max("score"), 6).alias("doc_score"))
+
+
+_NORM_SQL = (
+    "SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm "
+    "FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings) GROUP BY vec_id"
+)
+_PAIRDOT_SQL = (
+    "SELECT a.vec_id, sum(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dp "
+    "FROM (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i "
+    "      FROM embeddings) a "
+    "JOIN (SELECT unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i "
+    "      FROM embeddings WHERE vec_id = 0) b ON a.i = b.i "
+    "GROUP BY a.vec_id"
+)
+
+
+@register(
+    "q_embedding_topk",
+    f"WITH n AS ({_NORM_SQL}), d AS ({_PAIRDOT_SQL}), "
+    "q AS (SELECT nrm AS qn FROM n WHERE vec_id = 0) "
+    "SELECT d.vec_id, round(d.dp / (n.nrm * q.qn), 6) AS cosine "
+    "FROM d JOIN n ON d.vec_id = n.vec_id, q WHERE d.vec_id != 0 "
+    "ORDER BY round(d.dp / (n.nrm * q.qn), 6) DESC, d.vec_id LIMIT 10",
+)
+def q_embedding_topk(spark, sf):
+    """Extension — brute-force cosine top-k (similarity search baseline):
+    query = vec 0's embedding; TakeOrdered plan, no vector shuffle."""
+    e = load(spark, sf, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            "vec_id",
+            F.round(cosine_similarity(F.col("embedding"), F.col("qv")), 6).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), F.col("vec_id")).limit(10)
+
+
+def _plane_sql(p: int) -> str:
+    return (
+        f"sum(CAST(v AS DOUBLE) * CAST(((i - 1) * {7 + 2 * p} + {3 * p + 1}) % 7 - 3 AS DOUBLE))"
+    )
+
+
+@register(
+    "q_ann_lsh_buckets",
+    "SELECT bucket, count(*) AS n FROM (SELECT vec_id, "
+    + " + ".join(
+        f"(CASE WHEN {_plane_sql(p)} > 0 THEN {1 << p} ELSE 0 END)" for p in range(8)
+    )
+    + " AS bucket FROM (SELECT vec_id, unnest(embedding) AS v, "
+    "generate_subscripts(embedding, 1) AS i FROM embeddings) GROUP BY vec_id) "
+    "GROUP BY bucket",
+)
+def q_ann_lsh_buckets(spark, sf):
+    """Extension — hyperplane-LSH bucket histogram (the ANN scale path:
+    bucket becomes a partition key, probes prune to one bucket)."""
+    e = load(spark, sf, "embeddings")
+    b = similarity.lsh_bucket(F.col("embedding"), 8)
+    return e.select(b.alias("bucket")).groupBy("bucket").agg(F.count("*").alias("n"))
+
+
+# ===========================================================================
+# text analysis extensions
+# ===========================================================================
+
+_STOP = ("the", "a", "of", "to", "and", "in", "is")
+
+
+@register(
+    "q_quality_score",
+    "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, "
+    f"len(list_filter(string_split(text, ' '), x -> x IN {str(tuple(_STOP))})) AS n_stop, "
+    "round(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 4) AS avg_chars_per_token "
+    "FROM documents",
+)
+def q_quality_score(spark, sf):
+    """Extension — quality-signal features (length/stopword ratios)."""
+    d = load(spark, sf, "documents")
+    toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(w) for w in _STOP])
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).alias("n_stop"),
+        F.round(F.col("n_chars").cast("double") / F.size(toks), 4).alias(
+            "avg_chars_per_token"
+        ),
+    )
+
+
+@register(
+    "q_token_count",
+    f"SELECT doc_id, len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS n_bpe_tokens, "
+    "len(string_split(text, ' ')) AS n_ws_tokens FROM documents",
+)
+def q_token_count(spark, sf):
+    """Extension — token counting: whitespace + BPE-ish regex."""
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(TOKEN_REGEX), F.lit(0))).alias(
+            "n_bpe_tokens"
+        ),
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+    )
+
+
+@register(
+    "q_doc_fingerprint",
+    "SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint "
+    "FROM documents",
+)
+def q_doc_fingerprint(spark, sf):
+    """Extension — document fingerprint (content-hash; dedup key)."""
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias("fingerprint"),
+    )
+
+
+@register(
+    "q_lang_id",
+    "SELECT doc_id, CASE "
+    "WHEN en >= de AND en >= fr AND en >= es THEN 'en' "
+    "WHEN de >= fr AND de >= es THEN 'de' "
+    "WHEN fr >= es THEN 'fr' ELSE 'es' END AS pred_lang FROM ("
+    "SELECT doc_id, "
+    "len(list_filter(string_split(lower(text), ' '), x -> x IN ('the','and','of','to','is'))) AS en, "
+    "len(list_filter(string_split(lower(text), ' '), x -> x IN ('der','die','und','das','ist'))) AS de, "
+    "len(list_filter(string_split(lower(text), ' '), x -> x IN ('le','la','et','les','est'))) AS fr, "
+    "len(list_filter(string_split(lower(text), ' '), x -> x IN ('el','que','los','es','una'))) AS es "
+    "FROM documents)",
+)
+def q_lang_id(spark, sf):
+    """Extension — marker-word language-ID heuristic (argmax of per-language
+    stopword hit counts; fixed tie order en>de>fr>es)."""
+    d = load(spark, sf, "documents")
+    toks = F.split(F.lower("text"), " ")
+    markers = {
+        "en": ("the", "and", "of", "to", "is"),
+        "de": ("der", "die", "und", "das", "ist"),
+        "fr": ("le", "la", "et", "les", "est"),
+        "es": ("el", "que", "los", "es", "una"),
+    }
+    def hit_counter(ws):
+        arr = F.array(*[F.lit(w) for w in ws])
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+    cols = {lang: hit_counter(ws).alias(lang) for lang, ws in markers.items()}
+    scored = d.select("doc_id", *cols.values())
+    pred = (
+        F.when(
+            (F.col("en") >= F.col("de")) & (F.col("en") >= F.col("fr")) & (F.col("en") >= F.col("es")),
+            "en",
+        )
+        .when((F.col("de") >= F.col("fr")) & (F.col("de") >= F.col("es")), "de")
+        .when(F.col("fr") >= F.col("es"), "fr")
+        .otherwise("es")
+    )
+    return scored.select("doc_id", pred.alias("pred_lang"))
+
+
+# ===========================================================================
+# events: windows, sessions, json, as-of, lag
+# ===========================================================================
+
+
+@register(
+    "q_event_window_agg",
+    "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, "
+    "event_type, count(*) AS n, round(sum(value), 2) AS sum_value "
+    "FROM events GROUP BY 1, 2",
+)
+def q_event_window_agg(spark, sf):
+    """Extension (SURVEY §2.10/§2.11) — tumbling 1h window agg; same exprs
+    as the streaming variant (streaming/events.py)."""
+    e = load_events(spark, sf)
+    out = aggregates.tumbling_window_agg(
+        e,
+        "ts",
+        ["event_type"],
+        "1 hour",
+        [F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")],
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+@register(
+    "q_session_window",
+    "WITH flagged AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR "
+    "epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800 "
+    "THEN 1 ELSE 0 END AS brk FROM events) "
+    "SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions FROM flagged GROUP BY user_id",
+)
+def q_session_window(spark, sf):
+    """W1's SQL-expressible core — gap sessionization (30 min) via the
+    islands construction (operators/segment.session_breaks)."""
+    e = load_events(spark, sf)
+    with_sessions = segment.session_breaks(e, "user_id", "ts", 1800)
+    return with_sessions.groupBy("user_id").agg(
+        (F.max("session_id") + 1).cast("long").alias("n_sessions")
+    )
+
+
+@register(
+    "q_event_json",
+    "SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) "
+    "AS sum_k FROM events GROUP BY event_type",
+)
+def q_event_json(spark, sf):
+    """JSON boundary functions (finemath/main.py:64 json.loads ≡ get_json_object)."""
+    e = load_events(spark, sf)
+    return e.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("int")).alias("sum_k")
+    )
+
+
+@register(
+    "q_event_lag_delta",
+    "SELECT event_id, round(value - lag(value) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta FROM events",
+)
+def q_event_lag_delta(spark, sf):
+    """Order-dependent window op (lag) over the event stream."""
+    e = load_events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id", F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta")
+    )
+
+
+@register(
+    "q_asof_event_join",
+    "WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey "
+    "FROM orders GROUP BY o_custkey, o_orderdate) "
+    "SELECT e.event_id, o.o_orderkey AS asof_orderkey FROM events e "
+    "ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate",
+)
+def q_asof_event_join(spark, sf):
+    """Extension — as-of join (events ↔ latest prior order per key) via the
+    union+window plan: ONE shuffle on the key (operators/joins.asof_join)."""
+    e = load_events(spark, sf).select("event_id", "user_id", "ts")
+    o = (
+        load_orders_dated(spark, sf)
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    out = joins.asof_join(
+        e, o, "user_id", "o_custkey", "ts", "o_orderdate", ["o_orderkey"]
+    )
+    return out.select("event_id", F.col("o_orderkey").alias("asof_orderkey"))
+
+
+# ===========================================================================
+# †-queries — no SQL oracle (model/stateful/banding semantics); driver
+# records rows-only checks. Deterministic arithmetic cousins above cover
+# the checkable parts.
+# ===========================================================================
+
+
+@register("q_mlp_quality_filter")
+def q_mlp_quality_filter(spark, sf):
+    """† F6 — EmbeddingBinaryClassifierFilter with the real (stub-weighted)
+    MLP via Arrow-batched pandas_udf (embeddings_filter.py:13-55)."""
+    e = load(spark, sf, "embeddings")
+    return annotators.mlp_quality_filter(e, threshold=0.5, dim=64).select(
+        "vec_id", F.round("quality_score", 6).alias("quality_score")
+    )
+
+
+@register("q_minhash_lsh_pairs")
+def q_minhash_lsh_pairs(spark, sf):
+    """† Extension — MinHash+LSH near-dup candidate pairs
+    (operators/dedup.minhash_lsh_pairs; no O(n²) stage)."""
+    d = load(spark, sf, "documents")
+    return dedup.minhash_lsh_pairs(d, num_hashes=16, bands=4)
+
+
+@register("q_simhash")
+def q_simhash(spark, sf):
+    """† Extension — SimHash fingerprints (operators/dedup.simhash)."""
+    d = load(spark, sf, "documents")
+    return dedup.simhash(d, bits=16).select("doc_id", "simhash")
+
+
+@register("q_ngram_jaccard")
+def q_ngram_jaccard(spark, sf):
+    """† Extension — n-gram Jaccard over shingle inverted index, thresholded
+    (operators/dedup.jaccard_pairs)."""
+    d = load(spark, sf, "documents")
+    sample = d.filter(F.col("doc_id") % 10 == 0)  # bound pair volume at bench scale
+    return dedup.jaccard_pairs(sample, min_jaccard=0.2).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@register("q_paradocs_segment")
+def q_paradocs_segment(spark, sf):
+    """† W1 — running-length-capped segmentation (paradocs.py:13-91) run on
+    the events table as the ordered stream: per user, order by event_id,
+    invalid rows (value < 5) break blocks, max block text length 60."""
+    e = load_events(spark, sf).select(
+        F.col("user_id").alias("doc"),
+        F.col("event_id").alias("idx"),
+        F.col("event_type").alias("txt"),
+        (F.col("value") >= 5).alias("ok"),
+    )
+    return segment.segment_blocks(
+        e, "doc", "idx", "txt", max_length=60, valid_col="ok", max_gap=10**9
+    )
+
+
+@register("q_pack_sequences")
+def q_pack_sequences(spark, sf):
+    """† W2 — stateful sequence packing (megatron_tokenizer_context.py:283-334):
+    per-shard fold carrying offset across docs; property tests assert token
+    conservation + alignment."""
+    d = load(spark, sf, "documents")
+    packed = tokens.pack_sequences(d, "doc_id", seq_len=512, shards=4)
+    return packed.select("shard", "seq_idx", F.size("tokens").alias("seq_len"), "n_pad")
+
+
+@register(
+    "q_pack_token_arithmetic",
+    "SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens, "
+    "CAST(ceil(sum(len(string_split(text, ' '))) / 512.0) AS BIGINT) AS n_sequences "
+    "FROM documents GROUP BY source",
+)
+def q_pack_token_arithmetic(spark, sf):
+    """W2's oracle-able arithmetic — token totals and packed-sequence counts
+    at seq_len=512 (megatron_tokenizer.py:116-117 __len__ sum)."""
+    d = load(spark, sf, "documents")
+    n = F.size(F.split("text", " "))
+    return d.groupBy("source").agg(
+        F.sum(n).alias("total_tokens"),
+        F.ceil(F.sum(n) / 512.0).cast("long").alias("n_sequences"),
+    )
+
+
+# ===========================================================================
+# flagship — the reference's fineweb pipeline shape end-to-end
+# ===========================================================================
+
+FLAGSHIP_SQL = (
+    "SELECT source, count(*) AS n_docs, CAST(sum(pii_count) AS BIGINT) AS total_pii, "
+    "CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM ("
+    f"  SELECT source, {_pii_count_sql(_PII_TEXT)} AS pii_count, "
+    "   len(string_split(text, ' ')) AS n_tokens FROM documents "
+    "   WHERE length(text) >= 200 AND lang IN ('en', 'de') "
+    f"   AND doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 10 = 0)) "
+    "GROUP BY source"
+)
+
+
+@register("q_flagship", FLAGSHIP_SQL)
+def q_flagship(spark, sf):
+    """The fineweb pipeline shape (fineweb/main.py:96-149): id-blocklist
+    anti-join → cheap predicate filters → PII annotate → aggregate stats.
+    Composed via plans.Pipeline, exercising K3-style branching upstream."""
+    from metadata_enhanced_pretrain_datapipeline_spark.plans import FilterStep, MapStep, Pipeline
+
+    d = load(spark, sf, "documents")
+    blocklist = d.filter(F.col("doc_id") % 10 == 0).select("doc_id")
+    pipe = Pipeline(
+        steps=[
+            FilterStep("id_filter", lambda df: filters.id_anti_join(df, blocklist, "doc_id")),
+            FilterStep("length", filters.length_filter(F.col("text"), 200)),
+            FilterStep("lang", F.col("lang").isin("en", "de")),
+            MapStep(
+                "pii",
+                lambda df: df.withColumn(
+                    "pii_count", formatters.pii_count(_pii_text_col()).cast("int")
+                ).withColumn("n_tokens", F.size(F.split("text", " "))),
+            ),
+        ]
+    )
+    out = pipe.apply(d)
+    return out.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("pii_count").alias("total_pii"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec[0] for name, spec in _REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    return {name: spec[1] for name, spec in _REGISTRY.items() if spec[1] is not None}

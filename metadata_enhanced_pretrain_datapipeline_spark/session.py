@@ -1,0 +1,67 @@
+"""SparkSession construction and per-session tuning.
+
+Scale notes (100 TB target):
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
+  and dynamic broadcast conversion replace the reference's hand-tuned
+  per-file task sizing (reference: one Slurm task per input file,
+  slurm_nodes.py:160-197).
+- shuffle.partitions is a default for local testing; on a real cluster AQE
+  picks the effective count from `advisoryPartitionSizeInBytes`.
+- Session timezone pinned to UTC so timestamp semantics are deterministic
+  and match the DuckDB oracle (naive timestamps).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_ORACLE_CONFS = {
+    # Deterministic, oracle-comparable semantics.
+    "spark.sql.session.timeZone": "UTC",
+    # The driver-generated parquet stores TIMESTAMP(NANOS), which Spark's
+    # vectorized reader rejects; read as long (ns) and convert in load_events.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Let Catalyst re-plan at runtime: coalesce small shuffles, split skew.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def tune_for_oracle(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to a session we did not build.
+
+    The driver owns the session for ``queries()``; these confs are all
+    runtime-mutable so we pin them per query for deterministic output.
+    """
+    for k, v in _ORACLE_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-runtime-settable on this build; defaults are fine
+    return spark
+
+
+def get_spark(app_name: str = "metadata-enhanced-pretrain-datapipeline-spark",
+              cpus: int | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build a local session shaped like one executor of a big cluster.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS (driver contract) else all cores.
+    """
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0)
+    master = f"local[{cpus}]" if cpus else "local[*]"
+    shuffle = shuffle_partitions or max(cpus, 32)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in _ORACLE_CONFS.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

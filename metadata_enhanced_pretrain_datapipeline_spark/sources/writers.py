@@ -1,0 +1,48 @@
+"""Sinks (K1-K5).
+
+K1 parity: zstd parquet with a rolling size cap. The reference rolls files
+at max_file_size=1 GiB (fineweb/main.py:144-148); Spark's equivalent knob
+is `maxRecordsPerFile` plus partition sizing — same outcome (bounded
+shards), expressed declaratively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from metadata_enhanced_pretrain_datapipeline_spark.schema import expand_metadata, metadata_to_json
+
+
+def write_parquet(df: DataFrame, path: str, max_records_per_file: int | None = None,
+                  expand_metadata_keys: list[str] | None = None,
+                  metadata_as_json: bool = False, mode: str = "overwrite",
+                  partition_by: list[str] | None = None) -> None:
+    """K1 — ParquetWriter: zstd, bounded shard size, optional
+    expand_metadata (provenance-flan/main.py:68-73) or JSON-string metadata
+    (finemath/main.py:69-75)."""
+    if expand_metadata_keys:
+        df = expand_metadata(df, expand_metadata_keys)
+    if metadata_as_json and "metadata" in df.columns:
+        df = metadata_to_json(df)
+    w = df.write.mode(mode).option("compression", "zstd")
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """K2 — JsonlWriter (provenance-flan/main.py:7; create_excerpt.py:144-151)."""
+    df.write.mode(mode).json(path)
+
+
+def write_fasttext(df: DataFrame, path: str, label_col: str = "label",
+                   text_col: str = "text", mode: str = "overwrite") -> None:
+    """K5 — fasttext training-file sink: '__label__<k> <text>' lines
+    (code_processing.py:80-111)."""
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.formatters import fasttext_line
+
+    df.select(fasttext_line(F.col(label_col), F.col(text_col)).alias("value")) \
+        .write.mode(mode).text(path)

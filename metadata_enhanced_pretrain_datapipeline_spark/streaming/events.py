@@ -1,0 +1,53 @@
+"""Streaming window aggregations over an events stream.
+
+The reference has no streaming (SURVEY.md §2.11 — its incremental model is
+batch re-run with completed-task skipping, slurm_nodes.py:105,257-263).
+This module is the clearly-labeled extension: the SAME window expressions
+as the batch operator (operators/aggregates.tumbling_window_agg) run under
+readStream with a watermark, so batch and stream results agree on closed
+windows — the property the batch/stream parity test asserts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_events_from_parquet(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """File-source stream over a parquet directory (one file = one
+    micro-batch increment; at scale this is the landing-zone pattern)."""
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def windowed_counts(events: DataFrame, ts_col: str = "ts",
+                    key: str = "event_type", duration: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window counts + value sum with late-data handling.
+
+    The watermark bounds state: closed windows are emitted and dropped, so
+    state size is O(open windows × keys), independent of stream length —
+    the property that makes this run forever at 100 TB/day.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), duration).alias("w"), key)
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), key, "n", "sum_value")
+    )
+
+
+def run_available_now(stream_df: DataFrame, out_path: str, checkpoint: str) -> None:
+    """Drain everything currently available and stop — the batch-parity
+    harness used by tests (availableNow trigger)."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
