@@ -36,17 +36,30 @@ def md5_hash64_sql(expr: str) -> str:
 def lin_hash(col: Column, a: int = 9973, b: int = 12345, m: int = 1_000_003) -> Column:
     """Cheap multiplicative hash on an integer key: ``(key*a + b) % m``.
 
-    Portable because the arithmetic is identical everywhere; safe from
-    64-bit overflow for keys < ~9e14 with the default ``a``.
+    WARNING: a linear map does not mix — consecutive keys stay consecutive
+    until the modulus wraps, so it is unusable for sampling/sharding over
+    small id ranges (caught by test_hash_sample_deterministic_and_stable).
+    Kept only for salting/ordering internals where monotone-within-window
+    behavior is acceptable; all samplers use :func:`salted_hash`.
     """
     return (col.cast("long") * F.lit(a) + F.lit(b)) % F.lit(m)
 
 
-def hash_bucket(col: Column, n: int, a: int = 9973, b: int = 12345) -> Column:
+def salted_hash(col: Column, salt: int = 0) -> Column:
+    """Well-mixed, engine-portable keyed hash: md5 over ``key || '_' || salt``."""
+    return md5_hash64(F.concat(col.cast("string"), F.lit(f"_{salt}")))
+
+
+def salted_hash_sql(expr: str, salt: int = 0) -> str:
+    """DuckDB rendering of :func:`salted_hash`."""
+    return md5_hash64_sql(f"CAST({expr} AS VARCHAR) || '_{salt}'")
+
+
+def hash_bucket(col: Column, n: int, salt: int = 0) -> Column:
     """Deterministic bucket in [0, n) — the engine's SamplerFilter /
     shard-selector primitive (reference fineweb-2/main.py:286-295,
     code_annotation.py:92)."""
-    return lin_hash(col, a, b) % F.lit(n)
+    return salted_hash(col, salt) % F.lit(n)
 
 
 def minhash_expr(shingle_hashes: Column, a: int, b: int, p: int = (1 << 31) - 1) -> Column:

@@ -84,7 +84,7 @@ def hash_sample(df: DataFrame, key: Column, rate: float, salt: int = 42) -> Data
     fineweb-2/main.py:286-295). Hash-based → identical across retries,
     engines, and cluster sizes; `df.sample` is not."""
     n = 1_000_003
-    return df.filter(hash_bucket(key, n, b=salt) < F.lit(int(rate * n)))
+    return df.filter(hash_bucket(key, n, salt) < F.lit(int(rate * n)))
 
 
 def shard_select(df: DataFrame, key: Column, shard: int, num_shards: int) -> DataFrame:

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from metadata_enhanced_pretrain_datapipeline_spark.functions.hashing import lin_hash
+from metadata_enhanced_pretrain_datapipeline_spark.functions.hashing import salted_hash
 
 
 def deterministic_shuffle(df: DataFrame, key: Column, salt: int = 42) -> DataFrame:
@@ -18,7 +18,7 @@ def deterministic_shuffle(df: DataFrame, key: Column, salt: int = 42) -> DataFra
     (paradocs.py:165 `sample(frac=1, random_state=42)`); we order by a
     salted hash of the key: same permutation everywhere. One range-shuffle,
     same cost as orderBy(rand()) but reproducible."""
-    return df.orderBy(lin_hash(key, b=salt), key)
+    return df.orderBy(salted_hash(key, salt), key)
 
 
 def positional_split(df: DataFrame, key: Column, train_frac: float,
@@ -29,7 +29,7 @@ def positional_split(df: DataFrame, key: Column, train_frac: float,
     the whole table. Fine at test scale; at 100 TB use `hash_sample` (no
     global window) instead; this operator exists for reference parity.
     """
-    w = Window.orderBy(lin_hash(key), key)
+    w = Window.orderBy(salted_hash(key), key)
     n = df.count()
     cut = int(n * train_frac)
     return df.withColumn(
@@ -48,7 +48,7 @@ def balanced_sample(df: DataFrame, label_col: str, key: Column) -> DataFrame:
     """
     counts = df.groupBy(label_col).count()
     min_count = counts.agg(F.min("count").alias("m"))
-    w = Window.partitionBy(label_col).orderBy(lin_hash(key), key)
+    w = Window.partitionBy(label_col).orderBy(salted_hash(key), key)
     ranked = df.withColumn("__rk", F.row_number().over(w))
     return (
         ranked.crossJoin(F.broadcast(min_count))

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from metadata_enhanced_pretrain_datapipeline_spark.session import tune_for_oracle
 from metadata_enhanced_pretrain_datapipeline_spark.functions.arrays import cosine_similarity
-from metadata_enhanced_pretrain_datapipeline_spark.functions.hashing import lin_hash, md5_hash64
+from metadata_enhanced_pretrain_datapipeline_spark.functions.hashing import md5_hash64, salted_hash, salted_hash_sql
 from metadata_enhanced_pretrain_datapipeline_spark.functions.text import TOKEN_REGEX, tokens_ws
 from metadata_enhanced_pretrain_datapipeline_spark.functions.urlf import HOST_REGEX, SUFFIX_REGEX, url_host, url_suffix
 from metadata_enhanced_pretrain_datapipeline_spark.operators import (
@@ -78,11 +78,11 @@ def load_orders_dated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # portable hash, SQL renderings -------------------------------------------
-LIN = "(({k}) * 9973 + 12345) % 1000003"
 
 
-def lin_sql(key: str) -> str:
-    return LIN.format(k=key)
+def lin_sql(key: str, salt: int = 0) -> str:
+    """Salted md5 hash, DuckDB rendering (matches functions.hashing.salted_hash)."""
+    return salted_hash_sql(key, salt)
 
 
 # ===========================================================================
@@ -245,7 +245,7 @@ def q_split_columns(spark, sf):
 
 @register(
     "q_hash_sample",
-    f"SELECT doc_id, lang FROM documents WHERE {lin_sql('doc_id')} < 100000",
+    f"SELECT doc_id, lang FROM documents WHERE {lin_sql('doc_id', 12345)} % 1000003 < 100000",
 )
 def q_hash_sample(spark, sf):
     """F4 — SamplerFilter, deterministic hash variant, rate≈0.1
@@ -258,7 +258,7 @@ def q_hash_sample(spark, sf):
 
 @register(
     "q_shard_select",
-    f"SELECT doc_id FROM documents WHERE ({lin_sql('doc_id')}) % 8 = 3",
+    f"SELECT doc_id FROM documents WHERE {lin_sql('doc_id')} % 8 = 3",
 )
 def q_shard_select(spark, sf):
     """F16 — process shard 3 of 8 (code_annotation.py:92)."""
@@ -610,14 +610,14 @@ def q_limit(spark, sf):
 
 @register(
     "q_deterministic_shuffle",
-    f"SELECT doc_id, row_number() OVER (ORDER BY {lin_sql('doc_id')}, doc_id) AS pos "
+    f"SELECT doc_id, row_number() OVER (ORDER BY {lin_sql('doc_id', 42)}, doc_id) AS pos "
     "FROM documents",
 )
 def q_deterministic_shuffle(spark, sf):
     """O3 — seeded-shuffle parity via hash ordering (paradocs.py:165;
     determinism policy in operators/sampling.py)."""
     d = load(spark, sf, "documents")
-    w = Window.orderBy(lin_hash(F.col("doc_id")), F.col("doc_id"))
+    w = Window.orderBy(salted_hash(F.col("doc_id"), 42), F.col("doc_id"))
     return d.select("doc_id", F.row_number().over(w).alias("pos"))
 
 
@@ -631,7 +631,7 @@ def q_deterministic_shuffle(spark, sf):
 def q_positional_split(spark, sf):
     """O5 — positional train/test split (code_processing.py:160-163)."""
     d = load(spark, sf, "documents")
-    w = Window.orderBy(lin_hash(F.col("doc_id")), F.col("doc_id"))
+    w = Window.orderBy(salted_hash(F.col("doc_id")), F.col("doc_id"))
     wall = Window.partitionBy()
     return d.select(
         "doc_id",
@@ -829,7 +829,7 @@ def q_adapter_template(spark, sf):
     "q_array_slice",
     "SELECT doc_id, array_to_string(list_slice(string_split(text, ' '), off, off + 15), ' ') "
     "AS excerpt FROM (SELECT doc_id, text, "
-    f"1 + ({lin_sql('doc_id')}) % (len(string_split(text, ' ')) - 15) AS off "
+    f"1 + {lin_sql('doc_id')} % (len(string_split(text, ' ')) - 15) AS off "
     "FROM documents WHERE len(string_split(text, ' ')) >= 24)",
 )
 def q_array_slice(spark, sf):
@@ -837,7 +837,7 @@ def q_array_slice(spark, sf):
     (create_excerpt.py:82-110)."""
     d = load(spark, sf, "documents").withColumn("toks", F.split("text", " "))
     d = d.filter(F.size("toks") >= 24).withColumn(
-        "off", (F.lit(1) + lin_hash(F.col("doc_id")) % (F.size("toks") - 15)).cast("int")
+        "off", (F.lit(1) + salted_hash(F.col("doc_id")) % (F.size("toks") - 15)).cast("int")
     )
     return d.select(
         "doc_id", F.array_join(F.slice("toks", F.col("off"), 16), " ").alias("excerpt")

@@ -40,13 +40,28 @@ def windowed_counts(events: DataFrame, ts_col: str = "ts",
 
 
 def run_available_now(stream_df: DataFrame, out_path: str, checkpoint: str) -> None:
-    """Drain everything currently available and stop — the batch-parity
-    harness used by tests (availableNow trigger)."""
+    """Drain everything currently available and stop (availableNow trigger).
+    Append mode: only watermark-closed windows are emitted — trailing open
+    windows stay in state, as they must on an unbounded stream."""
     q = (
         stream_df.writeStream.format("parquet")
         .option("path", out_path)
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def drain_complete_to_memory(stream_df: DataFrame, table: str) -> None:
+    """Batch-parity harness: complete-mode drain into an in-memory table —
+    emits EVERY window including ones the watermark hasn't closed, so a
+    finite input can be compared 1:1 against the batch operator."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
         .trigger(availableNow=True)
         .start()
     )

@@ -1,0 +1,74 @@
+import math
+
+from pyspark.sql import functions as F
+
+from metadata_enhanced_pretrain_datapipeline_spark.functions.arrays import cosine_similarity, dot_product
+from metadata_enhanced_pretrain_datapipeline_spark.operators import annotators, sampling, similarity
+from metadata_enhanced_pretrain_datapipeline_spark.operators.aggregates import estimate_threshold
+
+
+def test_dot_and_cosine(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], "a array<float>, b array<float>"
+    )
+    r = df.select(
+        dot_product(F.col("a"), F.col("b")).alias("d"),
+        cosine_similarity(F.col("a"), F.col("a")).alias("self"),
+    ).collect()[0]
+    assert abs(r.d - 32.0) < 1e-6 and abs(r.self - 1.0) < 1e-9
+
+
+def test_mlp_filter_scores_in_range_and_deterministic(spark):
+    rows = [(i, [float(j % 5 - 2) / (i + 1) for j in range(8)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out1 = {r.vec_id: r.quality_score
+            for r in annotators.mlp_quality_filter(df, threshold=0.0, dim=8).collect()}
+    out2 = {r.vec_id: r.quality_score
+            for r in annotators.mlp_quality_filter(df, threshold=0.0, dim=8).collect()}
+    assert out1 == out2 and len(out1) == 20
+    assert all(0.0 < v < 1.0 for v in out1.values())
+
+
+def test_chunk_explode_roundtrip(spark):
+    df = spark.createDataFrame([(1, list(range(70)))], "doc_id long, toks array<int>")
+    chunks = annotators.explode_chunks(df, F.col("toks"), 32).collect()
+    assert len(chunks) == 3
+    assert [len(c.chunk) for c in sorted(chunks, key=lambda c: c.chunk_idx)] == [32, 32, 6]
+    flat = [t for c in sorted(chunks, key=lambda c: c.chunk_idx) for t in c.chunk]
+    assert flat == list(range(70))
+
+
+def test_estimate_threshold_matches_quantile(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(101)], "s double")
+    t = estimate_threshold(df, F.col("s"), keep_top_p=0.1)
+    assert abs(t - 90.0) < 1e-9
+
+
+def test_brute_force_topk_orders_by_cosine(spark):
+    rows = [
+        (1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.brute_force_topk(df, [1.0, 0.0], k=2).collect()
+    assert [r.vec_id for r in out] == [1, 2]
+
+
+def test_lsh_bucket_pure_function(spark):
+    df = spark.createDataFrame([(1, [0.5, -0.2, 0.8])], "vec_id long, embedding array<float>")
+    b1 = df.select(similarity.lsh_bucket(F.col("embedding"), 6).alias("b")).collect()[0].b
+    b2 = df.select(similarity.lsh_bucket(F.col("embedding"), 6).alias("b")).collect()[0].b
+    assert b1 == b2 and 0 <= b1 < 64
+
+
+def test_balanced_sample_equal_classes(spark):
+    rows = [(i, i % 3 if i < 30 else 0) for i in range(50)]  # class 0 inflated
+    df = spark.createDataFrame(rows, "id long, label int")
+    out = sampling.balanced_sample(df, "label", F.col("id"))
+    counts = {r.label: r["count"] for r in out.groupBy("label").count().collect()}
+    assert len(set(counts.values())) == 1  # every class downsampled to min
+
+
+def test_replicate_buckets_row_multiplicity(spark):
+    df = spark.createDataFrame([(1, 3), (2, 1)], "id long, k int")
+    out = sampling.replicate_buckets(df, F.col("k")).groupBy("id").count().collect()
+    assert {r.id: r["count"] for r in out} == {1: 3, 2: 1}

@@ -1,0 +1,62 @@
+from pyspark.sql import functions as F
+
+from metadata_enhanced_pretrain_datapipeline_spark.operators import dedup
+
+
+def test_dedup_exact_first_wins(spark):
+    df = spark.createDataFrame([(1, "k"), (2, "k"), (3, "j")], "id long, k string")
+    out = dedup.dedup_exact(df, F.col("k"), [F.col("id")]).collect()
+    assert sorted((r.k, r.id) for r in out) == [("j", 3), ("k", 1)]
+
+
+def test_dedup_exact_text_normalizes_whitespace(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different")], "doc_id long, text string"
+    )
+    out = dedup.dedup_exact_text(df)
+    assert sorted(r.doc_id for r in out.collect()) == [1, 3]
+
+
+def test_minhash_identical_docs_same_signature(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "z y x w v u t s")],
+        "doc_id long, text string",
+    )
+    sigs = dedup.minhash_signatures(df, num_hashes=8).collect()
+    by_id = {r.doc_id: tuple(r[f"mh_{i}"] for i in range(8)) for r in sigs}
+    assert by_id[1] == by_id[2] != by_id[3]
+
+
+def test_minhash_lsh_finds_duplicates(spark, docs):
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=4).collect()
+    pairset = {(r.id_a, r.id_b) for r in pairs}
+    # docs 9,19,29,39 share an identical body — all pairs must be candidates
+    assert {(9, 19), (9, 29), (9, 39), (19, 29), (19, 39), (29, 39)} <= pairset
+
+
+def test_jaccard_exact_value(spark):
+    # shingle sets: {a b c, b c d} vs {a b c} -> intersection 1, union 2
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b c")], "doc_id long, text string")
+    out = dedup.jaccard_pairs(df).collect()
+    assert len(out) == 1 and abs(out[0].jaccard - 0.5) < 1e-9
+
+
+def test_simhash_identical_equal_and_stable(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "completely other words here now")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.simhash for r in dedup.simhash(df).collect()}
+    assert out[1] == out[2]
+    assert 0 <= out[1] < (1 << 16)
+
+
+def test_embedding_near_dup_finds_clone(spark):
+    rows = [
+        (1, [1.0, 0.0, 2.0, 0.5]),
+        (2, [1.0, 0.0, 2.0, 0.5]),  # exact clone of 1
+        (3, [-1.0, 3.0, -2.0, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = dedup.embedding_near_dup(df, threshold=0.99, num_planes=4).collect()
+    assert {(r.id_a, r.id_b) for r in out} == {(1, 2)}

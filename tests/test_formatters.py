@@ -1,0 +1,59 @@
+from pyspark.sql import functions as F
+
+from metadata_enhanced_pretrain_datapipeline_spark.operators import formatters
+
+
+def _one(spark, text):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(
+        formatters.pii_scrub(F.col("text")).alias("s"),
+        formatters.pii_count(F.col("text")).alias("c"),
+    ).collect()[0]
+
+
+def test_pii_scrub_all_families(spark):
+    r = _one(spark, "mail a@b.com and a@b.com ip 10.0.0.1 iban DE89370400440532013000 end")
+    assert "<email-pii>" in r.s and "<ip-pii>" in r.s and "<iban-pii>" in r.s
+    assert "a@b.com" not in r.s and "10.0.0.1" not in r.s
+    # unique-count semantics (pii_formatter.py:78,88-99): a@b.com twice -> 1
+    assert r.c == 3
+
+
+def test_pii_replaces_all_occurrences(spark):
+    r = _one(spark, "x@y.org then x@y.org again")
+    assert r.s.count("<email-pii>") == 2 and r.c == 1
+
+
+def test_pii_clean_text_untouched(spark):
+    r = _one(spark, "no pii here at all")
+    assert r.s == "no pii here at all" and r.c == 0
+
+
+def test_flan_template(spark):
+    df = spark.createDataFrame([("q", "a")], "i string, o string")
+    out = df.select(formatters.flan_template(F.col("i"), F.col("o")).alias("t")).collect()
+    assert out[0].t == "User:\nq\nAssistant:\na"
+
+
+def test_chat_flatten(spark):
+    df = spark.createDataFrame(
+        [([("user", "hi"), ("assistant", "yo")],)],
+        "conversations array<struct<from:string,value:string>>",
+    )
+    out = df.select(formatters.chat_flatten(F.col("conversations")).alias("t")).collect()
+    assert out[0].t == "user: hi\nassistant: yo"
+
+
+def test_bidirectional_two_rows_per_input(spark):
+    df = spark.createDataFrame([("en", "hello", "de", "hallo")], "l1 string, t1 string, l2 string, t2 string")
+    out = formatters.bidirectional_pairs(
+        df, F.col("l1"), F.col("t1"), F.col("l2"), F.col("t2")
+    ).collect()
+    texts = sorted(r.text for r in out)
+    assert texts == ["de: hallo\nen: hello", "en: hello\nde: hallo"] or len(texts) == 2
+
+
+def test_fasttext_line(spark):
+    df = spark.createDataFrame([(1, "a\nb")], "label int, text string")
+    out = df.select(formatters.fasttext_line(F.col("label"), F.col("text")).alias("l")).collect()
+    assert out[0].l == "__label__1 a\\nb"

@@ -1,0 +1,53 @@
+from pyspark.sql import functions as F
+
+from metadata_enhanced_pretrain_datapipeline_spark.operators import joins
+
+
+def _ts(df, col):
+    return df.withColumn(col, F.to_timestamp(col))
+
+
+def test_asof_join_latest_prior(spark):
+    events = _ts(
+        spark.createDataFrame(
+            [
+                (1, 10, "2024-01-01 12:00:00"),
+                (2, 10, "2024-01-01 13:00:00"),
+                (3, 20, "2024-01-01 12:00:00"),
+            ],
+            "event_id long, k long, ts string",
+        ),
+        "ts",
+    )
+    orders = _ts(
+        spark.createDataFrame(
+            [
+                (100, 10, "2024-01-01 11:00:00"),
+                (101, 10, "2024-01-01 12:30:00"),
+                (102, 30, "2024-01-01 00:00:00"),
+            ],
+            "okey long, k long, ots string",
+        ),
+        "ots",
+    )
+    out = joins.asof_join(events, orders, "k", "k", "ts", "ots", ["okey"]).collect()
+    got = {r.event_id: r.okey for r in out}
+    assert got == {1: 100, 2: 101, 3: None}  # left semantics: unmatched kept
+
+
+def test_asof_join_boundary_inclusive(spark):
+    """An order landing exactly at the event ts is visible (<=)."""
+    events = _ts(spark.createDataFrame([(1, 1, "2024-01-01 12:00:00")],
+                                       "event_id long, k long, ts string"), "ts")
+    orders = _ts(spark.createDataFrame([(7, 1, "2024-01-01 12:00:00")],
+                                       "okey long, k long, ots string"), "ots")
+    out = joins.asof_join(events, orders, "k", "k", "ts", "ots", ["okey"]).collect()
+    assert out[0].okey == 7
+
+
+def test_broadcast_lookup(spark):
+    fact = spark.createDataFrame([("a", 1), ("b", 2)], "d string, v int")
+    dim = spark.createDataFrame([("a", "A")], "d string, name string")
+    out = joins.broadcast_lookup(fact, dim, "d").collect()
+    got = {r.d: r.name for r in out}
+    assert got == {"a": "A", "b": None}

@@ -1,0 +1,46 @@
+from pyspark.sql import functions as F
+
+from metadata_enhanced_pretrain_datapipeline_spark.operators import filters
+from metadata_enhanced_pretrain_datapipeline_spark.plans import FilterStep, MapStep, Pipeline
+
+
+def test_kept_removed_partition_input(spark, docs):
+    """K3 invariant (SURVEY §5.3): kept ∪ removed = input, disjoint."""
+    removed_batches = []
+    pipe = Pipeline(
+        steps=[
+            FilterStep(
+                "len",
+                filters.length_filter(F.col("text"), 40),
+                exclusion_writer=lambda df: removed_batches.append(df.collect()),
+                reason="too_short",
+            )
+        ]
+    )
+    kept = pipe.run(docs).collect()
+    removed = removed_batches[0]
+    assert len(kept) + len(removed) == docs.count()
+    kept_ids = {r.doc_id for r in kept}
+    removed_ids = {r.doc_id for r in removed}
+    assert kept_ids.isdisjoint(removed_ids)
+    assert all(r.reason == "too_short" for r in removed)
+
+
+def test_map_then_filter_composition(spark, docs):
+    pipe = Pipeline(
+        steps=[
+            MapStep("tag", lambda df: df.withColumn("n_toks", F.size(F.split("text", " ")))),
+            FilterStep("min_toks", F.col("n_toks") >= 8),
+        ]
+    )
+    out = pipe.apply(docs)
+    assert "n_toks" in out.columns
+    assert all(r.n_toks >= 8 for r in out.collect())
+
+
+def test_join_shaped_filter_step(spark, docs):
+    block = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    pipe = Pipeline(
+        steps=[FilterStep("ids", lambda df: filters.id_anti_join(df, block, "doc_id"))]
+    )
+    assert pipe.apply(docs).count() == 30

@@ -1,0 +1,56 @@
+import glob
+
+from pyspark.sql import functions as F
+
+from metadata_enhanced_pretrain_datapipeline_spark.schema import expand_metadata, to_documents
+from metadata_enhanced_pretrain_datapipeline_spark.sources import readers, writers
+
+
+def test_to_documents_adapter_merges_metadata(spark):
+    """S7 adapter semantics (finemath/main.py:46-66): JSON metadata decoded,
+    leftover columns merged over it."""
+    df = spark.createDataFrame(
+        [("7", "body", '{"url": "http://x", "keep": "yes"}', "en")],
+        "id string, text string, metadata string, lang string",
+    )
+    out = to_documents(df, metadata_cols=["lang"], metadata_json_col="metadata").collect()[0]
+    assert out.id == "7" and out.text == "body"
+    assert out.metadata == {"url": "http://x", "keep": "yes", "lang": "en"}
+
+
+def test_expand_metadata(spark):
+    df = spark.createDataFrame(
+        [("1", "t", None, {"url": "u", "score": "3"})],
+        "id string, text string, media array<string>, metadata map<string,string>",
+    )
+    out = expand_metadata(df, ["url", "score"]).collect()[0]
+    assert out.url == "u" and out.score == "3"
+
+
+def test_paradocs_tsv_reader(spark, tmp_path):
+    line = "\t".join(["hi", "ho", "0.9", "0.8", "c", "1", "1", "5", "5",
+                      "0", "2", "0", "2", "0.99", "0.98", "1.0", "42", "43"])
+    p = tmp_path / "x.tsv"
+    p.write_text(line + "\n")
+    df = readers.read_paradocs_tsv(spark, str(p))
+    row = df.collect()[0]
+    assert row.src == "hi" and row.src_docid == "42"
+    assert len(df.columns) == 18
+
+
+def test_write_parquet_expand_and_shard(spark, tmp_path, docs):
+    out = str(tmp_path / "out")
+    d = docs.withColumn("metadata", F.create_map(F.lit("k"), F.lit("v")))
+    writers.write_parquet(d, out, max_records_per_file=10, metadata_as_json=True)
+    files = glob.glob(out + "/*.parquet")
+    assert len(files) >= 4  # 40 rows / 10 per file
+    back = spark.read.parquet(out)
+    assert back.count() == 40
+    assert dict(back.dtypes)["metadata"] == "string"  # JSON round-trip
+
+
+def test_write_fasttext(spark, tmp_path, docs):
+    out = str(tmp_path / "ft")
+    writers.write_fasttext(docs.withColumn("label", F.col("doc_id") % 2), out)
+    lines = spark.read.text(out).collect()
+    assert len(lines) == 40 and all(r.value.startswith("__label__") for r in lines)
