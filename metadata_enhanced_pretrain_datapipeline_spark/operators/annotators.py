@@ -151,3 +151,98 @@ def with_stochastic_gate(df: DataFrame, col: str, ratio: float, seed: int = 42) 
     return df.withColumn(
         col, F.when(F.rand(seed) < F.lit(ratio), F.col(col)).otherwise(F.lit(""))
     )
+
+
+# ---------------------------------------------------------------------------
+# A1 — document embedding annotator (reference xlmr_embedding_annotator.py:4-91):
+# tokenize into chunk_len-token overflow windows, encode each chunk, attach
+# array<array<float>> per doc. The transformer is STUBBED (deterministic
+# vector from the chunk digest — no encoder libs in this container); the
+# Spark plumbing (Arrow batches, per-executor model singleton, chunk→doc
+# regrouping at xlmr:78-90) is real.
+# ---------------------------------------------------------------------------
+
+
+def embed_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                    chunk_len: int = 512, dim: int = 64, stub: bool = True) -> DataFrame:
+    import hashlib
+
+    if not stub:
+        raise NotImplementedError("transformer encoder not available in this environment")
+
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, embeddings array<array<float>>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-executor "model load" happens here, once per task stream —
+        # the singleton slot the real encoder would occupy (xlmr:41-46)
+        def encode(chunk_words: list[str]) -> list[float]:
+            digest = hashlib.md5(" ".join(chunk_words).encode()).digest()
+            seed = int.from_bytes(digest[:4], "little")
+            rng = np.random.default_rng(seed)
+            v = rng.standard_normal(dim)
+            return (v / np.linalg.norm(v)).astype(np.float32).tolist()
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                words = (row[text_col] or "").split()
+                chunks = [words[i : i + chunk_len] for i in range(0, max(len(words), 1), chunk_len)]
+                out.append((row[id_col], [encode(c) for c in chunks]))
+            yield pd.DataFrame(out, columns=[id_col, "embeddings"])
+
+    return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def llm_annotate(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                 max_chars: int = 32_000, stub: bool = True) -> DataFrame:
+    """A4 — LLM rubric annotation (reference code_annotation.py:33-78):
+    truncate to 32k chars, prompt an LLM, get a 'c p e d' score string.
+    STUB: deterministic scores from the truncated-content digest; the real
+    path (an inference endpoint) is NotImplementedError here. Downstream
+    parsing is split_score_columns (A5)."""
+    import hashlib
+
+    if not stub:
+        raise NotImplementedError("LLM inference endpoint not configured")
+
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, output string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                content = (row[text_col] or "")[:max_chars]  # truncation :69-71
+                h = hashlib.md5(content.encode()).digest()
+                c, p, e, d = h[0] % 10, h[1] % 10, h[2] % 10, h[3] % 3
+                out.append((row[id_col], f"{c} {p} {e} {d}"))
+            yield pd.DataFrame(out, columns=[id_col, "output"])
+
+    return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def fasttext_annotate(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      n_labels: int = 2, stub: bool = True) -> DataFrame:
+    """A6 — fasttext label prediction per row (reference
+    code_classifier.py:53-68; model file broadcast to executors). STUB:
+    deterministic label from the content digest."""
+    import hashlib
+
+    if not stub:
+        raise NotImplementedError("fasttext model not available in this environment")
+
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, label int"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            labels = [
+                int(hashlib.md5((t or "").encode()).digest()[0]) % n_labels
+                for t in pdf[text_col]
+            ]
+            out = pdf[[id_col]].copy()
+            out["label"] = labels
+            yield out
+
+    return df.select(id_col, text_col).mapInPandas(run, schema)

@@ -1,0 +1,145 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The reference's Document model reserves a ``media: list`` slot
+(pipelines/finemath/main.py:60-66) but never processes media. A 100 TB
+pretraining pipeline does; this module supplies the engine's multimodal
+surface with REAL Spark plumbing — schemas, Arrow batch shapes,
+mapInPandas signatures, partitioning — and STUBBED codecs (image/audio
+libraries are not in this container): ``decode_image``/``decode_audio``
+raise NotImplementedError unless ``stub=True``, in which case a
+deterministic fake decoder (seeded by content hash) produces shaped
+arrays so the downstream plumbing is testable end-to-end.
+
+Scale notes:
+- media bytes travel in a BINARY column; all transforms are
+  ``mapInPandas`` so bytes move driver-free in Arrow batches.
+- `spark.sql.execution.arrow.maxRecordsPerBatch` bounds batch memory —
+  set it low (e.g. 64) for video, media rows are MBs not KBs.
+- feature outputs are small typed columns → downstream joins/filters
+  never touch the blob again (project early, scan-prune on re-read).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: media row schema: one blob + typed metadata (FIXTURES-style convention).
+MEDIA_SCHEMA = (
+    "media_id string, kind string, content binary, mime string, "
+    "width int, height int, duration_ms int"
+)
+
+
+def _fake_pixels(content: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic fake decode: pixels derived from the content digest —
+    stable across executors/retries, no codec needed."""
+    seed = int.from_bytes(hashlib.md5(content).digest()[:4], "little")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+
+
+def decode_image(content: bytes, stub: bool = False) -> np.ndarray:
+    """Decode an image blob to HxWx3 uint8. Real codec (PIL/cv2) is not in
+    this container — STUB: deterministic fake pixels when stub=True."""
+    if not stub:
+        raise NotImplementedError("image codec not available in this environment")
+    return _fake_pixels(content, 16, 16)
+
+
+def decode_audio(content: bytes, stub: bool = False) -> np.ndarray:
+    """Decode an audio blob to float32 PCM. STUB like decode_image."""
+    if not stub:
+        raise NotImplementedError("audio codec not available in this environment")
+    seed = int.from_bytes(hashlib.md5(content).digest()[:4], "little")
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(1600).astype(np.float32)
+
+
+def image_features(df: DataFrame, stub: bool = True,
+                   target: tuple[int, int] = (8, 8)) -> DataFrame:
+    """Decode → resize (mean-pool) → per-channel mean features.
+
+    Output: (media_id, out_width, out_height, mean_r, mean_g, mean_b).
+    mapInPandas: each Arrow batch decodes executor-side; the binary column
+    is dropped from the output so nothing re-serializes the blobs.
+    """
+    schema = (
+        "media_id string, out_width int, out_height int, "
+        "mean_r double, mean_g double, mean_b double"
+    )
+    tw, th = target
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                px = decode_image(bytes(row["content"]), stub=stub)
+                # mean-pool resize to (th, tw): crop to a multiple, reshape
+                h, w = px.shape[:2]
+                px = px[: h - h % th, : w - w % tw]
+                pooled = px.reshape(th, h // th, tw, w // tw, 3).mean(axis=(1, 3))
+                means = pooled.mean(axis=(0, 1))
+                out.append(
+                    (row["media_id"], tw, th, float(means[0]), float(means[1]), float(means[2]))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "out_width", "out_height", "mean_r", "mean_g", "mean_b"],
+            )
+
+    return df.select("media_id", "content").mapInPandas(run, schema)
+
+
+def audio_features(df: DataFrame, stub: bool = True) -> DataFrame:
+    """Decode → RMS energy + zero-crossing-rate features."""
+    schema = "media_id string, rms double, zcr double, n_samples int"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                pcm = decode_audio(bytes(row["content"]), stub=stub)
+                rms = float(np.sqrt(np.mean(pcm**2)))
+                zcr = float(np.mean(np.abs(np.diff(np.signbit(pcm).astype(np.int8)))))
+                out.append((row["media_id"], rms, zcr, len(pcm)))
+            yield pd.DataFrame(out, columns=["media_id", "rms", "zcr", "n_samples"])
+
+    return df.select("media_id", "content").mapInPandas(run, schema)
+
+
+def sample_video_frames(df: DataFrame, every_ms: int = 1000, stub: bool = True) -> DataFrame:
+    """Frame-sample: one output row per sampled frame (1→n fan-out inside
+    mapInPandas — the UDTF shape). Frame pixels stay executor-side; the
+    output carries frame index + timestamp + a per-frame content digest."""
+    schema = "media_id string, frame_idx int, ts_ms int, frame_digest string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                duration = int(row["duration_ms"] or 0)
+                content = bytes(row["content"])
+                for i, ts in enumerate(range(0, max(duration, 1), every_ms)):
+                    if not stub:
+                        raise NotImplementedError("video codec not available")
+                    frame = _fake_pixels(content + ts.to_bytes(4, "little"), 8, 8)
+                    digest = hashlib.md5(frame.tobytes()).hexdigest()
+                    out.append((row["media_id"], i, ts, digest))
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "ts_ms", "frame_digest"]
+            )
+
+    return df.select("media_id", "duration_ms", "content").mapInPandas(run, schema)
+
+
+def attach_media(docs: DataFrame, media: DataFrame, doc_media_map: DataFrame) -> DataFrame:
+    """Join typed media *features* (never blobs) back onto documents via a
+    (doc_id, media_id) link table — the layout that keeps the 100 TB blob
+    store out of every text-side query plan."""
+    return docs.join(doc_media_map, "doc_id", "left").join(media, "media_id", "left")

@@ -148,3 +148,96 @@ def write_megatron(df: DataFrame, out_dir: str, text_col: str = "text",
             write_megatron_partition(docs, base + ".bin", base + ".idx", vocab_size)
 
     toks.rdd.foreachPartition(write_part)
+
+
+# ---------------------------------------------------------------------------
+# W2 full form — metadata-conditioned packing
+# (reference megatron_tokenizer_context.py:210-356, pack loop 283-334):
+# inject <BOC> meta <EOC> token runs at sequence-aligned positions, once per
+# document or once per sequence; pad with pad_id when a meta run would
+# straddle a boundary (:302); truncate meta to 50 chars when longer than a
+# sequence (:296-298); offset carries across documents within a shard
+# (:301-324; each shard ≈ one reference rank starting fresh, :262).
+# ---------------------------------------------------------------------------
+
+BOC_ID = 2
+EOC_ID = 3
+
+
+def pack_with_metadata(df: DataFrame, order_col: str, text_col: str = "text",
+                       meta_col: str = "meta", seq_len: int = 4096,
+                       pad_id: int = 1, shards: int = 8,
+                       per_sequence: bool = False,
+                       meta_max_chars: int = 50,
+                       vocab_size: int = 50000) -> DataFrame:
+    """Returns (shard, seq_idx, tokens array<int>, n_pad, n_meta_tokens).
+
+    Meta runs are [BOC_ID, *tokenize(meta), EOC_ID] placed at the start of
+    the document (default) or re-injected at the start of every sequence a
+    document spans (``per_sequence``, :314-322). A run never straddles a
+    boundary: if it does not fit in the current sequence's remainder, the
+    remainder is padded and the run starts the next sequence (:302).
+    """
+    toks = df.select(
+        (md5_hash64(F.col(order_col)) % F.lit(shards)).alias("shard"),
+        F.col(order_col).alias("__ord"),
+        tokenize_ws(F.col(text_col), vocab_size).alias("toks"),
+        tokenize_ws(F.substring(F.col(meta_col), 1, meta_max_chars), vocab_size).alias("mtoks"),
+    )
+    arranged = toks.repartitionByRange(shards, "shard").sortWithinPartitions("shard", "__ord")
+
+    schema = "shard long, seq_idx long, tokens array<int>, n_pad int, n_meta_tokens int"
+
+    def fold(rows: Iterator) -> Iterator:
+        bufs: dict[int, list[int]] = {}
+        meta_counts: dict[int, int] = {}
+        counters: dict[int, int] = {}
+        out = []
+
+        def emit_full(shard: int):
+            buf = bufs[shard]
+            while len(buf) >= seq_len:
+                out.append((shard, counters.get(shard, 0), buf[:seq_len], 0,
+                            meta_counts.get(shard, 0)))
+                counters[shard] = counters.get(shard, 0) + 1
+                meta_counts[shard] = 0
+                del buf[:seq_len]
+
+        for row in rows:
+            shard = row.shard
+            buf = bufs.setdefault(shard, [])
+            meta_run = [BOC_ID, *(row.mtoks or []), EOC_ID]
+            if len(meta_run) > seq_len:  # truncate pathological meta (:296-298)
+                meta_run = meta_run[: seq_len - 1] + [EOC_ID]
+
+            def inject():
+                room = seq_len - (len(buf) % seq_len)
+                if room < len(meta_run):  # would straddle -> pad out (:302)
+                    buf.extend([pad_id] * room)
+                    emit_full(shard)
+                buf.extend(meta_run)
+                meta_counts[shard] = meta_counts.get(shard, 0) + len(meta_run)
+
+            if per_sequence:
+                # inject at doc start and at every boundary the doc crosses
+                inject()
+                for t in row.toks or []:
+                    if len(buf) % seq_len == 0 and len(buf) > 0:
+                        emit_full(shard)
+                        inject()
+                    buf.append(t)
+            else:
+                inject()
+                buf.extend(row.toks or [])
+            emit_full(shard)
+
+        for shard, buf in bufs.items():
+            if buf:
+                pad = seq_len - len(buf)
+                out.append((shard, counters.get(shard, 0), buf + [pad_id] * pad, pad,
+                            meta_counts.get(shard, 0)))
+        for rec in out:
+            yield rec
+
+    rdd = arranged.rdd.mapPartitions(fold)
+    return arranged.sparkSession.createDataFrame(rdd, schema)

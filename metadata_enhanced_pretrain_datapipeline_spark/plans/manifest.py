@@ -1,0 +1,51 @@
+"""Run-manifest incremental skip.
+
+The reference re-runs pipelines incrementally by skipping completed Slurm
+ranks (``skip_completed``, slurm_nodes.py:105,257-263: a 'completions'
+marker file per rank). The Spark equivalent tracks completed *input units*
+(paths / partition values) in a manifest file next to the output, so a
+re-run plans only the unfinished inputs — idempotent re-execution without
+a scheduler.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+
+class RunManifest:
+    """A tiny JSON set of completed unit keys (one file, atomic rewrite).
+
+    At cluster scale this would live on the shared store next to the output
+    dir (same place the reference writes its completions/ markers).
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        self._done: set[str] = set()
+        if os.path.exists(path):
+            with open(path) as f:
+                self._done = set(json.load(f))
+
+    def pending(self, units: list[str]) -> list[str]:
+        return [u for u in units if u not in self._done]
+
+    def mark_done(self, unit: str) -> None:
+        self._done.add(unit)
+        tmp = self.path + ".tmp"
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump(sorted(self._done), f)
+        os.replace(tmp, self.path)
+
+    def run_incremental(self, units: list[str], fn) -> list[str]:
+        """Execute fn(unit) for each pending unit, marking completion after
+        each — a crash resumes exactly where it stopped (skip_completed
+        semantics)."""
+        ran = []
+        for u in self.pending(units):
+            fn(u)
+            self.mark_done(u)
+            ran.append(u)
+        return ran

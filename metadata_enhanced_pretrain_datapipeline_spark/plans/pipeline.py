@@ -108,3 +108,19 @@ class Pipeline:
         for p in persisted:
             p.unpersist()
         return out
+
+    def run_with_stats(self, df: DataFrame, sink: Callable[[DataFrame], None],
+                       stats: dict[str, Column] | None = None) -> dict:
+        """Execute with an attached Observation — the reference's per-rank
+        stats + merge_stats job (slurm_nodes.py:199-220) collapsed into
+        metrics collected during the sink action itself (G6): zero extra
+        jobs, aggregated across tasks by Spark.
+        """
+        from pyspark.sql import Observation
+
+        stats = stats or {"rows_out": F.count(F.lit(1))}
+        obs = Observation("pipeline_stats")
+        out = self.apply(df)
+        observed = out.observe(obs, *[expr.alias(name) for name, expr in stats.items()])
+        sink(observed)
+        return dict(obs.get)

@@ -1293,3 +1293,112 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def all_oracles() -> dict[str, str]:
     return {name: spec[1] for name, spec in _REGISTRY.items() if spec[1] is not None}
+
+
+# ===========================================================================
+# round-1 additions: robots, multimodal, ML-annotator plumbing
+# ===========================================================================
+
+
+@register(
+    "q_llm_annotate_split",
+    "SELECT doc_id, output, "
+    "TRY_CAST(split_part(output, ' ', 1) AS INT) AS clarity, "
+    "TRY_CAST(split_part(output, ' ', 2) AS INT) AS practice, "
+    "TRY_CAST(split_part(output, ' ', 3) AS INT) AS educational, "
+    "TRY_CAST(split_part(output, ' ', 4) AS INT) AS difficulty FROM ("
+    "  SELECT doc_id, "
+    "  CAST(CAST(('0x' || substr(md5(text), 1, 2)) AS INT) % 10 AS VARCHAR) || ' ' || "
+    "  CAST(CAST(('0x' || substr(md5(text), 3, 2)) AS INT) % 10 AS VARCHAR) || ' ' || "
+    "  CAST(CAST(('0x' || substr(md5(text), 5, 2)) AS INT) % 10 AS VARCHAR) || ' ' || "
+    "  CAST(CAST(('0x' || substr(md5(text), 7, 2)) AS INT) % 3 AS VARCHAR) AS output "
+    "  FROM documents)",
+)
+def q_llm_annotate_split(spark, sf):
+    """A4+A5 — LLM rubric annotation (stub scorer, little-endian md5 bytes)
+    through the real mapInPandas path, then the score-string split
+    (code_annotation.py:33-78 + code_processing.py:27-29). The stub's
+    byte-arithmetic is portable, so even the 'model' path is oracle-checked."""
+    d = load(spark, sf, "documents")
+    annotated = annotators.llm_annotate(d)
+    return annotators.split_score_columns(annotated).select(
+        "doc_id", "output", "clarity", "practice", "educational", "difficulty"
+    )
+
+
+@register("q_robots_filter")
+def q_robots_filter(spark, sf):
+    """† F2 — RobotsTxtFilter: broadcast domain→robots.txt dict, per-executor
+    parser cache, annotate disallowed_user_agents (robots_filter.py:30-92).
+    Derived fixture: urls from source; even sources disallow /p under *."""
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.robots import robots_filter
+
+    d = load(spark, sf, "documents").withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    rob = spark.createDataFrame(
+        [(f"src{i}.example.com", "User-agent: *\nDisallow: /p\n") for i in range(0, 20, 2)],
+        "domain string, content string",
+    )
+    out = robots_filter(d, rob)
+    return out.select(
+        "doc_id", F.size("disallowed_user_agents").alias("n_disallowed")
+    )
+
+
+@register("q_multimodal_image_features")
+def q_multimodal_image_features(spark, sf):
+    """† Multimodal — binary media column through the stubbed decode →
+    mean-pool resize → channel-mean features (operators/multimodal.py)."""
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.multimodal import image_features
+
+    media = load(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.encode(F.substring("text", 1, 64), "utf-8").alias("content"),
+    )
+    out = image_features(media, stub=True)
+    return out.select(
+        "media_id", "out_width", "out_height",
+        F.round("mean_r", 4).alias("mean_r"), F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+    )
+
+
+@register("q_multimodal_frame_sample")
+def q_multimodal_frame_sample(spark, sf):
+    """† Multimodal — video frame-sampling fan-out (1→n inside mapInPandas)."""
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.multimodal import (
+        sample_video_frames,
+    )
+
+    media = load(spark, sf, "documents").filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.encode(F.substring("text", 1, 32), "utf-8").alias("content"),
+        ((F.col("doc_id") % 5 + 1) * 1000).cast("int").alias("duration_ms"),
+    )
+    return sample_video_frames(media, every_ms=1000, stub=True)
+
+
+@register("q_embed_documents")
+def q_embed_documents(spark, sf):
+    """† A1 — chunked document embedding annotator (stub encoder, real
+    Arrow plumbing + chunk regrouping; xlmr_embedding_annotator.py:54-90)."""
+    d = load(spark, sf, "documents").filter(F.col("doc_id") % 10 == 0)
+    out = annotators.embed_documents(d, chunk_len=32, dim=8)
+    return out.select("doc_id", F.size("embeddings").alias("n_chunks"))
+
+
+@register("q_pack_with_metadata")
+def q_pack_with_metadata(spark, sf):
+    """† W2 full — metadata-conditioned packing with BOC/EOC runs
+    (megatron_tokenizer_context.py:283-334)."""
+    d = load(spark, sf, "documents").withColumn(
+        "meta", F.concat(F.lit("topic "), F.col("source"))
+    )
+    packed = tokens.pack_with_metadata(d, "doc_id", seq_len=512, shards=4)
+    return packed.select("shard", "seq_idx", F.size("tokens").alias("seq_len"),
+                         "n_pad", "n_meta_tokens")
