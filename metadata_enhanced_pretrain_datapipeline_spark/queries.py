@@ -1402,3 +1402,59 @@ def q_pack_with_metadata(spark, sf):
     packed = tokens.pack_with_metadata(d, "doc_id", seq_len=512, shards=4)
     return packed.select("shard", "seq_idx", F.size("tokens").alias("seq_len"),
                          "n_pad", "n_meta_tokens")
+
+
+@register(
+    "q_tpch_q1",
+    "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+    "round(sum(l_extendedprice), 2) AS sum_base_price, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+    "round(avg(l_quantity), 4) AS avg_qty, count(*) AS count_order "
+    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00' "
+    "GROUP BY l_returnflag, l_linestatus",
+)
+def q_tpch_q1(spark, sf):
+    """TPC-H Q1 shape — the canonical scan-heavy aggregate: predicate pushed
+    to the scan, map-side partial agg, ONE shuffle to finalize."""
+    li = _ns_to_ts(load(spark, sf, "lineitem"), "l_shipdate")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q3",
+    "SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "WHERE c_mktsegment = 'BUILDING' "
+    "GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10",
+)
+def q_tpch_q3(spark, sf):
+    """TPC-H Q3 shape — selective dim filter broadcast into the fact chain,
+    then top-k (TakeOrdered, no global sort)."""
+    c = load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.col("l_orderkey"))
+        .limit(10)
+    )
