@@ -1458,3 +1458,39 @@ def q_tpch_q3(spark, sf):
         .orderBy(F.desc("revenue"), F.col("l_orderkey"))
         .limit(10)
     )
+
+
+@register(
+    "q_stream_window_agg",
+    "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, "
+    "event_type, count(*) AS n, round(sum(value), 2) AS sum_value "
+    "FROM events GROUP BY 1, 2",
+)
+def q_stream_window_agg(spark, sf):
+    """Structured Streaming extension (beyond-reference, §2.11): the SAME
+    window expressions as q_event_window_agg executed as a readStream over
+    the events parquet, drained complete-mode — and checked against the
+    SAME SQL oracle, proving batch/stream parity to the driver."""
+    import uuid
+
+    from metadata_enhanced_pretrain_datapipeline_spark.streaming import events as se
+
+    table = f"stream_out_{uuid.uuid4().hex[:8]}"
+    raw_schema = load(spark, sf, "events").schema
+    # file-source streams want a directory: stream the sf dir, glob one table
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    stream = _ns_to_ts(stream, "ts")
+    agg = (
+        stream.groupBy(F.window(F.col("ts"), "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type", "n", "sum_value",
+        )
+    )
+    se.drain_complete_to_memory(agg, table)
+    return spark.sql(f"SELECT * FROM {table}")
