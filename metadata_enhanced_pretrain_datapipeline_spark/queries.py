@@ -494,9 +494,8 @@ def q_replicate_buckets(spark, sf):
     d = load(spark, sf, "documents").select(
         "doc_id", ((F.col("doc_id") % 4) + 1).alias("k")
     )
-    return sampling.replicate_buckets(d, F.col("k"), keep_rep_index=True).withColumnRenamed(
-        "__rep", "rep_idx"
-    )
+    out = sampling.replicate_buckets(d, F.col("k"), keep_rep_index=True)
+    return out.select("doc_id", "k", F.col("__rep").cast("long").alias("rep_idx"))
 
 
 # ===========================================================================
@@ -618,7 +617,7 @@ def q_deterministic_shuffle(spark, sf):
     determinism policy in operators/sampling.py)."""
     d = load(spark, sf, "documents")
     w = Window.orderBy(salted_hash(F.col("doc_id"), 42), F.col("doc_id"))
-    return d.select("doc_id", F.row_number().over(w).alias("pos"))
+    return d.select("doc_id", F.row_number().over(w).cast("long").alias("pos"))
 
 
 @register(
@@ -975,8 +974,8 @@ def q_quality_score(spark, sf):
     stop_arr = F.array(*[F.lit(w) for w in _STOP])
     return d.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).alias("n_stop"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast("long").alias("n_stop"),
         F.round(F.col("n_chars").cast("double") / F.size(toks), 4).alias(
             "avg_chars_per_token"
         ),
@@ -993,10 +992,10 @@ def q_token_count(spark, sf):
     d = load(spark, sf, "documents")
     return d.select(
         "doc_id",
-        F.size(F.regexp_extract_all("text", F.lit(TOKEN_REGEX), F.lit(0))).alias(
+        F.size(F.regexp_extract_all("text", F.lit(TOKEN_REGEX), F.lit(0))).cast("long").alias(
             "n_bpe_tokens"
         ),
-        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
     )
 
 

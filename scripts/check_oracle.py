@@ -43,6 +43,20 @@ def rowset(cols, rows):
     return sorted("|".join(canon(r[i]) for i in idx) for r in rows)
 
 
+_SPARK_T = {"bigint": "i64", "int": "i32", "smallint": "i32", "double": "f64",
+            "float": "f64", "string": "str", "boolean": "bool"}
+_DUCK_T = {"BIGINT": "i64", "INTEGER": "i32", "SMALLINT": "i32", "DOUBLE": "f64",
+           "FLOAT": "f64", "VARCHAR": "str", "BOOLEAN": "bool", "HUGEINT": "i128"}
+
+
+def canon_types(pairs, table):
+    out = {}
+    for name, t in pairs:
+        t = str(t)
+        out[name] = table.get(t, table.get(t.split("(")[0], t))
+    return out
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -80,6 +94,16 @@ def main():
         if sorted(scols) != sorted(ocols):
             failed.append((name, f"cols spark={sorted(scols)} duck={sorted(ocols)}"))
             print(f"FAIL  {name}: column mismatch spark={sorted(scols)} duck={sorted(ocols)}")
+            continue
+        stypes = canon_types(sdf.dtypes, _SPARK_T)
+        desc = con.execute(f"DESCRIBE {oracles[name]}").fetchall()
+        otypes = canon_types([(d[0], d[1]) for d in desc], _DUCK_T)
+        mism = {c: (stypes[c], otypes[c]) for c in stypes
+                if c in otypes and stypes[c] != otypes[c]
+                and {stypes[c], otypes[c]} <= {"i32", "i64", "i128", "f64", "str", "bool"}}
+        if mism:
+            failed.append((name, f"dtype mismatch {mism}"))
+            print(f"FAIL  {name}: dtype mismatch {mism}")
             continue
         if len(srows) != len(orows):
             failed.append((name, f"rows spark={len(srows)} duck={len(orows)}"))
