@@ -17,8 +17,9 @@ TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 def tokens_ws(text: Column) -> Column:
     """Whitespace tokens (reference counts tokens by whitespace split before
-    re-tokenizing, e.g. gutenberg create_excerpt.py:101-104)."""
-    return F.split(F.trim(text), r"\s+")
+    re-tokenizing, e.g. gutenberg create_excerpt.py:101-104). Empty text →
+    empty array (split("") would yield [""] — a phantom token)."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != "")
 
 
 def token_count_regex(text: Column) -> Column:

@@ -29,10 +29,13 @@ from metadata_enhanced_pretrain_datapipeline_spark.functions.hashing import md5_
 def tokenize_ws(text: Column, vocab_size: int = 50000) -> Column:
     """Stub tokenizer: whitespace words → deterministic int ids via the
     portable hash (mod vocab). JVM-side; stands in for tokenizer.encode_batch
-    (megatron_tokenizer.py:236)."""
-    return F.transform(
-        F.split(F.trim(text), r"\s+"), lambda w: (md5_hash64(w) % F.lit(vocab_size)).cast("int")
-    )
+    (megatron_tokenizer.py:236).
+
+    Empty/whitespace-only text yields an EMPTY array — split("") returns
+    [""] which would count one phantom token (caught by the hypothesis
+    packing invariant)."""
+    words = F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != "")
+    return F.transform(words, lambda w: (md5_hash64(w) % F.lit(vocab_size)).cast("int"))
 
 
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:

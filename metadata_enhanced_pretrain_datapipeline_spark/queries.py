@@ -1493,3 +1493,40 @@ def q_stream_window_agg(spark, sf):
     )
     se.drain_complete_to_memory(agg, table)
     return spark.sql(f"SELECT * FROM {table}")
+
+
+_KEPT_PRED = "length(text) >= 300 AND lang IN ('en', 'de')"
+
+
+@register(
+    "q_filter_kept",
+    f"SELECT doc_id, lang, n_chars FROM documents WHERE {_KEPT_PRED}",
+)
+def q_filter_kept(spark, sf):
+    """K3 kept-branch — dual-output filter over a shared upstream
+    (exclusion_writer pattern, fineweb/main.py:104-140)."""
+    from metadata_enhanced_pretrain_datapipeline_spark.plans import FilterStep, Pipeline
+
+    d = load(spark, sf, "documents")
+    pred = filters.length_filter(F.col("text"), 300) & F.col("lang").isin("en", "de")
+    return Pipeline([FilterStep("keep", pred)]).apply(d).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "q_filter_removed",
+    f"SELECT doc_id, lang, 'keep' AS reason FROM documents WHERE NOT ({_KEPT_PRED})",
+)
+def q_filter_removed(spark, sf):
+    """K3 removed-branch — the rejected rows with their rejection tag
+    (full Document shape + reason, fineweb/main.py:104-140). Invariant
+    kept ∪ removed = input is pytest-checked (test_pipeline.py)."""
+    from metadata_enhanced_pretrain_datapipeline_spark.plans import FilterStep, Pipeline
+
+    d = load(spark, sf, "documents")
+    pred = filters.length_filter(F.col("text"), 300) & F.col("lang").isin("en", "de")
+    captured = []
+    pipe = Pipeline(
+        [FilterStep("keep", pred, exclusion_writer=captured.append, reason="keep")]
+    )
+    pipe.run(d)
+    return captured[0].select("doc_id", "lang", "reason")
