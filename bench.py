@@ -35,6 +35,8 @@ HEADLINE = [
     "q_mlp_quality_filter",
     "q_pack_sequences",
     "q_token_sum",
+    "q_tpch_q1",
+    "q_tpch_q3",
 ]
 
 

@@ -1530,3 +1530,51 @@ def q_filter_removed(spark, sf):
     )
     pipe.run(d)
     return captured[0].select("doc_id", "lang", "reason")
+
+
+@register(
+    "q_url_host_extract",
+    f"SELECT doc_id, regexp_extract({_URL}, '{HOST_REGEX}', 1) AS host FROM documents",
+)
+def q_url_host_extract(spark, sf):
+    """F2's SQL-expressible half — domain extraction for the robots lookup
+    (robots_filter.py:44-58 urlparse(...).netloc)."""
+    d = load(spark, sf, "documents").withColumn(
+        "url",
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/p/"),
+                 F.col("doc_id").cast("string"), F.lit("?q="), F.col("lang")),
+    )
+    return d.select("doc_id", url_host(F.col("url")).alias("host"))
+
+
+@register(
+    "q_tokenize_counts",
+    "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents",
+)
+def q_tokenize_counts(spark, sf):
+    """K4's checkable half — per-doc token counts through the REAL tokenize
+    path (tokenize_ws); the stub tokenizer is whitespace-aligned so counts
+    equal word counts (megatron_tokenizer.py:116-117,283)."""
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id", F.size(tokens.tokenize_ws(F.col("text"))).cast("long").alias("n_tokens")
+    )
+
+
+@register("q_scan_json")
+def q_scan_json(spark, sf):
+    """† S2 — JsonlReader (provenance-flan/main.py:61-64): round-trip the
+    documents table through a jsonl directory and aggregate from the json
+    scan. Rows-only (driver tables are parquet; jsonl is engine-written)."""
+    import tempfile
+
+    from metadata_enhanced_pretrain_datapipeline_spark.sources import readers, writers
+
+    d = load(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    tmp = tempfile.mkdtemp(prefix="q_scan_json_")
+    path = f"{tmp}/docs_jsonl"
+    writers.write_jsonl(d, path)
+    back = readers.read_jsonl(spark, path, schema="doc_id long, lang string, n_chars long")
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("total_chars")
+    )
