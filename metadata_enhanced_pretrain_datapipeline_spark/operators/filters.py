@@ -115,3 +115,18 @@ def token_count_verify(tokens: Column, expected: int) -> Column:
     """F14 — keep rows whose token array has exactly N entries
     (reference create_excerpt.py:121-125,214-218)."""
     return F.size(tokens) == F.lit(expected)
+
+
+def per_key_threshold_filter(df: DataFrame, key_col: str, score: Column,
+                             thresholds: dict[str, float],
+                             default: float) -> DataFrame:
+    """F7 full form — per-key thresholds (reference fineweb-2/main.py:36-105:
+    per-language toxicity cutoffs 0.5954-0.9994; keep score < t[lang]).
+
+    The threshold table rides along as a map literal — evaluated per row in
+    codegen, no join, no shuffle.
+    """
+    entries = [x for k, v in thresholds.items() for x in (F.lit(k), F.lit(float(v)))]
+    tmap = F.create_map(*entries)
+    cutoff = F.coalesce(F.element_at(tmap, F.col(key_col)), F.lit(float(default)))
+    return df.filter(score < cutoff)

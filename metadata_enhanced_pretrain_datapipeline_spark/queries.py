@@ -1578,3 +1578,43 @@ def q_scan_json(spark, sf):
     return back.groupBy("lang").agg(
         F.count("*").alias("n"), F.sum("n_chars").alias("total_chars")
     )
+
+
+@register(
+    "q_per_lang_threshold",
+    "SELECT doc_id, lang, score FROM ("
+    "  SELECT doc_id, lang, round((doc_id % 1000) / 1000.0, 3) AS score FROM documents) "
+    "WHERE score < CASE lang WHEN 'en' THEN 0.9994 WHEN 'de' THEN 0.7446 "
+    "WHEN 'fr' THEN 0.6 WHEN 'es' THEN 0.5954 ELSE 0.5 END",
+)
+def q_per_lang_threshold(spark, sf):
+    """F7 full form — per-language thresholds as a broadcast map literal
+    (fineweb-2/main.py:36-105), derived deterministic score column."""
+    d = load(spark, sf, "documents").select(
+        "doc_id", "lang", F.round((F.col("doc_id") % 1000) / 1000.0, 3).alias("score")
+    )
+    return filters.per_key_threshold_filter(
+        d, "lang", F.col("score"),
+        {"en": 0.9994, "de": 0.7446, "fr": 0.6, "es": 0.5954}, default=0.5,
+    )
+
+
+@register(
+    "q_quantile_threshold_filter",
+    "WITH s AS (SELECT vec_id, round(sum(CAST(v AS DOUBLE) * "
+    "((((i - 1) * 37) % 21 - 10) / 10.0)), 6) AS score "
+    "FROM (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i "
+    "FROM embeddings) GROUP BY vec_id), "
+    "t AS (SELECT quantile_cont(score, 0.9) AS cutoff FROM s) "
+    "SELECT vec_id, score FROM s, t WHERE score > cutoff",
+)
+def q_quantile_threshold_filter(spark, sf):
+    """G1+F6 composed — the fineweb quality gate end-to-end
+    (fineweb/main.py:113-121): score everything, estimate the top-p cutoff
+    (exact percentile, one-row agg), broadcast the scalar back as a filter.
+    Two jobs by construction — the threshold must exist before the filter."""
+    e = load(spark, sf, "embeddings")
+    scored = e.select(
+        "vec_id", F.round(annotators.linear_score(F.col("embedding")), 6).alias("score")
+    )
+    return aggregates.quantile_threshold_filter(scored, F.col("score"), keep_top_p=0.1)

@@ -46,3 +46,19 @@ def write_fasttext(df: DataFrame, path: str, label_col: str = "label",
 
     df.select(fasttext_line(F.col(label_col), F.col(text_col)).alias("value")) \
         .write.mode(mode).text(path)
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
+                   num_buckets: int, sort_cols: list[str] | None = None,
+                   path: str | None = None) -> None:
+    """Bucketed managed-table write for co-located joins: two tables
+    bucketed identically on the join key join WITHOUT a shuffle — the
+    pre-partitioning strategy for repeated fact⋈fact joins at 100 TB
+    (the engine's substitute for the reference's one-file-per-rank layout).
+    """
+    w = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
