@@ -68,3 +68,86 @@ def lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path next to hyperplane LSH.
+# Lloyd iterations expressed relationally: assignment is a narrow projection
+# against BROADCAST centroid literals (no join), the centroid update is one
+# posexplode + groupBy(list, pos) shuffle per iteration. Centroids are tiny
+# (k × dim doubles) and live driver-side like the reference's estimated
+# thresholds (J4 scalar pattern).
+# ---------------------------------------------------------------------------
+
+
+def _nearest_centroid_col(vec: Column, centroids: list[list[float]]) -> Column:
+    """argmin over squared distance ≡ argmax over (dot - |c|²/2) — computed
+    as a chain of when() comparisons over k broadcast literals."""
+    from metadata_enhanced_pretrain_datapipeline_spark.functions.arrays import dot_product
+
+    scores = []
+    for c in centroids:
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        half_norm = sum(x * x for x in c) / 2.0
+        scores.append(dot_product(vec, lit) - F.lit(half_norm))
+    best_idx, best_score = F.lit(0), scores[0]
+    for i in range(1, len(scores)):
+        is_better = scores[i] > best_score
+        best_idx = F.when(is_better, F.lit(i)).otherwise(best_idx)
+        best_score = F.when(is_better, scores[i]).otherwise(best_score)
+    return best_idx
+
+
+def kmeans_fit(df: DataFrame, vec_col: str = "embedding", k: int = 8,
+               iters: int = 5, key_col: str = "vec_id") -> list[list[float]]:
+    """Deterministic Lloyd's: seeds = hash-ordered first k vectors, then
+    `iters` rounds of assign (narrow) + mean (one shuffle). Returns the
+    centroid list for broadcast into ivf_assign/ivf_topk."""
+    from metadata_enhanced_pretrain_datapipeline_spark.functions.hashing import salted_hash
+
+    seeds = (
+        df.select(vec_col).orderBy(salted_hash(F.col(key_col), 7), F.col(key_col))
+        .limit(k).collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in seeds]
+    for _ in range(iters):
+        assigned = df.select(
+            _nearest_centroid_col(F.col(vec_col), centroids).alias("list_id"),
+            F.posexplode(F.col(vec_col)).alias("pos", "v"),
+        )
+        means = (
+            assigned.groupBy("list_id", "pos").agg(F.avg("v").alias("m"))
+            .groupBy("list_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("list_id", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+            .collect()
+        )
+        new = {r["list_id"]: [float(x) for x in r["centroid"]] for r in means}
+        centroids = [new.get(i, centroids[i]) for i in range(k)]
+    return centroids
+
+
+def ivf_assign(df: DataFrame, centroids: list[list[float]],
+               vec_col: str = "embedding") -> DataFrame:
+    """Attach the inverted-list id. Written partitioned/bucketed by list_id,
+    probes scan only nprobe lists — the partition-pruned ANN layout."""
+    return df.withColumn("list_id", _nearest_centroid_col(F.col(vec_col), centroids))
+
+
+def ivf_topk(df: DataFrame, centroids: list[list[float]], query_vec: list[float],
+             k: int = 10, nprobe: int = 2, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Probe the nprobe nearest lists, exact cosine inside them only."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=float)
+    dists = [float(((np.asarray(c) - q) ** 2).sum()) for c in centroids]
+    probe = sorted(range(len(centroids)), key=lambda i: dists[i])[:nprobe]
+    assigned = ivf_assign(df, centroids, vec_col)
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        assigned.filter(F.col("list_id").isin(probe))
+        .select(F.col(id_col), F.round(cosine_similarity(F.col(vec_col), qlit), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )

@@ -1618,3 +1618,14 @@ def q_quantile_threshold_filter(spark, sf):
         "vec_id", F.round(annotators.linear_score(F.col("embedding")), 6).alias("score")
     )
     return aggregates.quantile_threshold_filter(scored, F.col("score"), keep_top_p=0.1)
+
+
+@register("q_ivf_topk")
+def q_ivf_topk(spark, sf):
+    """† Extension — IVF ANN: deterministic Lloyd's fit (iterative — not
+    SQL-expressible), probe the 2 nearest inverted lists, exact cosine
+    inside them (operators/similarity.kmeans_fit/ivf_topk)."""
+    e = load(spark, sf, "embeddings")
+    cents = similarity.kmeans_fit(e, k=4, iters=3)
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return similarity.ivf_topk(e.filter(F.col("vec_id") != 0), cents, qvec, k=10, nprobe=2)

@@ -66,3 +66,59 @@ def drain_complete_to_memory(stream_df: DataFrame, table: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_sessionize(events: DataFrame, ts_col: str = "ts",
+                         key_col: str = "user_id", gap_seconds: int = 1800,
+                         watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful streaming operator: per-key session aggregation via
+    applyInPandasWithState — the engine's answer to operators Spark's
+    built-ins can't express (arbitrary per-key state machines).
+
+    State = the open session (start, last_ts, n). A micro-batch folds its
+    rows into the state; sessions whose gap closed are emitted; state is
+    dropped when the watermark passes (bounded memory on unbounded input).
+    Emits (user_id, session_start, n_events) for CLOSED sessions.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} long, session_start timestamp, n_events long"
+    state_schema = "start long, last long, n long"
+
+    def fold(key, pdfs, state: GroupState):
+        closed = []
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, n = state.get
+                closed.append((key[0], pd.Timestamp(start, unit="us"), n))
+                state.remove()
+        else:
+            rows = pd.concat(list(pdfs))
+            rows = rows.sort_values(ts_col)
+            if state.exists:
+                start, last, n = state.get
+            else:
+                start = last = None
+                n = 0
+            for t in rows[ts_col]:
+                us = int(t.value // 1000)  # pandas ns -> µs
+                if start is None:
+                    start, last, n = us, us, 1
+                elif us - last > gap_seconds * 1_000_000:
+                    closed.append((key[0], pd.Timestamp(start, unit="us"), n))
+                    start, last, n = us, us, 1
+                else:
+                    last, n = us, n + 1
+            if start is not None:
+                state.update((start, last, n))
+                state.setTimeoutTimestamp(last // 1000 + gap_seconds * 1000)
+        yield pd.DataFrame(closed, columns=[key_col, "session_start", "n_events"])
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fold, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )

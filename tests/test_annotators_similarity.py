@@ -72,3 +72,32 @@ def test_replicate_buckets_row_multiplicity(spark):
     df = spark.createDataFrame([(1, 3), (2, 1)], "id long, k int")
     out = sampling.replicate_buckets(df, F.col("k")).groupBy("id").count().collect()
     assert {r.id: r["count"] for r in out} == {1: 3, 2: 1}
+
+
+def test_ivf_clusters_and_topk(spark):
+    import random
+
+    random.seed(7)
+    centers = [[5.0, 0.0, 0.0], [0.0, 5.0, 0.0], [0.0, 0.0, 5.0]]
+    rows = []
+    for i in range(60):
+        c = centers[i % 3]
+        rows.append((i, [x + random.uniform(-0.3, 0.3) for x in c]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cents = similarity.kmeans_fit(df, k=3, iters=4)
+    assigned = similarity.ivf_assign(df, cents)
+    # every true cluster maps to exactly one learned list
+    got = assigned.groupBy((F.col("vec_id") % 3).alias("truth")).agg(
+        F.countDistinct("list_id").alias("n_lists")
+    ).collect()
+    assert all(r.n_lists == 1 for r in got)
+
+    # IVF top-k with enough probes == brute force top-k
+    query = [5.0, 0.1, 0.0]
+    brute = [r.vec_id for r in similarity.brute_force_topk(df, query, k=5).collect()]
+    ivf = [r.vec_id for r in similarity.ivf_topk(df, cents, query, k=5, nprobe=3).collect()]
+    assert ivf == brute
+    # nprobe=1 searches one list only — results confined to the query's cluster
+    near = [r.vec_id for r in similarity.ivf_topk(df, cents, query, k=5, nprobe=1).collect()]
+    assert all(v % 3 == 0 for v in near)
