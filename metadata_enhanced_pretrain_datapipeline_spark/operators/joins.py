@@ -61,3 +61,24 @@ def asof_join(left: DataFrame, right: DataFrame, left_key: str, right_key: str,
     return carried.select(
         F.col("__l.*"), *[F.col(f"__c_{v}").alias(v) for v in right_vals]
     )
+
+
+def salted_join(left: DataFrame, right: DataFrame, on: str, how: str = "inner",
+                salt_buckets: int = 8) -> DataFrame:
+    """Skew-salted equi-join: spread a hot key over ``salt_buckets``
+    sub-keys by salting the BIG side with a per-row hash and replicating
+    the small side once per salt value (explode(sequence) — no shuffle to
+    replicate).
+
+    AQE's skew-join split (enabled in session.py) handles most skew at
+    runtime; this explicit form is for the cases AQE cannot re-plan —
+    skewed keys feeding windows/stateful downstream, or when the skew is
+    known up front and the replicated side is small. Result is identical
+    to a plain join (tested)."""
+    salt = (F.shiftrightunsigned(F.xxhash64(F.monotonically_increasing_id()), 1)
+            % F.lit(salt_buckets))
+    lsalted = left.withColumn("__salt", salt.cast("int"))
+    rsalted = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("int"))
+    return lsalted.join(rsalted, [on, "__salt"], how).drop("__salt")

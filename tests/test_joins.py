@@ -51,3 +51,16 @@ def test_broadcast_lookup(spark):
     out = joins.broadcast_lookup(fact, dim, "d").collect()
     got = {r.d: r.name for r in out}
     assert got == {"a": "A", "b": None}
+
+
+def test_salted_join_matches_plain_join(spark):
+    left = spark.createDataFrame(
+        [(k, i) for i in range(200) for k in (["hot"] if i % 2 else ["k" + str(i)])],
+        "key string, v long",
+    )
+    right = spark.createDataFrame(
+        [("hot", 1), ("k4", 2), ("k10", 3)], "key string, w long"
+    )
+    plain = sorted(map(tuple, left.join(right, "key").collect()))
+    salted = sorted(map(tuple, joins.salted_join(left, right, "key").collect()))
+    assert salted == plain and len(plain) >= 100
