@@ -142,7 +142,9 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     early. For full-corpus dedup prefer minhash_lsh_pairs; this operator is
     the exact verifier within LSH buckets.
     """
-    sh = df.select(
+    from metadata_enhanced_pretrain_datapipeline_spark.partitioning import ensure_min_partitions
+
+    sh = ensure_min_partitions(df).select(
         F.col(id_col).alias("id"),
         F.size(word_shingles(F.col(text_col), shingle_n)).alias("n_sh"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),

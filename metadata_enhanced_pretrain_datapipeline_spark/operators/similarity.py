@@ -110,6 +110,9 @@ def kmeans_fit(df: DataFrame, vec_col: str = "embedding", k: int = 8,
         .limit(k).collect()
     )
     centroids = [[float(x) for x in r[vec_col]] for r in seeds]
+    from metadata_enhanced_pretrain_datapipeline_spark.partitioning import ensure_min_partitions
+
+    df = ensure_min_partitions(df)
     for _ in range(iters):
         assigned = df.select(
             _nearest_centroid_col(F.col(vec_col), centroids).alias("list_id"),
@@ -143,7 +146,9 @@ def ivf_topk(df: DataFrame, centroids: list[list[float]], query_vec: list[float]
     q = np.asarray(query_vec, dtype=float)
     dists = [float(((np.asarray(c) - q) ** 2).sum()) for c in centroids]
     probe = sorted(range(len(centroids)), key=lambda i: dists[i])[:nprobe]
-    assigned = ivf_assign(df, centroids, vec_col)
+    from metadata_enhanced_pretrain_datapipeline_spark.partitioning import ensure_min_partitions
+
+    assigned = ivf_assign(ensure_min_partitions(df), centroids, vec_col)
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         assigned.filter(F.col("list_id").isin(probe))

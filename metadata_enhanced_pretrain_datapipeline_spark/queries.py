@@ -1189,7 +1189,7 @@ def q_ngram_jaccard(spark, sf):
     """† Extension — n-gram Jaccard over shingle inverted index, thresholded
     (operators/dedup.jaccard_pairs)."""
     d = load(spark, sf, "documents")
-    sample = d.filter(F.col("doc_id") % 10 == 0)  # bound pair volume at bench scale
+    sample = d.filter(F.col("doc_id") % 25 == 0)  # bound pair volume at bench scale
     return dedup.jaccard_pairs(sample, min_jaccard=0.2).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
