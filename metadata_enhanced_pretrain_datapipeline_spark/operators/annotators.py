@@ -246,3 +246,15 @@ def fasttext_annotate(df: DataFrame, text_col: str = "text", id_col: str = "doc_
             yield out
 
     return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def toxic_scorer(df: DataFrame, emb_col: str = "embeddings", id_col: str = "doc_id",
+                 dim: int = 64, hidden: int = 16) -> DataFrame:
+    """A2 — ToxicScorer: MLP over EVERY chunk embedding of a doc, doc score
+    = max over chunks (reference toxic_filter.py:92-149, np.max at
+    :142-145). Input carries array<array<float>> (A1 output); chunks
+    explode to rows, score via the Arrow MLP, regroup with max — the
+    distributed form of the reference's in-process chunk loop."""
+    chunked = df.select(F.col(id_col), F.explode(F.col(emb_col)).alias("chunk"))
+    scored = chunked.withColumn("score", mlp_score_udf(dim, hidden)(F.col("chunk")))
+    return scored.groupBy(id_col).agg(F.max("score").alias("toxic_score"))

@@ -95,10 +95,11 @@ class Pipeline:
                 kept = out.filter(step.predicate)
                 removed = out.filter(~step.predicate | step.predicate.isNull())
             else:
+                # join-shaped filter: removed = input minus kept, computed
+                # set-wise so it is correct for ANY filter shape (the kept
+                # side of an anti-join has the same schema as the input)
                 kept = step.predicate(out)
-                removed = out.join(kept.select(kept.columns[0]).withColumnRenamed(
-                    kept.columns[0], "__kept_key"), on=F.col(out.columns[0]) == F.col("__kept_key"),
-                    how="left_anti")
+                removed = out.exceptAll(kept.select(*out.columns))
             if needs_tee:
                 tagged = removed.withColumn("reason", F.lit(step.reason or step.name))
                 step.exclusion_writer(tagged)

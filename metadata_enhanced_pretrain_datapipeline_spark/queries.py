@@ -1629,3 +1629,13 @@ def q_ivf_topk(spark, sf):
     cents = similarity.kmeans_fit(e, k=4, iters=3)
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
     return similarity.ivf_topk(e.filter(F.col("vec_id") != 0), cents, qvec, k=10, nprobe=2)
+
+
+@register("q_toxic_scorer")
+def q_toxic_scorer(spark, sf):
+    """† A1→A2 chained — embed chunks (stub encoder) then MLP-score every
+    chunk and take the per-doc max (toxic_filter.py:92-149)."""
+    d = load(spark, sf, "documents").filter(F.col("doc_id") % 10 == 0)
+    embedded = annotators.embed_documents(d, chunk_len=32, dim=8)
+    out = annotators.toxic_scorer(embedded, dim=8)
+    return out.select("doc_id", F.round("toxic_score", 6).alias("toxic_score"))

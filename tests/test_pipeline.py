@@ -44,3 +44,22 @@ def test_join_shaped_filter_step(spark, docs):
         steps=[FilterStep("ids", lambda df: filters.id_anti_join(df, block, "doc_id"))]
     )
     assert pipe.apply(docs).count() == 30
+
+
+def test_join_shaped_exclusion_sink(spark, docs):
+    """Removed branch of a join-shaped filter = input minus kept, exactly."""
+    block = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    removed_batches = []
+    pipe = Pipeline(
+        steps=[
+            FilterStep(
+                "ids",
+                lambda df: filters.id_anti_join(df, block, "doc_id"),
+                exclusion_writer=lambda df: removed_batches.append(df.collect()),
+            )
+        ]
+    )
+    kept = pipe.run(docs)
+    removed_ids = sorted(r.doc_id for r in removed_batches[0])
+    assert removed_ids == [0, 1, 2, 3, 4]
+    assert kept.count() == 35
