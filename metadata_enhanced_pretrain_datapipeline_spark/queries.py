@@ -1639,3 +1639,45 @@ def q_toxic_scorer(spark, sf):
     embedded = annotators.embed_documents(d, chunk_len=32, dim=8)
     out = annotators.toxic_scorer(embedded, dim=8)
     return out.select("doc_id", F.round("toxic_score", 6).alias("toxic_score"))
+
+
+@register(
+    "q_string_functions",
+    "SELECT doc_id, upper(substring(text, 1, 12)) AS head_upper, "
+    "replace(substring(text, 1, 40), ' ', '_') AS snake, "
+    "CASE WHEN starts_with(text, 'the') THEN 1 ELSE 0 END AS starts_the, "
+    "lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded_id, "
+    "CAST(strpos(text, 'data') AS BIGINT) AS data_pos FROM documents",
+)
+def q_string_functions(spark, sf):
+    """§2.10 scalar surface — upper/replace/startswith/lpad/instr
+    (reference str ops: code_processing.py:103-105, preprocessing.py:27-29)."""
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 12)).alias("head_upper"),
+        F.replace(F.substring("text", 1, 40), F.lit(" "), F.lit("_")).alias("snake"),
+        F.when(F.col("text").startswith("the"), 1).otherwise(0).alias("starts_the"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded_id"),
+        F.instr(F.col("text"), "data").cast("long").alias("data_pos"),
+    )
+
+
+@register(
+    "q_date_features",
+    "SELECT event_id, CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS m, "
+    "CAST(day(ts) AS BIGINT) AS d, CAST(hour(ts) AS BIGINT) AS h, "
+    "strftime(date_trunc('day', ts), '%Y-%m-%d') AS day_str FROM events",
+)
+def q_date_features(spark, sf):
+    """§2.10 date surface — year/month/day/hour extraction + day trunc
+    (engine addition; reference has no relational timestamps, SURVEY §1.3)."""
+    e = load_events(spark, sf)
+    return e.select(
+        "event_id",
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("m"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+        F.hour("ts").cast("long").alias("h"),
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day_str"),
+    )
