@@ -258,3 +258,33 @@ def toxic_scorer(df: DataFrame, emb_col: str = "embeddings", id_col: str = "doc_
     chunked = df.select(F.col(id_col), F.explode(F.col(emb_col)).alias("chunk"))
     scored = chunked.withColumn("score", mlp_score_udf(dim, hidden)(F.col("chunk")))
     return scored.groupBy(id_col).agg(F.max("score").alias("toxic_score"))
+
+
+def hf_classifier_annotate(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", label_name: str = "quality",
+                           n_labels: int = 10, stub: bool = True) -> DataFrame:
+    """A7 — HF classifier/regressor annotation → ``cb_<label>`` column
+    (reference code_classifier.py:336-371 HFClassifier, 485-519
+    HFRegressor: tokenize + forward + argmax on GPU executors). STUB model
+    (deterministic from content digest); real path requires a transformer
+    runtime — NotImplementedError, same contract as embed_documents."""
+    import hashlib
+
+    if not stub:
+        raise NotImplementedError("transformer classifier not available in this environment")
+
+    id_type = dict(df.dtypes)[id_col]
+    out_col = f"cb_{label_name}"
+    schema = f"{id_col} {id_type}, {out_col} int"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            labels = [
+                int(hashlib.md5((t or "").encode()).digest()[4]) % n_labels
+                for t in pdf[text_col]
+            ]
+            out = pdf[[id_col]].copy()
+            out[out_col] = labels
+            yield out
+
+    return df.select(id_col, text_col).mapInPandas(run, schema)

@@ -98,3 +98,26 @@ def fasttext_line(label: Column, text: Column) -> Column:
     (reference code_processing.py:80-111, format at 85-86)."""
     esc = F.regexp_replace(F.regexp_replace(text, r"\\", r"\\\\"), "\n", r"\\n")
     return F.concat(F.lit("__label__"), label.cast("string"), F.lit(" "), esc)
+
+
+def load_pii_regex_table(path: str) -> list[tuple[str, str]]:
+    """S6 — EU-PII regex asset loader (reference pii_formatter.py:40-60
+    loads an xlsx of (Priority, Regex, Replacement) and sorts by categorical
+    priority P0 < P1 < ...). The container has no Excel reader, so the
+    engine reads the documented CSV stand-in (FIXTURES.md §B12) — a
+    driver-side pandas load broadcast into the regex chain, exactly like
+    the reference's asset path."""
+    import pandas as pd
+
+    table = pd.read_csv(path)
+    table = table.sort_values("Priority", key=lambda s: s.str.extract(r"P(\d+)", expand=False).astype(int))
+    return [(r["Regex"], r["Replacement"]) for _, r in table.iterrows()]
+
+
+def pii_scrub_with_table(text: Column, extra_passes: list[tuple[str, str]]) -> Column:
+    """A3 full form — built-in email→ip→iban passes followed by the
+    priority-ordered EU regex passes (pii_formatter.py:80-91)."""
+    out = pii_scrub(text)
+    for pat, tag in extra_passes:
+        out = F.regexp_replace(out, pat, tag)
+    return out

@@ -57,3 +57,28 @@ def test_fasttext_line(spark):
     df = spark.createDataFrame([(1, "a\nb")], "label int, text string")
     out = df.select(formatters.fasttext_line(F.col("label"), F.col("text")).alias("l")).collect()
     assert out[0].l == "__label__1 a\\nb"
+
+
+def test_pii_regex_table_priority_order(spark, tmp_path):
+    csv = tmp_path / "eu.csv"
+    csv.write_text(
+        "Priority,Regex,Replacement\n"
+        'P1,\\bB\\d{4}\\b,<b-pii>\n'
+        'P0,\\bA\\d{4}\\b,<a-pii>\n'
+    )
+    passes = formatters.load_pii_regex_table(str(csv))
+    assert passes == [("\\bA\\d{4}\\b", "<a-pii>"), ("\\bB\\d{4}\\b", "<b-pii>")]
+    df = spark.createDataFrame([("id A1234 and B9999 x@y.com",)], "text string")
+    out = df.select(
+        formatters.pii_scrub_with_table(F.col("text"), passes).alias("s")
+    ).collect()[0]
+    assert out.s == "id <a-pii> and <b-pii> <email-pii>"
+
+
+def test_hf_classifier_annotate(spark):
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import annotators
+
+    df = spark.createDataFrame([(1, "alpha"), (2, "beta")], "doc_id long, text string")
+    out = {r.doc_id: r.cb_quality for r in annotators.hf_classifier_annotate(df).collect()}
+    out2 = {r.doc_id: r.cb_quality for r in annotators.hf_classifier_annotate(df).collect()}
+    assert out == out2 and all(0 <= v <= 9 for v in out.values())
