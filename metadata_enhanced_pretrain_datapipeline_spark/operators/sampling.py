@@ -25,16 +25,15 @@ def positional_split(df: DataFrame, key: Column, train_frac: float,
                      tag_col: str = "split") -> DataFrame:
     """O5 — train/test split by position (reference code_processing.py:160-163).
 
-    Position = rank by hash order (deterministic shuffle) — a window over
-    the whole table. Fine at test scale; at 100 TB use `hash_sample` (no
-    global window) instead; this operator exists for reference parity.
+    Position = rank by hash order (deterministic shuffle), computed with
+    the scalable two-phase global_rank — no single-task window sort.
     """
-    w = Window.orderBy(salted_hash(key), key)
     n = df.count()
     cut = int(n * train_frac)
-    return df.withColumn(
-        tag_col, F.when(F.row_number().over(w) <= F.lit(cut), "train").otherwise("test")
-    )
+    ranked = global_rank(df, [salted_hash(key), key], "__rank")
+    return ranked.withColumn(
+        tag_col, F.when(F.col("__rank") <= F.lit(cut), "train").otherwise("test")
+    ).drop("__rank")
 
 
 def balanced_sample(df: DataFrame, label_col: str, key: Column) -> DataFrame:
@@ -74,3 +73,36 @@ def top_k(df: DataFrame, order: list[Column], k: int) -> DataFrame:
     per-partition partial top-k then a single-reduce merge — no full sort
     at scale."""
     return df.orderBy(*order).limit(k)
+
+
+def global_rank(df: DataFrame, order: list[Column], rank_col: str = "pos",
+                num_ranges: int | None = None) -> DataFrame:
+    """Scalable global ranking: 1..N positions under a total order WITHOUT
+    the single-task sort of an unpartitioned row_number() window.
+
+    Two phases: repartitionByRange on the order keys (equal keys co-locate,
+    so a unique tiebreaker in ``order`` makes the order total), then
+    per-partition row_number + a broadcast map of partition row-count
+    offsets. Cost: one range shuffle + one tiny counts job — vs ONE task
+    sorting everything. Results identical to the naive window (tested).
+    """
+    spark = df.sparkSession
+    num_ranges = num_ranges or spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(num_ranges, *order).sortWithinPartitions(*order)
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    counts = {r["__pid"]: r["cnt"] for r in
+              with_pid.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    omap = F.create_map(*[x for pid, off in offsets.items()
+                          for x in (F.lit(pid), F.lit(off))])
+    w = Window.partitionBy("__pid").orderBy(*order)
+    return (
+        with_pid.withColumn(
+            rank_col,
+            (F.row_number().over(w) + F.coalesce(F.element_at(omap, F.col("__pid")), F.lit(0)))
+            .cast("long"),
+        ).drop("__pid")
+    )

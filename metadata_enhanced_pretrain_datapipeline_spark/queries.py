@@ -616,8 +616,10 @@ def q_deterministic_shuffle(spark, sf):
     """O3 — seeded-shuffle parity via hash ordering (paradocs.py:165;
     determinism policy in operators/sampling.py)."""
     d = load(spark, sf, "documents")
-    w = Window.orderBy(salted_hash(F.col("doc_id"), 42), F.col("doc_id"))
-    return d.select("doc_id", F.row_number().over(w).cast("long").alias("pos"))
+    ranked = sampling.global_rank(
+        d, [salted_hash(F.col("doc_id"), 42), F.col("doc_id")], "pos"
+    )
+    return ranked.select("doc_id", "pos")
 
 
 @register(
@@ -630,19 +632,13 @@ def q_deterministic_shuffle(spark, sf):
 def q_positional_split(spark, sf):
     """O5 — positional train/test split (code_processing.py:160-163)."""
     d = load(spark, sf, "documents")
-    w = Window.orderBy(salted_hash(F.col("doc_id")), F.col("doc_id"))
-    wall = Window.partitionBy()
-    return d.select(
+    cut = int(0.8 * d.count())  # driver-side scalar, like the G1 threshold
+    ranked = sampling.global_rank(
+        d, [salted_hash(F.col("doc_id")), F.col("doc_id")], "rn"
+    )
+    return ranked.select(
         "doc_id",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wall).alias("cnt"),
-    ).select(
-        "doc_id",
-        F.when(
-            F.col("rn") <= F.floor(0.8 * F.col("cnt")).cast("long"), "train"
-        )
-        .otherwise("test")
-        .alias("split"),
+        F.when(F.col("rn") <= F.lit(cut), "train").otherwise("test").alias("split"),
     )
 
 

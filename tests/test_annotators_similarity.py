@@ -101,3 +101,23 @@ def test_ivf_clusters_and_topk(spark):
     # nprobe=1 searches one list only — results confined to the query's cluster
     near = [r.vec_id for r in similarity.ivf_topk(df, cents, query, k=5, nprobe=1).collect()]
     assert all(v % 3 == 0 for v in near)
+
+
+def test_global_rank_matches_naive_window(spark, docs):
+    from pyspark.sql import Window
+
+    from metadata_enhanced_pretrain_datapipeline_spark.functions.hashing import salted_hash
+
+    order = [salted_hash(F.col("doc_id"), 42), F.col("doc_id")]
+    naive = {
+        r.doc_id: r.pos
+        for r in docs.select(
+            "doc_id", F.row_number().over(Window.orderBy(*order)).cast("long").alias("pos")
+        ).collect()
+    }
+    scalable = {
+        r.doc_id: r.pos
+        for r in sampling.global_rank(docs, order, num_ranges=4)
+        .select("doc_id", "pos").collect()
+    }
+    assert scalable == naive
