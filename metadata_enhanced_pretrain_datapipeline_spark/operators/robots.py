@@ -123,3 +123,47 @@ def robots_filter(docs: DataFrame, robots: DataFrame, url_col: str = "url",
             yield out
 
     return with_parts.mapInPandas(run, schema)
+
+
+def robots_filter_join(docs: DataFrame, robots: DataFrame, url_col: str = "url",
+                       agents: list[str] | None = None) -> DataFrame:
+    """F2 at robots-table scale: when the {domain → robots.txt} table is
+    too large to broadcast (robots_filter uses driver collect + broadcast),
+    LEFT JOIN the content onto the documents by host — one shuffle keyed by
+    host — and parse per row with the same per-executor cache. Same output
+    contract as robots_filter."""
+    agents = agents or AI_USER_AGENTS
+
+    from metadata_enhanced_pretrain_datapipeline_spark.functions.urlf import HOST_REGEX, PATH_REGEX
+
+    with_parts = docs.withColumn("__host", F.regexp_extract(F.col(url_col), HOST_REGEX, 1)) \
+                     .withColumn("__path", F.regexp_extract(F.col(url_col), PATH_REGEX, 1))
+    joined = with_parts.join(
+        robots.select(F.col("domain").alias("__host"), F.col("content").alias("__robots")),
+        "__host", "left",
+    )
+
+    keep_cols = [n for n, _ in docs.dtypes]
+    out_fields = ", ".join(f"{n} {t}" for n, t in docs.dtypes)
+    schema = out_fields + ", disallowed_user_agents array<string>"
+
+    def run(batches):
+        from functools import lru_cache
+
+        @lru_cache(maxsize=8192)
+        def parsed(content: str):
+            return parse_robots(content)
+
+        for pdf in batches:
+            denied = []
+            for content, path in zip(pdf["__robots"], pdf["__path"]):
+                if content is None:
+                    denied.append([])
+                    continue
+                groups = parsed(content)
+                denied.append([a for a in agents if not is_allowed(groups, a, path or "/")])
+            out = pdf[keep_cols].copy()
+            out["disallowed_user_agents"] = denied
+            yield out
+
+    return joined.mapInPandas(run, schema)

@@ -244,3 +244,28 @@ def pack_with_metadata(df: DataFrame, order_col: str, text_col: str = "text",
 
     rdd = arranged.rdd.mapPartitions(fold)
     return arranged.sparkSession.createDataFrame(rdd, schema)
+
+
+def write_megatron_packed(df: DataFrame, out_dir: str, order_col: str = "doc_id",
+                          text_col: str = "text", seq_len: int = 4096,
+                          shards: int = 4, vocab_size: int = 50000) -> None:
+    """K4 ∘ W2 — the reference's actual flow: tokenize → pack into fixed
+    seq_len sequences → write one .bin/.idx pair per shard, each packed
+    sequence one Megatron 'document' (megatron_tokenizer_context.py:210-356
+    feeding MegatronTokenizedFile). Executor-side writes, no driver collect."""
+    import os
+
+    packed = pack_sequences(df, order_col, text_col, seq_len=seq_len, shards=shards)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_part(rows: Iterator) -> None:
+        by_shard: dict[int, list[tuple[int, list[int]]]] = {}
+        for row in rows:
+            by_shard.setdefault(row.shard, []).append((row.seq_idx, list(row.tokens)))
+        for shard, seqs in by_shard.items():
+            seqs.sort()
+            base = os.path.join(out_dir, f"shard_{shard:05d}")
+            write_megatron_partition([t for _, t in seqs], base + ".bin", base + ".idx",
+                                     vocab_size)
+
+    packed.repartition(shards, "shard").rdd.foreachPartition(write_part)

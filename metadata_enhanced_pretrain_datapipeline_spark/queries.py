@@ -1677,3 +1677,31 @@ def q_date_features(spark, sf):
         F.hour("ts").cast("long").alias("h"),
         F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day_str"),
     )
+
+
+@register(
+    "q_excerpt_flow",
+    "SELECT doc_id, excerpt, n_excerpt_tokens FROM ("
+    "  SELECT doc_id, array_to_string(list_slice(toks, off, off + 7), ' ') AS excerpt, "
+    "         CAST(len(list_slice(toks, off, off + 7)) AS BIGINT) AS n_excerpt_tokens FROM ("
+    "    SELECT doc_id, toks, "
+    f"           1 + {salted_hash_sql('doc_id', 9)} % (len(toks) - 7) AS off FROM ("
+    "      SELECT doc_id, string_split(substring(text, 11, 200), ' ') AS toks "
+    "      FROM documents WHERE n_chars >= 260))) "
+    "WHERE n_excerpt_tokens = 8",
+)
+def q_excerpt_flow(spark, sf):
+    """W4∘W3∘F14 composed — the gutenberg excerpt pipeline
+    (create_excerpt.py:72,82-110,121-125): char-substring, tokenize, slice
+    8 tokens at a hash-derived offset, keep only exact-length excerpts."""
+    d = load(spark, sf, "documents").filter(F.col("n_chars") >= 260)
+    d = d.withColumn("toks", F.split(F.substring("text", 11, 200), " "))
+    d = d.withColumn(
+        "off", (F.lit(1) + salted_hash(F.col("doc_id"), 9) % (F.size("toks") - 7)).cast("int")
+    )
+    d = d.withColumn("ex", F.slice("toks", F.col("off"), 8))
+    return d.filter(filters.token_count_verify(F.col("ex"), 8)).select(
+        "doc_id",
+        F.array_join("ex", " ").alias("excerpt"),
+        F.size("ex").cast("long").alias("n_excerpt_tokens"),
+    )

@@ -47,3 +47,16 @@ def test_robots_kept_removed_split(spark):
     kept = annotated.filter(F.size("disallowed_user_agents") == 0)
     removed = annotated.filter(F.size("disallowed_user_agents") > 0)
     assert kept.count() + removed.count() == 2
+
+
+def test_robots_filter_join_matches_broadcast(spark):
+    docs = spark.createDataFrame(
+        [(1, "https://a.com/page"), (2, "https://a.com/private/x"), (3, "https://n.com/z")],
+        "doc_id long, url string",
+    )
+    rob = spark.createDataFrame([("a.com", ROBOTS_A)], "domain string, content string")
+    bc = {r.doc_id: sorted(r.disallowed_user_agents)
+          for r in robots.robots_filter(docs, rob).collect()}
+    jn = {r.doc_id: sorted(r.disallowed_user_agents)
+          for r in robots.robots_filter_join(docs, rob).collect()}
+    assert bc == jn

@@ -66,3 +66,17 @@ def test_write_megatron_distributed(spark, docs, tmp_path):
     bins = sorted(glob.glob(out + "/*.bin"))
     idxs = sorted(glob.glob(out + "/*.idx"))
     assert len(bins) == 2 and len(idxs) == 2
+
+
+def test_write_megatron_packed(spark, docs, tmp_path):
+    out = str(tmp_path / "megp")
+    tokens.write_megatron_packed(docs, out, seq_len=64, shards=2)
+    import glob
+    idxs = sorted(glob.glob(out + "/*.idx"))
+    assert len(idxs) == 2
+    # every packed doc is exactly seq_len tokens
+    for idx in idxs:
+        raw = open(idx, "rb").read()
+        (n_seq,) = struct.unpack_from("<Q", raw, 18)
+        lengths = np.frombuffer(raw, dtype=np.int32, count=n_seq, offset=34)
+        assert all(l == 64 for l in lengths)
