@@ -36,9 +36,14 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     """
     toks = tokens_ws(text)
     k = F.size(toks)
+    # sequence(1, x) DESCENDS to [1, 0] when x < 1 — guard short docs with
+    # an explicit empty array (fewer than n tokens -> no shingles)
+    starts = F.when(
+        k >= F.lit(n), F.sequence(F.lit(1), k - F.lit(n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     return F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(k - F.lit(n - 1), F.lit(0))),
+            starts,
             lambda i: F.concat_ws(
                 " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
             ),
@@ -49,12 +54,10 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 def char_ngrams(text: Column, n: int = 5) -> Column:
     """Distinct character n-grams (SimHash / fingerprint features)."""
     k = F.length(text)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(k - F.lit(n - 1), F.lit(0))),
-            lambda i: text.substr(i, F.lit(n)),
-        )
-    )
+    starts = F.when(
+        k >= F.lit(n), F.sequence(F.lit(1), k - F.lit(n - 1))
+    ).otherwise(F.array().cast("array<int>"))  # see word_shingles guard
+    return F.array_distinct(F.transform(starts, lambda i: text.substr(i, F.lit(n))))
 
 
 def quality_stats(text: Column) -> dict[str, Column]:
@@ -63,7 +66,9 @@ def quality_stats(text: Column) -> dict[str, Column]:
     toks = tokens_ws(text)
     n_toks = F.size(toks)
     stop = F.array([F.lit(w) for w in ("the", "a", "of", "to", "and", "in", "is")])
-    n_stop = F.size(F.array_intersect(toks, stop))
+    # occurrence count, not distinct-type count (array_intersect dedupes,
+    # which would decay the ratio toward 0 on long docs)
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop, x)))
     return {
         "n_chars": F.length(text),
         "n_tokens": n_toks,

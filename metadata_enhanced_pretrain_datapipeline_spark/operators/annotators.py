@@ -95,8 +95,12 @@ def explode_chunks(df: DataFrame, tokens_col: Column, chunk_len: int,
     per chunk with (id, chunk_idx, chunk). Narrow op: fan-out happens on the
     scan partition, no shuffle."""
     n_chunks = F.ceil(F.size(tokens_col) / F.lit(chunk_len)).cast("int")
+    # sequence(0, -1) descends to [0, -1]; empty token arrays get no chunks
+    idxs = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
     chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
+        idxs,
         lambda i: F.slice(tokens_col, i * F.lit(chunk_len) + 1, F.lit(chunk_len)),
     )
     return df.select(

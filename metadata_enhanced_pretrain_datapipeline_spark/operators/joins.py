@@ -46,9 +46,12 @@ def asof_join(left: DataFrame, right: DataFrame, left_key: str, right_key: str,
     unioned = lt.unionByName(rt)
     # right rows sort before left rows at equal ts (side 0 < 1) so an order
     # landing exactly at the event ts is visible to it (<=, asof semantics).
+    # right_vals in the ordering make ties among duplicate (key, ts) right
+    # rows deterministic (greatest value tuple wins) — without them last()
+    # would depend on shuffle order.
     w = (
         Window.partitionBy("__k")
-        .orderBy("__ts", "__side")
+        .orderBy("__ts", "__side", *[F.col(f"__r_{v}") for v in right_vals])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
@@ -74,7 +77,11 @@ def salted_join(left: DataFrame, right: DataFrame, on: str, how: str = "inner",
     runtime; this explicit form is for the cases AQE cannot re-plan —
     skewed keys feeding windows/stateful downstream, or when the skew is
     known up front and the replicated side is small. Result is identical
-    to a plain join (tested)."""
+    to a plain join (tested). Only left-oriented joins are valid: for
+    right/full joins the replicated right side would emit its unmatched
+    rows once per salt."""
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(f"salted_join supports left-oriented joins only, got {how!r}")
     salt = (F.shiftrightunsigned(F.xxhash64(F.monotonically_increasing_id()), 1)
             % F.lit(salt_buckets))
     lsalted = left.withColumn("__salt", salt.cast("int"))

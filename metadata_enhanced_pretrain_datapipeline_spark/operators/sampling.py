@@ -64,7 +64,12 @@ def replicate_buckets(df: DataFrame, reps: Column, keep_rep_index: bool = False)
     sizes grow by the local replication factor, so follow with a
     repartition if k is large and skewed.
     """
-    out = df.withColumn("__rep", F.explode(F.sequence(F.lit(1), reps)))
+    # sequence(1, 0) descends to [1, 0]; k <= 0 must DROP the row (an
+    # empty array explodes to zero rows)
+    seq = F.when(reps >= 1, F.sequence(F.lit(1), reps)).otherwise(
+        F.array().cast("array<int>")
+    )
+    out = df.withColumn("__rep", F.explode(seq))
     return out if keep_rep_index else out.drop("__rep")
 
 

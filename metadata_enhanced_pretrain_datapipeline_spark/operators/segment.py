@@ -48,6 +48,8 @@ def segment_blocks(df: DataFrame, doc_col: str, order_col: str, text_col: str,
     is dropped (paradocs.py:22-33), (b) order indices jump by more than
     ``max_gap`` (paradocs.py:13-20), or (c) appending the row's text would
     push the concatenated block text past ``max_length`` (paradocs.py:74-77).
+    A single row longer than ``max_length`` becomes its own oversized block
+    — valid rows are never dropped; the cap bounds only concatenation.
 
     Emits one row per block: (doc, block_id, text, n_rows). applyInPandas
     per doc — see module docstring for why this is the right physical shape.
@@ -81,9 +83,11 @@ def segment_blocks(df: DataFrame, doc_col: str, order_col: str, text_col: str,
             if gap_break or (cur and add > max_length):
                 flush()
                 add = len(text)
-            if add <= max_length:
-                cur.append(text)
-                cur_len = add
+            # an oversized single row still starts its own (oversized)
+            # block — valid rows are NEVER dropped (paradocs.py:13-91
+            # parity; blocks only cap the CONCATENATION)
+            cur.append(text)
+            cur_len = add
             prev_idx = idx
         flush()
         return pd.DataFrame(

@@ -110,6 +110,9 @@ def kmeans_fit(df: DataFrame, vec_col: str = "embedding", k: int = 8,
         .limit(k).collect()
     )
     centroids = [[float(x) for x in r[vec_col]] for r in seeds]
+    if not centroids:
+        raise ValueError("kmeans_fit: input has no rows")
+    k = len(centroids)  # fewer rows than k -> fit with what exists
     from metadata_enhanced_pretrain_datapipeline_spark.partitioning import ensure_min_partitions
 
     df = ensure_min_partitions(df)

@@ -194,13 +194,17 @@ def pack_with_metadata(df: DataFrame, order_col: str, text_col: str = "text",
     def fold(rows: Iterator) -> Iterator:
         bufs: dict[int, list[int]] = {}
         meta_counts: dict[int, int] = {}
+        pad_counts: dict[int, int] = {}
         counters: dict[int, int] = {}
         out = []
 
         def emit_full(shard: int):
             buf = bufs[shard]
             while len(buf) >= seq_len:
-                out.append((shard, counters.get(shard, 0), buf[:seq_len], 0,
+                # pads injected by the straddle path always complete the
+                # FIRST sequence emitted after them — attribute them there
+                n_pad = pad_counts.pop(shard, 0)
+                out.append((shard, counters.get(shard, 0), buf[:seq_len], n_pad,
                             meta_counts.get(shard, 0)))
                 counters[shard] = counters.get(shard, 0) + 1
                 meta_counts[shard] = 0
@@ -217,6 +221,7 @@ def pack_with_metadata(df: DataFrame, order_col: str, text_col: str = "text",
                 room = seq_len - (len(buf) % seq_len)
                 if room < len(meta_run):  # would straddle -> pad out (:302)
                     buf.extend([pad_id] * room)
+                    pad_counts[shard] = pad_counts.get(shard, 0) + room
                     emit_full(shard)
                 buf.extend(meta_run)
                 meta_counts[shard] = meta_counts.get(shard, 0) + len(meta_run)
@@ -236,8 +241,9 @@ def pack_with_metadata(df: DataFrame, order_col: str, text_col: str = "text",
 
         for shard, buf in bufs.items():
             if buf:
-                pad = seq_len - len(buf)
-                out.append((shard, counters.get(shard, 0), buf + [pad_id] * pad, pad,
+                pad = seq_len - len(buf) + pad_counts.pop(shard, 0)
+                out.append((shard, counters.get(shard, 0),
+                            buf + [pad_id] * (seq_len - len(buf)), pad,
                             meta_counts.get(shard, 0)))
         for rec in out:
             yield rec

@@ -121,3 +121,23 @@ def test_global_rank_matches_naive_window(spark, docs):
         .select("doc_id", "pos").collect()
     }
     assert scalable == naive
+
+
+def test_explode_chunks_empty_tokens(spark):
+    df = spark.createDataFrame([(1, []), (2, [1, 2])], "doc_id long, toks array<int>")
+    out = annotators.explode_chunks(df, F.col("toks"), 32).collect()
+    assert [r.doc_id for r in out] == [2]  # empty docs produce NO chunk rows
+
+
+def test_replicate_zero_drops_row(spark):
+    df = spark.createDataFrame([(1, 0), (2, 2)], "id long, k int")
+    out = sampling.replicate_buckets(df, F.col("k")).collect()
+    assert sorted(r.id for r in out) == [2, 2]
+
+
+def test_kmeans_fewer_rows_than_k(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    cents = similarity.kmeans_fit(df, k=5, iters=2)
+    assert len(cents) == 2  # fits with what exists instead of IndexError

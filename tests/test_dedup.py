@@ -60,3 +60,17 @@ def test_embedding_near_dup_finds_clone(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     out = dedup.embedding_near_dup(df, threshold=0.99, num_planes=4).collect()
     assert {(r.id_a, r.id_b) for r in out} == {(1, 2)}
+
+
+def test_short_docs_do_not_crash_shingle_ops(spark):
+    """Regression: sequence(1, k-n+1) descends for k < n — short/empty docs
+    must yield zero shingles, not out-of-range element_at errors."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "two words"), (4, "a b c d e")],
+        "doc_id long, text string",
+    )
+    sigs = dedup.minhash_signatures(df, num_hashes=4).collect()
+    assert len(sigs) == 4  # no crash; short docs have null/min-less sigs
+    sims = dedup.simhash(df).collect()
+    assert len(sims) == 4
+    assert dedup.jaccard_pairs(df).count() >= 0

@@ -64,3 +64,22 @@ def test_salted_join_matches_plain_join(spark):
     plain = sorted(map(tuple, left.join(right, "key").collect()))
     salted = sorted(map(tuple, joins.salted_join(left, right, "key").collect()))
     assert salted == plain and len(plain) >= 100
+
+
+def test_salted_join_rejects_right_join(spark):
+    import pytest
+
+    left = spark.createDataFrame([("a", 1)], "key string, v int")
+    with pytest.raises(ValueError):
+        joins.salted_join(left, left, "key", how="right")
+
+
+def test_asof_join_duplicate_ts_deterministic(spark):
+    events = _ts(spark.createDataFrame([(1, 1, "2024-01-01 12:00:00")],
+                                       "event_id long, k long, ts string"), "ts")
+    orders = _ts(spark.createDataFrame(
+        [(7, 1, "2024-01-01 11:00:00"), (9, 1, "2024-01-01 11:00:00")],
+        "okey long, k long, ots string"), "ots")
+    vals = {joins.asof_join(events, orders, "k", "k", "ts", "ots", ["okey"])
+            .collect()[0].okey for _ in range(3)}
+    assert vals == {9}  # ties resolved to the greatest value tuple, every run

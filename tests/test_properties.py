@@ -33,11 +33,12 @@ def test_segment_blocks_invariants(spark, rows, max_length):
         if rows else spark.createDataFrame([], "doc long, idx long, txt string, ok boolean")
     out = segment.segment_blocks(df, "doc", "idx", "txt", max_length=max_length,
                                  valid_col="ok", max_gap=2).collect()
-    # 1. no block text exceeds max_length
-    assert all(len(r.text) <= max_length for r in out)
-    # 2. emitted rows ≤ valid rows that individually fit
-    fit = [t for t in rows if t[3] and len(t[2]) <= max_length]
-    assert sum(r.n_rows for r in out) <= len(fit)
+    # 1. no MULTI-ROW block exceeds max_length (a single oversized row is
+    #    its own block, never dropped — paradocs parity)
+    assert all(len(r.text) <= max_length for r in out if r.n_rows > 1)
+    # 2. valid rows are conserved exactly
+    valid = [t for t in rows if t[3]]
+    assert sum(r.n_rows for r in out) == len(valid)
     # 3. every block belongs to an input doc
     assert {r.doc for r in out} <= {t[0] for t in rows}
 

@@ -53,3 +53,10 @@ def test_session_breaks_islands(spark):
         out.groupBy("user_id").agg(F.max("session_id").alias("m")).collect()
     )
     assert {r.user_id: r.m for r in per_user} == {1: 1, 2: 0}
+
+
+def test_oversized_row_kept_as_own_block(spark):
+    rows = [(1, 0, "aa", True), (1, 1, "x" * 50, True), (1, 2, "bb", True)]
+    out = _seg(spark, rows, max_length=10)
+    texts = sorted(r.text for r in out)
+    assert texts == ["aa", "bb", "x" * 50]  # oversized row preserved, alone
