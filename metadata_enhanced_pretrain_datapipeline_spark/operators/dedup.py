@@ -104,6 +104,9 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df.select(id_col, text_col), text_col, num_hashes, shingle_n)
+    # docs with no shingles (< shingle_n tokens) have null signatures; they
+    # cannot be shingle-near-dups and would otherwise all share one bucket
+    sigs = sigs.filter(F.col("mh_0").isNotNull())
     band_cols = []
     for b in range(bands):
         members = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]

@@ -74,3 +74,12 @@ def test_short_docs_do_not_crash_shingle_ops(spark):
     sims = dedup.simhash(df).collect()
     assert len(sims) == 4
     assert dedup.jaccard_pairs(df).count() >= 0
+
+
+def test_minhash_lsh_short_docs_not_candidates(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "x y z w v u"), (4, "x y z w v u")],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(df, num_hashes=8, bands=4).collect()}
+    assert pairs == {(3, 4)}  # shingle-less docs never pair with anything
