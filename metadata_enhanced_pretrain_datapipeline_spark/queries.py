@@ -1705,3 +1705,54 @@ def q_excerpt_flow(spark, sf):
         F.array_join("ex", " ").alias("excerpt"),
         F.size("ex").cast("long").alias("n_excerpt_tokens"),
     )
+
+
+@register(
+    "q_tpch_q6",
+    "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue FROM lineitem "
+    "WHERE l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 10",
+)
+def q_tpch_q6(spark, sf):
+    """TPC-H Q6 shape — pure predicate+agg: both predicates pushed to the
+    scan, no shuffle at all (partial agg to one row)."""
+    li = load(spark, sf, "lineitem")
+    return li.filter(
+        F.col("l_discount").between(0.02, 0.06) & (F.col("l_quantity") < 10)
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+
+
+@register(
+    "q_tpch_q5",
+    "SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey "
+    "WHERE r_name = 'EUROPE' GROUP BY n_name",
+)
+def q_tpch_q5(spark, sf):
+    """TPC-H Q5 shape — local-supplier revenue: the classic 6-way join with
+    a co-nationality predicate; dims broadcast, facts sort-merge."""
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    s = load(spark, sf, "supplier")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
