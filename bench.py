@@ -42,7 +42,10 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except (ValueError, IndexError):
+        sf = -1.0
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     registry = q.all_queries()

@@ -65,7 +65,7 @@ def quality_stats(text: Column) -> dict[str, Column]:
     (the datatrove-style quality-signal family, computed relationally)."""
     toks = tokens_ws(text)
     n_toks = F.size(toks)
-    stop = F.array([F.lit(w) for w in ("the", "a", "of", "to", "and", "in", "is")])
+    stop = F.array([F.lit(w) for w in STOPWORDS])
     # occurrence count, not distinct-type count (array_intersect dedupes,
     # which would decay the ratio toward 0 on long docs)
     n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop, x)))
@@ -79,13 +79,18 @@ def quality_stats(text: Column) -> dict[str, Column]:
 
 
 #: tiny per-language stopword lists for the n-gram language-ID heuristic
-#: (public-knowledge lists; the reference uses fasttext lang-id via datatrove).
+#: (public-knowledge lists; the reference uses fasttext lang-id via
+#: datatrove). Single source of truth — queries.py builds both the Spark
+#: exprs and the DuckDB oracle from these.
 LANG_MARKERS = {
-    "en": ["the", "and", "of", "to", "is"],
-    "de": ["der", "die", "und", "das", "ist"],
-    "fr": ["le", "la", "et", "les", "est"],
-    "es": ["el", "la", "que", "los", "es"],
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "es": ("el", "que", "los", "es", "una"),
 }
+
+#: quality-feature stopword list (shared with q_quality_score).
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is")
 
 
 def lang_id_scores(text: Column) -> dict[str, Column]:

@@ -28,9 +28,12 @@ def session_breaks(df: DataFrame, part_col: str, ts_col: str,
     Returns the input plus a `session_id` (0-based per key)."""
     w = Window.partitionBy(part_col).orderBy(ts_col)
     prev = F.lag(F.col(ts_col)).over(w)
+    # timestamp→double keeps the fractional seconds; unix_timestamp would
+    # truncate to whole seconds and disagree with µs-precision oracles and
+    # the streaming sessionizer on gaps inside (gap, gap+1)
     brk = F.when(
         prev.isNull()
-        | (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev) > gap_seconds),
+        | (F.col(ts_col).cast("double") - prev.cast("double") > gap_seconds),
         1,
     ).otherwise(0)
     return df.withColumn("__brk", brk).withColumn(

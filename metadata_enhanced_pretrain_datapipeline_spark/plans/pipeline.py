@@ -63,6 +63,14 @@ class Pipeline:
     """
 
     steps: list[FilterStep | MapStep] = field(default_factory=list)
+    _persisted: list[DataFrame] = field(default_factory=list, repr=False)
+
+    def unpersist_all(self) -> None:
+        """Release upstreams persisted by run(). Call after ALL branches
+        (including deferred exclusion sinks) have been consumed."""
+        for p in self._persisted:
+            p.unpersist()
+        self._persisted.clear()
 
     def apply(self, df: DataFrame) -> DataFrame:
         """Pure composition — returns the kept-rows DataFrame without
@@ -79,10 +87,13 @@ class Pipeline:
 
     def run(self, df: DataFrame, sink: Callable[[DataFrame], None] | None = None) -> DataFrame:
         """Execute with exclusion sinks. Upstreams feeding a dual output are
-        persisted (MEMORY_AND_DISK) and unpersisted after both branches are
-        consumed. Invariant (tested): kept ∪ removed = input, disjoint."""
+        persisted (MEMORY_AND_DISK); they stay cached until the caller
+        invokes ``unpersist_all()`` — exclusion writers may defer their
+        action, and unpersisting before both branches run would silently
+        recompute the shared upstream per branch. Invariant (tested):
+        kept ∪ removed = input, disjoint."""
         out = df
-        persisted: list[DataFrame] = []
+        persisted = self._persisted
         for step in self.steps:
             if isinstance(step, MapStep):
                 out = step.fn(out)
@@ -97,17 +108,33 @@ class Pipeline:
             else:
                 # join-shaped filter: removed = input minus kept, computed
                 # set-wise so it is correct for ANY filter shape (the kept
-                # side of an anti-join has the same schema as the input)
+                # side of an anti-join has the same schema as the input).
+                # Map-typed columns (the Document metadata) are not allowed
+                # in set operations — serialize them to JSON for the
+                # exceptAll and decode back (deterministic round-trip: both
+                # sides derive from the same computation).
                 kept = step.predicate(out)
-                removed = out.exceptAll(kept.select(*out.columns))
+                map_cols = {name: t for name, t in out.dtypes if t.startswith("map<")}
+                if map_cols:
+                    def ser(d):
+                        for name in map_cols:
+                            d = d.withColumn(name, F.to_json(name))
+                        return d
+
+                    schema_by_name = {f.name: f.dataType for f in out.schema.fields}
+                    removed = ser(out).exceptAll(ser(kept).select(*out.columns))
+                    for name in map_cols:
+                        removed = removed.withColumn(
+                            name, F.from_json(name, schema_by_name[name])
+                        )
+                else:
+                    removed = out.exceptAll(kept.select(*out.columns))
             if needs_tee:
                 tagged = removed.withColumn("reason", F.lit(step.reason or step.name))
                 step.exclusion_writer(tagged)
             out = kept
         if sink is not None:
             sink(out)
-        for p in persisted:
-            p.unpersist()
         return out
 
     def run_with_stats(self, df: DataFrame, sink: Callable[[DataFrame], None],

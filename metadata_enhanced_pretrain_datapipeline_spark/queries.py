@@ -841,7 +841,7 @@ def q_array_slice(spark, sf):
 
 @register(
     "q_chunk_explode_regroup",
-    "SELECT doc_id, CAST(ceil(len(string_split(text, ' ')) / 32.0) AS BIGINT) AS n_chunks "
+    "SELECT doc_id, CAST(ceil(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '')) / 32.0) AS BIGINT) AS n_chunks "
     "FROM documents",
 )
 def q_chunk_explode_regroup(spark, sf):
@@ -953,7 +953,9 @@ def q_ann_lsh_buckets(spark, sf):
 # text analysis extensions
 # ===========================================================================
 
-_STOP = ("the", "a", "of", "to", "and", "in", "is")
+from metadata_enhanced_pretrain_datapipeline_spark.functions.text import LANG_MARKERS, STOPWORDS
+
+_STOP = STOPWORDS
 
 
 @register(
@@ -1009,6 +1011,11 @@ def q_doc_fingerprint(spark, sf):
     )
 
 
+def _marker_count_sql(ws):
+    inlist = ", ".join(f"'{w}'" for w in ws)
+    return f"len(list_filter(string_split(lower(text), ' '), x -> x IN ({inlist})))"
+
+
 @register(
     "q_lang_id",
     "SELECT doc_id, CASE "
@@ -1016,23 +1023,16 @@ def q_doc_fingerprint(spark, sf):
     "WHEN de >= fr AND de >= es THEN 'de' "
     "WHEN fr >= es THEN 'fr' ELSE 'es' END AS pred_lang FROM ("
     "SELECT doc_id, "
-    "len(list_filter(string_split(lower(text), ' '), x -> x IN ('the','and','of','to','is'))) AS en, "
-    "len(list_filter(string_split(lower(text), ' '), x -> x IN ('der','die','und','das','ist'))) AS de, "
-    "len(list_filter(string_split(lower(text), ' '), x -> x IN ('le','la','et','les','est'))) AS fr, "
-    "len(list_filter(string_split(lower(text), ' '), x -> x IN ('el','que','los','es','una'))) AS es "
-    "FROM documents)",
+    + ", ".join(f"{_marker_count_sql(ws)} AS {lang}" for lang, ws in
+                [(l, LANG_MARKERS[l]) for l in ("en", "de", "fr", "es")])
+    + " FROM documents)",
 )
 def q_lang_id(spark, sf):
     """Extension — marker-word language-ID heuristic (argmax of per-language
     stopword hit counts; fixed tie order en>de>fr>es)."""
     d = load(spark, sf, "documents")
     toks = F.split(F.lower("text"), " ")
-    markers = {
-        "en": ("the", "and", "of", "to", "is"),
-        "de": ("der", "die", "und", "das", "ist"),
-        "fr": ("le", "la", "et", "les", "est"),
-        "es": ("el", "que", "los", "es", "una"),
-    }
+    markers = LANG_MARKERS
     def hit_counter(ws):
         arr = F.array(*[F.lit(w) for w in ws])
         return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
@@ -1545,7 +1545,7 @@ def q_url_host_extract(spark, sf):
 
 @register(
     "q_tokenize_counts",
-    "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents",
+    "SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '')) AS BIGINT) AS n_tokens FROM documents",
 )
 def q_tokenize_counts(spark, sf):
     """K4's checkable half — per-doc token counts through the REAL tokenize
@@ -1567,8 +1567,9 @@ def q_scan_json(spark, sf):
     from metadata_enhanced_pretrain_datapipeline_spark.sources import readers, writers
 
     d = load(spark, sf, "documents").select("doc_id", "lang", "n_chars")
-    tmp = tempfile.mkdtemp(prefix="q_scan_json_")
-    path = f"{tmp}/docs_jsonl"
+    # fixed per-sf location, overwrite mode: repeated runs don't accumulate
+    tag = sf.strip("/").replace("/", "_")
+    path = f"{tempfile.gettempdir()}/mep_spark_scan_json_{tag}"
     writers.write_jsonl(d, path)
     back = readers.read_jsonl(spark, path, schema="doc_id long, lang string, n_chars long")
     return back.groupBy("lang").agg(

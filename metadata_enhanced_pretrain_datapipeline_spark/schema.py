@@ -85,7 +85,14 @@ def to_documents(
     ) if metadata_cols else F.create_map()
     if metadata_json_col is not None:
         decoded = F.from_json(F.col(metadata_json_col), MapType(StringType(), StringType()))
-        meta = F.map_concat(F.coalesce(decoded, F.create_map()), leftover)
+        decoded = F.coalesce(decoded, F.create_map())
+        if metadata_cols:
+            # last-wins merge (json.loads(...) | data): drop JSON keys the
+            # leftover columns override — map_concat under the default
+            # mapKeyDedupPolicy=EXCEPTION would otherwise crash on overlap
+            override = F.array(*[F.lit(c) for c in metadata_cols])
+            decoded = F.map_filter(decoded, lambda k, _: ~F.array_contains(override, k))
+        meta = F.map_concat(decoded, leftover)
     else:
         meta = leftover
     return df.select(
@@ -117,9 +124,15 @@ def doc_ids_per_file(df: DataFrame, id_prefix_col: Column | None = None) -> Data
     sort — each file's rows stay on their scan partition."""
     from pyspark.sql.window import Window
 
-    fname = F.input_file_name()
-    w = Window.partitionBy(fname).orderBy(F.monotonically_increasing_id())
-    prefix = id_prefix_col if id_prefix_col is not None else fname
-    return df.withColumn(
-        "id", F.concat_ws("/", prefix, (F.row_number().over(w) - F.lit(1)).cast("string"))
+    # input_file_name() is only defined on the scan's own partitions — it
+    # returns '' after any Exchange, so capture it into a column FIRST and
+    # window over the captured value (confirmed: windowing over the raw
+    # expression loses every file prefix).
+    with_file = df.withColumn("__file", F.input_file_name()).withColumn(
+        "__seq", F.monotonically_increasing_id()
     )
+    w = Window.partitionBy("__file").orderBy("__seq")
+    prefix = id_prefix_col if id_prefix_col is not None else F.col("__file")
+    return with_file.withColumn(
+        "id", F.concat_ws("/", prefix, (F.row_number().over(w) - F.lit(1)).cast("string"))
+    ).drop("__file", "__seq")

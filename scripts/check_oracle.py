@@ -28,7 +28,7 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
+        return f"{v:.12g}"  # 12 sig digits: catches 0.01-level drift on 1e9-scale aggregates, hides ulp noise
     if isinstance(v, bool):
         return str(int(v))
     if v is None:
