@@ -34,21 +34,27 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     element_at is 1-based; sequence generates the start positions. All
     codegen'd; explode happens only where the caller needs set semantics.
     """
-    toks = tokens_ws(text)
-    k = F.size(toks)
-    # sequence(1, x) DESCENDS to [1, 0] when x < 1 — guard short docs with
-    # an explicit empty array (fewer than n tokens -> no shingles)
-    starts = F.when(
-        k >= F.lit(n), F.sequence(F.lit(1), k - F.lit(n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    return F.array_distinct(
-        F.transform(
-            starts,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
+    # Bind the token array ONCE as a lambda variable (transform over a
+    # 1-element array): referencing tokens_ws(text) from multiple
+    # subexpressions would re-split the text per reference (no CSE inside
+    # a projection — measured 3-4x slower). sequence(1, greatest(x, 1)) is
+    # always ascending (sequence DESCENDS when stop < start); start
+    # positions past k-n+1 produce NULL shingles which are filtered out,
+    # so docs with fewer than n tokens yield an empty array.
+    shingled = F.transform(
+        F.array(tokens_ws(text)),
+        lambda toks: F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))),
+                lambda i: F.when(
+                    i + F.lit(n - 1) <= F.size(toks),
+                    F.concat_ws(" ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]),
+                ),
             ),
-        )
+            lambda s: s.isNotNull(),
+        ),
     )
+    return F.array_distinct(F.element_at(shingled, 1))
 
 
 def char_ngrams(text: Column, n: int = 5) -> Column:
