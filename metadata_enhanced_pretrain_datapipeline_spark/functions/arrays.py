@@ -28,7 +28,10 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+    """NULL (not ANSI DIVIDE_BY_ZERO) for zero-norm vectors — one all-zero
+    embedding must not abort a corpus-wide top-k/near-dup job; NULL cosines
+    sort last under desc()."""
+    return F.try_divide(dot_product(a, b), l2_norm(a) * l2_norm(b))
 
 
 def positional_dot(a: Column, weight_of_pos) -> Column:

@@ -78,8 +78,10 @@ def quality_stats(text: Column) -> dict[str, Column]:
     return {
         "n_chars": F.length(text),
         "n_tokens": n_toks,
-        "avg_token_len": (F.length(text) - n_toks + 1) / n_toks,
-        "stopword_ratio": n_stop.cast("double") / n_toks,
+        # try_divide: empty docs yield NULL instead of an ANSI
+        # DIVIDE_BY_ZERO aborting the job
+        "avg_token_len": F.try_divide(F.length(text) - n_toks + 1, n_toks),
+        "stopword_ratio": F.try_divide(n_stop.cast("double"), n_toks),
         "punct_count": F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), F.lit(0))),
     }
 

@@ -12,9 +12,9 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-HOST_REGEX = r"^[a-z][a-z0-9+.-]*://([^/?#]*)"
-PATH_REGEX = r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)"
-SUFFIX_REGEX = r"^[a-z][a-z0-9+.-]*://[^/?#]*(.*)$"
+HOST_REGEX = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)"  # scheme is case-insensitive
+PATH_REGEX = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
+SUFFIX_REGEX = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$"
 
 
 def url_host(url: Column) -> Column:

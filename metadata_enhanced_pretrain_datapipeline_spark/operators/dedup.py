@@ -102,6 +102,11 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     candidate-pair stage linear in corpus size. Dropped buckets should be
     routed to a boilerplate review sink by callers that care.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
+            "trailing signature components would be paid for but never banded"
+        )
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df.select(id_col, text_col), text_col, num_hashes, shingle_n)
     # docs with no shingles (< shingle_n tokens) have null signatures; they
@@ -147,10 +152,13 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     """
     from metadata_enhanced_pretrain_datapipeline_spark.partitioning import ensure_min_partitions
 
-    sh = ensure_min_partitions(df).select(
-        F.col(id_col).alias("id"),
-        F.size(word_shingles(F.col(text_col), shingle_n)).alias("n_sh"),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    # materialize the shingle array once, then size/explode the column —
+    # two raw word_shingles references would shingle every row twice
+    sh = (
+        ensure_min_partitions(df)
+        .select(F.col(id_col).alias("id"),
+                word_shingles(F.col(text_col), shingle_n).alias("__sh"))
+        .select("id", F.size("__sh").alias("n_sh"), F.explode("__sh").alias("shingle"))
     )
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

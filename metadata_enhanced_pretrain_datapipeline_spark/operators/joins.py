@@ -33,36 +33,34 @@ def asof_join(left: DataFrame, right: DataFrame, left_key: str, right_key: str,
     last_value(right_vals) forward, then keep left rows. ONE shuffle on the
     key — vs a naive join+filter+argmax which shuffles the cross product.
     """
+    rstruct_type = F.struct(*[right[v] for v in right_vals])
     lt = left.select(
         F.col(left_key).alias("__k"), F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"), F.struct(*left.columns).alias("__l"),
-        *[F.lit(None).cast(right.schema[v].dataType).alias(f"__r_{v}") for v in right_vals],
+        F.lit(None).cast(right.select(rstruct_type.alias("s")).schema["s"].dataType).alias("__r"),
     )
     rt = right.select(
         F.col(right_key).alias("__k"), F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"), F.lit(None).cast(lt.schema["__l"].dataType).alias("__l"),
-        *[F.col(v).alias(f"__r_{v}") for v in right_vals],
+        F.struct(*[F.col(v) for v in right_vals]).alias("__r"),
     )
     unioned = lt.unionByName(rt)
     # right rows sort before left rows at equal ts (side 0 < 1) so an order
     # landing exactly at the event ts is visible to it (<=, asof semantics).
-    # right_vals in the ordering make ties among duplicate (key, ts) right
-    # rows deterministic (greatest value tuple wins) — without them last()
-    # would depend on shuffle order.
+    # The right row travels as ONE struct: carrying columns independently
+    # with ignorenulls would stitch fields from DIFFERENT right rows when
+    # values are NULL. The struct in the ordering also makes duplicate
+    # (key, ts) ties deterministic (greatest tuple wins).
     w = (
         Window.partitionBy("__k")
-        .orderBy("__ts", "__side", *[F.col(f"__r_{v}") for v in right_vals])
+        .orderBy("__ts", "__side", "__r")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
-        "*",
-        *[
-            F.last(f"__r_{v}", ignorenulls=True).over(w).alias(f"__c_{v}")
-            for v in right_vals
-        ],
+        "*", F.last("__r", ignorenulls=True).over(w).alias("__c")
     ).filter(F.col("__side") == 1)
     return carried.select(
-        F.col("__l.*"), *[F.col(f"__c_{v}").alias(v) for v in right_vals]
+        F.col("__l.*"), *[F.col(f"__c.{v}").alias(v) for v in right_vals]
     )
 
 

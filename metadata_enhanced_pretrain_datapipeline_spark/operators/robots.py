@@ -139,7 +139,8 @@ def robots_filter_join(docs: DataFrame, robots: DataFrame, url_col: str = "url",
     with_parts = docs.withColumn("__host", F.regexp_extract(F.col(url_col), HOST_REGEX, 1)) \
                      .withColumn("__path", F.regexp_extract(F.col(url_col), PATH_REGEX, 1))
     joined = with_parts.join(
-        robots.select(F.col("domain").alias("__host"), F.col("content").alias("__robots")),
+        robots.select(F.col("domain").alias("__host"), F.col("content").alias("__robots"))
+        .dropDuplicates(["__host"]),  # duplicate domains must not multiply docs
         "__host", "left",
     )
 

@@ -91,10 +91,17 @@ def global_rank(df: DataFrame, order: list[Column], rank_col: str = "pos",
     offsets. Cost: one range shuffle + one tiny counts job — vs ONE task
     sorting everything. Results identical to the naive window (tested).
     """
+    from pyspark.storagelevel import StorageLevel
+
     spark = df.sparkSession
     num_ranges = num_ranges or spark.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(num_ranges, *order).sortWithinPartitions(*order)
-    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    # PERSIST before counting: repartitionByRange samples its boundaries
+    # per execution, so the counts job and the ranking job must see the
+    # SAME materialized partitioning or offsets could mismatch
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id()).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     counts = {r["__pid"]: r["cnt"] for r in
               with_pid.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
     offsets, acc = {}, 0

@@ -57,9 +57,8 @@ def segment_blocks(df: DataFrame, doc_col: str, order_col: str, text_col: str,
     Emits one row per block: (doc, block_id, text, n_rows). applyInPandas
     per doc — see module docstring for why this is the right physical shape.
     """
-    out_schema = (
-        f"{doc_col} long, block_id int, text string, n_rows int"
-    )
+    doc_type = dict(df.dtypes)[doc_col]
+    out_schema = f"{doc_col} {doc_type}, block_id int, text string, n_rows int"
     sep_len = 1  # rows join with a single space, like ' '.join
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -70,7 +69,7 @@ def segment_blocks(df: DataFrame, doc_col: str, order_col: str, text_col: str,
         def flush():
             nonlocal cur, cur_len, block_id
             if cur:
-                blocks.append((int(pdf[doc_col].iloc[0]), block_id, " ".join(cur), len(cur)))
+                blocks.append((pdf[doc_col].iloc[0], block_id, " ".join(cur), len(cur)))
                 block_id += 1
             cur, cur_len = [], 0
 

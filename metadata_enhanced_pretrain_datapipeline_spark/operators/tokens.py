@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from metadata_enhanced_pretrain_datapipeline_spark.functions.hashing import md5_hash64
+from metadata_enhanced_pretrain_datapipeline_spark.functions.text import tokens_ws
 
 
 def tokenize_ws(text: Column, vocab_size: int = 50000) -> Column:
@@ -31,11 +32,11 @@ def tokenize_ws(text: Column, vocab_size: int = 50000) -> Column:
     portable hash (mod vocab). JVM-side; stands in for tokenizer.encode_batch
     (megatron_tokenizer.py:236).
 
-    Empty/whitespace-only text yields an EMPTY array — split("") returns
-    [""] which would count one phantom token (caught by the hypothesis
-    packing invariant)."""
-    words = F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != "")
-    return F.transform(words, lambda w: (md5_hash64(w) % F.lit(vocab_size)).cast("int"))
+    Tokenization semantics (incl. the empty-text guard) live in
+    functions/text.tokens_ws — single source of truth."""
+    return F.transform(
+        tokens_ws(text), lambda w: (md5_hash64(w) % F.lit(vocab_size)).cast("int")
+    )
 
 
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
