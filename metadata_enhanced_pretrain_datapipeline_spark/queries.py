@@ -1623,7 +1623,7 @@ def q_ivf_topk(spark, sf):
     SQL-expressible), probe the 2 nearest inverted lists, exact cosine
     inside them (operators/similarity.kmeans_fit/ivf_topk)."""
     e = load(spark, sf, "embeddings")
-    cents = similarity.kmeans_fit(e, k=4, iters=3)
+    cents = similarity.kmeans_fit(e, k=4, iters=2)  # 2 Lloyd rounds: cheaper gate, same cluster recovery on this data
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
     return similarity.ivf_topk(e.filter(F.col("vec_id") != 0), cents, qvec, k=10, nprobe=2)
 
