@@ -27,6 +27,10 @@ _ORACLE_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # The driver's vanilla session defaults to 200 shuffle partitions —
+    # wasteful at oracle scale (sf0.01) and for streaming state stores,
+    # which size to this at checkpoint creation. Runtime-settable.
+    "spark.sql.shuffle.partitions": "32",
 }
 
 
