@@ -8,10 +8,11 @@ the AI user agents is disallowed for its url; rejected docs get
 
 Spark shape: broadcast the robots dict (domains ≪ docs), evaluate with an
 Arrow-batched ``mapInPandas`` keeping a per-executor parsed-rule cache —
-the lru_cache analogue, built once per worker not per row. The parser is a
-minimal implementation of the public robots.txt format (user-agent groups,
-Disallow/Allow prefix rules, longest-match wins) — the container has no
-Protego; semantics documented by the public REP spec.
+the lru_cache analogue, built once per worker not per row. The parser
+implements the public robots.txt format per RFC 9309 with Protego-parity
+semantics (user-agent groups with substring fallback, ``*``/``$`` path
+wildcards, longest-match wins, Allow beats Disallow on ties) — the
+container has no Protego, so the matcher is implemented here directly.
 
 Scale: the only movement of the robots table is ONE broadcast; documents
 stream through a narrow stage. Skew-free (per-row work is bounded by rule
@@ -20,6 +21,7 @@ count of one domain).
 
 from __future__ import annotations
 
+import re
 from functools import lru_cache
 from typing import Iterator
 
@@ -27,20 +29,38 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: the 16 AI crawler user agents the reference checks (robots_filter.py:11-27).
+#: the 15 user agents the reference removes on, verbatim from
+#: _DEFAULT_REMOVE_USER_AGENTS (robots_filter.py:11-27) — including the
+#: ``"*"`` entry: a document is dropped when even the wildcard agent is
+#: disallowed for its url.
 AI_USER_AGENTS = [
-    "GPTBot", "ChatGPT-User", "Google-Extended", "CCBot", "anthropic-ai",
-    "ClaudeBot", "Claude-Web", "cohere-ai", "PerplexityBot", "Applebot-Extended",
-    "FacebookBot", "Meta-ExternalAgent", "Bytespider", "Amazonbot", "YouBot",
-    "Diffbot",
+    "AI2Bot",  # AI2
+    "Applebot-Extended",  # Apple
+    "Bytespider",  # Bytedance
+    "CCBot",  # Common Crawl
+    "CCBot/2.0",  # Common Crawl
+    "CCBot/1.0",  # Common Crawl
+    "ClaudeBot",  # Anthropic
+    "cohere-training-data-crawler",  # Cohere
+    "Diffbot",  # Diffbot
+    "FacebookBot",  # Meta
+    "Meta-ExternalAgent",  # Meta
+    "Google-Extended",  # Google
+    "GPTBot",  # OpenAI
+    "PanguBot",  # Huawei
+    "*",
 ]
 
 
 def parse_robots(content: str) -> dict[str, list[tuple[str, bool]]]:
-    """Parse robots.txt → {lower(agent): [(path_prefix, allowed), ...]}.
+    """Parse robots.txt → {lower(agent): [(path_pattern, allowed), ...]}.
 
-    Public REP format: '*' group applies to any agent without a specific
-    group; longest-prefix rule wins; empty Disallow means allow-all.
+    Public REP format (RFC 9309, as implemented by Protego — the
+    reference's parser, robots_filter.py:54): groups may list several
+    User-agent lines; repeated groups for the same agent merge; an empty
+    Disallow value means allow-all (no rule recorded). Path patterns may
+    contain ``*`` (any char sequence) and a trailing ``$`` (end anchor) —
+    matching happens in :func:`is_allowed`.
     """
     groups: dict[str, list[tuple[str, bool]]] = {}
     current: list[str] = []
@@ -66,15 +86,53 @@ def parse_robots(content: str) -> dict[str, list[tuple[str, bool]]]:
     return groups
 
 
+@lru_cache(maxsize=65536)
+def _compiled_rule(pattern: str) -> "re.Pattern[str] | None":
+    """Compile a REP path pattern to a start-anchored regex, or None when
+    the pattern is a plain prefix (fast path: str.startswith)."""
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    if not anchored and "*" not in body and "$" not in body:
+        return None
+    rx = ".*".join(re.escape(piece) for piece in body.split("*"))
+    return re.compile(rx + ("$" if anchored else ""))
+
+
+def _rule_matches(pattern: str, path: str) -> bool:
+    rx = _compiled_rule(pattern)
+    if rx is None:
+        return path.startswith(pattern)
+    return rx.match(path) is not None
+
+
+def _agent_rules(groups: dict[str, list[tuple[str, bool]]], agent: str):
+    """Protego-style group resolution: exact (case-insensitive) match
+    first, else the longest group token contained in the agent string
+    (so ``CCBot/2.0`` falls back to a ``CCBot`` group), else ``*``."""
+    ua = agent.lower()
+    exact = groups.get(ua)
+    if exact is not None:
+        return exact
+    best, best_len = None, 0
+    for token, rules in groups.items():
+        if token != "*" and token in ua and len(token) > best_len:
+            best, best_len = rules, len(token)
+    if best is not None:
+        return best
+    return groups.get("*", [])
+
+
 def is_allowed(groups: dict[str, list[tuple[str, bool]]], agent: str, path: str) -> bool:
-    rules = groups.get(agent.lower())
-    if rules is None:
-        rules = groups.get("*", [])
-    best_len, allowed = -1, True
-    for prefix, allow in rules:
-        if path.startswith(prefix) and len(prefix) > best_len:
-            best_len, allowed = len(prefix), allow
-    return allowed
+    """Protego-parity REP decision (reference robots_filter.py:43-58):
+    among matching rules the longest pattern wins; on a length tie Allow
+    beats Disallow; no matching rule means allowed."""
+    best: tuple[int, bool] | None = None
+    for pattern, allow in _agent_rules(groups, agent):
+        if _rule_matches(pattern, path):
+            key = (len(pattern), allow)
+            if best is None or key > best:
+                best = key
+    return True if best is None else best[1]
 
 
 def robots_filter(docs: DataFrame, robots: DataFrame, url_col: str = "url",

@@ -33,7 +33,7 @@ def test_robots_filter_annotates(spark):
     out = {r.doc_id: sorted(r.disallowed_user_agents)
            for r in robots.robots_filter(docs, rob).collect()}
     assert out[1] == ["GPTBot"]                      # GPTBot blocked everywhere
-    assert "CCBot" in out[2] and len(out[2]) == 16   # /private blocks * group
+    assert "CCBot" in out[2] and len(out[2]) == 15   # /private blocks * group
     assert out[3] == []                              # no robots.txt -> allowed
 
 
@@ -60,3 +60,60 @@ def test_robots_filter_join_matches_broadcast(spark):
     jn = {r.doc_id: sorted(r.disallowed_user_agents)
           for r in robots.robots_filter_join(docs, rob).collect()}
     assert bc == jn
+
+
+def test_ua_list_matches_reference():
+    # Verbatim _DEFAULT_REMOVE_USER_AGENTS (reference robots_filter.py:11-27),
+    # including the "*" entry.
+    assert robots.AI_USER_AGENTS == [
+        "AI2Bot", "Applebot-Extended", "Bytespider", "CCBot", "CCBot/2.0",
+        "CCBot/1.0", "ClaudeBot", "cohere-training-data-crawler", "Diffbot",
+        "FacebookBot", "Meta-ExternalAgent", "Google-Extended", "GPTBot",
+        "PanguBot", "*",
+    ]
+
+
+def test_wildcard_star_agent_drops_doc(spark):
+    # Reference semantics: a doc is removed when even the wildcard agent is
+    # disallowed — "*" is a checked agent, not just a fallback group.
+    content = "User-agent: *\nDisallow: /\n"
+    docs = spark.createDataFrame([(1, "https://a.com/x")], "doc_id long, url string")
+    rob = spark.createDataFrame([("a.com", content)], "domain string, content string")
+    out = robots.robots_filter(docs, rob).collect()[0]
+    assert "*" in out.disallowed_user_agents
+    assert len(out.disallowed_user_agents) == 15  # every agent falls to * group
+
+
+def test_path_wildcards_protego_parity():
+    g = robots.parse_robots("User-agent: *\nDisallow: /*/private\n")
+    assert not robots.is_allowed(g, "CCBot", "/a/private")
+    assert not robots.is_allowed(g, "CCBot", "/a/b/private/x")
+    assert robots.is_allowed(g, "CCBot", "/private")  # needs a segment before
+
+    g = robots.parse_robots("User-agent: *\nDisallow: /x$\n")
+    assert not robots.is_allowed(g, "CCBot", "/x")
+    assert robots.is_allowed(g, "CCBot", "/x/y")  # $ anchors the end
+
+    g = robots.parse_robots("User-agent: *\nDisallow: /*.pdf$\n")
+    assert not robots.is_allowed(g, "CCBot", "/docs/a.pdf")
+    assert robots.is_allowed(g, "CCBot", "/docs/a.pdf.html")
+
+
+def test_tie_allow_wins_and_longest_pattern():
+    # Equal-length Allow/Disallow: Allow wins (RFC 9309 / Protego).
+    g = robots.parse_robots("User-agent: *\nDisallow: /dir\nAllow: /dir\n")
+    assert robots.is_allowed(g, "CCBot", "/dir/x")
+    # Longer pattern wins regardless of order.
+    g = robots.parse_robots("User-agent: *\nAllow: /dir/open\nDisallow: /dir\n")
+    assert robots.is_allowed(g, "CCBot", "/dir/open/f")
+    assert not robots.is_allowed(g, "CCBot", "/dir/shut")
+
+
+def test_versioned_agent_falls_back_to_product_group():
+    # Protego group resolution: "CCBot/2.0" with no exact group matches the
+    # longest group token contained in the agent string ("ccbot").
+    g = robots.parse_robots("User-agent: CCBot\nDisallow: /\n")
+    assert not robots.is_allowed(g, "CCBot/2.0", "/x")
+    g2 = robots.parse_robots("User-agent: CCBot/2.0\nDisallow: /\nUser-agent: CCBot\nDisallow: /ok\n")
+    assert not robots.is_allowed(g2, "CCBot/2.0", "/anything")  # exact wins
+    assert robots.is_allowed(g2, "CCBot", "/anything")
