@@ -9,8 +9,10 @@ megatron_tokenizer_context.py:210-356) — is real.
 Physical shape for W2 packing: the running `offset_in_sequence` carries
 ACROSS documents (megatron_tokenizer_context.py:301-324), so output depends
 on document order. We pin order with repartitionByRange(shard).
-sortWithinPartitions(order) and fold per partition with mapPartitions;
-each partition ≡ one reference rank, which also starts fresh at offset 0
+sortWithinPartitions(order) and fold per partition with mapInArrow:
+token arrays travel as Arrow int32 buffers end to end (no pickle, no
+per-token Python objects) and the sequential fold works on numpy views.
+Each partition ≡ one reference rank, which also starts fresh at offset 0
 (megatron_tokenizer_context.py:262) — parity documented.
 """
 
@@ -20,11 +22,45 @@ import struct
 from typing import Iterator
 
 import numpy as np
+import pyarrow as pa
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from metadata_enhanced_pretrain_datapipeline_spark.functions.hashing import md5_hash64
 from metadata_enhanced_pretrain_datapipeline_spark.functions.text import tokens_ws
+
+
+def _list_views(col: "pa.Array") -> tuple[np.ndarray, np.ndarray]:
+    """(offsets, values) numpy views of an Arrow list<int32> column — the
+    zero-copy access pattern that keeps token arrays out of Python objects."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return np.asarray(col.offsets), np.asarray(col.values)
+
+
+def _seq_batch(shards: list[int], idxs: list[int], flat_chunks: list[np.ndarray],
+               pads: list[int], seq_len: int, extra: dict[str, list[int]] | None = None
+               ) -> "pa.RecordBatch":
+    """Assemble packed sequences (each exactly seq_len tokens) into one Arrow
+    batch: a single values buffer + uniform offsets, no per-token objects."""
+    n = len(shards)
+    flat = (np.concatenate(flat_chunks).astype(np.int32, copy=False)
+            if flat_chunks else np.empty(0, np.int32))
+    tok_col = pa.ListArray.from_arrays(
+        pa.array((np.arange(n + 1) * seq_len).astype(np.int32)),
+        pa.array(flat, type=pa.int32()),
+    )
+    names = ["shard", "seq_idx", "tokens", "n_pad"]
+    cols = [
+        pa.array(np.asarray(shards, np.int64)),
+        pa.array(np.asarray(idxs, np.int64)),
+        tok_col,
+        pa.array(np.asarray(pads, np.int32)),
+    ]
+    for name, vals in (extra or {}).items():
+        names.append(name)
+        cols.append(pa.array(np.asarray(vals, np.int32)))
+    return pa.RecordBatch.from_arrays(cols, names)
 
 
 def tokenize_ws(text: Column, vocab_size: int = 50000) -> Column:
@@ -66,29 +102,54 @@ def pack_sequences(df: DataFrame, order_col: str, text_col: str = "text",
     arranged = toks.repartitionByRange(shards, "shard").sortWithinPartitions("shard", "__ord")
 
     schema = "shard long, seq_idx long, tokens array<int>, n_pad int"
+    empty = np.empty(0, np.int32)
 
-    def fold(rows: Iterator) -> Iterator:
-        import pandas as pd
-
-        state: dict[int, list[int]] = {}
+    def fold(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        # Arrow-native sequential fold: token arrays stay in contiguous
+        # int32 buffers end to end (no pickle, no per-token Python objects).
+        carry: dict[int, np.ndarray] = {}
         counters: dict[int, int] = {}
-        out = []
-        for row in rows:
-            buf = state.setdefault(row.shard, [])
-            buf.extend(row.toks or [])
-            while len(buf) >= seq_len:
-                out.append((row.shard, counters.get(row.shard, 0), buf[:seq_len], 0))
-                counters[row.shard] = counters.get(row.shard, 0) + 1
-                del buf[:seq_len]
-        for shard, buf in state.items():
-            if buf:
+        for batch in batches:
+            i_shard = batch.schema.get_field_index("shard")
+            i_toks = batch.schema.get_field_index("toks")
+            shards_np = np.asarray(batch.column(i_shard))
+            if len(shards_np) == 0:
+                continue
+            offs, vals = _list_views(batch.column(i_toks))
+            out_s: list[int] = []; out_i: list[int] = []
+            out_t: list[np.ndarray] = []; out_p: list[int] = []
+            # rows arrive sorted by shard: process contiguous shard runs
+            change = np.nonzero(np.diff(shards_np))[0] + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(shards_np)]))
+            for s, e in zip(starts, ends):
+                sh = int(shards_np[s])
+                chunk = vals[offs[s]:offs[e]]
+                prev = carry.get(sh, empty)
+                buf = np.concatenate((prev, chunk)) if len(prev) else chunk
+                n_full = len(buf) // seq_len
+                if n_full:
+                    c = counters.get(sh, 0)
+                    out_s.extend([sh] * n_full)
+                    out_i.extend(range(c, c + n_full))
+                    out_t.append(buf[: n_full * seq_len])
+                    out_p.extend([0] * n_full)
+                    counters[sh] = c + n_full
+                carry[sh] = np.array(buf[n_full * seq_len:], copy=True)
+            if out_s:
+                yield _seq_batch(out_s, out_i, out_t, out_p, seq_len)
+        tail_s: list[int] = []; tail_i: list[int] = []
+        tail_t: list[np.ndarray] = []; tail_p: list[int] = []
+        for sh, buf in carry.items():
+            if len(buf):
                 pad = seq_len - len(buf)
-                out.append((shard, counters.get(shard, 0), buf + [pad_id] * pad, pad))
-        for rec in out:
-            yield rec
+                tail_s.append(sh); tail_i.append(counters.get(sh, 0))
+                tail_t.append(np.concatenate((buf, np.full(pad, pad_id, np.int32))))
+                tail_p.append(pad)
+        if tail_s:
+            yield _seq_batch(tail_s, tail_i, tail_t, tail_p, seq_len)
 
-    rdd = arranged.rdd.mapPartitions(fold)
-    return arranged.sparkSession.createDataFrame(rdd, schema)
+    return arranged.mapInArrow(fold, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -104,9 +165,10 @@ _MAGIC = b"MMIDIDX\x00\x00"
 def write_megatron_partition(token_lists: list[list[int]], bin_path: str,
                              idx_path: str, vocab_size: int = 50000) -> int:
     """Write one partition's docs as a .bin/.idx pair. dtype rule mirrors
-    megatron_tokenizer.py:54-60,104-107: uint16 if vocab fits, else int32.
-    Returns total token count."""
-    dtype, code = (np.uint16, 8) if vocab_size < 65500 else (np.int32, 4)
+    the reference PipelineStepWithTokenizer.token_size exactly: int32 only
+    when vocab_size > np.iinfo(np.uint16).max + 1 (= 65536), else uint16
+    (megatron_tokenizer.py:54-60,104-107). Returns total token count."""
+    dtype, code = (np.uint16, 8) if vocab_size <= 65536 else (np.int32, 4)
     lengths, pointers, ptr = [], [], 0
     with open(bin_path, "wb") as b:
         for toks in token_lists:
@@ -131,8 +193,10 @@ def write_megatron(df: DataFrame, out_dir: str, text_col: str = "text",
                    order_col: str = "doc_id", shards: int = 4,
                    vocab_size: int = 50000) -> None:
     """Distributed K4 sink: one .bin/.idx pair per shard ≈ per reference
-    rank (get_output_filename, megatron_tokenizer.py:207-209).
-    foreachPartition writes executor-side; no driver collect."""
+    rank (get_output_filename, megatron_tokenizer.py:207-209). Writes run
+    executor-side inside mapInArrow (tokens as Arrow buffers, never
+    pickled rows); only the tiny per-shard token-count summary reaches
+    the driver."""
     import os
 
     toks = df.select(
@@ -143,15 +207,26 @@ def write_megatron(df: DataFrame, out_dir: str, text_col: str = "text",
 
     os.makedirs(out_dir, exist_ok=True)
 
-    def write_part(rows: Iterator) -> None:
-        by_shard: dict[int, list[list[int]]] = {}
-        for row in rows:
-            by_shard.setdefault(row.shard, []).append(list(row.toks or []))
+    def write_part(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        by_shard: dict[int, list[np.ndarray]] = {}
+        for batch in batches:
+            shards_np = np.asarray(batch.column(batch.schema.get_field_index("shard")))
+            offs, vals = _list_views(batch.column(batch.schema.get_field_index("toks")))
+            for i in range(len(shards_np)):
+                by_shard.setdefault(int(shards_np[i]), []).append(vals[offs[i]:offs[i + 1]])
+        out = []
         for shard, docs in by_shard.items():
             base = os.path.join(out_dir, f"shard_{shard:05d}")
-            write_megatron_partition(docs, base + ".bin", base + ".idx", vocab_size)
+            n = write_megatron_partition(docs, base + ".bin", base + ".idx", vocab_size)
+            out.append((shard, n))
+        if out:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([s for s, _ in out], pa.int64()),
+                 pa.array([n for _, n in out], pa.int64())],
+                ["shard", "n_tokens"],
+            )
 
-    toks.rdd.foreachPartition(write_part)
+    toks.mapInArrow(write_part, "shard long, n_tokens long").collect()
 
 
 # ---------------------------------------------------------------------------
@@ -192,65 +267,109 @@ def pack_with_metadata(df: DataFrame, order_col: str, text_col: str = "text",
 
     schema = "shard long, seq_idx long, tokens array<int>, n_pad int, n_meta_tokens int"
 
-    def fold(rows: Iterator) -> Iterator:
-        bufs: dict[int, list[int]] = {}
-        meta_counts: dict[int, int] = {}
-        pad_counts: dict[int, int] = {}
-        counters: dict[int, int] = {}
-        out = []
+    class _Shard:
+        """Per-shard fold state: pending token chunks (total < seq_len after
+        each drain) plus the pad/meta counts attributed to the NEXT emitted
+        sequence — same attribution as the reference's per-rank counters."""
+        __slots__ = ("chunks", "total", "counter", "meta", "pad")
 
-        def emit_full(shard: int):
-            buf = bufs[shard]
-            while len(buf) >= seq_len:
-                # pads injected by the straddle path always complete the
-                # FIRST sequence emitted after them — attribute them there
-                n_pad = pad_counts.pop(shard, 0)
-                out.append((shard, counters.get(shard, 0), buf[:seq_len], n_pad,
-                            meta_counts.get(shard, 0)))
-                counters[shard] = counters.get(shard, 0) + 1
-                meta_counts[shard] = 0
-                del buf[:seq_len]
+        def __init__(self):
+            self.chunks: list[np.ndarray] = []
+            self.total = 0
+            self.counter = 0
+            self.meta = 0
+            self.pad = 0
 
-        for row in rows:
-            shard = row.shard
-            buf = bufs.setdefault(shard, [])
-            meta_run = [BOC_ID, *(row.mtoks or []), EOC_ID]
-            if len(meta_run) > seq_len:  # truncate pathological meta (:296-298)
-                meta_run = meta_run[: seq_len - 1] + [EOC_ID]
+        def append(self, arr: np.ndarray):
+            if len(arr):
+                self.chunks.append(arr)
+                self.total += len(arr)
 
-            def inject():
-                room = seq_len - (len(buf) % seq_len)
-                if room < len(meta_run):  # would straddle -> pad out (:302)
-                    buf.extend([pad_id] * room)
-                    pad_counts[shard] = pad_counts.get(shard, 0) + room
-                    emit_full(shard)
-                buf.extend(meta_run)
-                meta_counts[shard] = meta_counts.get(shard, 0) + len(meta_run)
+    def fold(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        states: dict[int, _Shard] = {}
+        out_s: list[int] = []; out_i: list[int] = []
+        out_t: list[np.ndarray] = []; out_p: list[int] = []; out_m: list[int] = []
 
-            if per_sequence:
-                # inject at doc start and at every boundary the doc crosses
-                inject()
-                for t in row.toks or []:
-                    if len(buf) % seq_len == 0 and len(buf) > 0:
-                        emit_full(shard)
-                        inject()
-                    buf.append(t)
-            else:
-                inject()
-                buf.extend(row.toks or [])
-            emit_full(shard)
+        def emit_full(st: _Shard, sh: int):
+            if st.total < seq_len:
+                return
+            buf = np.concatenate(st.chunks)
+            n_full = len(buf) // seq_len
+            out_t.append(buf[: n_full * seq_len])
+            for i in range(n_full):
+                out_s.append(sh)
+                out_i.append(st.counter + i)
+                # straddle pads + meta count ride the FIRST sequence emitted
+                out_p.append(st.pad if i == 0 else 0)
+                out_m.append(st.meta if i == 0 else 0)
+            st.counter += n_full
+            st.pad = 0
+            st.meta = 0
+            rest = buf[n_full * seq_len:]
+            st.chunks = [np.array(rest, copy=True)] if len(rest) else []
+            st.total = len(rest)
 
-        for shard, buf in bufs.items():
-            if buf:
-                pad = seq_len - len(buf) + pad_counts.pop(shard, 0)
-                out.append((shard, counters.get(shard, 0),
-                            buf + [pad_id] * (seq_len - len(buf)), pad,
-                            meta_counts.get(shard, 0)))
-        for rec in out:
-            yield rec
+        def inject(st: _Shard, sh: int, meta_run: np.ndarray):
+            room = seq_len - (st.total % seq_len)
+            if room < len(meta_run):  # would straddle -> pad out (:302)
+                st.append(np.full(room, pad_id, np.int32))
+                st.pad += room
+                emit_full(st, sh)
+            st.append(meta_run)
+            st.meta += len(meta_run)
 
-    rdd = arranged.rdd.mapPartitions(fold)
-    return arranged.sparkSession.createDataFrame(rdd, schema)
+        for batch in batches:
+            i_shard = batch.schema.get_field_index("shard")
+            shards_np = np.asarray(batch.column(i_shard))
+            t_offs, t_vals = _list_views(batch.column(batch.schema.get_field_index("toks")))
+            m_offs, m_vals = _list_views(batch.column(batch.schema.get_field_index("mtoks")))
+            for r in range(len(shards_np)):
+                sh = int(shards_np[r])
+                st = states.setdefault(sh, _Shard())
+                doc = t_vals[t_offs[r]:t_offs[r + 1]]
+                meta_run = np.concatenate((
+                    np.array([BOC_ID], np.int32),
+                    m_vals[m_offs[r]:m_offs[r + 1]],
+                    np.array([EOC_ID], np.int32),
+                ))
+                if len(meta_run) > seq_len:  # truncate pathological meta (:296-298)
+                    meta_run = np.concatenate(
+                        (meta_run[: seq_len - 1], np.array([EOC_ID], np.int32)))
+
+                if per_sequence:
+                    # inject at doc start and at every boundary the doc crosses
+                    inject(st, sh, meta_run)
+                    pos = 0
+                    while pos < len(doc):
+                        if st.total % seq_len == 0 and st.total > 0:
+                            emit_full(st, sh)
+                            inject(st, sh, meta_run)
+                        room = seq_len - (st.total % seq_len)
+                        take = min(room, len(doc) - pos)
+                        st.append(doc[pos:pos + take])
+                        pos += take
+                else:
+                    inject(st, sh, meta_run)
+                    st.append(doc)
+                emit_full(st, sh)
+            if out_s:
+                yield _seq_batch(out_s, out_i, out_t, out_p, seq_len,
+                                 extra={"n_meta_tokens": out_m})
+                out_s, out_i, out_t, out_p, out_m = [], [], [], [], []
+
+        for sh, st in states.items():
+            if st.total:
+                fill = seq_len - st.total
+                out_s.append(sh); out_i.append(st.counter)
+                out_t.append(np.concatenate(
+                    st.chunks + [np.full(fill, pad_id, np.int32)]))
+                out_p.append(fill + st.pad)
+                out_m.append(st.meta)
+        if out_s:
+            yield _seq_batch(out_s, out_i, out_t, out_p, seq_len,
+                             extra={"n_meta_tokens": out_m})
+
+    return arranged.mapInArrow(fold, schema)
 
 
 def write_megatron_packed(df: DataFrame, out_dir: str, order_col: str = "doc_id",
@@ -259,20 +378,36 @@ def write_megatron_packed(df: DataFrame, out_dir: str, order_col: str = "doc_id"
     """K4 ∘ W2 — the reference's actual flow: tokenize → pack into fixed
     seq_len sequences → write one .bin/.idx pair per shard, each packed
     sequence one Megatron 'document' (megatron_tokenizer_context.py:210-356
-    feeding MegatronTokenizedFile). Executor-side writes, no driver collect."""
+    feeding MegatronTokenizedFile). pack_sequences already range-partitions
+    by shard and mapInArrow preserves that partitioning, so the writer
+    reuses it — no second shuffle. Executor-side writes; only a tiny
+    per-shard summary reaches the driver."""
     import os
 
     packed = pack_sequences(df, order_col, text_col, seq_len=seq_len, shards=shards)
     os.makedirs(out_dir, exist_ok=True)
 
-    def write_part(rows: Iterator) -> None:
-        by_shard: dict[int, list[tuple[int, list[int]]]] = {}
-        for row in rows:
-            by_shard.setdefault(row.shard, []).append((row.seq_idx, list(row.tokens)))
+    def write_part(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        by_shard: dict[int, list[tuple[int, np.ndarray]]] = {}
+        for batch in batches:
+            shards_np = np.asarray(batch.column(batch.schema.get_field_index("shard")))
+            idx_np = np.asarray(batch.column(batch.schema.get_field_index("seq_idx")))
+            offs, vals = _list_views(batch.column(batch.schema.get_field_index("tokens")))
+            for i in range(len(shards_np)):
+                by_shard.setdefault(int(shards_np[i]), []).append(
+                    (int(idx_np[i]), vals[offs[i]:offs[i + 1]]))
+        out = []
         for shard, seqs in by_shard.items():
-            seqs.sort()
+            seqs.sort(key=lambda p: p[0])
             base = os.path.join(out_dir, f"shard_{shard:05d}")
-            write_megatron_partition([t for _, t in seqs], base + ".bin", base + ".idx",
-                                     vocab_size)
+            n = write_megatron_partition([t for _, t in seqs], base + ".bin",
+                                         base + ".idx", vocab_size)
+            out.append((shard, n))
+        if out:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([s for s, _ in out], pa.int64()),
+                 pa.array([n for _, n in out], pa.int64())],
+                ["shard", "n_tokens"],
+            )
 
-    packed.repartition(shards, "shard").rdd.foreachPartition(write_part)
+    packed.mapInArrow(write_part, "shard long, n_tokens long").collect()
