@@ -215,15 +215,31 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
 
 def embedding_near_dup(df: DataFrame, id_col: str = "vec_id",
                        vec_col: str = "embedding", threshold: float = 0.95,
-                       num_planes: int = 8) -> DataFrame:
+                       num_planes: int = 8,
+                       max_bucket_size: int | None = 1024) -> DataFrame:
     """Embedding-cosine near-dup: LSH-bucket by hyperplane signs (see
     similarity.lsh_bucket), exact cosine only within buckets, keep pairs
-    with cosine ≥ threshold."""
+    with cosine ≥ threshold.
+
+    ``max_bucket_size`` is the same degenerate-bucket guard as
+    minhash_lsh_pairs: near-duplicate-heavy corpora (exactly where this
+    operator runs) produce skewed buckets whose within-bucket self-join
+    goes quadratic at 100 TB. Buckets above the cap are dropped from the
+    pair stage — raise ``num_planes`` (finer buckets) rather than the cap
+    when recall matters.
+    """
     from metadata_enhanced_pretrain_datapipeline_spark.operators.similarity import lsh_bucket
     from metadata_enhanced_pretrain_datapipeline_spark.functions.arrays import cosine_similarity
 
     b = lsh_bucket(F.col(vec_col), num_planes)
     keyed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), b.alias("bucket"))
+    if max_bucket_size is not None:
+        sizes = keyed.groupBy("bucket").agg(F.count("*").alias("__n"))
+        keyed = (
+            keyed.join(sizes, "bucket")
+            .filter(F.col("__n") <= max_bucket_size)
+            .drop("__n")
+        )
     l, r = keyed.alias("l"), keyed.alias("r")
     return (
         l.join(r, "bucket")

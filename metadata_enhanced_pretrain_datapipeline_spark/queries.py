@@ -1794,3 +1794,24 @@ def q_tpch_q5(spark, sf):
             )
         )
     )
+
+
+# ===========================================================================
+# round-2 additions
+# ===========================================================================
+
+
+@register("q_embedding_near_dup")
+def q_embedding_near_dup(spark, sf):
+    """† Embedding-cosine near-dup (LSH-bucketed, degenerate buckets capped
+    — dedup.embedding_near_dup). Rows-only: the hyperplane bucketing isn't
+    SQL-expressible; a brute-force in-bucket oracle is pytest-checked
+    (tests/test_dedup.py)."""
+    e = load(spark, sf, "embeddings")
+    # synthetic embeddings are near-orthogonal (p99.99 cosine ≈ 0.45), so a
+    # production threshold (0.95) returns nothing; 0.3 exercises the full
+    # bucket → in-bucket-join → threshold path with a non-trivial result
+    pairs = dedup.embedding_near_dup(
+        e, id_col="vec_id", vec_col="embedding", threshold=0.3, num_planes=6
+    )
+    return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))

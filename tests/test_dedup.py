@@ -83,3 +83,45 @@ def test_minhash_lsh_short_docs_not_candidates(spark):
     )
     pairs = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(df, num_hashes=8, bands=4).collect()}
     assert pairs == {(3, 4)}  # shingle-less docs never pair with anything
+
+
+def test_embedding_near_dup_matches_brute_force_within_buckets(spark):
+    """Pairs produced = brute-force cosine>=t pairs restricted to shared
+    LSH buckets — and the degenerate-bucket cap drops oversized buckets."""
+    import itertools
+    import math
+
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.similarity import lsh_bucket
+    from pyspark.sql import functions as F
+
+    rows = [(i, [math.sin(i * 1.7 + d) for d in range(6)]) for i in range(40)]
+    rows += [(100 + i, rows[i][1]) for i in range(5)]  # exact clones
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = {(r.id_a, r.id_b)
+           for r in dedup.embedding_near_dup(df, threshold=0.98, num_planes=4,
+                                             max_bucket_size=1024).collect()}
+
+    buckets = {r.vec_id: r.b for r in df.select(
+        "vec_id", lsh_bucket(F.col("embedding"), 4).alias("b")).collect()}
+    vecs = dict(rows)
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na, nb = math.sqrt(sum(x * x for x in a)), math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    want = {(a, b) for a, b in itertools.combinations(sorted(vecs), 2)
+            if buckets[a] == buckets[b] and cos(vecs[a], vecs[b]) >= 0.98}
+    assert got == want and len(want) >= 5  # the clone pairs are in there
+
+
+def test_embedding_near_dup_bucket_cap_drops_degenerate(spark):
+    # 30 identical vectors in one bucket; cap of 8 removes the whole bucket
+    rows = [(i, [1.0, 2.0, 0.5, 1.5]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = dedup.embedding_near_dup(df, threshold=0.5, num_planes=4,
+                                      max_bucket_size=8).count()
+    uncapped = dedup.embedding_near_dup(df, threshold=0.5, num_planes=4,
+                                        max_bucket_size=None).count()
+    assert capped == 0 and uncapped == 30 * 29 // 2
