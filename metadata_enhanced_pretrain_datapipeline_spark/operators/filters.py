@@ -65,6 +65,14 @@ def id_anti_join(df: DataFrame, blocklist: DataFrame, key: str = "id") -> DataFr
     return df.join(F.broadcast(blocklist.select(key).distinct()), key, "left_anti")
 
 
+def id_semi_join(df: DataFrame, blocklist: DataFrame, key: str = "id") -> DataFrame:
+    """Complement of id_anti_join — the rows the blocklist REMOVES.
+    Broadcast LEFT SEMI on the same key, for FilterStep.removed_fn: the
+    exclusion branch stays shuffle-free instead of going through a
+    full-row exceptAll."""
+    return df.join(F.broadcast(blocklist.select(key).distinct()), key, "left_semi")
+
+
 def domain_blocklist_filter(df: DataFrame, domain_col: Column, blocked: DataFrame,
                             blocked_col: str = "domain") -> DataFrame:
     """F3/J3 — URLFilter with extra_domains: drop rows whose extracted host

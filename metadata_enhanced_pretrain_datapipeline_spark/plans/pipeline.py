@@ -38,12 +38,20 @@ class FilterStep:
     `predicate`: Column (pure, pushable) OR a callable df→df returning the
     kept rows (for join-shaped filters like id_anti_join).
     `exclusion_writer`: callable(df) invoked with the removed rows.
+    `removed_fn`: for join-shaped predicates whose complement has a cheap
+    direct form — e.g. the complement of a broadcast LEFT ANTI on a
+    blocklist is a broadcast LEFT SEMI on the same blocklist — a callable
+    df→df producing the removed rows directly. Without it the composer
+    falls back to ``exceptAll(kept)``, which is correct for ANY filter
+    shape but hashes every column (including text) through a full
+    shuffle; at 100 TB the semi-join form is shuffle-free.
     """
 
     name: str
     predicate: Column | Callable[[DataFrame], DataFrame]
     exclusion_writer: Callable[[DataFrame], None] | None = None
     reason: str | None = None
+    removed_fn: Callable[[DataFrame], DataFrame] | None = None
 
 
 @dataclass
@@ -105,6 +113,12 @@ class Pipeline:
             if isinstance(step.predicate, Column):
                 kept = out.filter(step.predicate)
                 removed = out.filter(~step.predicate | step.predicate.isNull())
+            elif step.removed_fn is not None:
+                # join-shaped filter with a declared complement: both
+                # branches are direct (typically broadcast semi/anti joins
+                # on the same key) — no full-row set-difference shuffle.
+                kept = step.predicate(out)
+                removed = step.removed_fn(out)
             else:
                 # join-shaped filter: removed = input minus kept, computed
                 # set-wise so it is correct for ANY filter shape (the kept

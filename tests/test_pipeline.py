@@ -63,3 +63,33 @@ def test_join_shaped_exclusion_sink(spark, docs):
     removed_ids = sorted(r.doc_id for r in removed_batches[0])
     assert removed_ids == [0, 1, 2, 3, 4]
     assert kept.count() == 35
+
+
+def test_semi_join_removed_fn_matches_exceptall(spark, docs):
+    """removed_fn (broadcast semi-join) and the exceptAll fallback produce
+    the same kept/removed partition; the semi-join plan has no Exchange."""
+    block = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    captured = {}
+
+    def make(removed_fn):
+        batches = []
+        pipe = Pipeline(steps=[FilterStep(
+            "ids",
+            lambda df: filters.id_anti_join(df, block, "doc_id"),
+            exclusion_writer=lambda df: batches.append(df),
+            removed_fn=removed_fn,
+        )])
+        kept = pipe.run(docs)
+        return sorted(r.doc_id for r in kept.collect()), batches[0]
+
+    kept_a, removed_a = make(None)  # exceptAll fallback
+    kept_b, removed_b = make(lambda df: filters.id_semi_join(df, block, "doc_id"))
+    ids_a = sorted(r.doc_id for r in removed_a.collect())
+    ids_b = sorted(r.doc_id for r in removed_b.collect())
+    assert kept_a == kept_b
+    assert ids_a == ids_b == [0, 1, 2, 3, 4]
+    # invariant: kept ∪ removed = input, disjoint
+    assert sorted(kept_b + ids_b) == sorted(r.doc_id for r in docs.collect())
+    # the declared complement is broadcast: no shuffle Exchange in its plan
+    plan = removed_b._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
