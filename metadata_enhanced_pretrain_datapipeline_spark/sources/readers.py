@@ -69,3 +69,46 @@ def read_paradocs_tsv(spark: SparkSession, path: str) -> DataFrame:
     the caller via try_cast."""
     schema = " string, ".join(PARADOCS_COLUMNS) + " string"
     return spark.read.option("sep", "\t").schema(schema).csv(path)
+
+
+def read_hf_snapshot(spark: SparkSession, snapshot_dir: str,
+                     text_key: str = "text", split: str | None = None,
+                     id_col: str | None = None) -> DataFrame:
+    """S3 — HuggingFaceDatasetReader analogue over a locally-synced hub
+    snapshot (reference preprocess_megatron.py:107-111,
+    tokenize_with_metadata.py:200-204: ``HuggingFaceDatasetReader(dataset,
+    text_key, dataset_options={"split": ...})``).
+
+    The reference streams via the datasets library; Spark-first, the same
+    data is the snapshot's parquet shards, so this resolves the standard
+    hub layouts — ``data/{split}-*.parquet``, ``{split}/*.parquet``, flat
+    ``*.parquet`` — and scans them with the parquet reader (pushdown and
+    column pruning intact). The ``text_key`` column is surfaced as
+    ``text``; pass ``id_col`` to run the full Document adapter (S7).
+    """
+    import glob as _glob
+    import os
+
+    if split:
+        patterns = [
+            os.path.join(snapshot_dir, "data", f"{split}-*.parquet"),
+            os.path.join(snapshot_dir, split, "*.parquet"),
+            os.path.join(snapshot_dir, f"{split}-*.parquet"),
+        ]
+    else:
+        patterns = [
+            os.path.join(snapshot_dir, "data", "*.parquet"),
+            os.path.join(snapshot_dir, "*.parquet"),
+        ]
+    chosen = next((p for p in patterns if _glob.glob(p)), None)
+    if chosen is None:
+        raise FileNotFoundError(
+            f"no parquet shards under {snapshot_dir!r} for split={split!r}; "
+            f"tried {patterns}"
+        )
+    df = spark.read.parquet(chosen)
+    if id_col is not None:
+        return to_documents(df, id_col=id_col, text_col=text_key)
+    if text_key != "text":
+        df = df.withColumnRenamed(text_key, "text")
+    return df

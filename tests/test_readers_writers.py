@@ -54,3 +54,32 @@ def test_write_fasttext(spark, tmp_path, docs):
     writers.write_fasttext(docs.withColumn("label", F.col("doc_id") % 2), out)
     lines = spark.read.text(out).collect()
     assert len(lines) == 40 and all(r.value.startswith("__label__") for r in lines)
+
+
+def test_read_hf_snapshot_layouts(spark, tmp_path):
+    import pandas as pd
+
+    # hub layout A: data/{split}-00000-of-00001.parquet
+    a = tmp_path / "dsA" / "data"
+    a.mkdir(parents=True)
+    pd.DataFrame({"content": ["hello world", "zwei drei"], "id": ["a", "b"]}).to_parquet(
+        a / "train-00000-of-00001.parquet")
+    out = readers.read_hf_snapshot(spark, str(tmp_path / "dsA"), text_key="content",
+                                   split="train")
+    assert out.columns[0] in ("text", "id") and out.count() == 2
+    assert {r.text for r in out.select("text").collect()} == {"hello world", "zwei drei"}
+
+    # layout B: {split}/*.parquet, with the Document adapter
+    b = tmp_path / "dsB" / "test"
+    b.mkdir(parents=True)
+    pd.DataFrame({"content": ["x y"], "id": ["c"], "lang": ["en"]}).to_parquet(
+        b / "part0.parquet")
+    docs = readers.read_hf_snapshot(spark, str(tmp_path / "dsB"), text_key="content",
+                                    split="test", id_col="id")
+    row = docs.collect()[0]
+    assert row.text == "x y" and row.id == "c"
+
+    # missing split raises
+    import pytest
+    with pytest.raises(FileNotFoundError):
+        readers.read_hf_snapshot(spark, str(tmp_path / "dsA"), split="validation")
