@@ -11,14 +11,19 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Regex parity with the reference PII formatter
-# (src/.../formatters/pii_formatter.py:63-70). Kept RE2-compatible so the
-# DuckDB oracle can run the identical patterns.
+# PII patterns (reference pii_formatter.py:63-70). The email pattern is a
+# simplified RE2-compatible analogue of the reference's RFC-ish regex (the
+# full form needs constructs DuckDB's RE2 rejects); the spaced IBAN pattern
+# is the reference's iban_regex verbatim, and the compact IBAN form is an
+# extension covering unspaced IBANs the reference misses.
 EMAIL_REGEX = r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b"
 IPV4_REGEX = (
     r"\b(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}"
     r"(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\b"
 )
+#: reference iban_regex, verbatim (pii_formatter.py:70): space-grouped
+#: IBAN — CC00 0000 0000 0000 0000 XX
+IBAN_SPACED_REGEX = r"[A-Z]{2}[0-9]{2}(?: [0-9]{4}){4} [A-Z0-9]{1,2}"
 IBAN_REGEX = r"\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\b"
 
 EMAIL_TAG = "<email-pii>"
@@ -27,8 +32,15 @@ IBAN_TAG = "<iban-pii>"
 
 #: (pattern, replacement) in the reference's pass order — email → ip → iban
 #: (pii_formatter.py:93-114). Order matters: replacing an email substring can
-#: alter later IP matches; we replicate the exact pass order.
-PII_PASSES = [(EMAIL_REGEX, EMAIL_TAG), (IPV4_REGEX, IP_TAG), (IBAN_REGEX, IBAN_TAG)]
+#: alter later IP matches; we replicate the exact pass order. The spaced
+#: (reference-parity) IBAN pass runs before the compact extension so
+#: reference-format IBANs are consumed by the reference-format pattern.
+PII_PASSES = [
+    (EMAIL_REGEX, EMAIL_TAG),
+    (IPV4_REGEX, IP_TAG),
+    (IBAN_SPACED_REGEX, IBAN_TAG),
+    (IBAN_REGEX, IBAN_TAG),
+]
 
 
 def pii_scrub(text: Column) -> Column:
@@ -115,9 +127,13 @@ def load_pii_regex_table(path: str) -> list[tuple[str, str]]:
 
 
 def pii_scrub_with_table(text: Column, extra_passes: list[tuple[str, str]]) -> Column:
-    """A3 full form — built-in email→ip→iban passes followed by the
-    priority-ordered EU regex passes (pii_formatter.py:80-91)."""
-    out = pii_scrub(text)
+    """A3 full form — the priority-ordered EU regex passes run FIRST, each
+    wrapped ``\\b … (\\.|$|\\,|\\s)`` exactly as the reference compiles
+    them (pii_formatter.py:47-60), then the built-in email→ip→iban passes
+    — matching PIIFormatter.format's pass order (:80-99: EU before
+    email/ip/iban). As in the reference's re.sub, the trailing boundary
+    char is part of the match and is consumed by the replacement."""
+    out = text
     for pat, tag in extra_passes:
-        out = F.regexp_replace(out, pat, tag)
-    return out
+        out = F.regexp_replace(out, r"\b" + pat + r"(\.|$|\,|\s)", tag)
+    return pii_scrub(out)

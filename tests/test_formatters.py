@@ -72,7 +72,29 @@ def test_pii_regex_table_priority_order(spark, tmp_path):
     out = df.select(
         formatters.pii_scrub_with_table(F.col("text"), passes).alias("s")
     ).collect()[0]
-    assert out.s == "id <a-pii> and <b-pii> <email-pii>"
+    # reference parity: the wrapped (\.|$|\,|\s) boundary is consumed by
+    # re.sub, so the space after each EU match disappears with it
+    assert out.s == "id <a-pii>and <b-pii><email-pii>"
+
+
+def test_pii_table_runs_before_builtins(spark):
+    """Reference PIIFormatter.format applies EU replacers BEFORE the
+    email/ip/iban passes — an EU pattern that would also match an email
+    must win."""
+    csv_passes = [(r"\S+@corp\.example", "<eu-pii>")]
+    df = spark.createDataFrame([("mail bob@corp.example now",)], "text string")
+    out = df.select(
+        formatters.pii_scrub_with_table(F.col("text"), csv_passes).alias("s")
+    ).collect()[0]
+    assert out.s == "mail <eu-pii>now"
+
+
+def test_iban_spaced_reference_format(spark):
+    """The reference's space-grouped iban_regex (pii_formatter.py:70) —
+    previously unmatched by the compact-only pattern."""
+    r = _one(spark, "pay DE89 3704 0044 0532 0130 00 today")
+    assert "<iban-pii>" in r.s and "3704" not in r.s
+    assert r.c == 1
 
 
 def test_hf_classifier_annotate(spark):
