@@ -114,14 +114,28 @@ def fasttext_line(label: Column, text: Column) -> Column:
 
 def load_pii_regex_table(path: str) -> list[tuple[str, str]]:
     """S6 — EU-PII regex asset loader (reference pii_formatter.py:40-60
-    loads an xlsx of (Priority, Regex, Replacement) and sorts by categorical
-    priority P0 < P1 < ...). The container has no Excel reader, so the
-    engine reads the documented CSV stand-in (FIXTURES.md §B12) — a
-    driver-side pandas load broadcast into the regex chain, exactly like
-    the reference's asset path."""
+    loads ``eu_regex.xlsx`` of (Priority, Regex, Replacement) and sorts by
+    categorical priority P0 < P1 < ...).
+
+    Format divergence, stated plainly: an ``.xlsx`` path is read with
+    pandas.read_excel IF an Excel engine (openpyxl) is importable — this
+    container ships none, so the tested path is the documented CSV
+    stand-in (FIXTURES.md §B12) with the same three columns. Either way
+    it is a driver-side pandas load whose rows become literal regex
+    passes, exactly like the reference's asset path."""
     import pandas as pd
 
-    table = pd.read_csv(path)
+    if path.endswith((".xlsx", ".xls")):
+        try:
+            table = pd.read_excel(path)
+        except ImportError as e:
+            raise ImportError(
+                "reading the reference's xlsx asset needs openpyxl, which "
+                "this environment lacks — convert to the CSV stand-in "
+                "(columns: Priority, Regex, Replacement)"
+            ) from e
+    else:
+        table = pd.read_csv(path)
     table = table.sort_values("Priority", key=lambda s: s.str.extract(r"P(\d+)", expand=False).astype(int))
     return [(r["Regex"], r["Replacement"]) for _, r in table.iterrows()]
 

@@ -85,31 +85,40 @@ def global_rank(df: DataFrame, order: list[Column], rank_col: str = "pos",
     """Scalable global ranking: 1..N positions under a total order WITHOUT
     the single-task sort of an unpartitioned row_number() window.
 
-    Two phases: repartitionByRange on the order keys (equal keys co-locate,
-    so a unique tiebreaker in ``order`` makes the order total), then
-    per-partition row_number + a broadcast map of partition row-count
-    offsets. Cost: one range shuffle + one tiny counts job — vs ONE task
-    sorting everything. Results identical to the naive window (tested).
-    """
-    from pyspark.storagelevel import StorageLevel
+    Three cheap phases: (1) approx-quantile the primary order column and
+    collect the range boundaries as PLAN LITERALS, (2) count rows per
+    range (one agg) to build the broadcast offset map, (3) row_number
+    within each range + offset. Because the boundaries are literals, every
+    re-execution assigns identical ranges — deterministic with no
+    persist/cache (a repartitionByRange+spark_partition_id formulation
+    would resample boundaries per job, forcing a MEMORY_AND_DISK persist
+    of the full dataset that leaked across calls and is itself a scale
+    problem at 100 TB). Results identical to the naive window (tested).
 
+    The primary order column must cast to double monotonically (numeric —
+    the engine's determinism policy orders by 60-bit hashes); rows whose
+    doubles collide share a range and are split by the in-range window
+    over the full ``order``, so precision loss cannot misrank.
+    """
     spark = df.sparkSession
     num_ranges = num_ranges or spark.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(num_ranges, *order).sortWithinPartitions(*order)
-    # PERSIST before counting: repartitionByRange samples its boundaries
-    # per execution, so the counts job and the ranking job must see the
-    # SAME materialized partitioning or offsets could mismatch
-    with_pid = ranged.withColumn("__pid", F.spark_partition_id()).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    key = order[0].cast("double")
+    qs = [i / num_ranges for i in range(1, num_ranges)]
+    bounds = sorted(set(
+        df.select(key.alias("__k")).approxQuantile("__k", qs, 0.001)
+    )) if qs else []
+    pid = F.lit(0)
+    for b in bounds:
+        pid = pid + F.when(key >= F.lit(b), 1).otherwise(0)
+    with_pid = df.withColumn("__pid", pid)
     counts = {r["__pid"]: r["cnt"] for r in
               with_pid.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
     offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    omap = F.create_map(*[x for pid, off in offsets.items()
-                          for x in (F.lit(pid), F.lit(off))])
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    omap = F.create_map(*[x for p, off in offsets.items()
+                          for x in (F.lit(p), F.lit(off))])
     w = Window.partitionBy("__pid").orderBy(*order)
     return (
         with_pid.withColumn(

@@ -1180,12 +1180,16 @@ def q_simhash(spark, sf):
     return dedup.simhash(d, bits=16).select("doc_id", "simhash")
 
 
-@register("q_ngram_jaccard")
-def q_ngram_jaccard(spark, sf):
+@register("q_ngram_jaccard_sampled")
+def q_ngram_jaccard_sampled(spark, sf):
     """† Extension — n-gram Jaccard over shingle inverted index, thresholded
-    (operators/dedup.jaccard_pairs)."""
+    (operators/dedup.jaccard_pairs), run on a 1-in-25 doc_id SAMPLE (the
+    name says so): jaccard_pairs is the exact in-bucket VERIFIER, not a
+    full-corpus pair generator — at scale it runs on LSH candidates
+    (minhash_lsh_pairs), and here on a sample that bounds pair volume.
+    The driver's rows-only count covers the sample, not the corpus."""
     d = load(spark, sf, "documents")
-    sample = d.filter(F.col("doc_id") % 25 == 0)  # bound pair volume at bench scale
+    sample = d.filter(F.col("doc_id") % 25 == 0)
     return dedup.jaccard_pairs(sample, min_jaccard=0.2).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
