@@ -135,6 +135,36 @@ def is_allowed(groups: dict[str, list[tuple[str, bool]]], agent: str, path: str)
     return True if best is None else best[1]
 
 
+def compile_agent_rules(groups: dict[str, list[tuple[str, bool]]],
+                        agents: list[str]):
+    """Resolve and compile each checked agent's rule list ONCE per parsed
+    robots.txt — the per-row hot loop then runs pure prefix/regex matches
+    with no group resolution or pattern compilation. Cached alongside the
+    parse in the executors' lru_cache, this makes per-row cost
+    O(agents × rules-of-their-group), the same as the reference's cached
+    Protego parser."""
+    compiled = []
+    for a in agents:
+        rules = [(len(p), allow, _compiled_rule(p), p)
+                 for p, allow in _agent_rules(groups, a)]
+        compiled.append((a, rules))
+    return compiled
+
+
+def _denied_agents(compiled, path: str) -> list[str]:
+    denied = []
+    for agent, rules in compiled:
+        best: tuple[int, bool] | None = None
+        for ln, allow, rx, pat in rules:
+            if (path.startswith(pat) if rx is None else rx.match(path) is not None):
+                key = (ln, allow)
+                if best is None or key > best:
+                    best = key
+        if best is not None and not best[1]:
+            denied.append(agent)
+    return denied
+
+
 def robots_filter(docs: DataFrame, robots: DataFrame, url_col: str = "url",
                   agents: list[str] | None = None) -> DataFrame:
     """Annotate ``disallowed_user_agents`` (array<string>, empty = keep).
@@ -164,18 +194,18 @@ def robots_filter(docs: DataFrame, robots: DataFrame, url_col: str = "url",
         @lru_cache(maxsize=8192)  # per-executor parser cache (robots_filter.py:43)
         def parsed(domain: str):
             content = table.get(domain)
-            return parse_robots(content) if content else None
+            if not content:
+                return None
+            return compile_agent_rules(parse_robots(content), agents)
 
         for pdf in batches:
             denied = []
             for host, path in zip(pdf["__host"], pdf["__path"]):
-                groups = parsed(host) if host else None
-                if groups is None:
+                compiled = parsed(host) if host else None
+                if compiled is None:
                     denied.append([])
                     continue
-                denied.append(
-                    [a for a in agents if not is_allowed(groups, a, path or "/")]
-                )
+                denied.append(_denied_agents(compiled, path or "/"))
             out = pdf[keep_cols].copy()
             out["disallowed_user_agents"] = denied
             yield out
@@ -211,7 +241,7 @@ def robots_filter_join(docs: DataFrame, robots: DataFrame, url_col: str = "url",
 
         @lru_cache(maxsize=8192)
         def parsed(content: str):
-            return parse_robots(content)
+            return compile_agent_rules(parse_robots(content), agents)
 
         for pdf in batches:
             denied = []
@@ -219,8 +249,7 @@ def robots_filter_join(docs: DataFrame, robots: DataFrame, url_col: str = "url",
                 if content is None:
                     denied.append([])
                     continue
-                groups = parsed(content)
-                denied.append([a for a in agents if not is_allowed(groups, a, path or "/")])
+                denied.append(_denied_agents(parsed(content), path or "/"))
             out = pdf[keep_cols].copy()
             out["disallowed_user_agents"] = denied
             yield out
