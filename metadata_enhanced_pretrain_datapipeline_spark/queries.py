@@ -1290,9 +1290,12 @@ def q_flagship(spark, sf):
 # entries only (CORRECTNESS_r01.json == the first 50 registered names,
 # verbatim, zero errors → a hard row cap, not failures).  To get every
 # query a hard driver row across rounds, emission order rotates: queries
-# with no CORRECTNESS row yet come first, already-green ones after.
-# Union(r01, r02) then covers the whole registry.  COVERAGE.md documents
-# the rotation.
+# with no CORRECTNESS row in ANY prior round come first (registration
+# order), then the rest ordered by how often they have been checked —
+# the union of rounds covers the whole registry.  The prior-round row
+# sets are read from CORRECTNESS_r*.json at the repo root at call time;
+# _R01_CHECKED is the static fallback when none are readable.
+# COVERAGE.md documents the rotation.
 _R01_CHECKED = [
     "q_scan_parquet", "q_length_filter", "q_predicate_filter",
     "q_threshold_filter_lt", "q_threshold_filter_ge",
@@ -1313,10 +1316,28 @@ _R01_CHECKED = [
 ]
 
 
+def _checked_counts() -> dict[str, int]:
+    """Times each query name appeared in a prior driver correctness run."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    counts: dict[str, int] = {}
+    for p in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(p) as f:
+                for name in _json.load(f):
+                    counts[name] = counts.get(name, 0) + 1
+        except (OSError, ValueError):
+            continue
+    return counts or {n: 1 for n in _R01_CHECKED}
+
+
 def _rotated() -> list[str]:
-    checked = set(_R01_CHECKED)
-    fresh = [n for n in _REGISTRY if n not in checked]
-    return fresh + [n for n in _R01_CHECKED if n in _REGISTRY]
+    counts = _checked_counts()
+    order = {n: i for i, n in enumerate(_REGISTRY)}
+    return sorted(_REGISTRY, key=lambda n: (counts.get(n, 0), order[n]))
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
