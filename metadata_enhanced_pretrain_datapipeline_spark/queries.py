@@ -1387,7 +1387,9 @@ def q_llm_annotate_split(spark, sf):
 def q_robots_filter(spark, sf):
     """† F2 — RobotsTxtFilter: broadcast domain→robots.txt dict, per-executor
     parser cache, annotate disallowed_user_agents (robots_filter.py:30-92).
-    Derived fixture: urls from source; even sources disallow /p under *."""
+    Derived fixture: urls from source; the rule set mixes plain-prefix,
+    ``*``-wildcard and ``$``-anchored paths plus a GPTBot-specific group,
+    so the driver's rows-only signal covers every REP matcher path."""
     from metadata_enhanced_pretrain_datapipeline_spark.operators.robots import robots_filter
 
     d = load(spark, sf, "documents").withColumn(
@@ -1397,8 +1399,15 @@ def q_robots_filter(spark, sf):
             F.col("doc_id").cast("string"),
         ),
     )
+    rules = {
+        0: "User-agent: *\nDisallow: /p\n",                     # plain prefix
+        2: "User-agent: *\nDisallow: /*/1\n",                   # mid wildcard
+        4: "User-agent: *\nDisallow: /p/*0$\n",                 # wildcard + anchor
+        6: "User-agent: GPTBot\nDisallow: /\n",                 # agent-specific
+        8: "User-agent: *\nDisallow: /p\nAllow: /p/1\n",        # longest-match allow
+    }
     rob = spark.createDataFrame(
-        [(f"src{i}.example.com", "User-agent: *\nDisallow: /p\n") for i in range(0, 20, 2)],
+        [(f"src{i}.example.com", rules[i % 10]) for i in range(0, 20, 2)],
         "domain string, content string",
     )
     out = robots_filter(d, rob)
