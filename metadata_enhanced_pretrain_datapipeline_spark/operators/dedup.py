@@ -248,3 +248,34 @@ def embedding_near_dup(df: DataFrame, id_col: str = "vec_id",
         .filter(F.col("cosine") >= F.lit(threshold))
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"), "cosine")
     )
+
+
+def drop_near_duplicates(df: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Resolve candidate pairs into a deduplicated corpus: drop every doc
+    that has a near-duplicate with a smaller id.
+
+    This is the standard greedy resolution used by production near-dedup
+    pipelines (and the fuzzy analogue of the reference's seen-set/IdFilter
+    flow, robots_filter.py:95-121 applied to dedup ids): for each pair
+    (id_a < id_b) the larger id is dropped, so exactly the per-component
+    minimum plus any doc never named as a bigger half survives — no
+    iterative connected-components job, one anti-join. ``pairs`` must have
+    (id_a, id_b) with id_a < id_b (minhash_lsh_pairs / jaccard_pairs /
+    embedding_near_dup all guarantee this).
+
+    Scale: the drop set is distinct ids only (no text), typically ≪ corpus
+    — broadcast anti-join, the big side never shuffles.
+    """
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(F.broadcast(drop), id_col, "left_anti")
+
+
+def minhash_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                  num_hashes: int = 32, bands: int = 8, shingle_n: int = 3,
+                  max_bucket_size: int = 64) -> DataFrame:
+    """End-to-end fuzzy dedup: MinHash-LSH candidate pairs → greedy
+    smaller-id-wins resolution → kept corpus."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands,
+                              shingle_n, max_bucket_size)
+    return drop_near_duplicates(df, pairs, id_col)

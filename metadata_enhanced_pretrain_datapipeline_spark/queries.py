@@ -1849,3 +1849,15 @@ def q_embedding_near_dup(spark, sf):
         e, id_col="vec_id", vec_col="embedding", threshold=0.3, num_planes=6
     )
     return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+@register("q_minhash_dedup")
+def q_minhash_dedup(spark, sf):
+    """† End-to-end fuzzy dedup application: MinHash-LSH candidate pairs →
+    greedy smaller-id-wins resolution → kept corpus
+    (dedup.minhash_dedup). Rows-only: banding isn't SQL-expressible; the
+    resolution invariant (kept ∪ {id_b of pairs} = input) is
+    pytest-checked."""
+    d = load(spark, sf, "documents")
+    kept = dedup.minhash_dedup(d, num_hashes=16, bands=8, shingle_n=3)
+    return kept.select("doc_id", "source", "n_chars")

@@ -125,3 +125,17 @@ def test_embedding_near_dup_bucket_cap_drops_degenerate(spark):
     uncapped = dedup.embedding_near_dup(df, threshold=0.5, num_planes=4,
                                         max_bucket_size=None).count()
     assert capped == 0 and uncapped == 30 * 29 // 2
+
+
+def test_minhash_dedup_drops_clones_keeps_min_id(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(1, base), (2, base), (3, base + " extra"),
+            (10, "completely different words about spark arrow shuffles joins")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r.doc_id for r in dedup.minhash_dedup(df, bands=8).collect())
+    assert 1 in kept and 10 in kept          # component minimum + unique doc
+    assert 2 not in kept                     # exact clone of 1 dropped
+    # invariant: kept ∪ dropped = input
+    pairs = dedup.minhash_lsh_pairs(df, bands=8)
+    dropped = {r.id_b for r in pairs.collect()}
+    assert set(kept) | dropped == {1, 2, 3, 10}
