@@ -264,11 +264,14 @@ def drop_near_duplicates(df: DataFrame, pairs: DataFrame,
     (id_a, id_b) with id_a < id_b (minhash_lsh_pairs / jaccard_pairs /
     embedding_near_dup all guarantee this).
 
-    Scale: the drop set is distinct ids only (no text), typically ≪ corpus
-    — broadcast anti-join, the big side never shuffles.
+    Scale: the drop set is distinct ids only (no text). No broadcast hint
+    — in the near-dup-heavy regime this operator exists for, the drop set
+    scales with the corpus and a forced broadcast would hit the driver
+    collect limits; AQE converts the anti-join to broadcast at runtime
+    whenever the set actually is small.
     """
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    return df.join(F.broadcast(drop), id_col, "left_anti")
+    return df.join(drop, id_col, "left_anti")
 
 
 def minhash_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",

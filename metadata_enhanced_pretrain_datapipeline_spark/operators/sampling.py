@@ -95,22 +95,46 @@ def global_rank(df: DataFrame, order: list[Column], rank_col: str = "pos",
     of the full dataset that leaked across calls and is itself a scale
     problem at 100 TB). Results identical to the naive window (tested).
 
-    The primary order column must cast to double monotonically (numeric —
-    the engine's determinism policy orders by 60-bit hashes); rows whose
-    doubles collide share a range and are split by the in-range window
-    over the full ``order``, so precision loss cannot misrank.
+    The primary order column must be an ASCENDING column expression whose
+    ordering a numeric key can mirror: numerics cast to double
+    monotonically (the engine's determinism policy orders by 60-bit
+    hashes), and strings use their first 7 bytes (Spark compares strings
+    bytewise, so the prefix is order-consistent). Rows whose keys collide
+    share a range and are split by the in-range window over the full
+    ``order``, so precision loss cannot misrank. The input is scanned
+    three times (quantiles, counts, ranking) — persist upstream first if
+    it is expensive to recompute rather than a pruned file scan.
     """
     spark = df.sparkSession
     num_ranges = num_ranges or spark.sparkContext.defaultParallelism
-    key = order[0].cast("double")
+    primary_type = df.select(order[0].alias("__k")).schema[0].dataType.simpleString()
+    if primary_type == "string":
+        # order-preserving numeric surrogate: first 7 BYTES of the UTF-8
+        # encoding, zero-padded to fixed width (56 bits — exact in a
+        # double). Fixed width matters: variable-length prefixes compare
+        # as integers by magnitude, not bytewise ('alphaz' > 'alpho' would
+        # misorder). Spark compares strings bytewise, so this mirrors it.
+        key = F.conv(
+            F.hex(F.substring(
+                F.concat(F.encode(order[0], "UTF-8"), F.lit(bytes(7))), 1, 7)),
+            16, 10,
+        ).cast("double")
+    else:
+        key = order[0].cast("double")
     qs = [i / num_ranges for i in range(1, num_ranges)]
     bounds = sorted(set(
         df.select(key.alias("__k")).approxQuantile("__k", qs, 0.001)
     )) if qs else []
-    pid = F.lit(0)
-    for b in bounds:
-        pid = pid + F.when(key >= F.lit(b), 1).otherwise(0)
-    with_pid = df.withColumn("__pid", pid)
+    # single array expression, not a when-chain: a chain of thousands of
+    # when() terms would blow the 64KB codegen method limit at cluster
+    # parallelism; filter-over-literal-array stays one vectorized op.
+    # __key is materialized as a column so the lambda compares against it
+    # instead of re-evaluating the key expression per array element.
+    keyed = df.withColumn("__key", key)
+    bounds_arr = F.array(*[F.lit(b) for b in bounds])
+    pid = (F.size(F.filter(bounds_arr, lambda b: F.col("__key") >= b))
+           if bounds else F.lit(0))
+    with_pid = keyed.withColumn("__pid", pid).drop("__key")
     counts = {r["__pid"]: r["cnt"] for r in
               with_pid.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
     offsets, acc = {}, 0

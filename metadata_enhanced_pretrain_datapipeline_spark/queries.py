@@ -1334,10 +1334,19 @@ def _checked_counts() -> dict[str, int]:
     return counts or {n: 1 for n in _R01_CHECKED}
 
 
+_ROTATION: list[str] | None = None
+
+
 def _rotated() -> list[str]:
-    counts = _checked_counts()
-    order = {n: i for i, n in enumerate(_REGISTRY)}
-    return sorted(_REGISTRY, key=lambda n: (counts.get(n, 0), order[n]))
+    # computed once per process: all_queries() and all_oracles() MUST see
+    # the same ordering even if a CORRECTNESS file lands between the calls
+    # (a positional pairing of the two dicts would otherwise mismatch)
+    global _ROTATION
+    if _ROTATION is None:
+        counts = _checked_counts()
+        order = {n: i for i, n in enumerate(_REGISTRY)}
+        _ROTATION = sorted(_REGISTRY, key=lambda n: (counts.get(n, 0), order[n]))
+    return _ROTATION
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1844,9 +1853,13 @@ def q_embedding_near_dup(spark, sf):
     e = load(spark, sf, "embeddings")
     # synthetic embeddings are near-orthogonal (p99.99 cosine ≈ 0.45), so a
     # production threshold (0.95) returns nothing; 0.3 exercises the full
-    # bucket → in-bucket-join → threshold path with a non-trivial result
+    # bucket → in-bucket-join → threshold path with a non-trivial result.
+    # max_bucket_size=None: with 64 buckets a fixed cap would silently
+    # empty the result once the table outgrows cap×64 rows; the cap path
+    # is covered by tests (test_embedding_near_dup_bucket_cap_...)
     pairs = dedup.embedding_near_dup(
-        e, id_col="vec_id", vec_col="embedding", threshold=0.3, num_planes=6
+        e, id_col="vec_id", vec_col="embedding", threshold=0.3, num_planes=6,
+        max_bucket_size=None,
     )
     return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 

@@ -58,14 +58,16 @@ def get_spark(app_name: str = "metadata-enhanced-pretrain-datapipeline-spark",
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0)
     master = f"local[{cpus}]" if cpus else "local[*]"
     shuffle = shuffle_partitions or max(cpus, 32)
+    builder = SparkSession.builder.appName(app_name).master(master)
+    # oracle confs first: the explicit sizing below must win over the
+    # generic 32-partition default in _ORACLE_CONFS (last write wins)
+    for k, v in _ORACLE_CONFS.items():
+        builder = builder.config(k, v)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
     )
-    for k, v in _ORACLE_CONFS.items():
-        builder = builder.config(k, v)
     return builder.getOrCreate()

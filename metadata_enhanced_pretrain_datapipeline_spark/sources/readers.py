@@ -100,13 +100,30 @@ def read_hf_snapshot(spark: SparkSession, snapshot_dir: str,
             os.path.join(snapshot_dir, "data", "*.parquet"),
             os.path.join(snapshot_dir, "*.parquet"),
         ]
-    chosen = next((p for p in patterns if _glob.glob(p)), None)
-    if chosen is None:
-        raise FileNotFoundError(
-            f"no parquet shards under {snapshot_dir!r} for split={split!r}; "
-            f"tried {patterns}"
-        )
-    df = spark.read.parquet(chosen)
+    if "://" in snapshot_dir:
+        # remote URI (s3a://, hdfs://, ...): driver-local glob can't see it
+        # — probe each layout with the scan itself and take the first that
+        # resolves (the listing Spark does here is reused by the read)
+        df = None
+        for p in patterns:
+            try:
+                df = spark.read.parquet(p)
+                break
+            except Exception:
+                continue
+        if df is None:
+            raise FileNotFoundError(
+                f"no parquet shards under {snapshot_dir!r} for split={split!r}; "
+                f"tried {patterns}"
+            )
+    else:
+        chosen = next((p for p in patterns if _glob.glob(p)), None)
+        if chosen is None:
+            raise FileNotFoundError(
+                f"no parquet shards under {snapshot_dir!r} for split={split!r}; "
+                f"tried {patterns}"
+            )
+        df = spark.read.parquet(chosen)
     if id_col is not None:
         return to_documents(df, id_col=id_col, text_col=text_key)
     if text_key != "text":

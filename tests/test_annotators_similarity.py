@@ -141,3 +141,21 @@ def test_kmeans_fewer_rows_than_k(spark):
     )
     cents = similarity.kmeans_fit(df, k=5, iters=2)
     assert len(cents) == 2  # fits with what exists instead of IndexError
+
+
+def test_global_rank_string_primary_key(spark):
+    """String order columns use an order-preserving byte-prefix key — they
+    must still rank correctly and spread across ranges (a silent all-null
+    cast would collapse every row into range 0)."""
+    from pyspark.sql import Window
+
+    rows = [(i, w) for i, w in enumerate(
+        ["delta", "alpha", "echo", "bravo", "charlie", "foxtrot", "golf", "hotel"] * 25)]
+    df = spark.createDataFrame(rows, "rid long, word string")
+    order = [F.col("word"), F.col("rid")]
+    naive = {r.rid: r.pos for r in df.select(
+        "rid", F.row_number().over(Window.orderBy(*order)).cast("long").alias("pos")
+    ).collect()}
+    got = {r.rid: r.pos
+           for r in sampling.global_rank(df, order, num_ranges=4).select("rid", "pos").collect()}
+    assert got == naive
