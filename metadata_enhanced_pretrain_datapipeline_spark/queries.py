@@ -1187,10 +1187,13 @@ def q_ngram_jaccard_sampled(spark, sf):
     name says so): jaccard_pairs is the exact in-bucket VERIFIER, not a
     full-corpus pair generator — at scale it runs on LSH candidates
     (minhash_lsh_pairs), and here on a sample that bounds pair volume.
-    The driver's rows-only count covers the sample, not the corpus."""
+    The driver's rows-only count covers the sample, not the corpus.
+    Bigram shingles + low threshold: the synthetic docs share little
+    verbatim text, so trigram/0.2 settings return an empty (hence
+    meaningless) gate result."""
     d = load(spark, sf, "documents")
-    sample = d.filter(F.col("doc_id") % 25 == 0)
-    return dedup.jaccard_pairs(sample, min_jaccard=0.2).select(
+    sample = d.filter(F.col("doc_id") % 10 == 0)
+    return dedup.jaccard_pairs(sample, shingle_n=2, min_jaccard=0.05).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
 
