@@ -64,3 +64,93 @@ def test_pack_sequences_invariants(spark, texts, seq_len):
         by_shard.setdefault(r.shard, []).append(r.seq_idx)
     for idxs in by_shard.values():
         assert sorted(idxs) == list(range(len(idxs)))
+
+
+def _naive_pack_with_metadata(rows, seq_len, pad_id=1, per_sequence=False):
+    """Reference fold for the differential test: the straightforward
+    per-token list implementation of megatron_tokenizer_context.py:283-334
+    semantics (shard pre-assigned; rows pre-sorted)."""
+    BOC, EOC = 2, 3
+    bufs, meta_c, pad_c, counters, out = {}, {}, {}, {}, []
+
+    def emit_full(shard):
+        buf = bufs[shard]
+        while len(buf) >= seq_len:
+            out.append((shard, counters.get(shard, 0), tuple(buf[:seq_len]),
+                        pad_c.pop(shard, 0), meta_c.get(shard, 0)))
+            counters[shard] = counters.get(shard, 0) + 1
+            meta_c[shard] = 0
+            del buf[:seq_len]
+
+    for shard, toks, mtoks in rows:
+        buf = bufs.setdefault(shard, [])
+        run = [BOC, *mtoks, EOC]
+        if len(run) > seq_len:
+            run = run[: seq_len - 1] + [EOC]
+
+        def inject():
+            room = seq_len - (len(buf) % seq_len)
+            if room < len(run):
+                buf.extend([pad_id] * room)
+                pad_c[shard] = pad_c.get(shard, 0) + room
+                emit_full(shard)
+            buf.extend(run)
+            meta_c[shard] = meta_c.get(shard, 0) + len(run)
+
+        if per_sequence:
+            inject()
+            for t in toks:
+                if len(buf) % seq_len == 0 and len(buf) > 0:
+                    emit_full(shard)
+                    inject()
+                buf.append(t)
+        else:
+            inject()
+            buf.extend(toks)
+        emit_full(shard)
+
+    for shard, buf in bufs.items():
+        if buf:
+            pad = seq_len - len(buf) + pad_c.pop(shard, 0)
+            out.append((shard, counters.get(shard, 0),
+                        tuple(buf + [pad_id] * (seq_len - len(buf))), pad,
+                        meta_c.get(shard, 0)))
+    return sorted(out)
+
+
+@_slow
+@given(
+    docs=st.lists(
+        st.tuples(st.text(alphabet="pq ", max_size=30),   # text
+                  st.text(alphabet="m", min_size=0, max_size=3)),  # meta word
+        min_size=1, max_size=10,
+    ),
+    seq_len=st.integers(6, 48),
+    per_seq=st.booleans(),
+)
+def test_pack_with_metadata_differential(spark, docs, seq_len, per_seq):
+    """The Arrow fold must equal the naive per-token list fold exactly —
+    including straddle pads, meta/pad attribution and cross-batch carry."""
+    from pyspark.sql import functions as F
+
+    from metadata_enhanced_pretrain_datapipeline_spark.functions.hashing import md5_hash64
+
+    rows = [(i, t, m) for i, (t, m) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, meta string")
+    got = sorted(
+        (r.shard, r.seq_idx, tuple(r.tokens), r.n_pad, r.n_meta_tokens)
+        for r in tokens.pack_with_metadata(
+            df, "doc_id", seq_len=seq_len, shards=2, per_sequence=per_seq
+        ).collect()
+    )
+    # replicate the operator's shard assignment + tokenization host-side
+    shard_tok = df.select(
+        (md5_hash64(F.col("doc_id")) % F.lit(2)).alias("shard"),
+        F.col("doc_id"),
+        tokens.tokenize_ws(F.col("text")).alias("toks"),
+        tokens.tokenize_ws(F.substring(F.col("meta"), 1, 50)).alias("mtoks"),
+    ).collect()
+    naive_rows = [(r.shard, list(r.toks), list(r.mtoks))
+                  for r in sorted(shard_tok, key=lambda r: (r.shard, r.doc_id))]
+    want = _naive_pack_with_metadata(naive_rows, seq_len, per_sequence=per_seq)
+    assert got == want
