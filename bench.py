@@ -54,9 +54,12 @@ def main() -> None:
     for name in HEADLINE:
         fn = registry[name]
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm (JIT+IO cache)
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        laps = []
+        for _ in range(2):  # best-of-2: steady-state time, resistant to
+            t0 = time.time()  # transient host noise between rounds
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            laps.append(time.time() - t0)
+        timings[name] = round(min(laps), 3)
 
     total = round(sum(timings.values()), 3)
     print(
