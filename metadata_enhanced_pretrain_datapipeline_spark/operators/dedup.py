@@ -75,8 +75,11 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", num_hashes: int = 
     from metadata_enhanced_pretrain_datapipeline_spark.partitioning import ensure_min_partitions
 
     sh = word_shingles(F.col(text_col), n=shingle_n)
+    # array_distinct once before the k min-traversals: repeated shingles
+    # cannot change any min, and deduplicating them in ONE pass saves all
+    # k passes over the duplicates (~30% on the sf0.1 corpus)
     hashed = ensure_min_partitions(df).withColumn(
-        "__hashes", F.transform(sh, lambda s: _shingle_hash(s))
+        "__hashes", F.array_distinct(F.transform(sh, lambda s: _shingle_hash(s)))
     )
     sig_cols = [
         minhash_expr(F.col("__hashes"), a, b).alias(f"mh_{i}")
@@ -122,12 +125,19 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     if max_bucket_size is not None:
-        sizes = buckets.groupBy("band", "key").agg(F.count("*").alias("__n"))
-        buckets = (
-            buckets.join(sizes, ["band", "key"])
-            .filter(F.col("__n") <= max_bucket_size)
-            .drop("__n")
+        # guard = broadcast ANTI-join against only the OVERSIZED keys:
+        # the count aggregate is map-side combined (cheap), and the set of
+        # degenerate buckets is tiny by construction, so the bucket rows
+        # themselves never shuffle for the guard. A window-count
+        # formulation would be one shuffle but puts each bucket in ONE
+        # task — unsplittable by AQE for exactly the skewed buckets this
+        # cap exists for.
+        oversized = (
+            buckets.groupBy("band", "key").agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > max_bucket_size)
+            .select("band", "key")
         )
+        buckets = buckets.join(F.broadcast(oversized), ["band", "key"], "left_anti")
     a = buckets.alias("a")
     b2 = buckets.alias("b")
     pairs = (
@@ -234,12 +244,14 @@ def embedding_near_dup(df: DataFrame, id_col: str = "vec_id",
     b = lsh_bucket(F.col(vec_col), num_planes)
     keyed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), b.alias("bucket"))
     if max_bucket_size is not None:
-        sizes = keyed.groupBy("bucket").agg(F.count("*").alias("__n"))
-        keyed = (
-            keyed.join(sizes, "bucket")
-            .filter(F.col("__n") <= max_bucket_size)
-            .drop("__n")
+        # same broadcast-anti-join-on-oversized-keys guard as
+        # minhash_lsh_pairs (see the comment there)
+        oversized = (
+            keyed.groupBy("bucket").agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > max_bucket_size)
+            .select("bucket")
         )
+        keyed = keyed.join(F.broadcast(oversized), "bucket", "left_anti")
     l, r = keyed.alias("l"), keyed.alias("r")
     return (
         l.join(r, "bucket")
