@@ -40,7 +40,10 @@ def positional_dot(a: Column, weight_of_pos) -> Column:
     (embeddings_filter.py:44-55). ``weight_of_pos`` maps a 0-based index
     Column to a weight Column."""
     n = F.size(a)
-    return F.aggregate(
+    # sequence(0, -1) DESCENDS for empty arrays and zip_with null-pads, so
+    # the aggregate would return NULL (0.0 + NULL) instead of 0.0 — guard
+    # empty/null arrays to an explicit empty-sum
+    dot = F.aggregate(
         F.zip_with(
             a,
             F.sequence(F.lit(0), n - F.lit(1)),
@@ -49,3 +52,4 @@ def positional_dot(a: Column, weight_of_pos) -> Column:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+    return F.when(n > 0, dot).otherwise(F.lit(0.0))

@@ -23,10 +23,22 @@ def estimate_threshold(df: DataFrame, score_col: Column, keep_top_p: float,
     into the filter (J4)."""
     from metadata_enhanced_pretrain_datapipeline_spark.operators.filters import hash_sample
 
+    if sample_rate is not None and key is None:
+        raise ValueError(
+            "sample_rate needs a stable `key` column to hash-sample on — "
+            "without one the estimate would silently run over the full "
+            "dataset (an exact-percentile sort at 100 TB)"
+        )
     scored = df.select(score_col.alias("__s"), *( [key.alias("__k")] if key is not None else []))
-    if sample_rate is not None and key is not None:
+    if sample_rate is not None:
         scored = hash_sample(scored, F.col("__k"), sample_rate)
     row = scored.agg(F.expr(f"percentile(__s, {1 - keep_top_p})").alias("t")).collect()[0]
+    if row["t"] is None:
+        raise ValueError(
+            "threshold undefined: no non-null scores reached the percentile "
+            "aggregate (empty input, all-null scores, or a sample_rate that "
+            "filtered out every row)"
+        )
     return float(row["t"])
 
 

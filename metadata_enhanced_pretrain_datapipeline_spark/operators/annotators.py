@@ -58,10 +58,17 @@ def mlp_score_udf(dim: int, hidden: int = 16):
     def score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         w1, b1, w2, b2 = _mlp_weights(dim, hidden)
         for s in batches:
-            x = np.stack(s.to_numpy())
-            h = np.maximum(x @ w1 + b1, 0.0)
-            z = (h @ w2 + b2).ravel()
-            yield pd.Series(1.0 / (1.0 + np.exp(-z)))
+            # NULL or wrong-length vectors score NULL instead of crashing
+            # the task (np.stack raises on ragged/None input)
+            vals = s.to_numpy()
+            ok = np.array([v is not None and len(v) == dim for v in vals])
+            out = np.full(len(vals), np.nan)
+            if ok.any():
+                x = np.stack(vals[ok])
+                h = np.maximum(x @ w1 + b1, 0.0)
+                z = (h @ w2 + b2).ravel()
+                out[ok] = 1.0 / (1.0 + np.exp(-z))
+            yield pd.Series(out)
 
     return score
 
@@ -189,10 +196,11 @@ def embed_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
 
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                words = (row[text_col] or "").split()
+            # column arrays, not iterrows (a Series per row is ~30x slower)
+            for rid, text in zip(pdf[id_col].to_numpy(), pdf[text_col].to_numpy()):
+                words = (text or "").split()
                 chunks = [words[i : i + chunk_len] for i in range(0, max(len(words), 1), chunk_len)]
-                out.append((row[id_col], [encode(c) for c in chunks]))
+                out.append((rid, [encode(c) for c in chunks]))
             yield pd.DataFrame(out, columns=[id_col, "embeddings"])
 
     return df.select(id_col, text_col).mapInPandas(run, schema)
@@ -216,11 +224,11 @@ def llm_annotate(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                content = (row[text_col] or "")[:max_chars]  # truncation :69-71
+            for rid, text in zip(pdf[id_col].to_numpy(), pdf[text_col].to_numpy()):
+                content = (text or "")[:max_chars]  # truncation :69-71
                 h = hashlib.md5(content.encode()).digest()
                 c, p, e, d = h[0] % 10, h[1] % 10, h[2] % 10, h[3] % 3
-                out.append((row[id_col], f"{c} {p} {e} {d}"))
+                out.append((rid, f"{c} {p} {e} {d}"))
             yield pd.DataFrame(out, columns=[id_col, "output"])
 
     return df.select(id_col, text_col).mapInPandas(run, schema)

@@ -33,6 +33,13 @@ def asof_join(left: DataFrame, right: DataFrame, left_key: str, right_key: str,
     last_value(right_vals) forward, then keep left rows. ONE shuffle on the
     key — vs a naive join+filter+argmax which shuffles the cross product.
     """
+    clash = set(right_vals) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"right_vals {sorted(clash)} collide with left columns — the "
+            "output would carry duplicate names and every downstream "
+            "reference would be ambiguous; alias the right columns first"
+        )
     rstruct_type = F.struct(*[right[v] for v in right_vals])
     lt = left.select(
         F.col(left_key).alias("__k"), F.col(left_ts).alias("__ts"),
@@ -80,6 +87,10 @@ def salted_join(left: DataFrame, right: DataFrame, on: str, how: str = "inner",
     rows once per salt."""
     if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
         raise ValueError(f"salted_join supports left-oriented joins only, got {how!r}")
+    if salt_buckets < 1:
+        # % 0 throws under ANSI / yields NULL otherwise, and sequence(0,-1)
+        # DESCENDS — either way the join silently degenerates
+        raise ValueError(f"salt_buckets must be >= 1, got {salt_buckets}")
     salt = (F.shiftrightunsigned(F.xxhash64(F.monotonically_increasing_id()), 1)
             % F.lit(salt_buckets))
     lsalted = left.withColumn("__salt", salt.cast("int"))

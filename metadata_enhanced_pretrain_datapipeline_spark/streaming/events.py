@@ -24,19 +24,28 @@ def stream_events_from_parquet(spark: SparkSession, path: str, schema=None) -> D
 
 def windowed_counts(events: DataFrame, ts_col: str = "ts",
                     key: str = "event_type", duration: str = "1 hour",
-                    watermark: str = "2 hours") -> DataFrame:
-    """Tumbling-window counts + value sum with late-data handling.
+                    watermark: str = "2 hours",
+                    aggs: list | None = None) -> DataFrame:
+    """Tumbling-window aggregation with late-data handling.
+
+    ``aggs``: aliased aggregate Columns, like the batch operator's
+    (tumbling_window_agg) — defaulting to the count + value-sum pair the
+    events table uses, so streams without a ``value`` column can pass
+    their own instead of hitting an UNRESOLVED_COLUMN surprise.
 
     The watermark bounds state: closed windows are emitted and dropped, so
     state size is O(open windows × keys), independent of stream length —
     the property that makes this run forever at 100 TB/day.
     """
-    return (
+    if aggs is None:
+        aggs = [F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")]
+    agged = (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), duration).alias("w"), key)
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
-        .select(F.col("w.start").alias("window_start"), key, "n", "sum_value")
+        .agg(*aggs)
     )
+    rest = [c for c in agged.columns if c not in ("w", key)]
+    return agged.select(F.col("w.start").alias("window_start"), key, *rest)
 
 
 def run_available_now(stream_df: DataFrame, out_path: str, checkpoint: str) -> None:
@@ -83,8 +92,10 @@ def streaming_sessionize(events: DataFrame, ts_col: str = "ts",
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    out_schema = f"{key_col} long, session_start timestamp, n_events long"
+    key_type = dict(events.dtypes)[key_col]  # don't hardcode long: string/int keys work too
+    out_schema = f"{key_col} {key_type}, session_start timestamp, n_events long"
     state_schema = "start long, last long, n long"
+    gap_us = gap_seconds * 1_000_000
 
     def fold(key, pdfs, state: GroupState):
         closed = []
@@ -105,11 +116,22 @@ def streaming_sessionize(events: DataFrame, ts_col: str = "ts",
                 us = int(t.value // 1000)  # pandas ns -> µs
                 if start is None:
                     start, last, n = us, us, 1
-                elif us - last > gap_seconds * 1_000_000:
+                elif us - last > gap_us:
                     closed.append((key[0], pd.Timestamp(start, unit="us"), n))
                     start, last, n = us, us, 1
+                elif us < start - gap_us:
+                    # late row earlier than the open session can merge with
+                    # (still >= watermark or Spark would have dropped it):
+                    # it is its own already-closed session — emit directly
+                    closed.append((key[0], pd.Timestamp(us, unit="us"), 1))
                 else:
-                    last, n = us, n + 1
+                    # in-gap row, possibly LATE: extend the open session in
+                    # both directions — moving `last` backward (or leaving
+                    # `start` fixed) would corrupt the gap arithmetic for
+                    # subsequent rows
+                    start = min(start, us)
+                    last = max(last, us)
+                    n += 1
             if start is not None:
                 state.update((start, last, n))
                 state.setTimeoutTimestamp(last // 1000 + gap_seconds * 1000)

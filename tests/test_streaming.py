@@ -36,3 +36,38 @@ def test_stream_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM stream_out").collect()
     )
     assert stream_rows == batch_rows
+
+
+def test_streaming_sessionize_late_rows_extend_backward(spark, tmp_path):
+    """A late-but-valid row inside the gap must extend the open session
+    backward (start=min, last=max) — moving `last` backward corrupted the
+    gap arithmetic and split sessions that belong together."""
+    import pandas as pd
+
+    from metadata_enhanced_pretrain_datapipeline_spark.streaming import events as se
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    # one user; arrival order interleaves: 12:00 arrives, then LATE 11:50,
+    # then 12:15 — all within 30-min gaps => ONE session of 3 starting 11:50
+    rows = pd.DataFrame({
+        "user_id": [1, 1, 1],
+        "ts": pd.to_datetime(["2024-01-01 12:00:00",
+                              "2024-01-01 11:50:00",
+                              "2024-01-01 12:15:00"]),
+    })
+    rows.astype({"ts": "datetime64[us]"}).to_parquet(src / "a.parquet")
+    # much-later event closes the session via the gap on a second file
+    pd.DataFrame({
+        "user_id": [1], "ts": pd.to_datetime(["2024-01-01 20:00:00"]),
+    }).astype({"ts": "datetime64[us]"}).to_parquet(src / "b.parquet")
+
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    sess = se.streaming_sessionize(stream, gap_seconds=1800, watermark="10 hours")
+    q = (sess.writeStream.format("memory").queryName("sess_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = {(r.session_start.strftime("%H:%M:%S"), r.n_events)
+           for r in spark.table("sess_out").collect()}
+    assert ("11:50:00", 3) in out
