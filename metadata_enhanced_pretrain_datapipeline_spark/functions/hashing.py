@@ -46,13 +46,19 @@ def lin_hash(col: Column, a: int = 9973, b: int = 12345, m: int = 1_000_003) -> 
 
 
 def salted_hash(col: Column, salt: int = 0) -> Column:
-    """Well-mixed, engine-portable keyed hash: md5 over ``key || '_' || salt``."""
-    return md5_hash64(F.concat(col.cast("string"), F.lit(f"_{salt}")))
+    """Well-mixed, engine-portable keyed hash: md5 over ``key || '_' || salt``.
+
+    NULL keys hash as the sentinel string '\\u2400' instead of propagating
+    NULL — a NULL hash would silently drop those rows from every
+    hash-sample/shard (NULL == shard is never true), so the union of n
+    shards would lose rows. The SQL twin applies the same COALESCE."""
+    key = F.coalesce(col.cast("string"), F.lit("␀"))
+    return md5_hash64(F.concat(key, F.lit(f"_{salt}")))
 
 
 def salted_hash_sql(expr: str, salt: int = 0) -> str:
     """DuckDB rendering of :func:`salted_hash`."""
-    return md5_hash64_sql(f"CAST({expr} AS VARCHAR) || '_{salt}'")
+    return md5_hash64_sql(f"COALESCE(CAST({expr} AS VARCHAR), '␀') || '_{salt}'")
 
 
 def hash_bucket(col: Column, n: int, salt: int = 0) -> Column:

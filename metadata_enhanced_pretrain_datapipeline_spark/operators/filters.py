@@ -101,16 +101,24 @@ def shard_select(df: DataFrame, key: Column, shard: int, num_shards: int) -> Dat
     return df.filter(hash_bucket(key, num_shards) == F.lit(shard))
 
 
-def quantile_gate(df: DataFrame, cols: list[str], q: float) -> DataFrame:
+def quantile_gate(df: DataFrame, cols: list[str], q: float,
+                  exact: bool = True, accuracy: int = 10000) -> DataFrame:
     """F13 — keep rows where ALL label columns ≥ their per-column quantile
     (reference code_filtering.py:27-29).
 
-    Two-phase, as in the reference: one exact-percentile aggregation (a
-    single 1-row result), broadcast back as a cross join, then a conjunctive
-    filter. At scale the agg is one shuffle-to-one-row; the filter is a
-    narrow map over the fact table — no second shuffle.
+    Two-phase, as in the reference: one percentile aggregation (a single
+    1-row result), broadcast back as a cross join, then a conjunctive
+    filter. The filter is a narrow map over the fact table — no second
+    shuffle.
+
+    ``exact=True`` (oracle parity — the reference's np.quantile is exact)
+    uses percentile(), whose state holds every distinct value in the final
+    reducer; at 100 TB with high-cardinality doubles pass ``exact=False``
+    for approx_percentile, whose sketch state is bounded by ``accuracy``.
     """
-    aggs = [F.expr(f"percentile({c}, {q})").alias(f"__t_{c}") for c in cols]
+    fn = "percentile" if exact else "approx_percentile"
+    extra = "" if exact else f", {accuracy}"
+    aggs = [F.expr(f"{fn}({c}, {q}{extra})").alias(f"__t_{c}") for c in cols]
     thresholds = df.agg(*aggs)
     out = df.crossJoin(F.broadcast(thresholds))
     pred = F.lit(True)

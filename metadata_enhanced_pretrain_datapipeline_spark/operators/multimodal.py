@@ -78,15 +78,15 @@ def image_features(df: DataFrame, stub: bool = True,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                px = decode_image(bytes(row["content"]), stub=stub)
+            for mid, content in zip(pdf["media_id"].to_numpy(), pdf["content"].to_numpy()):
+                px = decode_image(bytes(content) if content is not None else b"", stub=stub)
                 # mean-pool resize to (th, tw): crop to a multiple, reshape
                 h, w = px.shape[:2]
                 px = px[: h - h % th, : w - w % tw]
                 pooled = px.reshape(th, h // th, tw, w // tw, 3).mean(axis=(1, 3))
                 means = pooled.mean(axis=(0, 1))
                 out.append(
-                    (row["media_id"], tw, th, float(means[0]), float(means[1]), float(means[2]))
+                    (mid, tw, th, float(means[0]), float(means[1]), float(means[2]))
                 )
             yield pd.DataFrame(
                 out,
@@ -103,11 +103,11 @@ def audio_features(df: DataFrame, stub: bool = True) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                pcm = decode_audio(bytes(row["content"]), stub=stub)
+            for mid, content in zip(pdf["media_id"].to_numpy(), pdf["content"].to_numpy()):
+                pcm = decode_audio(bytes(content) if content is not None else b"", stub=stub)
                 rms = float(np.sqrt(np.mean(pcm**2)))
                 zcr = float(np.mean(np.abs(np.diff(np.signbit(pcm).astype(np.int8)))))
-                out.append((row["media_id"], rms, zcr, len(pcm)))
+                out.append((mid, rms, zcr, len(pcm)))
             yield pd.DataFrame(out, columns=["media_id", "rms", "zcr", "n_samples"])
 
     return df.select("media_id", "content").mapInPandas(run, schema)
@@ -122,15 +122,17 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000, stub: bool = True) 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                duration = int(row["duration_ms"] or 0)
-                content = bytes(row["content"])
+            for mid, dur, content in zip(pdf["media_id"].to_numpy(),
+                                         pdf["duration_ms"].to_numpy(),
+                                         pdf["content"].to_numpy()):
+                duration = int(dur or 0)
+                content = bytes(content) if content is not None else b""
                 for i, ts in enumerate(range(0, max(duration, 1), every_ms)):
                     if not stub:
                         raise NotImplementedError("video codec not available")
                     frame = _fake_pixels(content + ts.to_bytes(4, "little"), 8, 8)
                     digest = hashlib.md5(frame.tobytes()).hexdigest()
-                    out.append((row["media_id"], i, ts, digest))
+                    out.append((mid, i, ts, digest))
             yield pd.DataFrame(
                 out, columns=["media_id", "frame_idx", "ts_ms", "frame_digest"]
             )

@@ -28,9 +28,10 @@ def positional_split(df: DataFrame, key: Column, train_frac: float,
     Position = rank by hash order (deterministic shuffle), computed with
     the scalable two-phase global_rank — no single-task window sort.
     """
-    n = df.count()
+    # global_rank already counts every range — reuse its total instead of
+    # paying a fourth full scan for df.count()
+    ranked, n = global_rank(df, [salted_hash(key), key], "__rank", with_total=True)
     cut = int(n * train_frac)
-    ranked = global_rank(df, [salted_hash(key), key], "__rank")
     return ranked.withColumn(
         tag_col, F.when(F.col("__rank") <= F.lit(cut), "train").otherwise("test")
     ).drop("__rank")
@@ -46,13 +47,13 @@ def balanced_sample(df: DataFrame, label_col: str, key: Column) -> DataFrame:
     salting is unnecessary because we only keep min_count per class.
     """
     counts = df.groupBy(label_col).count()
-    min_count = counts.agg(F.min("count").alias("m"))
+    min_count = counts.agg(F.min("count").alias("__m"))  # __-prefixed: a user column named 'm' must not collide
     w = Window.partitionBy(label_col).orderBy(salted_hash(key), key)
     ranked = df.withColumn("__rk", F.row_number().over(w))
     return (
         ranked.crossJoin(F.broadcast(min_count))
-        .filter(F.col("__rk") <= F.col("m"))
-        .drop("__rk", "m")
+        .filter(F.col("__rk") <= F.col("__m"))
+        .drop("__rk", "__m")
     )
 
 
@@ -81,7 +82,7 @@ def top_k(df: DataFrame, order: list[Column], k: int) -> DataFrame:
 
 
 def global_rank(df: DataFrame, order: list[Column], rank_col: str = "pos",
-                num_ranges: int | None = None) -> DataFrame:
+                num_ranges: int | None = None, with_total: bool = False):
     """Scalable global ranking: 1..N positions under a total order WITHOUT
     the single-task sort of an unpartitioned row_number() window.
 
@@ -144,10 +145,13 @@ def global_rank(df: DataFrame, order: list[Column], rank_col: str = "pos",
     omap = F.create_map(*[x for p, off in offsets.items()
                           for x in (F.lit(p), F.lit(off))])
     w = Window.partitionBy("__pid").orderBy(*order)
-    return (
+    ranked = (
         with_pid.withColumn(
             rank_col,
             (F.row_number().over(w) + F.coalesce(F.element_at(omap, F.col("__pid")), F.lit(0)))
             .cast("long"),
         ).drop("__pid")
     )
+    if with_total:
+        return ranked, acc  # total row count — already paid for by the counts job
+    return ranked

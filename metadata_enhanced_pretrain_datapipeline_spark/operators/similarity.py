@@ -19,19 +19,27 @@ from pyspark.sql import functions as F
 from metadata_enhanced_pretrain_datapipeline_spark.functions.arrays import cosine_similarity, positional_dot
 
 #: deterministic pseudo-hyperplane weight for plane p at position i:
-#: cycles through {-3..3}\{0}-ish small ints — public trick standing in for
-#: seeded gaussian planes so results are engine-portable.
+#: ((i·A[p] + B[p]) mod 11) − 5, small ints in [-5, 5] — a public trick
+#: standing in for seeded gaussian planes so results are engine-portable.
+#: A[p] are primes with no multiple of 11 (a multiplier ≡ 0 mod 11 makes
+#: the plane CONSTANT — the old mod-7 scheme had exactly that bug: planes
+#: 0 and 7 were both the constant −2, so bucket bits 0 and 7 were always
+#: equal and only half the buckets were reachable). (A,B) pairs are
+#: distinct mod 11 for p ≤ 14, which lsh_bucket asserts.
+_PLANE_A = [3, 5, 7, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59]
 
 
 def _plane_weight(p: int):
     def w(i: Column) -> Column:
-        return ((i * F.lit(7 + 2 * p) + F.lit(3 * p + 1)) % F.lit(7) - F.lit(3)).cast("double")
+        return ((i * F.lit(_PLANE_A[p]) + F.lit(5 * p + 2)) % F.lit(11) - F.lit(5)).cast("double")
 
     return w
 
 
 def lsh_bucket(vec: Column, num_planes: int = 8) -> Column:
     """Bucket id = Σ_p 2^p · [vec·plane_p > 0] — sign-of-projection LSH."""
+    if num_planes > 15:
+        raise ValueError("lsh_bucket supports at most 15 distinct planes")
     bucket = F.lit(0)
     for p in range(num_planes):
         proj = positional_dot(vec, _plane_weight(p))
@@ -52,14 +60,21 @@ def brute_force_topk(df: DataFrame, query_vec: list[float], k: int = 10,
 
 def lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             num_planes: int = 8) -> DataFrame:
+             num_planes: int = 8, bucket_col: str | None = None) -> DataFrame:
     """ANN top-k: restrict the exact search to the query's LSH bucket.
 
-    With the corpus written bucketed/partitioned by `bucket`, the filter
-    prunes partitions at scan time — the 100 TB query touches one bucket.
+    Pass ``bucket_col`` naming a PRE-COMPUTED bucket column (written
+    partitioned/bucketed by it) and the filter lands on the stored column
+    — a literal predicate Catalyst pushes into partition pruning, so the
+    100 TB query touches one bucket's files. Without it the bucket is
+    recomputed per row and the query is a full scan (correct, but no
+    pruning can engage on a derived expression).
     """
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    bucketed = df.withColumn("bucket", lsh_bucket(F.col(vec_col), num_planes))
+    if bucket_col is None:
+        bucketed = df.withColumn("bucket", lsh_bucket(F.col(vec_col), num_planes))
+    else:
+        bucketed = df.withColumn("bucket", F.col(bucket_col))
     qrow = df.sparkSession.range(1).select(lsh_bucket(q, num_planes).alias("qb"))
     qb = qrow.collect()[0]["qb"]  # tiny driver-side scalar, like the reference's threshold
     return (
@@ -106,7 +121,8 @@ def kmeans_fit(df: DataFrame, vec_col: str = "embedding", k: int = 8,
     from metadata_enhanced_pretrain_datapipeline_spark.functions.hashing import salted_hash
 
     seeds = (
-        df.select(vec_col).orderBy(salted_hash(F.col(key_col), 7), F.col(key_col))
+        df.filter(F.col(vec_col).isNotNull())  # a NULL vector seed would crash the fit
+        .select(vec_col).orderBy(salted_hash(F.col(key_col), 7), F.col(key_col))
         .limit(k).collect()
     )
     centroids = [[float(x) for x in r[vec_col]] for r in seeds]
@@ -142,16 +158,23 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]],
 
 def ivf_topk(df: DataFrame, centroids: list[list[float]], query_vec: list[float],
              k: int = 10, nprobe: int = 2, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
-    """Probe the nprobe nearest lists, exact cosine inside them only."""
+             vec_col: str = "embedding", list_col: str | None = None) -> DataFrame:
+    """Probe the nprobe nearest lists, exact cosine inside them only.
+
+    As with lsh_topk, pass ``list_col`` naming a pre-computed (stored)
+    list-id column so the isin filter prunes partitions at scan time; the
+    derived-expression path is a full scan."""
     import numpy as np
 
     q = np.asarray(query_vec, dtype=float)
     dists = [float(((np.asarray(c) - q) ** 2).sum()) for c in centroids]
     probe = sorted(range(len(centroids)), key=lambda i: dists[i])[:nprobe]
-    from metadata_enhanced_pretrain_datapipeline_spark.partitioning import ensure_min_partitions
+    if list_col is None:
+        from metadata_enhanced_pretrain_datapipeline_spark.partitioning import ensure_min_partitions
 
-    assigned = ivf_assign(ensure_min_partitions(df), centroids, vec_col)
+        assigned = ivf_assign(ensure_min_partitions(df), centroids, vec_col)
+    else:
+        assigned = df.withColumn("list_id", F.col(list_col))
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         assigned.filter(F.col("list_id").isin(probe))

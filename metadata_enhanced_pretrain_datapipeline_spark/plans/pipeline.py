@@ -110,40 +110,10 @@ class Pipeline:
             if needs_tee:
                 out = out.persist(StorageLevel.MEMORY_AND_DISK)
                 persisted.append(out)
-            if isinstance(step.predicate, Column):
-                kept = out.filter(step.predicate)
-                removed = out.filter(~step.predicate | step.predicate.isNull())
-            elif step.removed_fn is not None:
-                # join-shaped filter with a declared complement: both
-                # branches are direct (typically broadcast semi/anti joins
-                # on the same key) — no full-row set-difference shuffle.
-                kept = step.predicate(out)
-                removed = step.removed_fn(out)
-            else:
-                # join-shaped filter: removed = input minus kept, computed
-                # set-wise so it is correct for ANY filter shape (the kept
-                # side of an anti-join has the same schema as the input).
-                # Map-typed columns (the Document metadata) are not allowed
-                # in set operations — serialize them to JSON for the
-                # exceptAll and decode back (deterministic round-trip: both
-                # sides derive from the same computation).
-                kept = step.predicate(out)
-                map_cols = {name: t for name, t in out.dtypes if t.startswith("map<")}
-                if map_cols:
-                    def ser(d):
-                        for name in map_cols:
-                            d = d.withColumn(name, F.to_json(name))
-                        return d
-
-                    schema_by_name = {f.name: f.dataType for f in out.schema.fields}
-                    removed = ser(out).exceptAll(ser(kept).select(*out.columns))
-                    for name in map_cols:
-                        removed = removed.withColumn(
-                            name, F.from_json(name, schema_by_name[name])
-                        )
-                else:
-                    removed = out.exceptAll(kept.select(*out.columns))
-            if needs_tee:
+            kept = (out.filter(step.predicate)
+                    if isinstance(step.predicate, Column) else step.predicate(out))
+            if needs_tee:  # the removed branch only exists for a tee
+                removed = self._removed_branch(step, out, kept)
                 tagged = removed.withColumn("reason", F.lit(step.reason or step.name))
                 step.exclusion_writer(tagged)
             out = kept
@@ -151,18 +121,53 @@ class Pipeline:
             sink(out)
         return out
 
+    @staticmethod
+    def _removed_branch(step: FilterStep, out: DataFrame, kept: DataFrame) -> DataFrame:
+        """The rows ``step`` rejects, by the cheapest correct formulation:
+        predicate complement for Columns; the declared ``removed_fn`` for
+        join-shaped filters that have one; else ``exceptAll(kept)`` —
+        correct for ANY filter shape but a full-row set-difference shuffle.
+        Map-typed columns (the Document metadata) are not allowed in set
+        operations — serialize to JSON for the exceptAll and decode back
+        (deterministic round-trip: both sides derive from the same
+        computation)."""
+        if isinstance(step.predicate, Column):
+            return out.filter(~step.predicate | step.predicate.isNull())
+        if step.removed_fn is not None:
+            return step.removed_fn(out)
+        map_cols = {name: t for name, t in out.dtypes if t.startswith("map<")}
+        if not map_cols:
+            return out.exceptAll(kept.select(*out.columns))
+
+        def ser(d):
+            for name in map_cols:
+                d = d.withColumn(name, F.to_json(name))
+            return d
+
+        schema_by_name = {f.name: f.dataType for f in out.schema.fields}
+        removed = ser(out).exceptAll(ser(kept).select(*out.columns))
+        for name in map_cols:
+            removed = removed.withColumn(name, F.from_json(name, schema_by_name[name]))
+        return removed
+
     def run_with_stats(self, df: DataFrame, sink: Callable[[DataFrame], None],
                        stats: dict[str, Column] | None = None) -> dict:
         """Execute with an attached Observation — the reference's per-rank
         stats + merge_stats job (slurm_nodes.py:199-220) collapsed into
         metrics collected during the sink action itself (G6): zero extra
         jobs, aggregated across tasks by Spark.
+
+        Composes via ``run()`` so exclusion sinks still fire — a pipeline
+        with tees must not lose its removed-rows outputs just because the
+        caller also wanted metrics.
         """
         from pyspark.sql import Observation
 
         stats = stats or {"rows_out": F.count(F.lit(1))}
         obs = Observation("pipeline_stats")
-        out = self.apply(df)
-        observed = out.observe(obs, *[expr.alias(name) for name, expr in stats.items()])
-        sink(observed)
+
+        def observed_sink(out: DataFrame) -> None:
+            sink(out.observe(obs, *[expr.alias(name) for name, expr in stats.items()]))
+
+        self.run(df, sink=observed_sink)
         return dict(obs.get)

@@ -926,8 +926,11 @@ def q_embedding_topk(spark, sf):
 
 
 def _plane_sql(p: int) -> str:
+    # SQL twin of similarity._plane_weight — keep in lockstep
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.similarity import _PLANE_A
+
     return (
-        f"sum(CAST(v AS DOUBLE) * CAST(((i - 1) * {7 + 2 * p} + {3 * p + 1}) % 7 - 3 AS DOUBLE))"
+        f"sum(CAST(v AS DOUBLE) * CAST(((i - 1) * {_PLANE_A[p]} + {5 * p + 2}) % 11 - 5 AS DOUBLE))"
     )
 
 

@@ -159,3 +159,19 @@ def test_global_rank_string_primary_key(spark):
     got = {r.rid: r.pos
            for r in sampling.global_rank(df, order, num_ranges=4).select("rid", "pos").collect()}
     assert got == naive
+
+
+def test_lsh_planes_distinct_and_non_constant(spark):
+    """Regression: the old mod-7 weights made planes 0 and 7 the identical
+    CONSTANT -2, so bucket bits 0 and 7 never differed and only half the
+    buckets were reachable."""
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.similarity import _plane_weight
+
+    df = spark.range(1).select(
+        *[F.array(*[_plane_weight(p)(F.lit(i)) for i in range(12)]).alias(f"p{p}")
+          for p in range(8)]
+    )
+    rows = df.collect()[0]
+    weights = [tuple(rows[f"p{p}"]) for p in range(8)]
+    assert len(set(weights)) == 8            # pairwise distinct planes
+    assert all(len(set(w)) > 1 for w in weights)  # none constant
