@@ -42,7 +42,9 @@ def positional_dot(a: Column, weight_of_pos) -> Column:
     n = F.size(a)
     # sequence(0, -1) DESCENDS for empty arrays and zip_with null-pads, so
     # the aggregate would return NULL (0.0 + NULL) instead of 0.0 — guard
-    # empty/null arrays to an explicit empty-sum
+    # EMPTY arrays to the explicit empty-sum 0.0, but propagate NULL for
+    # NULL arrays (a missing embedding must not score 0.0 and slip past
+    # threshold filters, matching cosine_similarity's null behavior)
     dot = F.aggregate(
         F.zip_with(
             a,
@@ -52,4 +54,4 @@ def positional_dot(a: Column, weight_of_pos) -> Column:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    return F.when(n > 0, dot).otherwise(F.lit(0.0))
+    return F.when(n > 0, dot).when(a.isNotNull(), F.lit(0.0))

@@ -12,7 +12,10 @@ from pyspark.sql import functions as F
 
 #: BPE-ish word/number/punct splitter (public GPT-2-style pattern, simplified
 #: to the RE2-compatible subset so the DuckDB oracle can run the same regex).
-TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+#: Unicode classes, not ASCII: with [A-Za-z] every accented letter counted
+#: as punctuation, inflating token budgets on the non-English corpora this
+#: pipeline targets. \p{L}/\p{N} parse identically in Java regex and RE2.
+TOKEN_REGEX = r"[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]"
 
 
 def tokens_ws(text: Column) -> Column:
@@ -79,10 +82,16 @@ def quality_stats(text: Column) -> dict[str, Column]:
         "n_chars": F.length(text),
         "n_tokens": n_toks,
         # try_divide: empty docs yield NULL instead of an ANSI
-        # DIVIDE_BY_ZERO aborting the job
-        "avg_token_len": F.try_divide(F.length(text) - n_toks + 1, n_toks),
+        # DIVIDE_BY_ZERO aborting the job. Exact sum of token lengths —
+        # the (chars - n + 1)/n shortcut assumes single-space separators
+        # and inflates on runs of whitespace (code, tables).
+        "avg_token_len": F.try_divide(
+            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)), n_toks
+        ),
         "stopword_ratio": F.try_divide(n_stop.cast("double"), n_toks),
-        "punct_count": F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), F.lit(0))),
+        # unicode-aware: [^\w\s] is ASCII-word in Java regex, so accented
+        # letters would count as punctuation
+        "punct_count": F.size(F.regexp_extract_all(text, F.lit(r"[^\p{L}\p{N}\s]"), F.lit(0))),
     }
 
 
@@ -102,9 +111,13 @@ STOPWORDS = ("the", "a", "of", "to", "and", "in", "is")
 
 
 def lang_id_scores(text: Column) -> dict[str, Column]:
-    """Per-language marker-hit counts; argmax is the predicted language."""
+    """Per-language marker-hit OCCURRENCE counts; argmax is the predicted
+    language. Occurrences, not distinct marker types (array_intersect
+    dedupes, capping every language near len(markers) on long docs so the
+    argmax degenerates to type presence) — same semantics as q_lang_id's
+    oracle-checked expression."""
     toks = tokens_ws(F.lower(text))
     return {
-        lang: F.size(F.array_intersect(toks, F.array([F.lit(w) for w in words])))
+        lang: F.size(F.filter(toks, lambda x: F.array_contains(F.array(*[F.lit(w) for w in words]), x)))
         for lang, words in LANG_MARKERS.items()
     }

@@ -42,7 +42,10 @@ DOCUMENT_SCHEMA = StructType(
 )
 
 #: Hot metadata keys promoted to typed top-level columns when present
-#: (types observed in the reference — SURVEY.md §1.2).
+#: (types observed in the reference — SURVEY.md §1.2). Documentation of
+#: the promotion contract: operators emit these names/types directly
+#: (annotators/robots/formatters), and promote_metadata() below applies
+#: the typed casts when adapting foreign data.
 PROMOTED_METADATA = StructType(
     [
         StructField("url", StringType()),
@@ -95,12 +98,37 @@ def to_documents(
         meta = F.map_concat(decoded, leftover)
     else:
         meta = leftover
+    # carry an existing media column through (the reference Document shape
+    # includes it); synthesize NULL only when the input has none
+    media = (F.col("media").cast(ArrayType(StringType()))
+             if "media" in df.columns and "media" not in (metadata_cols or [])
+             else F.lit(None).cast(ArrayType(StringType())))
     return df.select(
         F.col(id_col).cast("string").alias("id"),
         F.col(text_col).cast("string").alias("text"),
-        F.lit(None).cast(ArrayType(StringType())).alias("media"),
+        media.alias("media"),
         meta.alias("metadata"),
     )
+
+
+def promote_metadata(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Promote metadata map entries to their TYPED top-level columns per
+    PROMOTED_METADATA — the pushdown contract: a promoted column is
+    scannable and filterable at the parquet layer without decoding the
+    map. Atomic types cast directly; nested types (embeddings, pii_list)
+    parse via from_json. Unknown keys are ignored."""
+    from pyspark.sql.types import AtomicType
+
+    fields = {f.name: f.dataType for f in PROMOTED_METADATA.fields}
+    keys = [k for k in (keys or fields) if k in fields]
+    cols = []
+    for k in keys:
+        raw = F.element_at(F.col("metadata"), k)
+        t = fields[k]
+        cols.append(
+            (raw.cast(t) if isinstance(t, AtomicType) else F.from_json(raw, t)).alias(k)
+        )
+    return df.select("*", *cols)
 
 
 def expand_metadata(df: DataFrame, keys: list[str]) -> DataFrame:

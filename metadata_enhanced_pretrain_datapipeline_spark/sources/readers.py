@@ -66,9 +66,20 @@ def read_csv(spark: SparkSession, path: str, header: bool = True,
 def read_paradocs_tsv(spark: SparkSession, path: str) -> DataFrame:
     """S4 — the 18-column headerless gzipped TSV (paradocs.py:117-134),
     with the numeric coercions of paradocs.py:142-148 applied lazily by
-    the caller via try_cast."""
+    the caller via try_cast.
+
+    Quoting and escaping are DISABLED: this is a raw tab-separated dump,
+    and the CSV default (quote='\"') makes a sentence that begins with a
+    double-quote swallow the tab separators and silently shift every
+    following column."""
     schema = " string, ".join(PARADOCS_COLUMNS) + " string"
-    return spark.read.option("sep", "\t").schema(schema).csv(path)
+    return (
+        spark.read.option("sep", "\t")
+        .option("quote", "")
+        .option("escape", "")
+        .schema(schema)
+        .csv(path)
+    )
 
 
 def read_hf_snapshot(spark: SparkSession, snapshot_dir: str,
@@ -103,13 +114,17 @@ def read_hf_snapshot(spark: SparkSession, snapshot_dir: str,
     if "://" in snapshot_dir:
         # remote URI (s3a://, hdfs://, ...): driver-local glob can't see it
         # — probe each layout with the scan itself and take the first that
-        # resolves (the listing Spark does here is reused by the read)
+        # resolves (the listing Spark does here is reused by the read).
+        # Only path-not-found is part of probing; auth/network errors must
+        # surface, not masquerade as a missing dataset.
+        from pyspark.errors import AnalysisException
+
         df = None
         for p in patterns:
             try:
                 df = spark.read.parquet(p)
                 break
-            except Exception:
+            except AnalysisException:
                 continue
         if df is None:
             raise FileNotFoundError(
@@ -127,5 +142,9 @@ def read_hf_snapshot(spark: SparkSession, snapshot_dir: str,
     if id_col is not None:
         return to_documents(df, id_col=id_col, text_col=text_key)
     if text_key != "text":
+        if "text" in df.columns:
+            # a pre-existing 'text' column would duplicate the name after
+            # the rename and make every downstream reference ambiguous
+            df = df.withColumnRenamed("text", "__orig_text")
         df = df.withColumnRenamed(text_key, "text")
     return df

@@ -52,3 +52,29 @@ def test_exclusion_sink_with_map_column(spark, docs):
     assert sorted(r.doc_id for r in removed) == [0, 1, 2, 3, 4]
     assert all(isinstance(r.metadata, dict) and "lang" in r.metadata for r in removed)
     pipe.unpersist_all()
+
+
+def test_promote_metadata_typed_columns(spark):
+    from metadata_enhanced_pretrain_datapipeline_spark.schema import promote_metadata
+
+    df = spark.createDataFrame(
+        [("1", {"toxic_score": "0.75", "pii_count": "3", "pii_list": '["a","b"]'})],
+        "id string, metadata map<string,string>",
+    )
+    out = promote_metadata(df, ["toxic_score", "pii_count", "pii_list", "nope"])
+    row = out.collect()[0]
+    assert abs(row.toxic_score - 0.75) < 1e-9 and row.pii_count == 3
+    assert list(row.pii_list) == ["a", "b"]
+    assert "nope" not in out.columns
+
+
+def test_to_documents_carries_media(spark):
+    from metadata_enhanced_pretrain_datapipeline_spark.schema import to_documents
+
+    df = spark.createDataFrame(
+        [("1", "txt", ["img://a"], "en")],
+        "id string, content string, media array<string>, lang string",
+    )
+    out = to_documents(df, id_col="id", text_col="content", metadata_cols=["lang"])
+    row = out.collect()[0]
+    assert list(row.media) == ["img://a"]
