@@ -14,10 +14,25 @@ from pyspark.sql import DataFrame
 
 
 def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFrame:
-    """Repartition only if the input has fewer partitions than the session's
-    default parallelism (for CPU-heavy per-row stages: hashing, regex,
-    model scoring)."""
+    """Repartition only if the input is narrower than the session's default
+    parallelism (for CPU-heavy per-row stages: hashing, regex, model
+    scoring).
+
+    The width probe uses ``df.inputFiles()`` — metadata only. The previous
+    ``df.rdd.getNumPartitions()`` probe is wrong under AQE twice over: the
+    .rdd conversion finalizes the plan (eagerly executing upstream shuffle
+    stages — a hidden job per call), and it reports the PRE-coalesce
+    partition count, so it no-ops exactly when AQE later collapses a tiny
+    shuffle to one partition. For scan-rooted plans, #files lower-bounds
+    the scan width (big files split further); non-scan plans (empty
+    inputFiles) repartition — one cheap round-robin shuffle ahead of a
+    stage whose per-row CPU dominates it.
+    """
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files >= target:
+        return df
+    return df.repartition(target)

@@ -32,8 +32,18 @@ class RunManifest:
         return [u for u in units if u not in self._done]
 
     def mark_done(self, unit: str) -> None:
+        # merge with the CURRENT on-disk set before rewriting: another
+        # instance (a concurrent or retried run) may have marked units
+        # since we loaded — a rewrite from our stale in-memory copy would
+        # silently lose its completions
+        if os.path.exists(self.path):
+            try:
+                with open(self.path) as f:
+                    self._done |= set(json.load(f))
+            except (OSError, ValueError):
+                pass
         self._done.add(unit)
-        tmp = self.path + ".tmp"
+        tmp = f"{self.path}.{os.getpid()}.tmp"
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
         with open(tmp, "w") as f:
             json.dump(sorted(self._done), f)
@@ -42,9 +52,12 @@ class RunManifest:
     def run_incremental(self, units: list[str], fn) -> list[str]:
         """Execute fn(unit) for each pending unit, marking completion after
         each — a crash resumes exactly where it stopped (skip_completed
-        semantics)."""
+        semantics). The done-check runs per iteration so duplicate keys in
+        ``units`` execute once, not once per occurrence."""
         ran = []
-        for u in self.pending(units):
+        for u in units:
+            if u in self._done:
+                continue
             fn(u)
             self.mark_done(u)
             ran.append(u)

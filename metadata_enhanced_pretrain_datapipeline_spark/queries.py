@@ -630,16 +630,11 @@ def q_deterministic_shuffle(spark, sf):
     "          count(*) OVER () AS cnt FROM documents)",
 )
 def q_positional_split(spark, sf):
-    """O5 — positional train/test split (code_processing.py:160-163)."""
+    """O5 — positional train/test split (code_processing.py:160-163),
+    through the library operator (which reuses global_rank's counts total
+    instead of paying a separate count() scan)."""
     d = load(spark, sf, "documents")
-    cut = int(0.8 * d.count())  # driver-side scalar, like the G1 threshold
-    ranked = sampling.global_rank(
-        d, [salted_hash(F.col("doc_id")), F.col("doc_id")], "rn"
-    )
-    return ranked.select(
-        "doc_id",
-        F.when(F.col("rn") <= F.lit(cut), "train").otherwise("test").alias("split"),
-    )
+    return sampling.positional_split(d, F.col("doc_id"), 0.8).select("doc_id", "split")
 
 
 @register(
@@ -841,7 +836,7 @@ def q_array_slice(spark, sf):
 
 @register(
     "q_chunk_explode_regroup",
-    "SELECT doc_id, CAST(ceil(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '')) / 32.0) AS BIGINT) AS n_chunks "
+    "SELECT doc_id, CAST(ceil(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '')) / 32.0) AS BIGINT) AS n_chunks "
     "FROM documents",
 )
 def q_chunk_explode_regroup(spark, sf):
@@ -1186,7 +1181,7 @@ def q_simhash(spark, sf):
 @register("q_ngram_jaccard_sampled")
 def q_ngram_jaccard_sampled(spark, sf):
     """† Extension — n-gram Jaccard over shingle inverted index, thresholded
-    (operators/dedup.jaccard_pairs), run on a 1-in-25 doc_id SAMPLE (the
+    (operators/dedup.jaccard_pairs), run on a 1-in-10 doc_id SAMPLE (the
     name says so): jaccard_pairs is the exact in-bucket VERIFIER, not a
     full-corpus pair generator — at scale it runs on LSH candidates
     (minhash_lsh_pairs), and here on a sample that bounds pair volume.
@@ -1380,11 +1375,11 @@ def all_oracles() -> dict[str, str]:
     "TRY_CAST(split_part(output, ' ', 3) AS INT) AS educational, "
     "TRY_CAST(split_part(output, ' ', 4) AS INT) AS difficulty FROM ("
     "  SELECT doc_id, "
-    "  CAST(CAST(('0x' || substr(md5(text), 1, 2)) AS INT) % 10 AS VARCHAR) || ' ' || "
-    "  CAST(CAST(('0x' || substr(md5(text), 3, 2)) AS INT) % 10 AS VARCHAR) || ' ' || "
-    "  CAST(CAST(('0x' || substr(md5(text), 5, 2)) AS INT) % 10 AS VARCHAR) || ' ' || "
-    "  CAST(CAST(('0x' || substr(md5(text), 7, 2)) AS INT) % 3 AS VARCHAR) AS output "
-    "  FROM documents)",
+    "  CAST(CAST(('0x' || substr(md5(substr(text, 1, 32000)), 1, 2)) AS INT) % 10 AS VARCHAR) || ' ' || "
+    "  CAST(CAST(('0x' || substr(md5(substr(text, 1, 32000)), 3, 2)) AS INT) % 10 AS VARCHAR) || ' ' || "
+    "  CAST(CAST(('0x' || substr(md5(substr(text, 1, 32000)), 5, 2)) AS INT) % 10 AS VARCHAR) || ' ' || "
+    "  CAST(CAST(('0x' || substr(md5(substr(text, 1, 32000)), 7, 2)) AS INT) % 3 AS VARCHAR) AS output "
+    "  FROM documents)",  # substr mirrors the stub's max_chars=32000 truncation
 )
 def q_llm_annotate_split(spark, sf):
     """A4+A5 — LLM rubric annotation (stub scorer, little-endian md5 bytes)
@@ -1596,7 +1591,7 @@ def q_filter_kept(spark, sf):
 
 @register(
     "q_filter_removed",
-    f"SELECT doc_id, lang, 'keep' AS reason FROM documents WHERE NOT ({_KEPT_PRED})",
+    f"SELECT doc_id, lang, 'keep' AS reason FROM documents WHERE ({_KEPT_PRED}) IS NOT TRUE",
 )
 def q_filter_removed(spark, sf):
     """K3 removed-branch — the rejected rows with their rejection tag
@@ -1611,6 +1606,10 @@ def q_filter_removed(spark, sf):
         [FilterStep("keep", pred, exclusion_writer=captured.append, reason="keep")]
     )
     pipe.run(d)
+    # release the tee's persisted upstream now: the branch is a pure
+    # deterministic filter, so the later collect recomputes it correctly,
+    # and holding the cache would leak across the whole driver session
+    pipe.unpersist_all()
     return captured[0].select("doc_id", "lang", "reason")
 
 
@@ -1631,7 +1630,7 @@ def q_url_host_extract(spark, sf):
 
 @register(
     "q_tokenize_counts",
-    "SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '')) AS BIGINT) AS n_tokens FROM documents",
+    "SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '')) AS BIGINT) AS n_tokens FROM documents",
 )
 def q_tokenize_counts(spark, sf):
     """K4's checkable half — per-doc token counts through the REAL tokenize
@@ -1654,8 +1653,13 @@ def q_scan_json(spark, sf):
 
     d = load(spark, sf, "documents").select("doc_id", "lang", "n_chars")
     # fixed per-sf location, overwrite mode: repeated runs don't accumulate
-    tag = sf.strip("/").replace("/", "_")
-    path = f"{tempfile.gettempdir()}/mep_spark_scan_json_{tag}"
+    import hashlib as _hl
+    import os as _os
+
+    # per-path digest (no collision between sf dirs) + pid (no overwrite
+    # race between concurrent driver/bench processes on the same sf)
+    tag = _hl.md5(sf.encode()).hexdigest()[:10]
+    path = f"{tempfile.gettempdir()}/mep_spark_scan_json_{tag}_{_os.getpid()}"
     writers.write_jsonl(d, path)
     back = readers.read_jsonl(spark, path, schema="doc_id long, lang string, n_chars long")
     return back.groupBy("lang").agg(
