@@ -182,3 +182,20 @@ def ivf_topk(df: DataFrame, centroids: list[list[float]], query_vec: list[float]
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
     )
+
+
+def write_bucketed_embeddings(df: DataFrame, path: str, vec_col: str = "embedding",
+                              num_planes: int = 8) -> None:
+    """Materialize the ANN scale path: compute the LSH bucket once at WRITE
+    time and lay the corpus out partitioned by it (one directory per
+    bucket). A probe that filters on the stored ``bucket`` column is then
+    a literal partition predicate — Catalyst prunes to one directory and
+    the 100 TB query reads one bucket's files, which is the design the
+    lsh_topk docstring promises (pass bucket_col="bucket" when reading
+    back)."""
+    (
+        df.withColumn("bucket", lsh_bucket(F.col(vec_col), num_planes))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )

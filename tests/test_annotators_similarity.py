@@ -175,3 +175,25 @@ def test_lsh_planes_distinct_and_non_constant(spark):
     weights = [tuple(rows[f"p{p}"]) for p in range(8)]
     assert len(set(weights)) == 8            # pairwise distinct planes
     assert all(len(set(w)) > 1 for w in weights)  # none constant
+
+
+def test_bucketed_write_prunes_partitions(spark, tmp_path):
+    """The stored-bucket probe must be a partition-pruned scan: writing
+    partitioned by bucket and querying via bucket_col yields a plan whose
+    partition filters carry the bucket predicate, and the results equal
+    the derived-expression path."""
+    import math
+
+    rows = [(i, [math.sin(i * 0.9 + d) for d in range(5)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "bucketed")
+    similarity.write_bucketed_embeddings(df, path, num_planes=4)
+
+    stored = spark.read.parquet(path)
+    q = rows[7][1]
+    via_stored = similarity.lsh_topk(stored, q, k=5, num_planes=4, bucket_col="bucket")
+    via_derived = similarity.lsh_topk(df, q, k=5, num_planes=4)
+    assert ([(r.vec_id, r.cosine) for r in via_stored.collect()]
+            == [(r.vec_id, r.cosine) for r in via_derived.collect()])
+    plan = via_stored._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "bucket" in plan.split("PartitionFilters:")[1][:120]
