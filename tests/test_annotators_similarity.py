@@ -197,3 +197,16 @@ def test_bucketed_write_prunes_partitions(spark, tmp_path):
             == [(r.vec_id, r.cosine) for r in via_derived.collect()])
     plan = via_stored._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "bucket" in plan.split("PartitionFilters:")[1][:120]
+
+
+def test_mlp_udf_null_and_ragged_vectors_score_null(spark):
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import annotators
+
+    df = spark.createDataFrame(
+        [(1, [0.1] * 8), (2, None), (3, [0.2] * 3)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r.s for r in df.select(
+        "vec_id", annotators.mlp_score_udf(8)(F.col("embedding")).alias("s")).collect()}
+    assert out[1] is not None and 0.0 < out[1] < 1.0
+    assert out[2] is None and out[3] is None  # NULL/ragged -> NULL, not a crash

@@ -93,3 +93,36 @@ def test_semi_join_removed_fn_matches_exceptall(spark, docs):
     # the declared complement is broadcast: no shuffle Exchange in its plan
     plan = removed_b._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_run_with_stats_fires_exclusion_sinks(spark, docs):
+    """Metrics and tees are not mutually exclusive: run_with_stats must
+    still write removed rows."""
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import filters as flt
+
+    captured = []
+    pipe = Pipeline(steps=[FilterStep(
+        "len", flt.length_filter(F.col("text"), 40),
+        exclusion_writer=lambda df: captured.append(df.count()),
+    )])
+    stats = pipe.run_with_stats(
+        docs, sink=lambda df: df.write.format("noop").mode("overwrite").save(),
+        stats={"rows_out": F.count(F.lit(1))},
+    )
+    assert captured and captured[0] > 0
+    assert stats["rows_out"] + captured[0] == docs.count()
+
+
+def test_contract_validations(spark, docs):
+    import pytest
+
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import aggregates, joins
+
+    left = spark.createDataFrame([(1, 10, 0.5)], "k long, ts long, v double")
+    right = spark.createDataFrame([(1, 9, 0.7)], "k long, ts long, v double")
+    with pytest.raises(ValueError, match="sample_rate"):
+        aggregates.estimate_threshold(left, F.col("v"), 0.5, sample_rate=0.1)
+    with pytest.raises(ValueError, match="salt_buckets"):
+        joins.salted_join(left, right, "k", salt_buckets=0)
+    with pytest.raises(ValueError, match="collide"):
+        joins.asof_join(left, right, "k", "k", "ts", "ts", right_vals=["v"])
