@@ -1884,3 +1884,28 @@ def q_minhash_dedup(spark, sf):
     d = load(spark, sf, "documents")
     kept = dedup.minhash_dedup(d, num_hashes=16, bands=8, shingle_n=3)
     return kept.select("doc_id", "source", "n_chars")
+
+
+@register(
+    "q_promote_metadata",
+    "SELECT id, toxic_score, pii_count FROM ("
+    "  SELECT CAST(doc_id AS VARCHAR) AS id, "
+    "  round((doc_id % 100) / 100.0, 2) AS toxic_score, "
+    "  CAST(doc_id % 5 AS INT) AS pii_count FROM documents)",
+)
+def q_promote_metadata(spark, sf):
+    """S7 round-trip — fold typed columns into the Document metadata map
+    (to_documents) then promote them back out with their types
+    (schema.promote_metadata): the adapter → map → typed-column pushdown
+    contract, value-checked end to end."""
+    from metadata_enhanced_pretrain_datapipeline_spark.schema import promote_metadata, to_documents
+
+    d = load(spark, sf, "documents").select(
+        "doc_id", "text",
+        F.round((F.col("doc_id") % 100) / 100.0, 2).alias("toxic_score"),
+        (F.col("doc_id") % 5).cast("int").alias("pii_count"),
+    )
+    docs = to_documents(d, id_col="doc_id", text_col="text",
+                        metadata_cols=["toxic_score", "pii_count"])
+    out = promote_metadata(docs, ["toxic_score", "pii_count"])
+    return out.select("id", "toxic_score", "pii_count")
