@@ -196,7 +196,11 @@ def test_bucketed_write_prunes_partitions(spark, tmp_path):
     assert ([(r.vec_id, r.cosine) for r in via_stored.collect()]
             == [(r.vec_id, r.cosine) for r in via_derived.collect()])
     plan = via_stored._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters: [" in plan and "bucket" in plan.split("PartitionFilters:")[1][:120]
+    # the bucket predicate must be INSIDE the PartitionFilters bracket —
+    # appearing merely in the adjacent PushedFilters would mean the bucket
+    # regressed to a data column and no partitions are pruned
+    inside = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "bucket" in inside
 
 
 def test_mlp_udf_null_and_ragged_vectors_score_null(spark):

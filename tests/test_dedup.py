@@ -106,10 +106,14 @@ def test_embedding_near_dup_matches_brute_force_within_buckets(spark):
         "vec_id", lsh_bucket(F.col("embedding"), 4).alias("b")).collect()}
     vecs = dict(rows)
 
+    import numpy as np
+
     def cos(a, b):
-        dot = sum(x * y for x, y in zip(a, b))
-        na, nb = math.sqrt(sum(x * x for x in a)), math.sqrt(sum(x * x for x in b))
-        return dot / (na * nb)
+        # float32 first: the implementation computes over array<float>
+        # values, and float64-only oracle arithmetic can disagree at the
+        # threshold boundary
+        fa, fb = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        return float(fa @ fb) / (float(np.linalg.norm(fa)) * float(np.linalg.norm(fb)))
 
     want = {(a, b) for a, b in itertools.combinations(sorted(vecs), 2)
             if buckets[a] == buckets[b] and cos(vecs[a], vecs[b]) >= 0.98}

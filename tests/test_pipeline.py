@@ -69,7 +69,6 @@ def test_semi_join_removed_fn_matches_exceptall(spark, docs):
     """removed_fn (broadcast semi-join) and the exceptAll fallback produce
     the same kept/removed partition; the semi-join plan has no Exchange."""
     block = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
-    captured = {}
 
     def make(removed_fn):
         batches = []
@@ -80,7 +79,9 @@ def test_semi_join_removed_fn_matches_exceptall(spark, docs):
             removed_fn=removed_fn,
         )])
         kept = pipe.run(docs)
-        return sorted(r.doc_id for r in kept.collect()), batches[0]
+        out = sorted(r.doc_id for r in kept.collect()), batches[0]
+        pipe.unpersist_all()  # branches are pure filters: recompute-safe
+        return out
 
     kept_a, removed_a = make(None)  # exceptAll fallback
     kept_b, removed_b = make(lambda df: filters.id_semi_join(df, block, "doc_id"))
@@ -90,9 +91,23 @@ def test_semi_join_removed_fn_matches_exceptall(spark, docs):
     assert ids_a == ids_b == [0, 1, 2, 3, 4]
     # invariant: kept ∪ removed = input, disjoint
     assert sorted(kept_b + ids_b) == sorted(r.doc_id for r in docs.collect())
-    # the declared complement is broadcast: no shuffle Exchange in its plan
-    plan = removed_b._jdf.queryExecution().executedPlan().toString()
+    # the declared complement streams the big side through a broadcast
+    # semi-join: the ONLY shuffle allowed is the tiny blocklist's
+    # .distinct() dedup — a second Exchange would mean the docs side (or
+    # an exceptAll set-difference) shuffled full rows
+    def final_plan(df):
+        # AdaptiveSparkPlan.toString prints Final AND Initial plans —
+        # count shuffles in the final section only
+        return (df._jdf.queryExecution().executedPlan().toString()
+                .split("== Initial Plan ==")[0])
+
+    plan = final_plan(removed_b)
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "Exchange rangepartitioning" not in plan
+    # and the fallback DOES shuffle full rows (exceptAll) — the contrast
+    # the removed_fn feature exists for
+    assert final_plan(removed_a).count("Exchange hashpartitioning") > 1
 
 
 def test_run_with_stats_fires_exclusion_sinks(spark, docs):
@@ -109,6 +124,7 @@ def test_run_with_stats_fires_exclusion_sinks(spark, docs):
         docs, sink=lambda df: df.write.format("noop").mode("overwrite").save(),
         stats={"rows_out": F.count(F.lit(1))},
     )
+    pipe.unpersist_all()
     assert captured and captured[0] > 0
     assert stats["rows_out"] + captured[0] == docs.count()
 

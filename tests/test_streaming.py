@@ -46,21 +46,27 @@ def test_streaming_sessionize_late_rows_extend_backward(spark, tmp_path):
 
     from metadata_enhanced_pretrain_datapipeline_spark.streaming import events as se
 
+    import os
+
     src = tmp_path / "events_src"
     src.mkdir()
-    # one user; arrival order interleaves: 12:00 arrives, then LATE 11:50,
-    # then 12:15 — all within 30-min gaps => ONE session of 3 starting 11:50
-    rows = pd.DataFrame({
-        "user_id": [1, 1, 1],
-        "ts": pd.to_datetime(["2024-01-01 12:00:00",
-                              "2024-01-01 11:50:00",
-                              "2024-01-01 12:15:00"]),
-    })
-    rows.astype({"ts": "datetime64[us]"}).to_parquet(src / "a.parquet")
-    # much-later event closes the session via the gap on a second file
-    pd.DataFrame({
-        "user_id": [1], "ts": pd.to_datetime(["2024-01-01 20:00:00"]),
-    }).astype({"ts": "datetime64[us]"}).to_parquet(src / "b.parquet")
+
+    def write(name, stamps, mtime):
+        pd.DataFrame({
+            "user_id": [1] * len(stamps), "ts": pd.to_datetime(stamps),
+        }).astype({"ts": "datetime64[us]"}).to_parquet(src / name)
+        os.utime(src / name, (mtime, mtime))  # deterministic batch order
+
+    # batch 1: 12:00 opens the session (state last=12:00)
+    write("a.parquet", ["2024-01-01 12:00:00"], 1_000_000)
+    # batch 2 (strictly later mtime): LATE 11:35 (>= start-gap, merges
+    # backward) then 12:20. With the fix: start=min=11:35, last stays
+    # 12:00, then 12:20-12:00=20min merges -> one session of 3.
+    # Regressions caught: start not lowered -> start reads 12:00;
+    # last moved backward to 11:35 -> 12:20-11:35=45min>gap wrongly splits.
+    write("b.parquet", ["2024-01-01 11:35:00", "2024-01-01 12:20:00"], 1_000_060)
+    # batch 3: far-future event closes the session via the gap
+    write("c.parquet", ["2024-01-01 20:00:00"], 1_000_120)
 
     stream = (spark.readStream.schema("user_id long, ts timestamp")
               .option("maxFilesPerTrigger", 1).parquet(str(src)))
@@ -70,4 +76,4 @@ def test_streaming_sessionize_late_rows_extend_backward(spark, tmp_path):
     q.awaitTermination()
     out = {(r.session_start.strftime("%H:%M:%S"), r.n_events)
            for r in spark.table("sess_out").collect()}
-    assert ("11:50:00", 3) in out
+    assert ("11:35:00", 3) in out
