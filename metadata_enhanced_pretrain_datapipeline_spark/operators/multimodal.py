@@ -79,7 +79,11 @@ def image_features(df: DataFrame, stub: bool = True,
         for pdf in batches:
             out = []
             for mid, content in zip(pdf["media_id"].to_numpy(), pdf["content"].to_numpy()):
-                px = decode_image(bytes(content) if content is not None else b"", stub=stub)
+                if content is None:
+                    # missing blob -> NULL features, not fabricated ones
+                    out.append((mid, None, None, None, None, None))
+                    continue
+                px = decode_image(bytes(content), stub=stub)
                 # mean-pool resize to (th, tw): crop to a multiple, reshape
                 h, w = px.shape[:2]
                 px = px[: h - h % th, : w - w % tw]
@@ -104,7 +108,10 @@ def audio_features(df: DataFrame, stub: bool = True) -> DataFrame:
         for pdf in batches:
             out = []
             for mid, content in zip(pdf["media_id"].to_numpy(), pdf["content"].to_numpy()):
-                pcm = decode_audio(bytes(content) if content is not None else b"", stub=stub)
+                if content is None:
+                    out.append((mid, None, None, None))
+                    continue
+                pcm = decode_audio(bytes(content), stub=stub)
                 rms = float(np.sqrt(np.mean(pcm**2)))
                 zcr = float(np.mean(np.abs(np.diff(np.signbit(pcm).astype(np.int8)))))
                 out.append((mid, rms, zcr, len(pcm)))
@@ -125,8 +132,10 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000, stub: bool = True) 
             for mid, dur, content in zip(pdf["media_id"].to_numpy(),
                                          pdf["duration_ms"].to_numpy(),
                                          pdf["content"].to_numpy()):
+                if content is None:
+                    continue  # no blob -> no frames to sample
                 duration = int(dur or 0)
-                content = bytes(content) if content is not None else b""
+                content = bytes(content)
                 for i, ts in enumerate(range(0, max(duration, 1), every_ms)):
                     if not stub:
                         raise NotImplementedError("video codec not available")

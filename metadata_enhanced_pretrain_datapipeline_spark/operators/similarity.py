@@ -40,6 +40,12 @@ def lsh_bucket(vec: Column, num_planes: int = 8) -> Column:
     """Bucket id = Σ_p 2^p · [vec·plane_p > 0] — sign-of-projection LSH."""
     if num_planes > 15:
         raise ValueError("lsh_bucket supports at most 15 distinct planes")
+    # runtime guard for the property the constants promise: no constant
+    # plane (A ≡ 0 mod 11) and no duplicated (A, B) pair mod 11 — a future
+    # constants edit must not silently reintroduce unreachable buckets
+    pairs = [(_PLANE_A[p] % 11, (5 * p + 2) % 11) for p in range(num_planes)]
+    assert len(set(pairs)) == num_planes and all(a != 0 for a, _ in pairs), \
+        "LSH plane constants collide/degenerate mod 11"
     bucket = F.lit(0)
     for p in range(num_planes):
         proj = positional_dot(vec, _plane_weight(p))
@@ -69,6 +75,12 @@ def lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     100 TB query touches one bucket's files. Without it the bucket is
     recomputed per row and the query is a full scan (correct, but no
     pruning can engage on a derived expression).
+
+    CONTRACT: with ``bucket_col``, ``num_planes`` MUST equal the plane
+    count used at write time (write_bucketed_embeddings) — the query
+    bucket is computed from ``num_planes`` here, and a mismatch silently
+    probes a bucket id from a different keyspace (usually an empty
+    result, never an error).
     """
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     if bucket_col is None:

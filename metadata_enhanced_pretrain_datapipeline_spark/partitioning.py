@@ -28,11 +28,23 @@ def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFr
     inputFiles) repartition — one cheap round-robin shuffle ahead of a
     stage whose per-row CPU dominates it.
     """
-    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    spark = df.sparkSession
+    target = min_parts or spark.sparkContext.defaultParallelism
     try:
         n_files = len(df.inputFiles())
     except Exception:
         n_files = 0
-    if n_files >= target:
+    if n_files > 0:
+        # scan-rooted: #files approximates width. Assumption: files are
+        # adequately sized (the engine's writers cap file sizes, K1) —
+        # many-tiny-files layouts pack into fewer partitions than files
+        # and should be compacted upstream rather than patched here.
+        width = n_files
+    else:
+        # shuffle/in-memory-rooted: pre-AQE width is the shuffle conf.
+        # Deliberately NOT df.rdd.getNumPartitions(): that finalizes the
+        # AQE plan (a hidden job) and reads the post-coalesce count.
+        width = int(spark.conf.get("spark.sql.shuffle.partitions", str(target)))
+    if width >= target:
         return df
     return df.repartition(target)

@@ -32,22 +32,32 @@ class RunManifest:
         return [u for u in units if u not in self._done]
 
     def mark_done(self, unit: str) -> None:
-        # merge with the CURRENT on-disk set before rewriting: another
-        # instance (a concurrent or retried run) may have marked units
-        # since we loaded — a rewrite from our stale in-memory copy would
-        # silently lose its completions
-        if os.path.exists(self.path):
-            try:
-                with open(self.path) as f:
-                    self._done |= set(json.load(f))
-            except (OSError, ValueError):
-                pass
-        self._done.add(unit)
-        tmp = f"{self.path}.{os.getpid()}.tmp"
+        # read-merge-write under an advisory file lock so concurrent
+        # instances (retried drivers, parallel runs) cannot interleave and
+        # lose each other's completions; the lock file sits next to the
+        # manifest (same shared store the reference's completions/ markers
+        # use). Merging the on-disk set also folds in units marked by
+        # writers that finished before we acquired the lock.
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
-        with open(tmp, "w") as f:
-            json.dump(sorted(self._done), f)
-        os.replace(tmp, self.path)
+        lock_path = self.path + ".lock"
+        with open(lock_path, "w") as lock:
+            try:
+                import fcntl
+
+                fcntl.flock(lock, fcntl.LOCK_EX)
+            except ImportError:  # non-POSIX: fall back to merge-only safety
+                pass
+            if os.path.exists(self.path):
+                try:
+                    with open(self.path) as f:
+                        self._done |= set(json.load(f))
+                except (OSError, ValueError):
+                    pass
+            self._done.add(unit)
+            tmp = f"{self.path}.{os.getpid()}.tmp"
+            with open(tmp, "w") as f:
+                json.dump(sorted(self._done), f)
+            os.replace(tmp, self.path)
 
     def run_incremental(self, units: list[str], fn) -> list[str]:
         """Execute fn(unit) for each pending unit, marking completion after

@@ -1652,14 +1652,18 @@ def q_scan_json(spark, sf):
     from metadata_enhanced_pretrain_datapipeline_spark.sources import readers, writers
 
     d = load(spark, sf, "documents").select("doc_id", "lang", "n_chars")
-    # fixed per-sf location, overwrite mode: repeated runs don't accumulate
+    import atexit as _atexit
     import hashlib as _hl
     import os as _os
+    import shutil as _shutil
 
     # per-path digest (no collision between sf dirs) + pid (no overwrite
-    # race between concurrent driver/bench processes on the same sf)
+    # race between concurrent driver/bench processes on the same sf);
+    # the pid dir is removed at process exit so repeated processes don't
+    # accumulate jsonl copies in /tmp
     tag = _hl.md5(sf.encode()).hexdigest()[:10]
     path = f"{tempfile.gettempdir()}/mep_spark_scan_json_{tag}_{_os.getpid()}"
+    _atexit.register(_shutil.rmtree, path, ignore_errors=True)
     writers.write_jsonl(d, path)
     back = readers.read_jsonl(spark, path, schema="doc_id long, lang string, n_chars long")
     return back.groupBy("lang").agg(

@@ -99,9 +99,12 @@ def to_documents(
     else:
         meta = leftover
     # carry an existing media column through (the reference Document shape
-    # includes it); synthesize NULL only when the input has none
+    # includes it) — but only when it is already array-typed: casting a
+    # string/map media column to array<string> is an invalid cast that
+    # would crash inputs that previously adapted cleanly
+    media_type = dict(df.dtypes).get("media", "")
     media = (F.col("media").cast(ArrayType(StringType()))
-             if "media" in df.columns and "media" not in (metadata_cols or [])
+             if media_type.startswith("array<") and "media" not in metadata_cols
              else F.lit(None).cast(ArrayType(StringType())))
     return df.select(
         F.col(id_col).cast("string").alias("id"),
@@ -116,11 +119,14 @@ def promote_metadata(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
     PROMOTED_METADATA — the pushdown contract: a promoted column is
     scannable and filterable at the parquet layer without decoding the
     map. Atomic types cast directly; nested types (embeddings, pii_list)
-    parse via from_json. Unknown keys are ignored."""
+    parse via from_json. Unknown keys are ignored, as are keys already
+    present as top-level columns (promoting twice, or promoting over an
+    operator-emitted column, must not create a duplicate name)."""
     from pyspark.sql.types import AtomicType
 
     fields = {f.name: f.dataType for f in PROMOTED_METADATA.fields}
-    keys = [k for k in (keys or fields) if k in fields]
+    existing = set(df.columns)
+    keys = [k for k in (keys or fields) if k in fields and k not in existing]
     cols = []
     for k in keys:
         raw = F.element_at(F.col("metadata"), k)
