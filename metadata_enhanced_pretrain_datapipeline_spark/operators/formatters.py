@@ -24,7 +24,13 @@ IPV4_REGEX = (
 #: reference iban_regex, verbatim (pii_formatter.py:70): space-grouped
 #: IBAN — CC00 0000 0000 0000 0000 XX
 IBAN_SPACED_REGEX = r"[A-Z]{2}[0-9]{2}(?: [0-9]{4}){4} [A-Z0-9]{1,2}"
-IBAN_REGEX = r"\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\b"
+IBAN_COMPACT_REGEX = r"\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\b"
+#: both IBAN forms in ONE pass. The spaced (reference-parity) branch comes
+#: first so at any position a reference-format IBAN is consumed by the
+#: reference-format pattern — same preference the old two-pass order gave,
+#: at half the full-text traversals. (The two forms can't match the same
+#: string: spaced contains spaces, compact can't.)
+IBAN_REGEX = f"(?:{IBAN_SPACED_REGEX}|{IBAN_COMPACT_REGEX})"
 
 EMAIL_TAG = "<email-pii>"
 IP_TAG = "<ip-pii>"
@@ -32,13 +38,10 @@ IBAN_TAG = "<iban-pii>"
 
 #: (pattern, replacement) in the reference's pass order — email → ip → iban
 #: (pii_formatter.py:93-114). Order matters: replacing an email substring can
-#: alter later IP matches; we replicate the exact pass order. The spaced
-#: (reference-parity) IBAN pass runs before the compact extension so
-#: reference-format IBANs are consumed by the reference-format pattern.
+#: alter later IP matches; we replicate the exact pass order.
 PII_PASSES = [
     (EMAIL_REGEX, EMAIL_TAG),
     (IPV4_REGEX, IP_TAG),
-    (IBAN_SPACED_REGEX, IBAN_TAG),
     (IBAN_REGEX, IBAN_TAG),
 ]
 
@@ -76,6 +79,31 @@ def pii_list(text: Column) -> Column:
         arrs.append(F.array_distinct(F.regexp_extract_all(seen, F.lit(pat), F.lit(0))))
         seen = F.regexp_replace(seen, pat, tag)
     return F.concat(*arrs)
+
+
+def with_pii(df: DataFrame, text_col: str, scrub_col: str = "pii_scrubbed",
+             count_col: str = "pii_count") -> DataFrame:
+    """A3 combined form — scrub AND count in one rewritten-text chain.
+
+    ``pii_scrub`` + ``pii_count`` as independent expressions each rebuild
+    the per-pass rewritten text, so a query selecting both pays ~2× the
+    regex traversals. Here each pass's rewrite is threaded through a real
+    intermediate column: the pass's count extracts from it and the next
+    pass rewrites it, so every regexp_replace runs exactly once per pass.
+    (Catalyst's CollapseProject keeps the stacked projections separate
+    because each intermediate is non-cheap and referenced twice — verified
+    via the optimized plan in tests.)
+    """
+    out, prev, total, tmp = df, text_col, None, []
+    for i, (pat, tag) in enumerate(PII_PASSES):
+        cnt = F.size(F.array_distinct(F.regexp_extract_all(F.col(prev), F.lit(pat), F.lit(0))))
+        total = cnt if total is None else total + cnt
+        nxt = f"__pii_pass_{i}"
+        out = out.withColumn(nxt, F.regexp_replace(F.col(prev), pat, tag))
+        tmp.append(nxt)
+        prev = nxt
+    out = out.withColumn(count_col, total).withColumn(scrub_col, F.col(prev))
+    return out.drop(*tmp)
 
 
 def flan_template(inputs: Column, labels: Column) -> Column:

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from metadata_enhanced_pretrain_datapipeline_spark.functions.hashing import salted_hash
+from metadata_enhanced_pretrain_datapipeline_spark.functions.hashing import MD5_SPACE, salted_hash
 
 
 def deterministic_shuffle(df: DataFrame, key: Column, salt: int = 42) -> DataFrame:
@@ -37,24 +37,82 @@ def positional_split(df: DataFrame, key: Column, train_frac: float,
     ).drop("__rank")
 
 
-def balanced_sample(df: DataFrame, label_col: str, key: Column) -> DataFrame:
+def balanced_sample(df: DataFrame, label_col: str, key: Column,
+                    num_buckets: int | None = None,
+                    max_map_entries: int = 65536) -> DataFrame:
     """F15 — downsample every class to the minority-class size
     (reference preprocessing.py:37-40).
 
-    Deterministic: rank rows within each class by hashed key, keep the
-    first `min_count`. Two shuffles total (one count agg, one window);
-    the window partitions by class so skew is bounded by class size —
-    salting is unnecessary because we only keep min_count per class.
+    Deterministic AND scale-safe: keep the first `min_count` rows per
+    class under the (salted_hash(key), key) order — identical output to a
+    per-class row_number window (oracle-checked), but WITHOUT putting an
+    entire class through one task's sort. The 60-bit hash is range-split
+    into `num_buckets` monotone buckets; one (label, bucket) count agg
+    gives driver-side per-bucket offsets (n_labels x num_buckets scalars),
+    the in-bucket window adds the offset, and — the scale win — buckets
+    whose offset is already >= min_count are dropped BEFORE the window
+    shuffle, so the sort touches ~min_count rows per class no matter how
+    big the majority class is.
+
+    Ties are exact: equal hashes share a bucket (same value -> same
+    bucket) and the in-bucket order includes `key` itself; bucket id is
+    monotone in the hash, so cross-bucket order is the global hash order.
+
+    If the (label, bucket) count exceeds `max_map_entries` (very many
+    classes), classes are necessarily small and the simple per-class
+    window is the better plan — fall back to it.
     """
-    counts = df.groupBy(label_col).count()
-    min_count = counts.agg(F.min("count").alias("__m"))  # __-prefixed: a user column named 'm' must not collide
-    w = Window.partitionBy(label_col).orderBy(salted_hash(key), key)
-    ranked = df.withColumn("__rk", F.row_number().over(w))
-    return (
-        ranked.crossJoin(F.broadcast(min_count))
-        .filter(F.col("__rk") <= F.col("__m"))
-        .drop("__rk", "__m")
+    spark = df.sparkSession
+    nb = int(num_buckets or spark.sparkContext.defaultParallelism)
+    width = MD5_SPACE // nb + 1  # ceil: hash < 2^60 -> bucket in [0, nb)
+    # double division then floor is monotone in the hash, and equal hashes
+    # always agree — boundary rounding shifts a row's bucket consistently,
+    # never its rank (offsets come from actual per-bucket counts).
+    keyed = df.withColumn("__h", salted_hash(key)).withColumn(
+        "__b", F.floor(F.col("__h") / F.lit(float(width))).cast("int"))
+    cnt_rows = keyed.groupBy(label_col, "__b").agg(F.count("*").alias("__c")).collect()
+    if not cnt_rows:
+        return df.filter(F.lit(False))
+    if len(cnt_rows) > max_map_entries:
+        w = Window.partitionBy(label_col).orderBy(salted_hash(key), key)
+        counts = df.groupBy(label_col).count()
+        min_count = counts.agg(F.min("count").alias("__m"))
+        ranked = df.withColumn("__rk", F.row_number().over(w))
+        return (
+            ranked.crossJoin(F.broadcast(min_count))
+            .filter(F.col("__rk") <= F.col("__m"))
+            .drop("__rk", "__m")
+        )
+    per: dict = {}
+    for r in cnt_rows:
+        per.setdefault(r[0], {})[r["__b"]] = r["__c"]
+    min_count = min(sum(bs.values()) for bs in per.values())
+    # offsets only for buckets that can still contribute (offset < min)
+    entries = []
+    for lab, bs in per.items():
+        # render like Spark's cast-to-string so the map key matches okey
+        if lab is None:
+            lab_s = "␀"
+        elif isinstance(lab, bool):
+            lab_s = "true" if lab else "false"
+        else:
+            lab_s = str(lab)
+        acc = 0
+        for b in sorted(bs):
+            if acc < min_count:
+                entries.extend([F.lit(f"{lab_s}\x00{b}"), F.lit(acc)])
+            acc += bs[b]
+    omap = F.create_map(*entries)
+    okey = F.concat(
+        F.coalesce(F.col(label_col).cast("string"), F.lit("␀")),
+        F.lit("\x00"), F.col("__b").cast("string"),
     )
+    live = keyed.withColumn("__off", F.element_at(omap, okey)).filter(
+        F.col("__off").isNotNull())
+    w = Window.partitionBy(label_col, "__b").orderBy("__h", key)
+    ranked = live.withColumn("__rk", F.row_number().over(w) + F.col("__off"))
+    return ranked.filter(F.col("__rk") <= F.lit(min_count)).drop(
+        "__h", "__b", "__off", "__rk")
 
 
 def replicate_buckets(df: DataFrame, reps: Column, keep_rep_index: bool = False) -> DataFrame:

@@ -699,10 +699,11 @@ def q_pii_scrub(spark, sf):
     """A3 — PIIFormatter: email→ip→iban pass order, replace-all, count of
     unique matched strings (pii_formatter.py:63-70,93-119)."""
     d = load(spark, sf, "documents").withColumn("__t", _pii_text_col())
+    d = formatters.with_pii(d, "__t", scrub_col="__scrub", count_col="__n")
     return d.select(
         "doc_id",
-        F.substring(formatters.pii_scrub(F.col("__t")), 1, 80).alias("scrubbed"),
-        formatters.pii_count(F.col("__t")).cast("int").alias("pii_count"),
+        F.substring(F.col("__scrub"), 1, 80).alias("scrubbed"),
+        F.col("__n").cast("int").alias("pii_count"),
     )
 
 

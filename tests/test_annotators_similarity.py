@@ -68,6 +68,47 @@ def test_balanced_sample_equal_classes(spark):
     assert len(set(counts.values())) == 1  # every class downsampled to min
 
 
+def test_balanced_sample_matches_naive_window(spark):
+    """Ranged impl must return EXACTLY the rows a per-class row_number
+    window keeps (same hash order, same ties), on a skewed class layout."""
+    from pyspark.sql import Window
+    from metadata_enhanced_pretrain_datapipeline_spark.functions.hashing import salted_hash
+
+    rows = [(i, "big" if i < 80 else ("mid" if i < 95 else "small")) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, label string")
+    got = sorted((r.id, r.label) for r in
+                 sampling.balanced_sample(df, "label", F.col("id"), num_buckets=7).collect())
+    w = Window.partitionBy("label").orderBy(salted_hash(F.col("id")), F.col("id"))
+    naive = (df.withColumn("__rk", F.row_number().over(w))
+               .filter(F.col("__rk") <= 5).drop("__rk"))  # min class = 5 rows
+    want = sorted((r.id, r.label) for r in naive.collect())
+    assert got == want
+
+
+def test_balanced_sample_fallback_many_classes(spark):
+    """Above max_map_entries the per-class-window fallback must kick in
+    and still balance exactly."""
+    rows = [(i, i % 10) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, label int")
+    out = sampling.balanced_sample(df, "label", F.col("id"), max_map_entries=3)
+    counts = {r.label: r["count"] for r in out.groupBy("label").count().collect()}
+    assert set(counts.values()) == {4}
+
+
+def test_balanced_sample_plan_has_no_per_class_sort(spark):
+    """Scale check (VERDICT r2 #2): the window must partition by
+    (label, bucket), never by label alone — otherwise one task sorts an
+    entire class."""
+    rows = [(i, i % 3) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, label int")
+    out = sampling.balanced_sample(df, "label", F.col("id"))
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    import re
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        part = spec.split("ASC")[0]
+        assert "__b" in part, f"window partitions by class alone: {spec}"
+
+
 def test_replicate_buckets_row_multiplicity(spark):
     df = spark.createDataFrame([(1, 3), (2, 1)], "id long, k int")
     out = sampling.replicate_buckets(df, F.col("k")).groupBy("id").count().collect()
