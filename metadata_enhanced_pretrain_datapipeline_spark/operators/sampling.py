@@ -169,17 +169,35 @@ def global_rank(df: DataFrame, order: list[Column], rank_col: str = "pos",
     primary_type = df.select(order[0].alias("__k")).schema[0].dataType.simpleString()
     if primary_type == "string":
         # order-preserving numeric surrogate: first 7 BYTES of the UTF-8
-        # encoding, zero-padded to fixed width (56 bits — exact in a
-        # double). Fixed width matters: variable-length prefixes compare
-        # as integers by magnitude, not bytewise ('alphaz' > 'alpho' would
-        # misorder). Spark compares strings bytewise, so this mirrors it.
+        # encoding, zero-padded to fixed width. 56 bits exceeds a double's
+        # 53-bit mantissa, so the low ~3 bits round — but rounding a
+        # monotone map is still monotone, and keys that collide after
+        # rounding just share a range and are split exactly by the
+        # in-range window over the full `order`. Fixed width matters:
+        # variable-length prefixes compare as integers by magnitude, not
+        # bytewise ('alphaz' > 'alpho' would misorder). Spark compares
+        # strings bytewise, so this mirrors it.
         key = F.conv(
             F.hex(F.substring(
                 F.concat(F.encode(order[0], "UTF-8"), F.lit(bytes(7))), 1, 7)),
             16, 10,
         ).cast("double")
-    else:
+    elif primary_type == "date":
+        key = F.unix_date(order[0]).cast("double")
+    elif primary_type.startswith("timestamp"):
+        # unix_micros is monotone in the timestamp; |micros| < 2^63 but
+        # realistic epochs fit a double's 53-bit mantissa to ~microsecond;
+        # rounding collisions fall back to the in-range window like strings
+        key = F.unix_micros(order[0].cast("timestamp")).cast("double")
+    elif primary_type in ("tinyint", "smallint", "int", "bigint", "float",
+                          "double", "boolean") or primary_type.startswith("decimal"):
         key = order[0].cast("double")
+    else:
+        raise ValueError(
+            f"global_rank needs a primary order column with a monotone "
+            f"double surrogate; got {primary_type!r} — cast it or order by "
+            f"a numeric/string/date/timestamp expression first"
+        )
     qs = [i / num_ranges for i in range(1, num_ranges)]
     bounds = sorted(set(
         df.select(key.alias("__k")).approxQuantile("__k", qs, 0.001)

@@ -44,8 +44,10 @@ def lsh_bucket(vec: Column, num_planes: int = 8) -> Column:
     # plane (A ≡ 0 mod 11) and no duplicated (A, B) pair mod 11 — a future
     # constants edit must not silently reintroduce unreachable buckets
     pairs = [(_PLANE_A[p] % 11, (5 * p + 2) % 11) for p in range(num_planes)]
-    assert len(set(pairs)) == num_planes and all(a != 0 for a, _ in pairs), \
-        "LSH plane constants collide/degenerate mod 11"
+    if len(set(pairs)) != num_planes or any(a == 0 for a, _ in pairs):
+        # not an assert: python -O would strip it and silently allow a
+        # constants edit to reintroduce constant/duplicate planes
+        raise ValueError("LSH plane constants collide/degenerate mod 11")
     bucket = F.lit(0)
     for p in range(num_planes):
         proj = positional_dot(vec, _plane_weight(p))

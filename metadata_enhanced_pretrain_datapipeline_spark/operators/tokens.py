@@ -40,27 +40,38 @@ def _list_views(col: "pa.Array") -> tuple[np.ndarray, np.ndarray]:
 
 def _seq_batch(shards: list[int], idxs: list[int], flat_chunks: list[np.ndarray],
                pads: list[int], seq_len: int, extra: dict[str, list[int]] | None = None
-               ) -> "pa.RecordBatch":
-    """Assemble packed sequences (each exactly seq_len tokens) into one Arrow
-    batch: a single values buffer + uniform offsets, no per-token objects."""
+               ) -> Iterator["pa.RecordBatch"]:
+    """Assemble packed sequences (each exactly seq_len tokens) into Arrow
+    batches: a single values buffer + uniform offsets, no per-token objects.
+
+    Yields one batch normally; splits when a single batch's token count
+    would overflow the int32 list offsets (n * seq_len >= 2^31 — e.g. a
+    100 TB-scale fold yielding >2 Gi tokens at once). Splitting keeps the
+    column type a plain list<int32> (Spark's mapInArrow schema), vs the
+    large_list alternative that Spark's Arrow reader doesn't accept.
+    """
     n = len(shards)
     flat = (np.concatenate(flat_chunks).astype(np.int32, copy=False)
             if flat_chunks else np.empty(0, np.int32))
-    tok_col = pa.ListArray.from_arrays(
-        pa.array((np.arange(n + 1) * seq_len).astype(np.int32)),
-        pa.array(flat, type=pa.int32()),
-    )
-    names = ["shard", "seq_idx", "tokens", "n_pad"]
-    cols = [
-        pa.array(np.asarray(shards, np.int64)),
-        pa.array(np.asarray(idxs, np.int64)),
-        tok_col,
-        pa.array(np.asarray(pads, np.int32)),
-    ]
-    for name, vals in (extra or {}).items():
-        names.append(name)
-        cols.append(pa.array(np.asarray(vals, np.int32)))
-    return pa.RecordBatch.from_arrays(cols, names)
+    cap = max(1, ((1 << 31) - 1) // max(seq_len, 1))  # rows per batch
+    for lo in range(0, n, cap):
+        hi = min(lo + cap, n)
+        m = hi - lo
+        tok_col = pa.ListArray.from_arrays(
+            pa.array((np.arange(m + 1) * seq_len).astype(np.int32)),
+            pa.array(flat[lo * seq_len:hi * seq_len], type=pa.int32()),
+        )
+        names = ["shard", "seq_idx", "tokens", "n_pad"]
+        cols = [
+            pa.array(np.asarray(shards[lo:hi], np.int64)),
+            pa.array(np.asarray(idxs[lo:hi], np.int64)),
+            tok_col,
+            pa.array(np.asarray(pads[lo:hi], np.int32)),
+        ]
+        for name, vals in (extra or {}).items():
+            names.append(name)
+            cols.append(pa.array(np.asarray(vals[lo:hi], np.int32)))
+        yield pa.RecordBatch.from_arrays(cols, names)
 
 
 def tokenize_ws(text: Column, vocab_size: int = 50000) -> Column:
@@ -137,7 +148,7 @@ def pack_sequences(df: DataFrame, order_col: str, text_col: str = "text",
                     counters[sh] = c + n_full
                 carry[sh] = np.array(buf[n_full * seq_len:], copy=True)
             if out_s:
-                yield _seq_batch(out_s, out_i, out_t, out_p, seq_len)
+                yield from _seq_batch(out_s, out_i, out_t, out_p, seq_len)
         tail_s: list[int] = []; tail_i: list[int] = []
         tail_t: list[np.ndarray] = []; tail_p: list[int] = []
         for sh, buf in carry.items():
@@ -147,7 +158,7 @@ def pack_sequences(df: DataFrame, order_col: str, text_col: str = "text",
                 tail_t.append(np.concatenate((buf, np.full(pad, pad_id, np.int32))))
                 tail_p.append(pad)
         if tail_s:
-            yield _seq_batch(tail_s, tail_i, tail_t, tail_p, seq_len)
+            yield from _seq_batch(tail_s, tail_i, tail_t, tail_p, seq_len)
 
     return arranged.mapInArrow(fold, schema)
 
@@ -353,8 +364,8 @@ def pack_with_metadata(df: DataFrame, order_col: str, text_col: str = "text",
                     st.append(doc)
                 emit_full(st, sh)
             if out_s:
-                yield _seq_batch(out_s, out_i, out_t, out_p, seq_len,
-                                 extra={"n_meta_tokens": out_m})
+                yield from _seq_batch(out_s, out_i, out_t, out_p, seq_len,
+                                      extra={"n_meta_tokens": out_m})
                 out_s, out_i, out_t, out_p, out_m = [], [], [], [], []
 
         for sh, st in states.items():
@@ -366,8 +377,8 @@ def pack_with_metadata(df: DataFrame, order_col: str, text_col: str = "text",
                 out_p.append(fill + st.pad)
                 out_m.append(st.meta)
         if out_s:
-            yield _seq_batch(out_s, out_i, out_t, out_p, seq_len,
-                             extra={"n_meta_tokens": out_m})
+            yield from _seq_batch(out_s, out_i, out_t, out_p, seq_len,
+                                  extra={"n_meta_tokens": out_m})
 
     return arranged.mapInArrow(fold, schema)
 

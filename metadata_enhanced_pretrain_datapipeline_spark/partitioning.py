@@ -34,17 +34,29 @@ def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFr
         n_files = len(df.inputFiles())
     except Exception:
         n_files = 0
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", str(target)))
     if n_files > 0:
         # scan-rooted: #files approximates width. Assumption: files are
         # adequately sized (the engine's writers cap file sizes, K1) —
         # many-tiny-files layouts pack into fewer partitions than files
         # and should be compacted upstream rather than patched here.
         width = n_files
+        try:
+            plan = df._jdf.queryExecution().optimizedPlan().toString()
+        except Exception:
+            plan = ""
+        if any(m in plan for m in ("Join", "Aggregate", "Deduplicate", "Window")):
+            # the CPU-heavy stage runs POST-shuffle, where width is the
+            # shuffle conf, not leaf scan width — a wide-files plan can
+            # still narrow at the exchange. (AQE may coalesce below even
+            # this; callers running heavy per-row work after an aggregation
+            # should repartition explicitly.)
+            width = min(width, shuffle_parts)
     else:
         # shuffle/in-memory-rooted: pre-AQE width is the shuffle conf.
         # Deliberately NOT df.rdd.getNumPartitions(): that finalizes the
         # AQE plan (a hidden job) and reads the post-coalesce count.
-        width = int(spark.conf.get("spark.sql.shuffle.partitions", str(target)))
+        width = shuffle_parts
     if width >= target:
         return df
     return df.repartition(target)

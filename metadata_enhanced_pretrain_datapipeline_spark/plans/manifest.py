@@ -45,7 +45,9 @@ class RunManifest:
                 import fcntl
 
                 fcntl.flock(lock, fcntl.LOCK_EX)
-            except ImportError:  # non-POSIX: fall back to merge-only safety
+            except (ImportError, OSError):
+                # non-POSIX (no fcntl) or a filesystem whose flock raises
+                # OSError (some NFS mounts): fall back to merge-only safety
                 pass
             if os.path.exists(self.path):
                 try:

@@ -202,6 +202,34 @@ def test_global_rank_string_primary_key(spark):
     assert got == naive
 
 
+def test_global_rank_date_primary_key(spark):
+    """DATE order columns get the unix_date surrogate (ADVICE r2: the old
+    blanket cast('double') raised AnalysisException under ANSI)."""
+    import datetime
+    from pyspark.sql import Window
+
+    rows = [(i, datetime.date(2024, 1 + (i * 7) % 12, 1 + (i * 11) % 28))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "rid long, d date")
+    order = [F.col("d"), F.col("rid")]
+    naive = {r.rid: r.pos for r in df.select(
+        "rid", F.row_number().over(Window.orderBy(*order)).cast("long").alias("pos")
+    ).collect()}
+    got = {r.rid: r.pos
+           for r in sampling.global_rank(df, order, num_ranges=4).select("rid", "pos").collect()}
+    assert got == naive
+
+
+def test_global_rank_rejects_unorderable_surrogate(spark):
+    """Non-castable primary order types must raise a CLEAR error, not an
+    AnalysisException from deep inside the quantile probe."""
+    import pytest
+
+    df = spark.createDataFrame([(1, [1, 2])], "rid long, arr array<int>")
+    with pytest.raises(ValueError, match="monotone double surrogate"):
+        sampling.global_rank(df, [F.col("arr"), F.col("rid")])
+
+
 def test_lsh_planes_distinct_and_non_constant(spark):
     """Regression: the old mod-7 weights made planes 0 and 7 the identical
     CONSTANT -2, so bucket bits 0 and 7 never differed and only half the
