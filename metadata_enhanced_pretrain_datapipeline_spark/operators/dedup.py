@@ -24,12 +24,18 @@ from metadata_enhanced_pretrain_datapipeline_spark.functions.hashing import md5_
 from metadata_enhanced_pretrain_datapipeline_spark.functions.text import word_shingles
 
 
-def _shingle_hash(s):
+def _shingle_hash(s, portable: bool = False):
     """Internal shingle hash for near-dup ops: xxhash64 (JVM-native, ~2x
-    faster than the md5+conv portable hash — measured at sf0.1). These ops
-    are rows-only checked, so cross-engine portability is not required;
-    oracle-checked paths keep md5_hash64. shiftrightunsigned clears the
-    sign so modular arithmetic stays in [0, 2^63)."""
+    faster than the md5+conv portable hash — measured at sf0.1).
+    shiftrightunsigned clears the sign so modular arithmetic stays in
+    [0, 2^63).
+
+    ``portable=True`` switches to the engine-portable 60-bit md5 hash so a
+    DuckDB oracle can reproduce the EXACT pair/fingerprint sets (the
+    banding/vote arithmetic is pure SQL) — used by the oracle-checked
+    query twins; the bench path keeps xxhash64."""
+    if portable:
+        return md5_hash64(s)
     return F.shiftrightunsigned(F.xxhash64(s), 1)
 
 # Per-component MinHash constants: deterministic (a, b) pairs derived from
@@ -61,7 +67,7 @@ def dedup_exact_text(df: DataFrame, text_col: str = "text",
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text", num_hashes: int = 32,
-                       shingle_n: int = 3) -> DataFrame:
+                       shingle_n: int = 3, portable: bool = False) -> DataFrame:
     """Per-doc MinHash signature: shingle → portable hash → k parallel
     min-hashes. Pure array expressions (no UDF, no explode): the signature
     column is computed inside whole-stage codegen.
@@ -79,7 +85,7 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", num_hashes: int = 
     # cannot change any min, and deduplicating them in ONE pass saves all
     # k passes over the duplicates (~30% on the sf0.1 corpus)
     hashed = ensure_min_partitions(df).withColumn(
-        "__hashes", F.array_distinct(F.transform(sh, lambda s: _shingle_hash(s)))
+        "__hashes", F.array_distinct(F.transform(sh, lambda s: _shingle_hash(s, portable)))
     )
     sig_cols = [
         minhash_expr(F.col("__hashes"), a, b).alias(f"mh_{i}")
@@ -90,7 +96,8 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", num_hashes: int = 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                       num_hashes: int = 32, bands: int = 8,
-                      shingle_n: int = 3, max_bucket_size: int = 64) -> DataFrame:
+                      shingle_n: int = 3, max_bucket_size: int = 64,
+                      portable: bool = False) -> DataFrame:
     """MinHash-LSH candidate pairs: band the signature, bucket-join within
     bands, emit (id_a, id_b) with id_a < id_b.
 
@@ -111,7 +118,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
             "trailing signature components would be paid for but never banded"
         )
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df.select(id_col, text_col), text_col, num_hashes, shingle_n)
+    sigs = minhash_signatures(df.select(id_col, text_col), text_col, num_hashes,
+                              shingle_n, portable)
     # docs with no shingles (< shingle_n tokens) have null signatures; they
     # cannot be shingle-near-dups and would otherwise all share one bucket
     sigs = sigs.filter(F.col("mh_0").isNotNull())
@@ -190,7 +198,8 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return jac.filter(F.col("jaccard") >= F.lit(min_jaccard))
 
 
-def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 16,
+            portable: bool = False) -> DataFrame:
     """SimHash fingerprint: per-shingle portable hash → per-bit weighted
     vote → fingerprint int. Expressed with aggregate() over the shingle
     array per row — no explode, no shuffle.
@@ -205,7 +214,7 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
 
     sh = word_shingles(F.col(text_col), 3)
     hashed = ensure_min_partitions(df).withColumn(
-        "__hashes", F.transform(sh, lambda s: _shingle_hash(s))
+        "__hashes", F.transform(sh, lambda s: _shingle_hash(s, portable))
     )
 
     def bit_vote(b: int):
@@ -288,9 +297,9 @@ def drop_near_duplicates(df: DataFrame, pairs: DataFrame,
 
 def minhash_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                   num_hashes: int = 32, bands: int = 8, shingle_n: int = 3,
-                  max_bucket_size: int = 64) -> DataFrame:
+                  max_bucket_size: int = 64, portable: bool = False) -> DataFrame:
     """End-to-end fuzzy dedup: MinHash-LSH candidate pairs → greedy
     smaller-id-wins resolution → kept corpus."""
     pairs = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands,
-                              shingle_n, max_bucket_size)
+                              shingle_n, max_bucket_size, portable)
     return drop_near_duplicates(df, pairs, id_col)

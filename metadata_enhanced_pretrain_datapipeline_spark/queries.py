@@ -23,7 +23,12 @@ from pyspark.sql import functions as F
 
 from metadata_enhanced_pretrain_datapipeline_spark.session import tune_for_oracle
 from metadata_enhanced_pretrain_datapipeline_spark.functions.arrays import cosine_similarity
-from metadata_enhanced_pretrain_datapipeline_spark.functions.hashing import md5_hash64, salted_hash, salted_hash_sql
+from metadata_enhanced_pretrain_datapipeline_spark.functions.hashing import (
+    md5_hash64,
+    md5_hash64_sql,
+    salted_hash,
+    salted_hash_sql,
+)
 from metadata_enhanced_pretrain_datapipeline_spark.functions.text import TOKEN_REGEX, tokens_ws
 from metadata_enhanced_pretrain_datapipeline_spark.functions.urlf import HOST_REGEX, SUFFIX_REGEX, url_host, url_suffix
 from metadata_enhanced_pretrain_datapipeline_spark.operators import (
@@ -1167,29 +1172,132 @@ def q_mlp_quality_filter(spark, sf):
 @register("q_minhash_lsh_pairs")
 def q_minhash_lsh_pairs(spark, sf):
     """† Extension — MinHash+LSH near-dup candidate pairs
-    (operators/dedup.minhash_lsh_pairs; no O(n²) stage)."""
+    (operators/dedup.minhash_lsh_pairs; no O(n²) stage). Rows-only by
+    choice: this is the BENCH path on the fast JVM xxhash64 shingle hash;
+    q_minhash_pairs_portable is the oracle-checked md5 twin."""
     d = load(spark, sf, "documents")
     return dedup.minhash_lsh_pairs(d, num_hashes=16, bands=4)
 
 
-@register("q_simhash")
-def q_simhash(spark, sf):
-    """† Extension — SimHash fingerprints (operators/dedup.simhash)."""
+# --- portable-hash dedup oracles ------------------------------------------
+# The banding / bit-vote arithmetic is pure SQL; with the md5 shingle hash
+# (portable across Spark and DuckDB) the EXACT pair / fingerprint sets are
+# oracle-checkable. These builders render the dedup operators' semantics in
+# DuckDB SQL; constants must mirror dedup._MINHASH_PARAMS / minhash_expr.
+
+_MERSENNE_P = (1 << 31) - 1
+
+
+def _shingle_ctes(where: str, n: int = 3) -> str:
+    """tok/sh CTE pair: word_shingles(text, n) parity (functions/text.py) —
+    trim → whitespace split → drop empties → n-gram join → DISTINCT."""
+    parts = " || ' ' || ".join(f"ws[i + {j}]" for j in range(n))
+    return (
+        "tok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), "
+        f"'\\s+'), x -> x <> '') AS ws FROM documents{where}), "
+        f"sh AS (SELECT DISTINCT doc_id, {parts} AS shingle "
+        f"FROM (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - {n - 2}, 1))) AS i "
+        "FROM tok))"
+    )
+
+
+def _minhash_pairs_sql(where: str, num_hashes: int, bands: int,
+                       max_bucket_size: int, shingle_n: int = 3) -> str:
+    """DuckDB twin of dedup.minhash_lsh_pairs(portable=True)."""
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.dedup import _MINHASH_PARAMS
+
+    rows_per_band = num_hashes // bands
+    hash_expr = md5_hash64_sql("shingle")
+    mh_cols = ", ".join(
+        f"min((h % {_MERSENNE_P} * {a} + {b}) % {_MERSENNE_P}) AS mh_{i}"
+        for i, (a, b) in enumerate(_MINHASH_PARAMS[:num_hashes])
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || '_' || ".join(
+            f"CAST(mh_{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+        )
+        + " AS key FROM mh"
+        for b in range(bands)
+    )
+    return (
+        f"WITH {_shingle_ctes(where, shingle_n)}, "
+        f"h AS (SELECT DISTINCT doc_id, {hash_expr} AS h FROM sh), "
+        f"mh AS (SELECT doc_id, {mh_cols} FROM h GROUP BY doc_id), "
+        f"bands AS ({band_selects}), "
+        "kept AS (SELECT band, key FROM bands GROUP BY band, key "
+        f"         HAVING count(*) BETWEEN 2 AND {max_bucket_size}), "
+        "el AS (SELECT b.doc_id, b.band, b.key FROM bands b JOIN kept USING (band, key)) "
+        "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        "FROM el a JOIN el b ON a.band = b.band AND a.key = b.key "
+        "AND a.doc_id < b.doc_id"
+    )
+
+
+_SIMHASH_BITS = 16
+
+
+def _simhash_sql(where: str = "") -> str:
+    """DuckDB twin of dedup.simhash(portable=True): per-bit +1/-1 votes over
+    the distinct-shingle hash array; docs with no shingles fingerprint 0."""
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) % 2 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(_SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIMHASH_BITS)
+    )
+    return (
+        f"WITH {_shingle_ctes(where, 3)}, "
+        f"h AS (SELECT doc_id, {md5_hash64_sql('shingle')} AS h FROM sh), "
+        f"v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id), "
+        f"fp AS (SELECT doc_id, {fp} AS simhash FROM v) "
+        "SELECT d.doc_id, CAST(COALESCE(fp.simhash, 0) AS BIGINT) AS simhash "
+        f"FROM (SELECT doc_id FROM documents{where}) d LEFT JOIN fp USING (doc_id)"
+    )
+
+
+@register("q_minhash_pairs_portable", _minhash_pairs_sql("", 8, 4, 64))
+def q_minhash_pairs_portable(spark, sf):
+    """Extension — oracle-checked MinHash-LSH twin on the portable md5
+    shingle hash: DuckDB reproduces the exact candidate-pair set (banding
+    is plain GROUP BY arithmetic). The xxhash64 fast path stays on
+    q_minhash_lsh_pairs for bench."""
     d = load(spark, sf, "documents")
-    return dedup.simhash(d, bits=16).select("doc_id", "simhash")
+    return dedup.minhash_lsh_pairs(d, num_hashes=8, bands=4,
+                                   max_bucket_size=64, portable=True)
 
 
-@register("q_ngram_jaccard_sampled")
+@register("q_simhash", _simhash_sql())
+def q_simhash(spark, sf):
+    """Extension — SimHash fingerprints (operators/dedup.simhash), portable
+    md5 hash so the per-bit vote arithmetic is oracle-checked exactly."""
+    d = load(spark, sf, "documents")
+    return dedup.simhash(d, bits=_SIMHASH_BITS, portable=True).select("doc_id", "simhash")
+
+
+@register(
+    "q_ngram_jaccard_sampled",
+    f"WITH {_shingle_ctes(' WHERE doc_id % 10 = 0', 2)}, "
+    "sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common "
+    "  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id "
+    "  GROUP BY a.doc_id, b.doc_id), "
+    "j AS (SELECT id_a, id_b, CAST(n_common AS DOUBLE) / "
+    "  (sa.n_sh + sb.n_sh - n_common) AS raw FROM inter "
+    "  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b) "
+    "SELECT id_a, id_b, round(raw, 6) AS jaccard FROM j WHERE raw >= 0.05",
+)
 def q_ngram_jaccard_sampled(spark, sf):
-    """† Extension — n-gram Jaccard over shingle inverted index, thresholded
+    """Extension — n-gram Jaccard over shingle inverted index, thresholded
     (operators/dedup.jaccard_pairs), run on a 1-in-10 doc_id SAMPLE (the
     name says so): jaccard_pairs is the exact in-bucket VERIFIER, not a
     full-corpus pair generator — at scale it runs on LSH candidates
     (minhash_lsh_pairs), and here on a sample that bounds pair volume.
-    The driver's rows-only count covers the sample, not the corpus.
     Bigram shingles + low threshold: the synthetic docs share little
     verbatim text, so trigram/0.2 settings return an empty (hence
-    meaningless) gate result."""
+    meaningless) gate result. Oracle-checked: the inverted-index join is
+    plain SQL (shingles are strings, no hashing involved)."""
     d = load(spark, sf, "documents")
     sample = d.filter(F.col("doc_id") % 10 == 0)
     return dedup.jaccard_pairs(sample, shingle_n=2, min_jaccard=0.05).select(
@@ -1643,28 +1751,40 @@ def q_tokenize_counts(spark, sf):
     )
 
 
-@register("q_scan_json")
-def q_scan_json(spark, sf):
-    """† S2 — JsonlReader (provenance-flan/main.py:61-64): round-trip the
-    documents table through a jsonl directory and aggregate from the json
-    scan. Rows-only (driver tables are parquet; jsonl is engine-written)."""
+def _scratch_dir(sf: str, tag: str) -> str:
+    """Per-(sf, query, process) scratch dir for write→read-back round-trip
+    queries: the sf digest avoids collisions between sf dirs, the pid
+    avoids overwrite races between concurrent driver/bench processes, and
+    the atexit hook removes the dir so repeated processes don't accumulate
+    copies in /tmp."""
+    import atexit
+    import hashlib
+    import os
+    import shutil
     import tempfile
 
+    digest = hashlib.md5(sf.encode()).hexdigest()[:10]
+    path = f"{tempfile.gettempdir()}/mep_spark_{tag}_{digest}_{os.getpid()}"
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
+@register(
+    "q_scan_json",
+    "SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars "
+    "FROM documents GROUP BY lang",
+)
+def q_scan_json(spark, sf):
+    """S2 — JsonlReader (provenance-flan/main.py:61-64): round-trip the
+    documents table through a jsonl directory and aggregate from the json
+    scan. Oracle-checked as a round-trip: the jsonl write→read must be
+    identity-preserving on (doc_id, lang, n_chars), so the same aggregate
+    straight off the parquet table is the oracle (pattern of
+    q_promote_metadata)."""
     from metadata_enhanced_pretrain_datapipeline_spark.sources import readers, writers
 
     d = load(spark, sf, "documents").select("doc_id", "lang", "n_chars")
-    import atexit as _atexit
-    import hashlib as _hl
-    import os as _os
-    import shutil as _shutil
-
-    # per-path digest (no collision between sf dirs) + pid (no overwrite
-    # race between concurrent driver/bench processes on the same sf);
-    # the pid dir is removed at process exit so repeated processes don't
-    # accumulate jsonl copies in /tmp
-    tag = _hl.md5(sf.encode()).hexdigest()[:10]
-    path = f"{tempfile.gettempdir()}/mep_spark_scan_json_{tag}_{_os.getpid()}"
-    _atexit.register(_shutil.rmtree, path, ignore_errors=True)
+    path = _scratch_dir(sf, "scan_json")
     writers.write_jsonl(d, path)
     back = readers.read_jsonl(spark, path, schema="doc_id long, lang string, n_chars long")
     return back.groupBy("lang").agg(
@@ -1879,15 +1999,20 @@ def q_embedding_near_dup(spark, sf):
     return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
-@register("q_minhash_dedup")
+@register(
+    "q_minhash_dedup",
+    "SELECT doc_id, source, n_chars FROM documents WHERE doc_id NOT IN "
+    f"(SELECT id_b FROM ({_minhash_pairs_sql('', 16, 8, 64)}))",
+)
 def q_minhash_dedup(spark, sf):
-    """† End-to-end fuzzy dedup application: MinHash-LSH candidate pairs →
-    greedy smaller-id-wins resolution → kept corpus
-    (dedup.minhash_dedup). Rows-only: banding isn't SQL-expressible; the
-    resolution invariant (kept ∪ {id_b of pairs} = input) is
+    """End-to-end fuzzy dedup application: MinHash-LSH candidate pairs →
+    greedy smaller-id-wins resolution → kept corpus (dedup.minhash_dedup,
+    portable hash). Oracle-checked: DuckDB reproduces the exact pair set
+    (see q_minhash_pairs_portable) and the anti-join is NOT IN. The
+    resolution invariant (kept ∪ {id_b of pairs} = input) is additionally
     pytest-checked."""
     d = load(spark, sf, "documents")
-    kept = dedup.minhash_dedup(d, num_hashes=16, bands=8, shingle_n=3)
+    kept = dedup.minhash_dedup(d, num_hashes=16, bands=8, shingle_n=3, portable=True)
     return kept.select("doc_id", "source", "n_chars")
 
 

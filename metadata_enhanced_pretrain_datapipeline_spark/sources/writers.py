@@ -33,9 +33,15 @@ def write_parquet(df: DataFrame, path: str, max_records_per_file: int | None = N
     w.parquet(path)
 
 
-def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """K2 — JsonlWriter (provenance-flan/main.py:7; create_excerpt.py:144-151)."""
-    df.write.mode(mode).json(path)
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite",
+                compression: str | None = None) -> None:
+    """K2 — JsonlWriter (provenance-flan/main.py:7; create_excerpt.py:144-151).
+    ``compression='gzip'`` emits .json.gz shards (the reference's
+    output_folder compression=gzip flag)."""
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
 
 
 def write_fasttext(df: DataFrame, path: str, label_col: str = "label",
