@@ -1793,6 +1793,132 @@ def q_scan_json(spark, sf):
 
 
 @register(
+    "q_parquet_roundtrip",
+    "SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars "
+    "FROM documents GROUP BY lang, source",
+)
+def q_parquet_roundtrip(spark, sf):
+    """K1 — ParquetWriter (fineweb/main.py:144-148): zstd compression,
+    bounded shard size (maxRecordsPerFile) and hive partitioning by lang,
+    then read back through S1 and aggregate. The write→read must be
+    identity-preserving on (doc_id, lang, source, n_chars), so the same
+    aggregate off the driver's parquet table is the oracle."""
+    from metadata_enhanced_pretrain_datapipeline_spark.sources import readers, writers
+
+    d = load(spark, sf, "documents").select("doc_id", "lang", "source", "n_chars")
+    path = _scratch_dir(sf, "pq_roundtrip")
+    writers.write_parquet(d, path, max_records_per_file=200, partition_by=["lang"])
+    back = readers.read_parquet(spark, path)
+    return back.groupBy("lang", "source").agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+@register(
+    "q_csv_roundtrip",
+    "SELECT p_brand, count(*) AS n, round(sum(p_retailprice), 2) AS total_price "
+    "FROM part GROUP BY p_brand",
+)
+def q_csv_roundtrip(spark, sf):
+    """S5 — CSV reader (toxicity preprocessing.py:21-25) exercised as a
+    write→read-back round-trip: header + explicit schema (the at-scale
+    form that skips the inference pass); p_name carries spaces so the
+    quoting path is on the line."""
+    from metadata_enhanced_pretrain_datapipeline_spark.sources import readers
+
+    p = load(spark, sf, "part").select("p_partkey", "p_name", "p_brand", "p_retailprice")
+    path = _scratch_dir(sf, "csv_roundtrip")
+    p.write.mode("overwrite").option("header", True).csv(path)
+    back = readers.read_csv(
+        spark, path,
+        schema="p_partkey long, p_name string, p_brand string, p_retailprice double",
+    )
+    return back.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("p_retailprice"), 2).alias("total_price"),
+    )
+
+
+_FASTTEXT_LINE_SQL = (
+    "'__label__' || lang || ' ' || "
+    "replace(replace(text, '\\', '\\\\'), chr(10), '\\n')"
+)
+
+
+@register(
+    "q_fasttext_lines",
+    f"SELECT lang AS label, count(*) AS n, CAST(sum(length({_FASTTEXT_LINE_SQL})) AS BIGINT) "
+    "AS total_len FROM documents GROUP BY lang",
+)
+def q_fasttext_lines(spark, sf):
+    """K5 — fasttext training-file sink (code_processing.py:80-111): write
+    '__label__<lang> <text-escaped>' lines, read the text files back,
+    re-parse the label prefix and aggregate. The oracle recomputes the
+    escaped line inline from the parquet table — line counts and byte
+    lengths must survive the file round-trip exactly (newlines are escaped
+    by fasttext_line, so lines ↔ rows is 1:1)."""
+    from metadata_enhanced_pretrain_datapipeline_spark.sources import writers
+
+    d = load(spark, sf, "documents").select("lang", "text")
+    path = _scratch_dir(sf, "fasttext")
+    writers.write_fasttext(d, path, label_col="lang", text_col="text")
+    back = spark.read.text(path)
+    return back.select(
+        F.regexp_extract("value", r"^__label__(\S+) ", 1).alias("label"),
+        F.length("value").alias("__len"),
+    ).groupBy("label").agg(
+        F.count("*").alias("n"), F.sum("__len").alias("total_len")
+    )
+
+
+#: S6 CSV stand-in rows (Priority, Regex, Replacement) — deliberately listed
+#: out of priority order so the loader's P-number sort is on the line.
+_EU_PII_ROWS = [
+    ("P1", "user[0-9]+", "<eu-user>"),
+    ("P0", "DE[0-9]{20}", "<eu-iban>"),
+]
+
+
+@register(
+    "q_pii_table_scrub",
+    "SELECT doc_id, substring("
+    + _pii_scrub_sql(
+        "regexp_replace(regexp_replace(" + _PII_TEXT +
+        ", '\\bDE[0-9]{20}(\\.|$|\\,|\\s)', '<eu-iban>', 'g')"
+        ", '\\buser[0-9]+(\\.|$|\\,|\\s)', '<eu-user>', 'g')"
+    )
+    + ", 1, 80) AS scrubbed FROM documents",
+)
+def q_pii_table_scrub(spark, sf):
+    """S6 + A3 full form — the EU regex asset table (pii_formatter.py:40-60)
+    loaded through load_pii_regex_table (CSV stand-in, priority-sorted
+    P0 < P1), then pii_scrub_with_table: EU passes first with the
+    reference's ``\\b…(\\.|$|\\,|\\s)`` wrapping, then email→ip→iban.
+    The P0 DE-IBAN pass consumes the spaced IBAN before the built-in pass
+    sees it — the oracle replicates the exact pass order in DuckDB.
+    Output clamped to the first 80 chars: the deterministic synthetic
+    prefix region, away from Java-vs-RE2 end-of-string ``$`` semantics."""
+    import csv
+    import os
+
+    path = _scratch_dir(sf, "pii_table")
+    os.makedirs(path, exist_ok=True)
+    asset = os.path.join(path, "eu_regex.csv")
+    with open(asset, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["Priority", "Regex", "Replacement"])
+        w.writerows(_EU_PII_ROWS)
+    passes = formatters.load_pii_regex_table(asset)
+    d = load(spark, sf, "documents").withColumn("__t", _pii_text_col())
+    return d.select(
+        "doc_id",
+        F.substring(
+            formatters.pii_scrub_with_table(F.col("__t"), passes), 1, 80
+        ).alias("scrubbed"),
+    )
+
+
+@register(
     "q_per_lang_threshold",
     "SELECT doc_id, lang, score FROM ("
     "  SELECT doc_id, lang, round((doc_id % 1000) / 1000.0, 3) AS score FROM documents) "
