@@ -176,6 +176,13 @@ def robots_filter(docs: DataFrame, robots: DataFrame, url_col: str = "url",
     agents = agents or AI_USER_AGENTS
     spark = docs.sparkSession
     robots_map = {r["domain"]: r["content"] for r in robots.collect()}
+    # Domains that can possibly deny: non-empty name AND non-empty content
+    # (the parser treats empty content as no-entry). Everything else skips
+    # the Python stage entirely via the JVM pre-filter below.
+    domains = [d for d, c in robots_map.items() if d and c]
+    empty_arr = F.array().cast("array<string>")
+    if not domains:
+        return docs.withColumn("disallowed_user_agents", empty_arr)
     bc = spark.sparkContext.broadcast(robots_map)
 
     from metadata_enhanced_pretrain_datapipeline_spark.functions.urlf import HOST_REGEX, PATH_REGEX
@@ -187,6 +194,16 @@ def robots_filter(docs: DataFrame, robots: DataFrame, url_col: str = "url",
                            if not name.startswith("__"))
     schema = out_fields + ", disallowed_user_agents array<string>"
     keep_cols = [name for name, _ in with_parts.dtypes if not name.startswith("__")]
+
+    # JVM fast path: a host with no robots entry cannot be denied — route it
+    # around the Python stage with an InSet membership test (Catalyst turns
+    # the literal list into a hash-set probe). At corpus scale most docs
+    # have no robots entry, so the Arrow round-trip only touches the subset
+    # that can actually match. null/absent hosts are misses (coalesce).
+    hit = F.coalesce(F.col("__host").isin(domains), F.lit(False))
+    misses = (with_parts.filter(~hit).select(*keep_cols)
+              .withColumn("disallowed_user_agents", empty_arr))
+    with_parts = with_parts.filter(hit)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         table = bc.value
@@ -210,7 +227,7 @@ def robots_filter(docs: DataFrame, robots: DataFrame, url_col: str = "url",
             out["disallowed_user_agents"] = denied
             yield out
 
-    return with_parts.mapInPandas(run, schema)
+    return with_parts.mapInPandas(run, schema).unionByName(misses)
 
 
 def robots_filter_join(docs: DataFrame, robots: DataFrame, url_col: str = "url",
@@ -236,6 +253,13 @@ def robots_filter_join(docs: DataFrame, robots: DataFrame, url_col: str = "url",
     out_fields = ", ".join(f"{n} {t}" for n, t in docs.dtypes)
     schema = out_fields + ", disallowed_user_agents array<string>"
 
+    # Same fast path as robots_filter, join-shaped: the left join already
+    # materialized hit-or-miss as __robots nullability, so misses bypass
+    # the Python stage without any extra probe.
+    misses = (joined.filter(F.col("__robots").isNull()).select(*keep_cols)
+              .withColumn("disallowed_user_agents", F.array().cast("array<string>")))
+    hits = joined.filter(F.col("__robots").isNotNull())
+
     def run(batches):
         from functools import lru_cache
 
@@ -254,4 +278,4 @@ def robots_filter_join(docs: DataFrame, robots: DataFrame, url_col: str = "url",
             out["disallowed_user_agents"] = denied
             yield out
 
-    return joined.mapInPandas(run, schema)
+    return hits.mapInPandas(run, schema).unionByName(misses)

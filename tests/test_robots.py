@@ -62,6 +62,56 @@ def test_robots_filter_join_matches_broadcast(spark):
     assert bc == jn
 
 
+def _final_plan(df) -> str:
+    # under AQE toString() appends the "== Initial Plan ==" section, which
+    # would double-count operators
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_robots_prefilter_plan_and_nulls(spark):
+    # Hosts with no robots entry (and null urls) must bypass the Python
+    # stage JVM-side yet still appear in the output with an empty array.
+    docs = spark.createDataFrame(
+        [(1, "https://a.com/private/x"), (2, "https://nope.com/x"), (3, None)],
+        "doc_id long, url string",
+    )
+    rob = spark.createDataFrame([("a.com", ROBOTS_A)], "domain string, content string")
+    annotated = robots.robots_filter(docs, rob)
+    out = {r.doc_id: list(r.disallowed_user_agents) for r in annotated.collect()}
+    assert len(out) == 3 and out[2] == [] and out[3] == []
+    assert len(out[1]) == 15
+    plan = _final_plan(annotated)
+    # exactly one Python stage, fed by the membership pre-filter, unioned
+    # with the JVM-only miss branch
+    assert plan.count("MapInPandas") == 1
+    assert "Union" in plan
+    # the membership pre-filter sits under the Python stage (with a single
+    # domain Catalyst folds isin into an equality on the extracted host)
+    assert "Filter" in plan and "a.com" in plan
+
+
+def test_robots_empty_table_short_circuits(spark):
+    docs = spark.createDataFrame([(1, "https://a.com/x")], "doc_id long, url string")
+    rob = spark.createDataFrame([], "domain string, content string")
+    annotated = robots.robots_filter(docs, rob)
+    assert annotated.collect()[0].disallowed_user_agents == []
+    assert "MapInPandas" not in _final_plan(annotated)
+
+
+def test_robots_join_prefilter_misses_bypass_python(spark):
+    docs = spark.createDataFrame(
+        [(1, "https://a.com/private/x"), (2, "https://nope.com/x")],
+        "doc_id long, url string",
+    )
+    rob = spark.createDataFrame([("a.com", ROBOTS_A)], "domain string, content string")
+    annotated = robots.robots_filter_join(docs, rob)
+    out = {r.doc_id: list(r.disallowed_user_agents) for r in annotated.collect()}
+    assert out[2] == [] and len(out[1]) == 15
+    plan = _final_plan(annotated)
+    assert plan.count("MapInPandas") == 1 and "Union" in plan
+
+
 def test_ua_list_matches_reference():
     # Verbatim _DEFAULT_REMOVE_USER_AGENTS (reference robots_filter.py:11-27),
     # including the "*" entry.
