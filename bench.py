@@ -51,6 +51,7 @@ def main() -> None:
     registry = q.all_queries()
 
     timings: dict[str, float] = {}
+    all_laps: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = registry[name]
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm (JIT+IO cache)
@@ -58,8 +59,10 @@ def main() -> None:
         for _ in range(2):  # best-of-2: steady-state time, resistant to
             t0 = time.time()  # transient host noise between rounds
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            laps.append(time.time() - t0)
-        timings[name] = round(min(laps), 3)
+            laps.append(round(time.time() - t0, 3))
+        timings[name] = min(laps)
+        all_laps[name] = laps  # both laps recorded: lap spread makes noise
+        # vs regression decidable from the artifact alone
 
     total = round(sum(timings.values()), 3)
     print(
@@ -69,6 +72,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "laps": all_laps,
                 "sf": sf,
             }
         )

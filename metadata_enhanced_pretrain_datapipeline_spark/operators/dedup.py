@@ -132,29 +132,55 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     buckets = sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    if max_bucket_size is not None:
-        # guard = broadcast ANTI-join against only the OVERSIZED keys:
-        # the count aggregate is map-side combined (cheap), and the set of
-        # degenerate buckets is tiny by construction, so the bucket rows
-        # themselves never shuffle for the guard. A window-count
-        # formulation would be one shuffle but puts each bucket in ONE
-        # task — unsplittable by AQE for exactly the skewed buckets this
-        # cap exists for.
-        oversized = (
-            buckets.groupBy("band", "key").agg(F.count("*").alias("__n"))
-            .filter(F.col("__n") > max_bucket_size)
-            .select("band", "key")
+    # ONE explicit exchange on the bucket key. Everything downstream (the
+    # size guard and both sides of the self-join) hangs off this single
+    # shuffle of tiny (id, band, key) rows, so the expensive
+    # shingle→hash→minhash projection under it runs ONCE and ReuseExchange
+    # dedupes the shuffle for the join's two sides. The previous
+    # guard-by-broadcast-anti-join formulation forked the plan BELOW the
+    # shuffle: column pruning specialized each branch's scan and the whole
+    # signature projection ran 4x (4 FileScans in the physical plan,
+    # measured ~2x wall-clock at sf0.1).
+    buckets = buckets.repartition("band", "key")
+    # Size guard as a window count over the co-partitioned buckets — adds
+    # NO shuffle and no recompute. A huge degenerate bucket is counted
+    # linearly in one task (spillable sort-based window), and the
+    # quadratic work it would cause is what the filter prevents. Singleton
+    # buckets (count 1) can never pair, so dropping them here keeps most
+    # rows out of the aggregation — at corpus scale the vast majority of
+    # buckets are singletons.
+    w = Window.partitionBy("band", "key")
+    counted = buckets.withColumn("__n", F.count("*").over(w))
+    upper = (F.col("__n") <= F.lit(max_bucket_size)) if max_bucket_size is not None else F.lit(True)
+    buckets = counted.filter((F.col("__n") >= 2) & upper).drop("__n")
+    # Pair expansion WITHOUT a self-join: collect the (guard-bounded, so
+    # OOM-safe) member list per bucket — shuffle-free, the clustering from
+    # the repartition above satisfies the groupBy — and emit the sorted
+    # combinations with array expressions. A self-join formulation forks
+    # the plan into two consumers of the bucket rows, and the planner
+    # broadcasts one side (different exchange type), defeating exchange
+    # reuse: the whole signature projection ran twice (measured ~1.4x
+    # wall-clock at sf0.1).
+    grouped = buckets.groupBy("band", "key").agg(
+        F.array_sort(F.collect_list(F.col(id_col))).alias("ids")
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        buckets = buckets.join(F.broadcast(oversized), ["band", "key"], "left_anti")
-    a = buckets.alias("a")
-    b2 = buckets.alias("b")
-    pairs = (
-        a.join(b2, ["band", "key"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    )
+    return (
+        grouped.select(F.explode(pair_arr).alias("p"))
+        # the array is sorted so id_a <= id_b; strict < preserves the
+        # self-join's behavior if a caller ever feeds duplicate ids
+        .filter(F.col("p.id_a") < F.col("p.id_b"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
-    return pairs
 
 
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
