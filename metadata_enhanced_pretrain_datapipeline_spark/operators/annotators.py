@@ -165,96 +165,188 @@ def with_stochastic_gate(df: DataFrame, col: str, ratio: float, seed: int = 42) 
 
 
 # ---------------------------------------------------------------------------
+# Model plug-in contract (docs/model_plugins.md): every stubbed model
+# operator takes an optional `*_factory` callable. The factory runs ONCE
+# per executor Python worker (executor_singleton) and returns the batch
+# predict function; Arrow batches stream through it. Passing a factory
+# replaces the deterministic stub with the real model — no operator code
+# changes, exactly the reference's per-task model-load slot
+# (xlmr_embedding_annotator.py:41-46, code_classifier.py:53-68).
+# ---------------------------------------------------------------------------
+
+_PLUGIN_SINGLETONS: dict = {}
+
+
+def executor_singleton(factory, cache_key: str | None = None):
+    """Build-once-per-worker model cache: calls ``factory()`` the first
+    time a given key is seen in this Python worker process and returns the
+    cached object afterwards — across tasks AND across queries reusing the
+    worker. Key defaults to the factory's qualified name; pass
+    ``cache_key`` when two factories share one (e.g. closures
+    parameterized differently)."""
+    key = cache_key or (getattr(factory, "__module__", "?"),
+                        getattr(factory, "__qualname__", repr(factory)))
+    if key not in _PLUGIN_SINGLETONS:
+        _PLUGIN_SINGLETONS[key] = factory()
+    return _PLUGIN_SINGLETONS[key]
+
+
+# ---------------------------------------------------------------------------
 # A1 — document embedding annotator (reference xlmr_embedding_annotator.py:4-91):
 # tokenize into chunk_len-token overflow windows, encode each chunk, attach
-# array<array<float>> per doc. The transformer is STUBBED (deterministic
-# vector from the chunk digest — no encoder libs in this container); the
-# Spark plumbing (Arrow batches, per-executor model singleton, chunk→doc
-# regrouping at xlmr:78-90) is real.
+# array<array<float>> per doc. The default encoder is STUBBED (deterministic
+# vector from the chunk digest — no encoder libs in this container); pass
+# encoder_factory to plug in a real model. The Spark plumbing (Arrow
+# batches, per-executor model singleton, chunk→doc regrouping at
+# xlmr:78-90) is identical either way.
 # ---------------------------------------------------------------------------
 
 
-def embed_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                    chunk_len: int = 512, dim: int = 64, stub: bool = True) -> DataFrame:
-    import hashlib
+def _stub_encoder_factory_for(dim: int):
+    def stub_encoder_factory():
+        import hashlib
 
-    if not stub:
-        raise NotImplementedError("transformer encoder not available in this environment")
+        def encode_batch(chunk_texts: list[str]) -> np.ndarray:
+            out = np.empty((len(chunk_texts), dim), dtype=np.float32)
+            for i, t in enumerate(chunk_texts):
+                digest = hashlib.md5(t.encode()).digest()
+                rng = np.random.default_rng(int.from_bytes(digest[:4], "little"))
+                v = rng.standard_normal(dim)
+                out[i] = v / np.linalg.norm(v)
+            return out
+
+        return encode_batch
+
+    return stub_encoder_factory
+
+
+def embed_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                    chunk_len: int = 512, dim: int = 64, stub: bool = True,
+                    encoder_factory=None) -> DataFrame:
+    """A1 — chunk + encode + regroup. ``encoder_factory() ->
+    encode_batch(list[str]) -> (n, dim) float array``; all chunks of an
+    Arrow batch go through ONE encode_batch call (the reference's manual
+    batching, toxic_filter.py:123)."""
+    if encoder_factory is None:
+        if not stub:
+            raise NotImplementedError(
+                "no transformer runtime in this environment — pass "
+                "encoder_factory (docs/model_plugins.md) or stub=True"
+            )
+        encoder_factory = _stub_encoder_factory_for(dim)
+        cache_key = f"__stub_encoder_{dim}"
+    else:
+        cache_key = None
 
     id_type = dict(df.dtypes)[id_col]
     schema = f"{id_col} {id_type}, embeddings array<array<float>>"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # per-executor "model load" happens here, once per task stream —
-        # the singleton slot the real encoder would occupy (xlmr:41-46)
-        def encode(chunk_words: list[str]) -> list[float]:
-            digest = hashlib.md5(" ".join(chunk_words).encode()).digest()
-            seed = int.from_bytes(digest[:4], "little")
-            rng = np.random.default_rng(seed)
-            v = rng.standard_normal(dim)
-            return (v / np.linalg.norm(v)).astype(np.float32).tolist()
-
+        encode_batch = executor_singleton(encoder_factory, cache_key)
         for pdf in batches:
-            out = []
+            chunk_texts: list[str] = []
+            spans: list[tuple] = []  # (row id, chunk count)
             # column arrays, not iterrows (a Series per row is ~30x slower)
             for rid, text in zip(pdf[id_col].to_numpy(), pdf[text_col].to_numpy()):
                 words = (text or "").split()
-                chunks = [words[i : i + chunk_len] for i in range(0, max(len(words), 1), chunk_len)]
-                out.append((rid, [encode(c) for c in chunks]))
+                chunks = [
+                    " ".join(words[i : i + chunk_len])
+                    for i in range(0, max(len(words), 1), chunk_len)
+                ]
+                chunk_texts.extend(chunks)
+                spans.append((rid, len(chunks)))
+            vecs = np.asarray(encode_batch(chunk_texts), dtype=np.float32)
+            out, pos = [], 0
+            for rid, n in spans:
+                out.append((rid, [vecs[pos + j].tolist() for j in range(n)]))
+                pos += n
             yield pd.DataFrame(out, columns=[id_col, "embeddings"])
 
     return df.select(id_col, text_col).mapInPandas(run, schema)
 
 
 def llm_annotate(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                 max_chars: int = 32_000, stub: bool = True) -> DataFrame:
+                 max_chars: int = 32_000, stub: bool = True,
+                 complete_factory=None) -> DataFrame:
     """A4 — LLM rubric annotation (reference code_annotation.py:33-78):
     truncate to 32k chars, prompt an LLM, get a 'c p e d' score string.
-    STUB: deterministic scores from the truncated-content digest; the real
-    path (an inference endpoint) is NotImplementedError here. Downstream
+    ``complete_factory() -> complete_batch(list[str]) -> list[str]`` plugs
+    in a real endpoint client (built once per worker); the default STUB
+    scores deterministically from the truncated-content digest. Downstream
     parsing is split_score_columns (A5)."""
-    import hashlib
+    stub_used = complete_factory is None
+    if complete_factory is None:
+        if not stub:
+            raise NotImplementedError(
+                "no LLM inference endpoint configured — pass complete_factory "
+                "(docs/model_plugins.md) or stub=True"
+            )
 
-    if not stub:
-        raise NotImplementedError("LLM inference endpoint not configured")
+        def complete_factory():
+            import hashlib
+
+            def complete_batch(contents: list[str]) -> list[str]:
+                out = []
+                for content in contents:
+                    h = hashlib.md5(content.encode()).digest()
+                    out.append(f"{h[0] % 10} {h[1] % 10} {h[2] % 10} {h[3] % 3}")
+                return out
+
+            return complete_batch
 
     id_type = dict(df.dtypes)[id_col]
     schema = f"{id_col} {id_type}, output string"
 
+    llm_key = "__stub_llm" if stub_used else None
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        complete_batch = executor_singleton(complete_factory, llm_key)
         for pdf in batches:
-            out = []
-            for rid, text in zip(pdf[id_col].to_numpy(), pdf[text_col].to_numpy()):
-                content = (text or "")[:max_chars]  # truncation :69-71
-                h = hashlib.md5(content.encode()).digest()
-                c, p, e, d = h[0] % 10, h[1] % 10, h[2] % 10, h[3] % 3
-                out.append((rid, f"{c} {p} {e} {d}"))
-            yield pd.DataFrame(out, columns=[id_col, "output"])
+            contents = [(t or "")[:max_chars] for t in pdf[text_col]]  # truncation :69-71
+            out = pdf[[id_col]].copy()
+            out["output"] = complete_batch(contents)
+            yield out
 
     return df.select(id_col, text_col).mapInPandas(run, schema)
 
 
 def fasttext_annotate(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                      n_labels: int = 2, stub: bool = True) -> DataFrame:
+                      n_labels: int = 2, stub: bool = True,
+                      model_factory=None) -> DataFrame:
     """A6 — fasttext label prediction per row (reference
-    code_classifier.py:53-68; model file broadcast to executors). STUB:
-    deterministic label from the content digest."""
-    import hashlib
+    code_classifier.py:53-68; model file shipped to executors).
+    ``model_factory() -> predict_batch(list[str]) -> list[int]`` plugs in
+    a real model loaded from SparkFiles once per worker; the default STUB
+    labels deterministically from the content digest."""
+    stub_used = model_factory is None
+    if model_factory is None:
+        if not stub:
+            raise NotImplementedError(
+                "no fasttext runtime in this environment — pass model_factory "
+                "(docs/model_plugins.md) or stub=True"
+            )
 
-    if not stub:
-        raise NotImplementedError("fasttext model not available in this environment")
+        def model_factory():
+            import hashlib
+
+            def predict_batch(texts: list[str]) -> list[int]:
+                return [
+                    int(hashlib.md5((t or "").encode()).digest()[0]) % n_labels
+                    for t in texts
+                ]
+
+            return predict_batch
 
     id_type = dict(df.dtypes)[id_col]
     schema = f"{id_col} {id_type}, label int"
 
+    ft_key = f"__stub_fasttext_{n_labels}" if stub_used else None
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        predict_batch = executor_singleton(model_factory, ft_key)
         for pdf in batches:
-            labels = [
-                int(hashlib.md5((t or "").encode()).digest()[0]) % n_labels
-                for t in pdf[text_col]
-            ]
             out = pdf[[id_col]].copy()
-            out["label"] = labels
+            out["label"] = predict_batch(list(pdf[text_col]))
             yield out
 
     return df.select(id_col, text_col).mapInPandas(run, schema)
@@ -274,29 +366,44 @@ def toxic_scorer(df: DataFrame, emb_col: str = "embeddings", id_col: str = "doc_
 
 def hf_classifier_annotate(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", label_name: str = "quality",
-                           n_labels: int = 10, stub: bool = True) -> DataFrame:
+                           n_labels: int = 10, stub: bool = True,
+                           pipeline_factory=None) -> DataFrame:
     """A7 — HF classifier/regressor annotation → ``cb_<label>`` column
     (reference code_classifier.py:336-371 HFClassifier, 485-519
-    HFRegressor: tokenize + forward + argmax on GPU executors). STUB model
-    (deterministic from content digest); real path requires a transformer
-    runtime — NotImplementedError, same contract as embed_documents."""
-    import hashlib
+    HFRegressor: tokenize + forward + argmax on GPU executors).
+    ``pipeline_factory() -> classify_batch(list[str]) -> list[int]`` plugs
+    in a real transformers pipeline once per worker; the default STUB
+    labels deterministically from the content digest."""
+    stub_used = pipeline_factory is None
+    if pipeline_factory is None:
+        if not stub:
+            raise NotImplementedError(
+                "no transformer runtime in this environment — pass "
+                "pipeline_factory (docs/model_plugins.md) or stub=True"
+            )
 
-    if not stub:
-        raise NotImplementedError("transformer classifier not available in this environment")
+        def pipeline_factory():
+            import hashlib
+
+            def classify_batch(texts: list[str]) -> list[int]:
+                return [
+                    int(hashlib.md5((t or "").encode()).digest()[4]) % n_labels
+                    for t in texts
+                ]
+
+            return classify_batch
 
     id_type = dict(df.dtypes)[id_col]
     out_col = f"cb_{label_name}"
     schema = f"{id_col} {id_type}, {out_col} int"
 
+    hf_key = f"__stub_hf_{n_labels}" if stub_used else None
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        classify_batch = executor_singleton(pipeline_factory, hf_key)
         for pdf in batches:
-            labels = [
-                int(hashlib.md5((t or "").encode()).digest()[4]) % n_labels
-                for t in pdf[text_col]
-            ]
             out = pdf[[id_col]].copy()
-            out[out_col] = labels
+            out[out_col] = classify_batch(list(pdf[text_col]))
             yield out
 
     return df.select(id_col, text_col).mapInPandas(run, schema)

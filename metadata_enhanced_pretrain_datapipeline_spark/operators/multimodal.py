@@ -62,12 +62,17 @@ def decode_audio(content: bytes, stub: bool = False) -> np.ndarray:
 
 
 def image_features(df: DataFrame, stub: bool = True,
-                   target: tuple[int, int] = (8, 8)) -> DataFrame:
+                   target: tuple[int, int] = (8, 8),
+                   codec_factory=None) -> DataFrame:
     """Decode → resize (mean-pool) → per-channel mean features.
 
     Output: (media_id, out_width, out_height, mean_r, mean_g, mean_b).
     mapInPandas: each Arrow batch decodes executor-side; the binary column
     is dropped from the output so nothing re-serializes the blobs.
+
+    ``codec_factory() -> decode(bytes) -> HxWx3 uint8 array`` plugs in a
+    real codec (PIL/cv2), built once per worker (docs/model_plugins.md);
+    default is the deterministic stub decoder.
     """
     schema = (
         "media_id string, out_width int, out_height int, "
@@ -76,6 +81,10 @@ def image_features(df: DataFrame, stub: bool = True,
     tw, th = target
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from metadata_enhanced_pretrain_datapipeline_spark.operators.annotators import executor_singleton
+
+        decode = (executor_singleton(codec_factory) if codec_factory is not None
+                  else (lambda b: decode_image(b, stub=stub)))
         for pdf in batches:
             out = []
             for mid, content in zip(pdf["media_id"].to_numpy(), pdf["content"].to_numpy()):
@@ -83,7 +92,7 @@ def image_features(df: DataFrame, stub: bool = True,
                     # missing blob -> NULL features, not fabricated ones
                     out.append((mid, None, None, None, None, None))
                     continue
-                px = decode_image(bytes(content), stub=stub)
+                px = decode(bytes(content))
                 # mean-pool resize to (th, tw): crop to a multiple, reshape
                 h, w = px.shape[:2]
                 px = px[: h - h % th, : w - w % tw]
@@ -100,18 +109,25 @@ def image_features(df: DataFrame, stub: bool = True,
     return df.select("media_id", "content").mapInPandas(run, schema)
 
 
-def audio_features(df: DataFrame, stub: bool = True) -> DataFrame:
-    """Decode → RMS energy + zero-crossing-rate features."""
+def audio_features(df: DataFrame, stub: bool = True,
+                   codec_factory=None) -> DataFrame:
+    """Decode → RMS energy + zero-crossing-rate features.
+    ``codec_factory() -> decode(bytes) -> float32 PCM array`` plugs in a
+    real decoder (soundfile/librosa), built once per worker."""
     schema = "media_id string, rms double, zcr double, n_samples int"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from metadata_enhanced_pretrain_datapipeline_spark.operators.annotators import executor_singleton
+
+        decode = (executor_singleton(codec_factory) if codec_factory is not None
+                  else (lambda b: decode_audio(b, stub=stub)))
         for pdf in batches:
             out = []
             for mid, content in zip(pdf["media_id"].to_numpy(), pdf["content"].to_numpy()):
                 if content is None:
                     out.append((mid, None, None, None))
                     continue
-                pcm = decode_audio(bytes(content), stub=stub)
+                pcm = decode(bytes(content))
                 rms = float(np.sqrt(np.mean(pcm**2)))
                 zcr = float(np.mean(np.abs(np.diff(np.signbit(pcm).astype(np.int8)))))
                 out.append((mid, rms, zcr, len(pcm)))
@@ -120,13 +136,27 @@ def audio_features(df: DataFrame, stub: bool = True) -> DataFrame:
     return df.select("media_id", "content").mapInPandas(run, schema)
 
 
-def sample_video_frames(df: DataFrame, every_ms: int = 1000, stub: bool = True) -> DataFrame:
+def sample_video_frames(df: DataFrame, every_ms: int = 1000, stub: bool = True,
+                        codec_factory=None) -> DataFrame:
     """Frame-sample: one output row per sampled frame (1→n fan-out inside
     mapInPandas — the UDTF shape). Frame pixels stay executor-side; the
-    output carries frame index + timestamp + a per-frame content digest."""
+    output carries frame index + timestamp + a per-frame content digest.
+    ``codec_factory() -> extract(bytes, ts_ms) -> HxWx3 uint8 frame``
+    plugs in a real demuxer (pyav/ffmpeg), built once per worker."""
     schema = "media_id string, frame_idx int, ts_ms int, frame_digest string"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from metadata_enhanced_pretrain_datapipeline_spark.operators.annotators import executor_singleton
+
+        if codec_factory is not None:
+            extract = executor_singleton(codec_factory)
+        elif stub:
+            extract = lambda b, ts: _fake_pixels(b + ts.to_bytes(4, "little"), 8, 8)
+        else:
+            raise NotImplementedError(
+                "no video codec in this environment — pass codec_factory "
+                "(docs/model_plugins.md) or stub=True"
+            )
         for pdf in batches:
             out = []
             for mid, dur, content in zip(pdf["media_id"].to_numpy(),
@@ -137,9 +167,7 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000, stub: bool = True) 
                 duration = int(dur or 0)
                 content = bytes(content)
                 for i, ts in enumerate(range(0, max(duration, 1), every_ms)):
-                    if not stub:
-                        raise NotImplementedError("video codec not available")
-                    frame = _fake_pixels(content + ts.to_bytes(4, "little"), 8, 8)
+                    frame = extract(content, ts)
                     digest = hashlib.md5(frame.tobytes()).hexdigest()
                     out.append((mid, i, ts, digest))
             yield pd.DataFrame(
