@@ -278,15 +278,16 @@ def embedding_near_dup(df: DataFrame, id_col: str = "vec_id",
 
     b = lsh_bucket(F.col(vec_col), num_planes)
     keyed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), b.alias("bucket"))
-    if max_bucket_size is not None:
-        # same broadcast-anti-join-on-oversized-keys guard as
-        # minhash_lsh_pairs (see the comment there)
-        oversized = (
-            keyed.groupBy("bucket").agg(F.count("*").alias("__n"))
-            .filter(F.col("__n") > max_bucket_size)
-            .select("bucket")
-        )
-        keyed = keyed.join(F.broadcast(oversized), "bucket", "left_anti")
+    # One exchange on the bucket key (same reasoning as minhash_lsh_pairs:
+    # a fork below the shuffle recomputes the bucket projection per
+    # consumer); the size guard is then a shuffle-free window count that
+    # also drops singleton buckets — no pair can come from them, and they
+    # are the common case.
+    keyed = keyed.repartition("bucket")
+    w = Window.partitionBy("bucket")
+    counted = keyed.withColumn("__n", F.count("*").over(w))
+    upper = (F.col("__n") <= F.lit(max_bucket_size)) if max_bucket_size is not None else F.lit(True)
+    keyed = counted.filter((F.col("__n") >= 2) & upper).drop("__n")
     l, r = keyed.alias("l"), keyed.alias("r")
     return (
         l.join(r, "bucket")

@@ -1348,6 +1348,31 @@ def q_pack_token_arithmetic(spark, sf):
     )
 
 
+@register(
+    "q_pack_shards",
+    "WITH tok AS (SELECT " + md5_hash64_sql("doc_id") + " % 4 AS shard, "
+    "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS n "
+    "FROM documents) "
+    "SELECT shard, CAST(ceil(sum(n) / 512.0) AS BIGINT) AS n_sequences, "
+    "CAST(ceil(sum(n) / 512.0) * 512 - sum(n) AS BIGINT) AS total_pad "
+    "FROM tok GROUP BY shard",
+)
+def q_pack_shards(spark, sf):
+    """W2 oracle twin over the REAL packing fold: aggregate the Arrow
+    mapInArrow output (operators/tokens.pack_sequences) per shard. The
+    shard hash is the portable md5 bucket, so DuckDB reproduces shard
+    membership exactly and the closed form pins the fold's invariants:
+    sequences = ceil(shard_tokens/512), pad = n·512 − shard_tokens.
+    Complements the per-sequence rows-only view (q_pack_sequences) and the
+    conservation property tests."""
+    d = load(spark, sf, "documents")
+    packed = tokens.pack_sequences(d, "doc_id", seq_len=512, shards=4)
+    return packed.groupBy("shard").agg(
+        F.count("*").alias("n_sequences"),
+        F.sum("n_pad").cast("long").alias("total_pad"),
+    )
+
+
 # ===========================================================================
 # flagship — the reference's fineweb pipeline shape end-to-end
 # ===========================================================================
@@ -1502,13 +1527,31 @@ def q_llm_annotate_split(spark, sf):
     )
 
 
-@register("q_robots_filter")
+@register(
+    "q_robots_filter",
+    "SELECT doc_id, CAST(CASE "
+    "  WHEN src % 2 = 1 THEN 0 "                                    # no robots entry
+    "  WHEN src % 10 = 0 THEN 15 "                                  # Disallow /p
+    "  WHEN src % 10 = 2 THEN CASE WHEN id_s LIKE '1%' THEN 15 ELSE 0 END "  # /*/1
+    "  WHEN src % 10 = 4 THEN CASE WHEN id_s LIKE '%0' THEN 15 ELSE 0 END "  # /p/*0$
+    "  WHEN src % 10 = 6 THEN 1 "                                   # GPTBot-only group
+    "  ELSE CASE WHEN id_s LIKE '1%' THEN 0 ELSE 15 END "           # Allow /p/1 beats /p
+    "END AS INT) AS n_disallowed "
+    "FROM (SELECT doc_id, CAST(doc_id AS VARCHAR) AS id_s, "
+    "CAST(substr(source, 4) AS INT) AS src FROM documents)",
+)
 def q_robots_filter(spark, sf):
-    """† F2 — RobotsTxtFilter: broadcast domain→robots.txt dict, per-executor
+    """F2 — RobotsTxtFilter: broadcast domain→robots.txt dict, per-executor
     parser cache, annotate disallowed_user_agents (robots_filter.py:30-92).
     Derived fixture: urls from source; the rule set mixes plain-prefix,
-    ``*``-wildcard and ``$``-anchored paths plus a GPTBot-specific group,
-    so the driver's rows-only signal covers every REP matcher path."""
+    ``*``-wildcard and ``$``-anchored paths plus a GPTBot-specific group.
+    Oracle-checked by INDEPENDENT DERIVATION: with path = /p/<doc_id> each
+    fixture rule reduces to a closed-form predicate on the doc id (e.g.
+    ``/*/1`` ⇔ id starts with '1'; ``/p/*0$`` ⇔ id ends with '0'; the
+    GPTBot-only group denies exactly 1 agent; Allow /p/1 outranks
+    Disallow /p by longest-match) — so the SQL twin re-derives the
+    expected count per row and the driver hash-checks the whole REP
+    matcher end to end."""
     from metadata_enhanced_pretrain_datapipeline_spark.operators.robots import robots_filter
 
     d = load(spark, sf, "documents").withColumn(
@@ -2105,12 +2148,34 @@ def q_tpch_q5(spark, sf):
 # ===========================================================================
 
 
-@register("q_embedding_near_dup")
+_NEAR_DUP_BUCKET6 = (
+    "SELECT vec_id, "
+    + " + ".join(
+        f"(CASE WHEN {_plane_sql(p)} > 0 THEN {1 << p} ELSE 0 END)" for p in range(6)
+    )
+    + " AS bucket FROM (SELECT vec_id, unnest(embedding) AS v, "
+    "generate_subscripts(embedding, 1) AS i FROM embeddings) GROUP BY vec_id"
+)
+
+
+@register(
+    "q_embedding_near_dup",
+    f"WITH bk AS ({_NEAR_DUP_BUCKET6}), "
+    "be AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, bk.bucket "
+    "  FROM embeddings e JOIN bk USING (vec_id)), "
+    "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+    "  list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * "
+    "  sqrt(list_dot_product(b.v, b.v))) AS c "
+    "  FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) "
+    "SELECT id_a, id_b, round(c, 4) AS cosine FROM p WHERE c >= 0.3",
+)
 def q_embedding_near_dup(spark, sf):
-    """† Embedding-cosine near-dup (LSH-bucketed, degenerate buckets capped
-    — dedup.embedding_near_dup). Rows-only: the hyperplane bucketing isn't
-    SQL-expressible; a brute-force in-bucket oracle is pytest-checked
-    (tests/test_dedup.py)."""
+    """Embedding-cosine near-dup (LSH-bucketed — dedup.embedding_near_dup).
+    Oracle-checked: the hyperplane weights are the closed-form integer
+    planes of similarity._plane_weight (same SQL twin as
+    q_ann_lsh_buckets), so DuckDB reproduces the exact bucket assignment,
+    in-bucket pair set and cosines. A brute-force in-bucket comparison is
+    additionally pytest-checked (tests/test_dedup.py)."""
     e = load(spark, sf, "embeddings")
     # synthetic embeddings are near-orthogonal (p99.99 cosine ≈ 0.45), so a
     # production threshold (0.95) returns nothing; 0.3 exercises the full
