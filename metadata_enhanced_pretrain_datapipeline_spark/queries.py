@@ -1554,7 +1554,10 @@ def q_robots_filter(spark, sf):
     matcher end to end."""
     from metadata_enhanced_pretrain_datapipeline_spark.operators.robots import robots_filter
 
-    d = load(spark, sf, "documents").withColumn(
+    # project BEFORE the Python stage: mapInPandas materializes every kept
+    # column, so pruning must happen upstream of it (the scan then reads
+    # 2 columns, not the whole table — see PLANS.md)
+    d = load(spark, sf, "documents").select("doc_id", "source").withColumn(
         "url",
         F.concat(
             F.lit("https://"), F.col("source"), F.lit(".example.com/p/"),
