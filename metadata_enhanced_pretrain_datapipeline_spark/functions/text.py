@@ -95,6 +95,58 @@ def quality_stats(text: Column) -> dict[str, Column]:
     }
 
 
+def repetition_signals(text: Column) -> Column:
+    """Gopher/FineWeb-style within-document repetition signals (Rae et al.
+    2021 §A1.1; the fraction-of-chars-in-duplicate-lines family): documents
+    dominated by repeated lines are boilerplate/spam and are filtered
+    before pretraining. Returns a struct column with:
+
+    - ``dup_line_frac``: 1 − distinct/total over non-empty trimmed lines.
+    - ``dup_line_char_frac``: fraction of line characters living in lines
+      that occur more than once.
+
+    Both NULL for documents with no non-empty lines (try_divide).
+
+    Pure array expressions — a narrow projection, no shuffle, no UDF. The
+    line array is bound ONCE as a lambda variable (transform over a
+    1-element array, the word_shingles trick): sibling expressions get no
+    CSE, so free-standing references would re-split the text per use. The
+    per-distinct-line occurrence count is O(lines²) per document in the
+    worst case, bounded by per-doc line counts (tens to hundreds), not by
+    corpus size — constant per row at 100 TB.
+    """
+    lines_expr = F.filter(
+        F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+
+    def body(lines: Column) -> Column:
+        n_lines = F.size(lines)
+        per_distinct = F.transform(
+            F.array_distinct(lines),
+            lambda d: F.struct(
+                F.length(d).alias("len"),
+                F.size(F.filter(lines, lambda x: x == d)).alias("cnt"),
+            ),
+        )
+        total_chars = F.aggregate(
+            per_distinct, F.lit(0), lambda acc, s: acc + s["len"] * s["cnt"]
+        )
+        dup_chars = F.aggregate(
+            per_distinct,
+            F.lit(0),
+            lambda acc, s: acc + F.when(s["cnt"] > 1, s["len"] * s["cnt"]).otherwise(F.lit(0)),
+        )
+        return F.struct(
+            F.try_divide(
+                (n_lines - F.size(F.array_distinct(lines))).cast("double"), n_lines
+            ).alias("dup_line_frac"),
+            F.try_divide(dup_chars.cast("double"), total_chars).alias("dup_line_char_frac"),
+        )
+
+    return F.get(F.transform(F.array(lines_expr), body), 0)
+
+
 #: tiny per-language stopword lists for the n-gram language-ID heuristic
 #: (public-knowledge lists; the reference uses fasttext lang-id via
 #: datatrove). Single source of truth — queries.py builds both the Spark

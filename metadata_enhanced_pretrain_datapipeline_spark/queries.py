@@ -985,6 +985,54 @@ def q_quality_score(spark, sf):
 
 
 @register(
+    "q_repetition_signals",
+    # derived line-structured doc: a 6-word "header" line repeated
+    # (doc_id % 4) times above the full text as the body line —
+    # deterministic synthetic boilerplate, since the corpus has no raw
+    # newlines (or periods) to split on
+    "WITH base AS (SELECT doc_id, text, "
+    "  array_to_string(list_slice(string_split(text, ' '), 1, 6), ' ') AS hdr, "
+    "  CAST(doc_id % 4 AS INT) AS reps FROM documents), "
+    "d AS (SELECT doc_id, array_to_string(list_concat("
+    "  list_transform(range(1, reps + 1), x -> hdr), [text]), chr(10)) AS t FROM base), "
+    "ln AS (SELECT doc_id, trim(l) AS line FROM "
+    "  (SELECT doc_id, unnest(string_split(t, chr(10))) AS l FROM d) WHERE trim(l) <> ''), "
+    "per AS (SELECT doc_id, line, count(*) AS cnt, length(line) AS len "
+    "  FROM ln GROUP BY doc_id, line), "
+    "agg AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_lines, count(*) AS n_distinct, "
+    "  sum(len * cnt) AS total_chars, "
+    "  sum(CASE WHEN cnt > 1 THEN len * cnt ELSE 0 END) AS dup_chars "
+    "  FROM per GROUP BY doc_id) "
+    "SELECT d2.doc_id, "
+    "  round(CAST(n_lines - n_distinct AS DOUBLE) / n_lines, 6) AS dup_line_frac, "
+    "  round(CAST(dup_chars AS DOUBLE) / total_chars, 6) AS dup_line_char_frac "
+    "FROM documents d2 LEFT JOIN agg ON d2.doc_id = agg.doc_id",
+)
+def q_repetition_signals(spark, sf):
+    """Extension — Gopher/FineWeb within-doc repetition quality signals
+    (functions/text.repetition_signals; Rae et al. 2021 §A1.1): fraction
+    of duplicate lines and of characters in duplicate lines. The corpus
+    text has no raw newlines, so the query builds a line-structured doc
+    with deterministic boilerplate: a 6-word header line repeated
+    (doc_id % 4) times above the body — giving the signal a non-trivial,
+    oracle-checkable distribution."""
+    from metadata_enhanced_pretrain_datapipeline_spark.functions.text import repetition_signals
+
+    d = load(spark, sf, "documents")
+    hdr = F.array_join(F.slice(F.split("text", " "), 1, 6), " ")
+    reps = (F.col("doc_id") % 4).cast("int")
+    derived = F.array_join(
+        F.concat(F.array_repeat(hdr, reps), F.array(F.col("text"))), "\n"
+    )
+    sig = repetition_signals(derived)
+    return d.select(
+        "doc_id",
+        F.round(sig["dup_line_frac"], 6).alias("dup_line_frac"),
+        F.round(sig["dup_line_char_frac"], 6).alias("dup_line_char_frac"),
+    )
+
+
+@register(
     "q_token_count",
     f"SELECT doc_id, len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS n_bpe_tokens, "
     "len(string_split(text, ' ')) AS n_ws_tokens FROM documents",
