@@ -222,7 +222,7 @@ def _stub_encoder_factory_for(dim: int):
 
 def embed_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                     chunk_len: int = 512, dim: int = 64, stub: bool = True,
-                    encoder_factory=None) -> DataFrame:
+                    encoder_factory=None, cache_key: str | None = None) -> DataFrame:
     """A1 — chunk + encode + regroup. ``encoder_factory() ->
     encode_batch(list[str]) -> (n, dim) float array``; all chunks of an
     Arrow batch go through ONE encode_batch call (the reference's manual
@@ -235,8 +235,6 @@ def embed_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
             )
         encoder_factory = _stub_encoder_factory_for(dim)
         cache_key = f"__stub_encoder_{dim}"
-    else:
-        cache_key = None
 
     id_type = dict(df.dtypes)[id_col]
     schema = f"{id_col} {id_type}, embeddings array<array<float>>"
@@ -267,7 +265,7 @@ def embed_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
 
 def llm_annotate(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                  max_chars: int = 32_000, stub: bool = True,
-                 complete_factory=None) -> DataFrame:
+                 complete_factory=None, cache_key: str | None = None) -> DataFrame:
     """A4 — LLM rubric annotation (reference code_annotation.py:33-78):
     truncate to 32k chars, prompt an LLM, get a 'c p e d' score string.
     ``complete_factory() -> complete_batch(list[str]) -> list[str]`` plugs
@@ -297,7 +295,7 @@ def llm_annotate(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     id_type = dict(df.dtypes)[id_col]
     schema = f"{id_col} {id_type}, output string"
 
-    llm_key = "__stub_llm" if stub_used else None
+    llm_key = "__stub_llm" if stub_used else cache_key
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         complete_batch = executor_singleton(complete_factory, llm_key)
@@ -312,7 +310,7 @@ def llm_annotate(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def fasttext_annotate(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       n_labels: int = 2, stub: bool = True,
-                      model_factory=None) -> DataFrame:
+                      model_factory=None, cache_key: str | None = None) -> DataFrame:
     """A6 — fasttext label prediction per row (reference
     code_classifier.py:53-68; model file shipped to executors).
     ``model_factory() -> predict_batch(list[str]) -> list[int]`` plugs in
@@ -340,7 +338,7 @@ def fasttext_annotate(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     id_type = dict(df.dtypes)[id_col]
     schema = f"{id_col} {id_type}, label int"
 
-    ft_key = f"__stub_fasttext_{n_labels}" if stub_used else None
+    ft_key = f"__stub_fasttext_{n_labels}" if stub_used else cache_key
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         predict_batch = executor_singleton(model_factory, ft_key)
@@ -367,7 +365,7 @@ def toxic_scorer(df: DataFrame, emb_col: str = "embeddings", id_col: str = "doc_
 def hf_classifier_annotate(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", label_name: str = "quality",
                            n_labels: int = 10, stub: bool = True,
-                           pipeline_factory=None) -> DataFrame:
+                           pipeline_factory=None, cache_key: str | None = None) -> DataFrame:
     """A7 — HF classifier/regressor annotation → ``cb_<label>`` column
     (reference code_classifier.py:336-371 HFClassifier, 485-519
     HFRegressor: tokenize + forward + argmax on GPU executors).
@@ -397,7 +395,7 @@ def hf_classifier_annotate(df: DataFrame, text_col: str = "text",
     out_col = f"cb_{label_name}"
     schema = f"{id_col} {id_type}, {out_col} int"
 
-    hf_key = f"__stub_hf_{n_labels}" if stub_used else None
+    hf_key = f"__stub_hf_{n_labels}" if stub_used else cache_key
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         classify_batch = executor_singleton(pipeline_factory, hf_key)

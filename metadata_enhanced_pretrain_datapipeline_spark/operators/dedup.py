@@ -153,6 +153,19 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     counted = buckets.withColumn("__n", F.count("*").over(w))
     upper = (F.col("__n") <= F.lit(max_bucket_size)) if max_bucket_size is not None else F.lit(True)
     buckets = counted.filter((F.col("__n") >= 2) & upper).drop("__n")
+    if max_bucket_size is None:
+        # No cap means no boundedness promise: the collect_list path below
+        # would materialize a degenerate bucket's entire member list (and
+        # its C(k,2) pair array) inside ONE row — unspillable executor
+        # OOM. Fall back to the streamed, spill-safe self-join; both
+        # sides read the one (band,key) exchange above.
+        l, r = buckets.alias("l"), buckets.alias("r")
+        return (
+            l.join(r, ["band", "key"])
+            .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+            .distinct()
+        )
     # Pair expansion WITHOUT a self-join: collect the (guard-bounded, so
     # OOM-safe) member list per bucket — shuffle-free, the clustering from
     # the repartition above satisfies the groupBy — and emit the sorted

@@ -25,12 +25,6 @@ IPV4_REGEX = (
 #: IBAN — CC00 0000 0000 0000 0000 XX
 IBAN_SPACED_REGEX = r"[A-Z]{2}[0-9]{2}(?: [0-9]{4}){4} [A-Z0-9]{1,2}"
 IBAN_COMPACT_REGEX = r"\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\b"
-#: both IBAN forms in ONE pass. The spaced (reference-parity) branch comes
-#: first so at any position a reference-format IBAN is consumed by the
-#: reference-format pattern — same preference the old two-pass order gave,
-#: at half the full-text traversals. (The two forms can't match the same
-#: string: spaced contains spaces, compact can't.)
-IBAN_REGEX = f"(?:{IBAN_SPACED_REGEX}|{IBAN_COMPACT_REGEX})"
 
 EMAIL_TAG = "<email-pii>"
 IP_TAG = "<ip-pii>"
@@ -38,11 +32,19 @@ IBAN_TAG = "<iban-pii>"
 
 #: (pattern, replacement) in the reference's pass order — email → ip → iban
 #: (pii_formatter.py:93-114). Order matters: replacing an email substring can
-#: alter later IP matches; we replicate the exact pass order.
+#: alter later IP matches; we replicate the exact pass order. The two IBAN
+#: forms stay SEPARATE passes (reference-parity spaced form first): a
+#: single (spaced|compact) alternation is NOT equivalent — leftmost-match
+#: lets an overlapping compact (extension) match that starts earlier
+#: consume a reference-format spaced IBAN, whereas the two-pass order
+#: gives the reference pattern global precedence. The extra traversal is
+#: cheap; the shared rewritten-text chain in with_pii is where the real
+#: savings live.
 PII_PASSES = [
     (EMAIL_REGEX, EMAIL_TAG),
     (IPV4_REGEX, IP_TAG),
-    (IBAN_REGEX, IBAN_TAG),
+    (IBAN_SPACED_REGEX, IBAN_TAG),
+    (IBAN_COMPACT_REGEX, IBAN_TAG),
 ]
 
 

@@ -63,7 +63,7 @@ def decode_audio(content: bytes, stub: bool = False) -> np.ndarray:
 
 def image_features(df: DataFrame, stub: bool = True,
                    target: tuple[int, int] = (8, 8),
-                   codec_factory=None) -> DataFrame:
+                   codec_factory=None, cache_key: str | None = None) -> DataFrame:
     """Decode → resize (mean-pool) → per-channel mean features.
 
     Output: (media_id, out_width, out_height, mean_r, mean_g, mean_b).
@@ -83,7 +83,7 @@ def image_features(df: DataFrame, stub: bool = True,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from metadata_enhanced_pretrain_datapipeline_spark.operators.annotators import executor_singleton
 
-        decode = (executor_singleton(codec_factory) if codec_factory is not None
+        decode = (executor_singleton(codec_factory, cache_key) if codec_factory is not None
                   else (lambda b: decode_image(b, stub=stub)))
         for pdf in batches:
             out = []
@@ -110,7 +110,7 @@ def image_features(df: DataFrame, stub: bool = True,
 
 
 def audio_features(df: DataFrame, stub: bool = True,
-                   codec_factory=None) -> DataFrame:
+                   codec_factory=None, cache_key: str | None = None) -> DataFrame:
     """Decode → RMS energy + zero-crossing-rate features.
     ``codec_factory() -> decode(bytes) -> float32 PCM array`` plugs in a
     real decoder (soundfile/librosa), built once per worker."""
@@ -119,7 +119,7 @@ def audio_features(df: DataFrame, stub: bool = True,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from metadata_enhanced_pretrain_datapipeline_spark.operators.annotators import executor_singleton
 
-        decode = (executor_singleton(codec_factory) if codec_factory is not None
+        decode = (executor_singleton(codec_factory, cache_key) if codec_factory is not None
                   else (lambda b: decode_audio(b, stub=stub)))
         for pdf in batches:
             out = []
@@ -137,7 +137,7 @@ def audio_features(df: DataFrame, stub: bool = True,
 
 
 def sample_video_frames(df: DataFrame, every_ms: int = 1000, stub: bool = True,
-                        codec_factory=None) -> DataFrame:
+                        codec_factory=None, cache_key: str | None = None) -> DataFrame:
     """Frame-sample: one output row per sampled frame (1→n fan-out inside
     mapInPandas — the UDTF shape). Frame pixels stay executor-side; the
     output carries frame index + timestamp + a per-frame content digest.
@@ -149,7 +149,7 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000, stub: bool = True,
         from metadata_enhanced_pretrain_datapipeline_spark.operators.annotators import executor_singleton
 
         if codec_factory is not None:
-            extract = executor_singleton(codec_factory)
+            extract = executor_singleton(codec_factory, cache_key)
         elif stub:
             extract = lambda b, ts: _fake_pixels(b + ts.to_bytes(4, "little"), 8, 8)
         else:

@@ -196,14 +196,27 @@ def robots_filter(docs: DataFrame, robots: DataFrame, url_col: str = "url",
     keep_cols = [name for name, _ in with_parts.dtypes if not name.startswith("__")]
 
     # JVM fast path: a host with no robots entry cannot be denied — route it
-    # around the Python stage with an InSet membership test (Catalyst turns
-    # the literal list into a hash-set probe). At corpus scale most docs
-    # have no robots entry, so the Arrow round-trip only touches the subset
-    # that can actually match. null/absent hosts are misses (coalesce).
-    hit = F.coalesce(F.col("__host").isin(domains), F.lit(False))
-    misses = (with_parts.filter(~hit).select(*keep_cols)
-              .withColumn("disallowed_user_agents", empty_arr))
-    with_parts = with_parts.filter(hit)
+    # around the Python stage. At corpus scale most docs have no robots
+    # entry, so the Arrow round-trip only touches the subset that can
+    # actually match. Small domain sets become an InSet membership test
+    # (Catalyst compiles the literal list to a hash-set probe); large sets
+    # must NOT be embedded as plan literals (every task binary would carry
+    # them, and py4j ships the list element-by-element) — they pre-filter
+    # via broadcast semi/anti joins against the domains as a DataFrame,
+    # the same broadcast the matcher already pays for the dict.
+    # null/absent hosts are misses either way.
+    if len(domains) <= 4096:
+        hit = F.coalesce(F.col("__host").isin(domains), F.lit(False))
+        misses = (with_parts.filter(~hit).select(*keep_cols)
+                  .withColumn("disallowed_user_agents", empty_arr))
+        with_parts = with_parts.filter(hit)
+    else:
+        dom_df = F.broadcast(
+            spark.createDataFrame([(d,) for d in domains], "__host string")
+        )
+        misses = (with_parts.join(dom_df, "__host", "left_anti").select(*keep_cols)
+                  .withColumn("disallowed_user_agents", empty_arr))
+        with_parts = with_parts.join(dom_df, "__host", "left_semi")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         table = bc.value

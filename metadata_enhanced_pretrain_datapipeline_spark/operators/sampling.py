@@ -62,6 +62,8 @@ def balanced_sample(df: DataFrame, label_col: str, key: Column,
     classes), classes are necessarily small and the simple per-class
     window is the better plan — fall back to it.
     """
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
     spark = df.sparkSession
     nb = int(num_buckets or spark.sparkContext.defaultParallelism)
     width = MD5_SPACE // nb + 1  # ceil: hash < 2^60 -> bucket in [0, nb)
@@ -70,7 +72,13 @@ def balanced_sample(df: DataFrame, label_col: str, key: Column,
     # never its rank (offsets come from actual per-bucket counts).
     keyed = df.withColumn("__h", salted_hash(key)).withColumn(
         "__b", F.floor(F.col("__h") / F.lit(float(width))).cast("int"))
-    cnt_rows = keyed.groupBy(label_col, "__b").agg(F.count("*").alias("__c")).collect()
+    # limit BEFORE collect: with very many classes the unbounded collect
+    # would OOM the driver in exactly the regime the fallback exists for —
+    # the probe caps driver memory at max_map_entries+1 rows either way
+    cnt_rows = (
+        keyed.groupBy(label_col, "__b").agg(F.count("*").alias("__c"))
+        .limit(max_map_entries + 1).collect()
+    )
     if not cnt_rows:
         return df.filter(F.lit(False))
     if len(cnt_rows) > max_map_entries:
@@ -87,28 +95,33 @@ def balanced_sample(df: DataFrame, label_col: str, key: Column,
     for r in cnt_rows:
         per.setdefault(r[0], {})[r["__b"]] = r["__c"]
     min_count = min(sum(bs.values()) for bs in per.values())
-    # offsets only for buckets that can still contribute (offset < min)
+    # Offsets ship back as a BROADCAST JOIN table, not a create_map keyed
+    # by string rendering: the collected label values round-trip through
+    # createDataFrame with the ORIGINAL label type, so equality is exact
+    # for every type (a str(lab) map key diverges from Spark's
+    # cast-to-string for float/double/decimal — '0.10000000149011612' vs
+    # '0.1' — silently dropping whole classes). Only buckets that can
+    # still contribute (offset < min_count) get a row, so the join also
+    # prunes dead buckets before the window shuffle.
     entries = []
     for lab, bs in per.items():
-        # render like Spark's cast-to-string so the map key matches okey
-        if lab is None:
-            lab_s = "␀"
-        elif isinstance(lab, bool):
-            lab_s = "true" if lab else "false"
-        else:
-            lab_s = str(lab)
         acc = 0
         for b in sorted(bs):
             if acc < min_count:
-                entries.extend([F.lit(f"{lab_s}\x00{b}"), F.lit(acc)])
+                entries.append((lab, b, acc))
             acc += bs[b]
-    omap = F.create_map(*entries)
-    okey = F.concat(
-        F.coalesce(F.col(label_col).cast("string"), F.lit("␀")),
-        F.lit("\x00"), F.col("__b").cast("string"),
-    )
-    live = keyed.withColumn("__off", F.element_at(omap, okey)).filter(
-        F.col("__off").isNotNull())
+    off_schema = StructType([
+        df.schema[label_col],
+        StructField("__b", IntegerType()),
+        StructField("__off", LongType()),
+    ])
+    offsets = spark.createDataFrame(
+        [(lab, b, off) for lab, b, off in entries], off_schema
+    ).withColumnRenamed(df.schema[label_col].name, "__lab")
+    live = keyed.join(
+        F.broadcast(offsets),
+        F.col(label_col).eqNullSafe(F.col("__lab")) & (keyed["__b"] == offsets["__b"]),
+    ).drop("__lab", offsets["__b"])
     w = Window.partitionBy(label_col, "__b").orderBy("__h", key)
     ranked = live.withColumn("__rk", F.row_number().over(w) + F.col("__off"))
     return ranked.filter(F.col("__rk") <= F.lit(min_count)).drop(

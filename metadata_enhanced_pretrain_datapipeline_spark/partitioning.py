@@ -41,11 +41,23 @@ def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFr
         # many-tiny-files layouts pack into fewer partitions than files
         # and should be compacted upstream rather than patched here.
         width = n_files
+        # Probe the ANALYZED plan, not optimizedPlan(): analysis is needed
+        # by every action anyway and is cached on the QueryExecution,
+        # whereas optimizedPlan() runs the full optimizer per call — O(plan)
+        # duplicated driver work for every operator built on this helper
+        # (Spark re-optimizes the final query regardless). Node names are
+        # matched at LINE START of the tree rendering: a bare substring
+        # test also hits column names and literals ('WindowStart',
+        # 'Join us') and would silently cap a pure-scan input's width.
+        import re as _re
+
         try:
-            plan = df._jdf.queryExecution().optimizedPlan().toString()
+            plan = df._jdf.queryExecution().analyzed().treeString()
         except Exception:
             plan = ""
-        if any(m in plan for m in ("Join", "Aggregate", "Deduplicate", "Window")):
+        if _re.search(
+            r"(?m)^[\s:+\-]*'?(Join|Aggregate|Deduplicate|Distinct|Window)\b", plan
+        ):
             # the CPU-heavy stage runs POST-shuffle, where width is the
             # shuffle conf, not leaf scan width — a wide-files plan can
             # still narrow at the exchange. (AQE may coalesce below even

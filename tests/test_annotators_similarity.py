@@ -283,3 +283,14 @@ def test_mlp_udf_null_and_ragged_vectors_score_null(spark):
         "vec_id", annotators.mlp_score_udf(8)(F.col("embedding")).alias("s")).collect()}
     assert out[1] is not None and 0.0 < out[1] < 1.0
     assert out[2] is None and out[3] is None  # NULL/ragged -> NULL, not a crash
+
+
+def test_balanced_sample_float_and_null_labels(spark):
+    """Float labels must not be dropped by driver-side key rendering
+    (str(0.1) != Spark's cast-to-string), and NULL labels are a class."""
+    rows = [(i, [0.1, 2.5, None][i % 3]) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, label double")
+    out = sampling.balanced_sample(df, "label", F.col("id"))
+    counts = {r.label: r["count"] for r in out.groupBy("label").count().collect()}
+    assert set(counts.values()) == {10}
+    assert set(counts.keys()) == {0.1, 2.5, None}
