@@ -27,13 +27,15 @@ def session_breaks(df: DataFrame, part_col: str, ts_col: str,
     classic islands construction; one shuffle (window partitioned by key).
     Returns the input plus a `session_id` (0-based per key)."""
     w = Window.partitionBy(part_col).orderBy(ts_col)
-    prev = F.lag(F.col(ts_col)).over(w)
-    # timestamp→double keeps the fractional seconds; unix_timestamp would
-    # truncate to whole seconds and disagree with µs-precision oracles and
-    # the streaming sessionizer on gaps inside (gap, gap+1)
+    # integer microseconds keep full precision (unix_timestamp would truncate
+    # to whole seconds and disagree with µs oracles on gaps in (gap, gap+1));
+    # the cast("timestamp") makes this accept TIMESTAMP_NTZ parquet columns
+    # too — Spark 4 rejects NTZ→DOUBLE, and the session tz is pinned to UTC
+    # (session.py) so NTZ→LTZ is an exact identity offset
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev = F.lag(us).over(w)
     brk = F.when(
-        prev.isNull()
-        | (F.col(ts_col).cast("double") - prev.cast("double") > gap_seconds),
+        prev.isNull() | (us - prev > F.lit(gap_seconds) * 1_000_000),
         1,
     ).otherwise(0)
     return df.withColumn("__brk", brk).withColumn(
