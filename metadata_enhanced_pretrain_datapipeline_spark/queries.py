@@ -1369,14 +1369,44 @@ def q_paradocs_segment(spark, sf):
     )
 
 
-@register("q_pack_sequences")
+@register(
+    "q_pack_sequences",
+    # the fold is pure concatenation + chunking, so DuckDB reproduces it
+    # with positional arithmetic: shard each doc by the portable hash,
+    # number every token by (doc_id, word_idx) within its shard, then
+    # group by pos // seq_len. tok_sum/first/last pin sequence CONTENT,
+    # not just shape — padding contributes pad_id (=1) per pad slot.
+    "WITH tok AS (SELECT " + md5_hash64_sql("doc_id") + " % 4 AS shard, doc_id, "
+    "  list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS words "
+    "  FROM documents), "
+    "w AS (SELECT shard, doc_id, unnest(words) AS word, "
+    "  unnest(range(len(words))) AS wi FROM tok), "
+    "p AS (SELECT shard, " + md5_hash64_sql("word") + " % 50000 AS tid, "
+    "  row_number() OVER (PARTITION BY shard ORDER BY doc_id, wi) - 1 AS pos FROM w), "
+    "s AS (SELECT shard, pos // 512 AS seq_idx, count(*) AS n_tok, "
+    "  sum(tid) AS raw_sum, arg_min(tid, pos) AS first_raw, "
+    "  arg_max(tid, pos) AS last_raw FROM p GROUP BY shard, pos // 512) "
+    "SELECT shard, seq_idx, CAST(512 AS INT) AS seq_len, "
+    "  CAST(512 - n_tok AS INT) AS n_pad, "
+    "  CAST(raw_sum + (512 - n_tok) AS BIGINT) AS tok_sum, "
+    "  CAST(first_raw AS INT) AS first_tok, "
+    "  CAST(CASE WHEN n_tok < 512 THEN 1 ELSE last_raw END AS INT) AS last_tok "
+    "FROM s",
+)
 def q_pack_sequences(spark, sf):
-    """† W2 — stateful sequence packing (megatron_tokenizer_context.py:283-334):
-    per-shard fold carrying offset across docs; property tests assert token
-    conservation + alignment."""
+    """W2 — stateful sequence packing (megatron_tokenizer_context.py:283-334):
+    per-shard fold carrying offset across docs. Oracle-checked since r3: the
+    per-sequence digest columns (tok_sum incl. pad_id·n_pad, first/last
+    token) pin the fold's content against DuckDB positional arithmetic;
+    property tests additionally assert token conservation + alignment."""
     d = load(spark, sf, "documents")
     packed = tokens.pack_sequences(d, "doc_id", seq_len=512, shards=4)
-    return packed.select("shard", "seq_idx", F.size("tokens").alias("seq_len"), "n_pad")
+    return packed.select(
+        "shard", "seq_idx", F.size("tokens").alias("seq_len"), "n_pad",
+        F.aggregate("tokens", F.lit(0).cast("long"), lambda a, x: a + x).alias("tok_sum"),
+        F.element_at("tokens", 1).alias("first_tok"),
+        F.element_at("tokens", -1).alias("last_tok"),
+    )
 
 
 @register(
