@@ -1353,11 +1353,43 @@ def q_ngram_jaccard_sampled(spark, sf):
     )
 
 
-@register("q_paradocs_segment")
+@register(
+    "q_paradocs_segment",
+    # the W1 fold is a per-doc scalar recurrence (state = current block's
+    # running concatenated length), so DuckDB reproduces it exactly with a
+    # recursive CTE: one step per valid row, all docs advancing in
+    # parallel per iteration. Invalid rows (value < 5) are dropped but
+    # force a block break on the next valid row (inv_cum changes).
+    "WITH RECURSIVE "
+    "base AS (SELECT user_id AS doc, event_id AS idx, event_type AS txt, "
+    "  (value >= 5) AS ok FROM events), "
+    "b2 AS (SELECT doc, idx, txt, ok, "
+    "  sum(CASE WHEN ok THEN 0 ELSE 1 END) "
+    "    OVER (PARTITION BY doc ORDER BY idx) AS inv_cum FROM base), "
+    "v AS (SELECT doc, idx, coalesce(txt, '') AS txt, "
+    "  length(coalesce(txt, '')) AS ln, "
+    "  row_number() OVER (PARTITION BY doc ORDER BY idx) AS rn, "
+    "  inv_cum > coalesce(lag(inv_cum) OVER (PARTITION BY doc ORDER BY idx), "
+    "                     inv_cum) AS forced "
+    "  FROM b2 WHERE ok), "
+    "rec AS ("
+    "  SELECT doc, rn, txt, 0 AS block_id, ln AS cur_len FROM v WHERE rn = 1 "
+    "  UNION ALL "
+    "  SELECT v.doc, v.rn, v.txt, "
+    "    CASE WHEN v.forced OR rec.cur_len + 1 + v.ln > 60 "
+    "         THEN rec.block_id + 1 ELSE rec.block_id END, "
+    "    CASE WHEN v.forced OR rec.cur_len + 1 + v.ln > 60 "
+    "         THEN v.ln ELSE rec.cur_len + 1 + v.ln END "
+    "  FROM rec JOIN v ON v.doc = rec.doc AND v.rn = rec.rn + 1) "
+    "SELECT doc, block_id, string_agg(txt, ' ' ORDER BY rn) AS text, "
+    "  CAST(count(*) AS INT) AS n_rows FROM rec GROUP BY doc, block_id",
+)
 def q_paradocs_segment(spark, sf):
-    """† W1 — running-length-capped segmentation (paradocs.py:13-91) run on
+    """W1 — running-length-capped segmentation (paradocs.py:13-91) run on
     the events table as the ordered stream: per user, order by event_id,
-    invalid rows (value < 5) break blocks, max block text length 60."""
+    invalid rows (value < 5) break blocks, max block text length 60.
+    Oracle-checked since r3 via a DuckDB recursive CTE that replays the
+    fold (see the registered SQL)."""
     e = load_events(spark, sf).select(
         F.col("user_id").alias("doc"),
         F.col("event_id").alias("idx"),
