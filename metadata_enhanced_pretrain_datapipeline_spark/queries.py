@@ -1733,10 +1733,74 @@ def q_embed_documents(spark, sf):
     return out.select("doc_id", F.size("embeddings").alias("n_chunks"))
 
 
-@register("q_pack_with_metadata")
+@register(
+    "q_pack_with_metadata",
+    # the metadata fold (per_sequence=False) is a per-doc scalar recurrence:
+    # state = (t: pending buffer length mod 512, mm: meta tokens awaiting
+    # attribution, c: sequences emitted). Per doc with meta-run length m and
+    # token length L: if 512 - t < m the remainder is padded out and emitted
+    # as one sequence (pad rides it), then [BOC..EOC]+doc append and full
+    # sequences drain, meta count riding the FIRST drained sequence. The
+    # recursive CTE replays the recurrence one doc per step; emission rows
+    # are reconstructed from each step (flush row, range(n_full) mains,
+    # per-shard final partial). st.pad is always drained in the same step
+    # it accrues (the pad-flush emits exactly one full sequence), so the
+    # state carries no pad term.
+    "WITH RECURSIVE "
+    "v AS (SELECT shard, rn, L, m FROM ("
+    "  SELECT shard, "
+    "    row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn, L, m "
+    "  FROM (SELECT " + md5_hash64_sql("doc_id") + " % 4 AS shard, doc_id, "
+    "    len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+    "        x -> x <> '')) AS L, "
+    "    least(2 + len(list_filter(regexp_split_to_array("
+    "        trim(substr('topic ' || source, 1, 50)), '\\s+'), "
+    "        x -> x <> '')), 512) AS m "
+    "    FROM documents))), "
+    "rec AS ("
+    "  SELECT shard, CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS t, "
+    "    CAST(0 AS BIGINT) AS mm, CAST(0 AS BIGINT) AS c, false AS flushed, "
+    "    CAST(0 AS BIGINT) AS flush_idx, CAST(0 AS BIGINT) AS flush_pad, "
+    "    CAST(0 AS BIGINT) AS flush_meta, CAST(0 AS BIGINT) AS n_full, "
+    "    CAST(0 AS BIGINT) AS c_first, CAST(0 AS BIGINT) AS first_meta "
+    "  FROM (SELECT DISTINCT shard FROM v) "
+    "  UNION ALL "
+    "  SELECT shard, rn, t1 % 512 AS t, "
+    "    CASE WHEN n_full > 0 THEN 0 ELSE mm1 END AS mm, c0 + n_full AS c, "
+    "    flushed, flush_idx, flush_pad, flush_meta, n_full, c0 AS c_first, "
+    "    mm1 AS first_meta "
+    "  FROM (SELECT *, t0 + m + L AS t1, (t0 + m + L) // 512 AS n_full, "
+    "          mm0 + m AS mm1 "
+    "        FROM (SELECT v.shard, v.rn, v.L, v.m, "
+    "          (512 - rec.t < v.m) AS flushed, "
+    "          rec.c AS flush_idx, 512 - rec.t AS flush_pad, "
+    "          rec.mm AS flush_meta, "
+    "          CASE WHEN 512 - rec.t < v.m THEN 0 ELSE rec.t END AS t0, "
+    "          CASE WHEN 512 - rec.t < v.m THEN 0 ELSE rec.mm END AS mm0, "
+    "          rec.c + CASE WHEN 512 - rec.t < v.m THEN 1 ELSE 0 END AS c0 "
+    "          FROM rec JOIN v ON v.shard = rec.shard AND v.rn = rec.rn + 1))), "
+    "steps AS (SELECT * FROM rec WHERE rn >= 1), "
+    "em1 AS (SELECT shard, flush_idx AS seq_idx, flush_pad AS n_pad, "
+    "  flush_meta AS n_meta_tokens FROM steps WHERE flushed), "
+    "em2 AS (SELECT shard, c_first + i AS seq_idx, 0 AS n_pad, "
+    "  CASE WHEN i = 0 THEN first_meta ELSE 0 END AS n_meta_tokens "
+    "  FROM (SELECT shard, c_first, first_meta, unnest(range(n_full)) AS i "
+    "        FROM steps WHERE n_full > 0)), "
+    "em3 AS (SELECT shard, c AS seq_idx, 512 - t AS n_pad, "
+    "  mm AS n_meta_tokens FROM ("
+    "    SELECT *, row_number() OVER (PARTITION BY shard ORDER BY rn DESC) "
+    "      AS rr FROM steps) WHERE rr = 1 AND t > 0) "
+    "SELECT shard, CAST(seq_idx AS BIGINT) AS seq_idx, "
+    "  CAST(512 AS INT) AS seq_len, CAST(n_pad AS INT) AS n_pad, "
+    "  CAST(n_meta_tokens AS INT) AS n_meta_tokens "
+    "FROM (SELECT * FROM em1 UNION ALL SELECT * FROM em2 "
+    "      UNION ALL SELECT * FROM em3)",
+)
 def q_pack_with_metadata(spark, sf):
-    """† W2 full — metadata-conditioned packing with BOC/EOC runs
-    (megatron_tokenizer_context.py:283-334)."""
+    """W2 full — metadata-conditioned packing with BOC/EOC runs
+    (megatron_tokenizer_context.py:283-334). Oracle-checked since r3: a
+    DuckDB recursive CTE replays the per-doc offset recurrence and
+    reconstructs every emitted sequence's (n_pad, n_meta_tokens)."""
     d = load(spark, sf, "documents").withColumn(
         "meta", F.concat(F.lit("topic "), F.col("source"))
     )
