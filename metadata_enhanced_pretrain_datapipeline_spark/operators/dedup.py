@@ -343,3 +343,53 @@ def minhash_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     pairs = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands,
                               shingle_n, max_bucket_size, portable)
     return drop_near_duplicates(df, pairs, id_col)
+
+
+def contamination_hits(docs: DataFrame, benchmark: DataFrame,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       shingle_n: int = 8, min_hits: int = 1,
+                       bench_text_col: str | None = None,
+                       portable: bool = False) -> DataFrame:
+    """Benchmark decontamination, the n-gram-overlap flag pass: a training
+    doc is contaminated when it shares >= ``min_hits`` distinct word
+    ``shingle_n``-grams with ANY benchmark document (the GPT-3/Pile-style
+    13-gram rule; n is a parameter because the synthetic corpus is short).
+
+    Returns (id_col, contam_hits) for contaminated docs only.
+
+    Scale design: the benchmark side is tiny next to a 100 TB corpus, so
+    its distinct shingle hashes BROADCAST — the corpus-side shingle
+    explosion is filtered by the broadcast hash-join in place (no corpus
+    shuffle on shingles), and the only exchange is the per-doc hit count
+    keyed by id. Shingles travel as 64-bit hashes, never strings.
+    """
+    bt = bench_text_col or text_col
+    bench_h = (
+        benchmark
+        .select(F.explode(word_shingles(F.col(bt), shingle_n)).alias("sh"))
+        .select(_shingle_hash(F.col("sh"), portable).alias("h"))
+        .distinct()
+    )
+    doc_h = docs.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+    ).select(id_col, _shingle_hash(F.col("sh"), portable).alias("h"))
+    return (
+        doc_h.join(F.broadcast(bench_h), "h")
+        # shingles are distinct per doc (word_shingles), so count(*) is
+        # already the distinct-hit count — no countDistinct shuffle state
+        .groupBy(id_col).agg(F.count("*").alias("contam_hits"))
+        .filter(F.col("contam_hits") >= F.lit(min_hits))
+    )
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  shingle_n: int = 8, min_hits: int = 1,
+                  bench_text_col: str | None = None,
+                  portable: bool = False) -> DataFrame:
+    """Drop contaminated docs from the corpus (anti-join against the flag
+    pass). The drop set is ids only; AQE broadcasts it when small."""
+    hits = contamination_hits(docs, benchmark, id_col, text_col, shingle_n,
+                              min_hits, bench_text_col, portable)
+    return docs.join(hits.select(id_col), id_col, "left_anti")

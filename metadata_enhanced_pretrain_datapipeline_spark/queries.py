@@ -1353,6 +1353,45 @@ def q_ngram_jaccard_sampled(spark, sf):
     )
 
 
+_DECONTAM_SQL_HITS = (
+    "WITH " + _shingle_ctes("", 8) + ", "
+    "h AS (SELECT doc_id, " + md5_hash64_sql("shingle") + " AS h FROM sh), "
+    "bh AS (SELECT DISTINCT h FROM h WHERE doc_id % 37 = 0) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS contam_hits "
+    "FROM h JOIN bh USING (h) GROUP BY doc_id"
+)
+
+
+@register("q_contamination_hits", _DECONTAM_SQL_HITS)
+def q_contamination_hits(spark, sf):
+    """Extension — benchmark n-gram decontamination flag pass (the
+    GPT-3/Pile 13-gram rule at n=8 for the short synthetic docs): docs
+    sharing any distinct 8-gram with the 'benchmark' set (doc_id % 37 = 0,
+    which also self-matches — a live canary that the join fires). The
+    benchmark shingle-hash set broadcasts; the corpus never shuffles its
+    shingles (operators/dedup.contamination_hits)."""
+    d = load(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 37 == 0)
+    return dedup.contamination_hits(d, bench, shingle_n=8, portable=True)
+
+
+@register(
+    "q_decontaminate_kept",
+    "WITH " + _shingle_ctes("", 8) + ", "
+    "h AS (SELECT doc_id, " + md5_hash64_sql("shingle") + " AS h FROM sh), "
+    "bh AS (SELECT DISTINCT h FROM h WHERE doc_id % 37 = 0) "
+    "SELECT source, count(*) AS n_kept FROM documents WHERE doc_id NOT IN "
+    "(SELECT DISTINCT doc_id FROM h JOIN bh USING (h)) GROUP BY source",
+)
+def q_decontaminate_kept(spark, sf):
+    """Extension — the decontaminated corpus (anti-join against the flag
+    pass), aggregated per source."""
+    d = load(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 37 == 0)
+    kept = dedup.decontaminate(d, bench, shingle_n=8, portable=True)
+    return kept.groupBy("source").agg(F.count("*").alias("n_kept"))
+
+
 @register(
     "q_paradocs_segment",
     # the W1 fold is a per-doc scalar recurrence (state = current block's

@@ -143,3 +143,36 @@ def test_minhash_dedup_drops_clones_keeps_min_id(spark):
     pairs = dedup.minhash_lsh_pairs(df, bands=8)
     dropped = {r.id_b for r in pairs.collect()}
     assert set(kept) | dropped == {1, 2, 3, 10}
+
+
+def test_contamination_hits_counts_shared_ngrams(spark):
+    # doc 1 contains the benchmark's 4-gram twice-worth of overlap windows;
+    # doc 2 shares nothing; doc 3 is a verbatim superset of the benchmark
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "x alpha beta gamma delta y"),
+         (2, "unrelated words entirely different from everything here"),
+         (3, "alpha beta gamma delta")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.contam_hits
+           for r in dedup.contamination_hits(docs, bench, shingle_n=4).collect()}
+    # the benchmark has exactly one distinct 4-gram; both overlapping docs
+    # share exactly that one
+    assert got == {1: 1, 3: 1}
+    kept = sorted(r.doc_id for r in
+                  dedup.decontaminate(docs, bench, shingle_n=4).collect())
+    assert kept == [2]
+
+
+def test_contamination_min_hits_threshold(spark):
+    bench = spark.createDataFrame(
+        [(100, "one two three four five six")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six"),   # 3 shared 4-grams
+         (2, "zz one two three four zz")],     # 1 shared 4-gram
+        "doc_id long, text string")
+    flagged = sorted(
+        r.doc_id for r in dedup.contamination_hits(
+            docs, bench, shingle_n=4, min_hits=2).collect())
+    assert flagged == [1]
