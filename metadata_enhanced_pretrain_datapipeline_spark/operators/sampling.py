@@ -244,3 +244,104 @@ def global_rank(df: DataFrame, order: list[Column], rank_col: str = "pos",
     if with_total:
         return ranked, acc  # total row count — already paid for by the counts job
     return ranked
+
+
+def temperature_mix(df: DataFrame, source_col: str, key: Column,
+                    base_rate: float = 0.5, salt: int = 7) -> DataFrame:
+    """Temperature-weighted source rebalancing (the XLM-R/mT5 n^alpha
+    mixing rule at alpha = 1/2): per-source keep rate
+    ``f_s = min(1, base_rate * sqrt(n_max / n_s))`` — relative rates
+    follow n^(alpha-1), so dominant sources downsample hardest and the
+    largest source keeps ``base_rate``.
+
+    alpha is pinned to 1/2 ON PURPOSE: sqrt, division and multiplication
+    are IEEE-754 exact-rounded, so Spark and a DuckDB oracle derive the
+    SAME double threshold bit-for-bit; a general pow(n, alpha) is only
+    ~1-ulp accurate per engine and could flip boundary rows. Keep
+    decision: salted_hash(key, salt) < f_s * 2^60 — deterministic under
+    rerun/retry, which is also the only sane semantics at 100 TB.
+
+    Cost: one tiny per-source agg, broadcast back; the corpus itself
+    never shuffles — the keep test is a narrow filter.
+    """
+    counts = df.groupBy(source_col).agg(F.count("*").alias("__n"))
+    nmax = counts.agg(F.max("__n").alias("__nmax"))
+    rates = counts.crossJoin(F.broadcast(nmax)).select(
+        F.col(source_col).alias("__src"),
+        F.least(
+            F.lit(1.0),
+            F.lit(float(base_rate)) * F.sqrt(F.col("__nmax") / F.col("__n")),
+        ).alias("__f"),
+    )
+    out = df.join(F.broadcast(rates), F.col(source_col).eqNullSafe(F.col("__src")))
+    return out.filter(
+        salted_hash(key, salt) < F.col("__f") * F.lit(float(MD5_SPACE))
+    ).drop("__src", "__f")
+
+
+def token_budget_cap(df: DataFrame, group_col: str, tokens_col: Column,
+                     budget: int, key: Column,
+                     num_buckets: int | None = None,
+                     max_map_entries: int = 65536) -> DataFrame:
+    """Per-group token budget: keep rows in (salted_hash(key), key)
+    priority order while the group's running INCLUSIVE token sum stays
+    <= ``budget`` — the per-domain/per-language token-cap pass of a
+    pretraining mix.
+
+    Scale shape mirrors :func:`balanced_sample`: the hash space is
+    range-split into monotone buckets, one (group, bucket) token-sum agg
+    gives driver-side cumulative offsets (tiny), buckets whose offset
+    already exceeds the budget are pruned BEFORE the window shuffle, and
+    the in-bucket cumulative sum adds the offset — identical output to
+    the naive per-group running-sum window (oracle-checked) without ever
+    sorting a whole group in one task.
+    """
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    spark = df.sparkSession
+    nb = int(num_buckets or spark.sparkContext.defaultParallelism)
+    width = MD5_SPACE // nb + 1
+    keyed = df.withColumn("__t", tokens_col.cast("long")).withColumn(
+        "__h", salted_hash(key)
+    ).withColumn("__b", F.floor(F.col("__h") / F.lit(float(width))).cast("int"))
+    cnt_rows = (
+        keyed.groupBy(group_col, "__b").agg(F.sum("__t").alias("__s"))
+        .limit(max_map_entries + 1).collect()
+    )
+    if not cnt_rows:
+        return df.filter(F.lit(False))
+    if len(cnt_rows) > max_map_entries:
+        w = (Window.partitionBy(group_col).orderBy("__h", key)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        cum = keyed.withColumn("__cum", F.sum("__t").over(w))
+        return cum.filter(F.col("__cum") <= F.lit(budget)).drop(
+            "__t", "__h", "__b", "__cum")
+    per: dict = {}
+    for r in cnt_rows:
+        per.setdefault(r[0], {})[r["__b"]] = r["__s"]
+    entries = []
+    for grp, bs in per.items():
+        acc = 0
+        for b in sorted(bs):
+            # offset > budget can't contribute (token counts are >= 0;
+            # == budget still admits zero-token rows)
+            if acc <= budget:
+                entries.append((grp, b, acc))
+            acc += bs[b]
+    off_schema = StructType([
+        df.schema[group_col],
+        StructField("__b", IntegerType()),
+        StructField("__off", LongType()),
+    ])
+    offsets = spark.createDataFrame(
+        [(g, b, off) for g, b, off in entries], off_schema
+    ).withColumnRenamed(df.schema[group_col].name, "__grp")
+    live = keyed.join(
+        F.broadcast(offsets),
+        F.col(group_col).eqNullSafe(F.col("__grp")) & (keyed["__b"] == offsets["__b"]),
+    ).drop("__grp", offsets["__b"])
+    w = (Window.partitionBy(group_col, "__b").orderBy("__h", key)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = live.withColumn("__cum", F.sum("__t").over(w) + F.col("__off"))
+    return cum.filter(F.col("__cum") <= F.lit(budget)).drop(
+        "__t", "__h", "__b", "__off", "__cum")

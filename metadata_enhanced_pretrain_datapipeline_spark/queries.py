@@ -1353,6 +1353,48 @@ def q_ngram_jaccard_sampled(spark, sf):
     )
 
 
+@register(
+    "q_temperature_mix",
+    "WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source), "
+    "m AS (SELECT max(n) AS nmax FROM c), "
+    "r AS (SELECT source, least(1.0, 0.5 * sqrt(nmax / n)) AS f FROM c, m) "
+    "SELECT d.doc_id, d.source FROM documents d JOIN r USING (source) "
+    "WHERE " + salted_hash_sql("doc_id", 7) + " < f * 1152921504606846976.0",
+)
+def q_temperature_mix(spark, sf):
+    """Extension — temperature-weighted source mixing (XLM-R/mT5 n^alpha
+    rule at alpha=1/2): per-source keep rate min(1, 0.5*sqrt(n_max/n_s)).
+    sqrt/div/mul are IEEE-exact-rounded, so the DuckDB oracle reproduces
+    the double threshold bit-for-bit (operators/sampling.temperature_mix)."""
+    d = load(spark, sf, "documents")
+    mixed = sampling.temperature_mix(d, "source", F.col("doc_id"),
+                                     base_rate=0.5, salt=7)
+    return mixed.select("doc_id", "source")
+
+
+@register(
+    "q_token_budget_cap",
+    "WITH t AS (SELECT doc_id, source, "
+    "  len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+    "      x -> x <> '')) AS n, "
+    + salted_hash_sql("doc_id") + " AS h FROM documents), "
+    "c AS (SELECT doc_id, source, sum(n) OVER (PARTITION BY source "
+    "  ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "  AS cum FROM t) "
+    "SELECT doc_id, source FROM c WHERE cum <= 800",
+)
+def q_token_budget_cap(spark, sf):
+    """Extension — per-source token budget (800 tokens): keep docs in
+    hash-priority order while the running inclusive token sum fits. The
+    Spark side runs the bucketed two-phase form (no single-task per-group
+    sort — operators/sampling.token_budget_cap); the oracle is the naive
+    cumulative window, proving the decomposition exact."""
+    d = load(spark, sf, "documents")
+    capped = sampling.token_budget_cap(
+        d, "source", F.size(tokens_ws(F.col("text"))), 800, F.col("doc_id"))
+    return capped.select("doc_id", "source")
+
+
 _DECONTAM_SQL_HITS = (
     "WITH " + _shingle_ctes("", 8) + ", "
     "h AS (SELECT doc_id, " + md5_hash64_sql("shingle") + " AS h FROM sh), "

@@ -294,3 +294,42 @@ def test_balanced_sample_float_and_null_labels(spark):
     counts = {r.label: r["count"] for r in out.groupBy("label").count().collect()}
     assert set(counts.values()) == {10}
     assert set(counts.keys()) == {0.1, 2.5, None}
+
+
+def test_temperature_mix_downweights_big_sources(spark):
+    # source "big" 10x the size of "small": keep rate 0.5 for big,
+    # min(1, 0.5*sqrt(10)) = 1.0 for small
+    rows = [(i, "big") for i in range(200)] + [(1000 + i, "small") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sampling.temperature_mix(df, "source", F.col("doc_id"), base_rate=0.5)
+    counts = {r.source: r["count"] for r in out.groupBy("source").count().collect()}
+    assert counts["small"] == 20                 # rate capped at 1: all kept
+    assert 60 <= counts["big"] <= 140            # ~0.5 of 200, hash-binomial
+
+
+def test_token_budget_cap_matches_naive_window(spark):
+    """Bucketed two-phase impl must keep EXACTLY the rows of the naive
+    per-group cumulative window, on skewed token counts."""
+    from pyspark.sql import Window
+    from metadata_enhanced_pretrain_datapipeline_spark.functions.hashing import salted_hash
+
+    rows = [(i, "a" if i % 3 else "b", (i * 7) % 50 + 1) for i in range(120)]
+    df = spark.createDataFrame(rows, "id long, grp string, n int")
+    got = sorted(r.id for r in sampling.token_budget_cap(
+        df, "grp", F.col("n"), 300, F.col("id"), num_buckets=7).collect())
+    w = (Window.partitionBy("grp").orderBy(salted_hash(F.col("id")), F.col("id"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    naive = df.withColumn("__c", F.sum("n").over(w)).filter(F.col("__c") <= 300)
+    want = sorted(r.id for r in naive.collect())
+    assert got == want and 0 < len(want) < 120   # the cap actually bites
+
+
+def test_token_budget_cap_zero_token_rows_at_boundary(spark):
+    # a zero-token row landing exactly at offset == budget must be kept
+    rows = [(1, "g", 10), (2, "g", 0), (3, "g", 5)]
+    df = spark.createDataFrame(rows, "id long, grp string, n int")
+    out = sampling.token_budget_cap(df, "grp", F.col("n"), 10, F.col("id"),
+                                    num_buckets=2)
+    kept_n = {r.id: r.n for r in out.collect()}
+    assert all(v in (0, 10, 5) for v in kept_n.values())
+    assert sum(kept_n.values()) <= 10
