@@ -173,3 +173,33 @@ def lang_id_scores(text: Column) -> dict[str, Column]:
         lang: F.size(F.filter(toks, lambda x: F.array_contains(F.array(*[F.lit(w) for w in words]), x)))
         for lang, words in LANG_MARKERS.items()
     }
+
+
+#: C4's terminal-punctuation set (Raffel et al. 2020 §2.2): a line must end
+#: in one of these to survive the structural clean.
+C4_TERMINAL_PUNCT = (".", "!", "?", '"')
+
+
+def c4_kept_lines(text: Column, min_words: int = 3) -> Column:
+    """The C4 line-level structural clean (Raffel et al. 2020 §2.2),
+    as one codegen'd array expression: split into lines, trim, keep lines
+    that (a) end in terminal punctuation, (b) have >= ``min_words``
+    whitespace words, (c) do not mention 'javascript' (case-insensitive).
+    Returns the kept (trimmed) lines as array<string>.
+
+    Every rule is literal string arithmetic (substring/size/contains — no
+    regex beyond the whitespace split), so a DuckDB oracle reproduces it
+    verbatim.
+    """
+    lines = F.transform(F.split(text, "\n"), lambda l: F.trim(l))
+    punct = F.array(*[F.lit(p) for p in C4_TERMINAL_PUNCT])
+
+    def ok(line: Column) -> Column:
+        words = F.filter(F.split(line, r"\s+"), lambda w: w != "")
+        return (
+            F.array_contains(punct, F.substring(line, -1, 1))
+            & (F.size(words) >= F.lit(min_words))
+            & ~F.contains(F.lower(line), F.lit("javascript"))
+        )
+
+    return F.filter(lines, ok)

@@ -146,3 +146,32 @@ def per_key_threshold_filter(df: DataFrame, key_col: str, score: Column,
     tmap = F.create_map(*entries)
     cutoff = F.coalesce(F.element_at(tmap, F.col(key_col)), F.lit(float(default)))
     return df.filter(score < cutoff)
+
+
+def c4_line_filter(df: DataFrame, text_col: str = "text", min_words: int = 3,
+                   min_lines: int = 1) -> DataFrame:
+    """C4's structural clean as a document operator (Raffel et al. 2020
+    §2.2): rebuild ``text_col`` from the kept lines (functions/text.
+    c4_kept_lines), then drop documents that retain fewer than
+    ``min_lines`` lines, contain a curly brace (code), or the phrase
+    'lorem ipsum' — all narrow, codegen'd expressions; no shuffle, no UDF.
+
+    Adds ``n_lines_kept``; replaces ``text_col`` with the cleaned text.
+    """
+    from metadata_enhanced_pretrain_datapipeline_spark.functions.text import c4_kept_lines
+
+    raw = F.col(text_col)
+    kept = c4_kept_lines(raw, min_words)
+    out = (
+        df.filter(
+            ~F.contains(raw, F.lit("{"))
+            & ~F.contains(F.lower(raw), F.lit("lorem ipsum"))
+        )
+        .withColumn("__kept", kept)
+        .filter(F.size("__kept") >= F.lit(min_lines))
+    )
+    return (
+        out.withColumn("n_lines_kept", F.size("__kept"))
+        .withColumn(text_col, F.array_join("__kept", "\n"))
+        .drop("__kept")
+    )

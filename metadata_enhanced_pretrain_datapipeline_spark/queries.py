@@ -1354,6 +1354,37 @@ def q_ngram_jaccard_sampled(spark, sf):
 
 
 @register(
+    "q_c4_line_filter",
+    "WITH src AS (SELECT doc_id, replace(replace(text, ' spark ', "
+    "  ' javascript '), ' table ', '.' || chr(10)) AS t FROM documents), "
+    "k AS (SELECT doc_id, list_filter(list_transform(string_split(t, "
+    "  chr(10)), l -> trim(l)), "
+    "  l -> right(l, 1) IN ('.', '!', '?', '\"') "
+    "    AND len(list_filter(regexp_split_to_array(l, '\\s+'), "
+    "        x -> x <> '')) >= 3 "
+    "    AND NOT contains(lower(l), 'javascript')) AS kept "
+    "  FROM src WHERE NOT contains(t, '{') "
+    "    AND NOT contains(lower(t), 'lorem ipsum')) "
+    "SELECT doc_id, CAST(len(kept) AS INT) AS n_lines_kept, "
+    "  array_to_string(kept, chr(10)) AS text FROM k WHERE len(kept) >= 1",
+)
+def q_c4_line_filter(spark, sf):
+    """Extension — the C4 structural clean (Raffel et al. 2020 §2.2:
+    terminal-punctuation lines, >=3 words, javascript/brace/lorem rules).
+    The synthetic docs are single-line with no punctuation, so the query
+    MANUFACTURES line structure first with literal replaces (' table ' →
+    sentence break, ' spark ' → 'javascript' so the lexicon rule fires) —
+    identical literal-replace semantics in both engines; the operator
+    itself (operators/filters.c4_line_filter) is generic."""
+    d = load(spark, sf, "documents")
+    t2 = F.replace(
+        F.replace(F.col("text"), F.lit(" spark "), F.lit(" javascript ")),
+        F.lit(" table "), F.lit(".\n"))
+    out = filters.c4_line_filter(d.withColumn("text", t2), min_words=3)
+    return out.select("doc_id", "n_lines_kept", "text")
+
+
+@register(
     "q_temperature_mix",
     "WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source), "
     "m AS (SELECT max(n) AS nmax FROM c), "

@@ -48,3 +48,29 @@ def test_quantile_gate_keeps_top_half(spark):
     out = filters.quantile_gate(df, ["s"], 0.5)
     vals = [r.s for r in out.collect()]
     assert vals and min(vals) >= 4.5 - 1  # median of 0..9 repeated = 4.5
+
+
+def test_c4_line_filter_rules(spark):
+    docs = [
+        # kept: two qualifying lines; short + no-punct + javascript lines drop
+        (1, "This line is fine.\nshort.\nno terminal punct here\n"
+            "beware javascript tricks here.\nAnother good line stays!"),
+        (2, "all lines lack punctuation\nso nothing survives here"),
+        (3, "Code pages are dropped entirely. { var x = 1; }"),
+        (4, "Lorem Ipsum dolor sit amet."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: (r.n_lines_kept, r.text)
+           for r in filters.c4_line_filter(df).collect()}
+    assert set(out) == {1}
+    n, text = out[1]
+    assert n == 2
+    assert text == "This line is fine.\nAnother good line stays!"
+
+
+def test_c4_line_filter_min_lines_gate(spark):
+    df = spark.createDataFrame(
+        [(1, "Only one good line survives this document.")],
+        "doc_id long, text string")
+    assert filters.c4_line_filter(df, min_lines=2).count() == 0
+    assert filters.c4_line_filter(df, min_lines=1).count() == 1
