@@ -2013,6 +2013,45 @@ def q_stream_window_agg(spark, sf):
     return spark.sql(f"SELECT * FROM {table}")
 
 
+@register(
+    "q_stream_dedup",
+    "SELECT event_id, event_type FROM events",
+)
+def q_stream_dedup(spark, sf):
+    """Streaming exact dedup extension (§2.11): the events stream unioned
+    with itself (the at-least-once double-delivery case) deduplicated by
+    streaming_dedup with watermark-bounded seen-key state, drained
+    append-mode. The oracle is the distinct input — every duplicate must
+    be suppressed, none over-suppressed."""
+    import uuid
+
+    from metadata_enhanced_pretrain_datapipeline_spark.streaming import events as se
+
+    table = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    raw_schema = load(spark, sf, "events").schema
+
+    def one_stream():
+        s = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf)
+        )
+        # withWatermark requires TIMESTAMP (not NTZ); session tz is UTC so
+        # the cast is an identity offset
+        return _ns_to_ts(s, "ts").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).select("event_id", "ts", "event_type")
+
+    doubled = one_stream().union(one_stream())
+    out = se.streaming_dedup(doubled, ["event_id", "ts"])
+    q = (
+        out.writeStream.format("memory").queryName(table)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT event_id, event_type FROM {table}")
+
+
 _KEPT_PRED = "length(text) >= 300 AND lang IN ('en', 'de')"
 
 

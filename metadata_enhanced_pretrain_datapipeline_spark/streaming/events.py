@@ -144,3 +144,30 @@ def streaming_sessionize(events: DataFrame, ts_col: str = "ts",
             fold, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
         )
     )
+
+
+def streaming_dedup(events: DataFrame, key_cols: list[str],
+                    ts_col: str = "ts", watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact deduplication: first arrival per key wins, with
+    watermark-bounded seen-key state (dropDuplicates on an unwatermarked
+    stream would grow state forever — the same reason batch seen-sets
+    don't scale; the watermark makes this the streaming twin of
+    dedup.dedup_exact).
+
+    The event-time column rides along in the key set so Spark can expire
+    state: keys older than the watermark are dropped, bounding memory to
+    the watermark horizon regardless of stream length. Re-delivered rows
+    inside the horizon (the at-least-once source case) are suppressed.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
+
+
+def streaming_dedup_within_watermark(events: DataFrame, key_cols: list[str],
+                                     ts_col: str = "ts",
+                                     watermark: str = "10 minutes") -> DataFrame:
+    """dropDuplicatesWithinWatermark variant: deduplicates keys whose
+    arrivals fall within the watermark delay of the FIRST arrival even
+    when their event times differ (the at-least-once-with-jitter case
+    where retries carry fresh timestamps — plain dropDuplicates would
+    treat each retry as new)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)

@@ -77,3 +77,51 @@ def test_streaming_sessionize_late_rows_extend_backward(spark, tmp_path):
     out = {(r.session_start.strftime("%H:%M:%S"), r.n_events)
            for r in spark.table("sess_out").collect()}
     assert ("11:35:00", 3) in out
+
+
+def _drain_append(stream_df, table):
+    q = (stream_df.writeStream.format("memory").queryName(table)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+
+def test_streaming_dedup_first_arrival_wins(spark, tmp_path):
+    rows = [
+        (1, "2024-01-01 00:05:00", "click", 1.0),
+        (2, "2024-01-01 00:06:00", "view", 2.0),
+        (3, "2024-01-01 00:07:00", "click", 3.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts string, event_type string, value double")
+    df = df.withColumn("ts", F.to_timestamp("ts"))
+    src = str(tmp_path / "dup_src")
+    # at-least-once delivery: every event lands twice
+    df.write.parquet(src)
+    df.write.mode("append").parquet(src)
+    assert spark.read.parquet(src).count() == 6
+
+    out = stream_events.streaming_dedup(
+        stream_events.stream_events_from_parquet(spark, src), ["event_id", "ts"])
+    _drain_append(out, "dedup_out")
+    got = spark.sql("SELECT event_id, count(*) AS c FROM dedup_out GROUP BY event_id")
+    assert sorted((r.event_id, r.c) for r in got.collect()) == [(1, 1), (2, 1), (3, 1)]
+
+
+def test_streaming_dedup_within_watermark_retry_with_jitter(spark, tmp_path):
+    # the retry carries a FRESH timestamp 1 min later: plain dropDuplicates
+    # on (event_id, ts) would keep both; WithinWatermark suppresses it
+    a = spark.createDataFrame(
+        [(1, "2024-01-01 00:05:00", "click", 1.0)],
+        "event_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    b = spark.createDataFrame(
+        [(1, "2024-01-01 00:06:00", "click", 1.0)],
+        "event_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    src = str(tmp_path / "jitter_src")
+    a.write.parquet(src)
+    b.write.mode("append").parquet(src)
+
+    out = stream_events.streaming_dedup_within_watermark(
+        stream_events.stream_events_from_parquet(spark, src), ["event_id"])
+    _drain_append(out, "jitter_out")
+    assert spark.sql("SELECT count(*) AS c FROM jitter_out").collect()[0].c == 1
