@@ -393,3 +393,62 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     hits = contamination_hits(docs, benchmark, id_col, text_col, shingle_n,
                               min_hits, bench_text_col, portable)
     return docs.join(hits.select(id_col), id_col, "left_anti")
+
+
+def boilerplate_lines(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", max_docs: int = 10) -> DataFrame:
+    """Cross-document boilerplate detection (the CCNet-style paragraph
+    dedup signal): a trimmed non-empty line appearing in more than
+    ``max_docs`` DISTINCT documents is boilerplate (nav bars, cookie
+    banners, footers). Returns (line, n_docs) for boilerplate lines.
+
+    Scale: lines are distinct-ed per doc BEFORE the explode (array_distinct
+    on the line array — no per-duplicate fan-out), so the count agg is one
+    shuffle of (line, partial count) pairs and count(*) equals the distinct
+    doc count exactly.
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    per_doc = df.select(F.col(id_col), F.explode(F.array_distinct(lines)).alias("line"))
+    return (
+        per_doc.groupBy("line").agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > F.lit(max_docs))
+    )
+
+
+def drop_boilerplate_lines(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           max_docs: int = 10) -> DataFrame:
+    """Remove cross-document boilerplate lines from every document and
+    rebuild ``text_col`` (docs left with no lines are dropped).
+
+    Shape: detection agg (one shuffle) → anti-join of the exploded
+    positional lines against the boilerplate set (AQE broadcasts it when
+    small, which it is in practice — the set is bounded by lines that
+    repeat across >max_docs docs) → positional regroup (one shuffle keyed
+    by doc). The doc's other columns ride through the regroup via first().
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    bl = boilerplate_lines(df, id_col, text_col, max_docs).select("line")
+    pos = df.select(
+        F.col(id_col), F.posexplode(lines).alias("pos", "line")
+    ).join(bl, "line", "left_anti")
+    rebuilt = (
+        pos.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "line"))).alias("__pl"))
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.transform("__pl", lambda s: s.getField("line")), "\n"
+            ).alias(text_col),
+        )
+    )
+    other = [c for c in df.columns if c != text_col]
+    if other == [id_col]:
+        return rebuilt
+    return df.drop(text_col).join(rebuilt, id_col)

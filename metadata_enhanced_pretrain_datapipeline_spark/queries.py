@@ -1354,6 +1354,33 @@ def q_ngram_jaccard_sampled(spark, sf):
 
 
 @register(
+    "q_boilerplate_removal",
+    "WITH src AS (SELECT doc_id, replace(text, ' table ', '.' || chr(10)) "
+    "  AS t FROM documents), "
+    "lf AS (SELECT doc_id, list_filter(list_transform(string_split(t, "
+    "  chr(10)), x -> trim(x)), x -> x <> '') AS lines FROM src), "
+    "l AS (SELECT doc_id, unnest(lines) AS ln, "
+    "  unnest(range(len(lines))) AS i FROM lf), "
+    "bl AS (SELECT ln FROM (SELECT DISTINCT doc_id, ln FROM l) "
+    "  GROUP BY ln HAVING count(*) > 2) "
+    "SELECT doc_id, string_agg(ln, chr(10) ORDER BY i) AS text "
+    "FROM l WHERE ln NOT IN (SELECT ln FROM bl) GROUP BY doc_id",
+)
+def q_boilerplate_removal(spark, sf):
+    """Extension — CCNet-style cross-document boilerplate removal: lines
+    shared by more than 2 docs (nav/footer analogues) are dropped from
+    every document and the text rebuilt (operators/dedup.
+    drop_boilerplate_lines). Line structure is manufactured from the
+    single-line synthetic docs the same way as q_c4_line_filter."""
+    d = load(spark, sf, "documents").select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" table "), F.lit(".\n")).alias("text"),
+    )
+    out = dedup.drop_boilerplate_lines(d, max_docs=2)
+    return out.select("doc_id", "text")
+
+
+@register(
     "q_c4_line_filter",
     "WITH src AS (SELECT doc_id, replace(replace(text, ' spark ', "
     "  ' javascript '), ' table ', '.' || chr(10)) AS t FROM documents), "

@@ -176,3 +176,31 @@ def test_contamination_min_hits_threshold(spark):
         r.doc_id for r in dedup.contamination_hits(
             docs, bench, shingle_n=4, min_hits=2).collect())
     assert flagged == [1]
+
+
+def test_drop_boilerplate_lines_removes_shared_keeps_order(spark):
+    docs = [
+        (1, "unique alpha line\nCOOKIE BANNER\nanother unique one"),
+        (2, "COOKIE BANNER\nsecond doc body text"),
+        (3, "third doc text\nCOOKIE BANNER"),
+        (4, "COOKIE BANNER"),           # only boilerplate -> doc dropped
+        (5, "untouched document here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r.text
+           for r in dedup.drop_boilerplate_lines(df, max_docs=2).collect()}
+    assert 4 not in out                                  # nothing left
+    assert out[1] == "unique alpha line\nanother unique one"  # order kept
+    assert out[2] == "second doc body text"
+    assert out[5] == "untouched document here"
+    bl = {r.line for r in dedup.boilerplate_lines(df, max_docs=2).collect()}
+    assert bl == {"COOKIE BANNER"}
+
+
+def test_drop_boilerplate_preserves_other_columns(spark):
+    docs = [(1, "shared line\nbody", "en"), (2, "shared line\nmore", "de"),
+            (3, "shared line", "fr")]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    out = {r.doc_id: (r.text, r.lang)
+           for r in dedup.drop_boilerplate_lines(df, max_docs=2).collect()}
+    assert out == {1: ("body", "en"), 2: ("more", "de")}
