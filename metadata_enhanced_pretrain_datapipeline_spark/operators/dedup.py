@@ -452,3 +452,62 @@ def drop_boilerplate_lines(df: DataFrame, id_col: str = "doc_id",
     if other == [id_col]:
         return rebuilt
     return df.drop(text_col).join(rebuilt, id_col)
+
+
+def duplicate_clusters(pairs: DataFrame, max_iterations: int = 64,
+                       checkpoint: bool = True) -> DataFrame:
+    """Resolve candidate near-duplicate pairs into TRANSITIVE clusters:
+    (doc_id, cluster_id) with cluster_id = the minimum id reachable
+    through the pair graph — the connected-components resolution that
+    complements :func:`drop_near_duplicates` (greedy, non-transitive)
+    when chains a-b, b-c must land in ONE cluster.
+
+    Iterative min-label propagation as plain DataFrame joins: each round,
+    every node takes min(own label, neighbors' labels); stops at the
+    fixpoint (no label changed) or ``max_iterations``. Rounds needed =
+    graph diameter; dedup clusters are near-cliques so a handful of
+    rounds closes them. Only ids appearing in pairs are emitted
+    (singletons are trivially their own cluster).
+
+    Scale: per-round cost is two joins on the PAIR graph (ids only, no
+    text) — orders of magnitude smaller than the corpus. localCheckpoint
+    truncates the growing lineage each round (eager, so the convergence
+    count reuses it); at cluster scale prefer a reliable checkpoint dir
+    via spark.sparkContext.setCheckpointDir + df.checkpoint. The
+    fixpoint is unique, so iteration order never changes the result.
+    """
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src").agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        if checkpoint:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

@@ -1316,6 +1316,32 @@ def q_minhash_pairs_portable(spark, sf):
                                    max_bucket_size=64, portable=True)
 
 
+@register(
+    "q_duplicate_clusters",
+    # transitive closure over the portable pair set: recursive label
+    # spread with set-union dedup, then min reachable id per node
+    "WITH RECURSIVE pairs AS (" + _minhash_pairs_sql("", 8, 4, 64) + "), "
+    "e AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+    "  UNION ALL SELECT id_b, id_a FROM pairs), "
+    "n AS (SELECT DISTINCT src AS node FROM e), "
+    "reach AS (SELECT node, node AS lab FROM n "
+    "  UNION SELECT e.dst AS node, reach.lab FROM reach "
+    "    JOIN e ON e.src = reach.node) "
+    "SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id "
+    "FROM reach GROUP BY node",
+)
+def q_duplicate_clusters(spark, sf):
+    """Extension — transitive near-duplicate clusters (connected
+    components) over the portable MinHash-LSH pair set, via iterative
+    min-label propagation (operators/dedup.duplicate_clusters). The
+    DuckDB oracle computes the exact transitive closure with a recursive
+    CTE, so every chain a-b-c must collapse to one cluster id."""
+    d = load(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, num_hashes=8, bands=4,
+                                    max_bucket_size=64, portable=True)
+    return dedup.duplicate_clusters(pairs)
+
+
 @register("q_simhash", _simhash_sql())
 def q_simhash(spark, sf):
     """Extension — SimHash fingerprints (operators/dedup.simhash), portable

@@ -204,3 +204,24 @@ def test_drop_boilerplate_preserves_other_columns(spark):
     out = {r.doc_id: (r.text, r.lang)
            for r in dedup.drop_boilerplate_lines(df, max_docs=2).collect()}
     assert out == {1: ("body", "en"), 2: ("more", "de")}
+
+
+def test_duplicate_clusters_transitive_chain(spark):
+    # chain 1-2, 2-3, 3-4 must collapse into ONE cluster (greedy
+    # drop_near_duplicates would leave 3 only transitively linked);
+    # 10-11 is a separate component
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long")
+    got = {r.doc_id: r.cluster_id
+           for r in dedup.duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_duplicate_clusters_long_path_converges(spark):
+    # a worst-case path graph: min label must travel the full diameter
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long")
+    got = {r.doc_id: r.cluster_id
+           for r in dedup.duplicate_clusters(pairs).collect()}
+    assert set(got.values()) == {0} and len(got) == n + 1
