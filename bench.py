@@ -37,6 +37,10 @@ HEADLINE = [
     "q_token_sum",
     "q_tpch_q1",
     "q_tpch_q3",
+    # r3 additions: decontamination (broadcast n-gram join) and
+    # cross-doc boilerplate removal (explode/anti-join/regroup)
+    "q_contamination_hits",
+    "q_boilerplate_removal",
 ]
 
 

@@ -1,0 +1,83 @@
+"""Character n-gram language-model quality scoring (extension).
+
+The CCNet pipeline ranks documents by KenLM perplexity; no LM runtime
+ships in this container, so the engine provides the same *shape* with a
+corpus-trained character-bigram model — build the model as one aggregate,
+broadcast it (a char-bigram table is bounded by the alphabet squared, tiny
+even for CJK), and score every document relationally. A real KenLM can
+replace the scorer via the model plug-in contract (docs/model_plugins.md),
+but unlike the neural stubs this proxy is fully deterministic arithmetic,
+so its queries are DuckDB-oracle-checked end to end.
+
+Smoothing: add-one over the conditional
+``p(c2|c1) = (B(c1c2) + 1) / (F(c1) + V)`` with ``B`` the bigram count,
+``F`` the first-char total and ``V`` the distinct-second-char alphabet
+size; an unseen first char degrades to ``1/V``. Every quantity is an
+integer from one corpus aggregate, so Spark and DuckDB agree exactly;
+the only float is the final mean log-probability, rounded before compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def char_bigrams(text: Column) -> Column:
+    """ALL character bigrams of a string, with multiplicity, in order
+    (char_ngrams is distinct — counting needs every occurrence)."""
+    k = F.length(text)
+    starts = F.when(k >= F.lit(2), F.sequence(F.lit(1), k - F.lit(1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(starts, lambda i: text.substr(i, F.lit(2)))
+
+
+def char_lm_model(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Train the bigram table: (c1, c2, c) counts over the whole corpus —
+    one explode + one agg; the result is alphabet-bounded."""
+    bg = df.select(F.explode(char_bigrams(F.col(text_col))).alias("bg"))
+    return (
+        bg.groupBy("bg").agg(F.count("*").alias("c"))
+        .select(
+            F.substring("bg", 1, 1).alias("c1"),
+            F.substring("bg", 2, 1).alias("c2"),
+            "c",
+        )
+    )
+
+
+def char_lm_score(df: DataFrame, model: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", round_digits: int = 4) -> DataFrame:
+    """Score documents by mean bigram log-probability under ``model``
+    (higher = more corpus-typical; the boilerplate/garbage tail scores
+    low — the CCNet perplexity-bucket signal).
+
+    Returns (id_col, n_bigrams, avg_logp). Scale: the model and its
+    first-char totals broadcast; the corpus explodes to bigrams once and
+    re-aggregates keyed by id — no other shuffle. avg_logp is rounded
+    (default 4 dp) so the ~1e-13 accumulation-order drift between
+    engines can never flip an oracle compare.
+    """
+    firsts = model.groupBy("c1").agg(F.sum("c").alias("fc"))
+    vocab = model.select("c2").distinct().count()  # alphabet scalar
+    doc_bg = df.select(
+        F.col(id_col), F.explode(char_bigrams(F.col(text_col))).alias("bg")
+    )
+    mdl = model.select(F.concat("c1", "c2").alias("bg"), "c")
+    scored = (
+        doc_bg.join(F.broadcast(mdl), "bg", "left")
+        .withColumn("__c1", F.substring("bg", 1, 1))
+        .join(F.broadcast(firsts), F.col("__c1") == firsts["c1"], "left")
+        .withColumn(
+            "__logp",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1)).cast("double")
+                / (F.coalesce(F.col("fc"), F.lit(0)) + F.lit(vocab))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("__logp"), round_digits).alias("avg_logp"),
+    )

@@ -1380,6 +1380,34 @@ def q_ngram_jaccard_sampled(spark, sf):
 
 
 @register(
+    "q_char_lm_score",
+    "WITH b AS (SELECT doc_id, substr(text, i, 2) AS bg FROM "
+    "  (SELECT doc_id, text, unnest(range(1, length(text))) AS i "
+    "   FROM documents)), "
+    "m AS (SELECT bg, count(*) AS c FROM b GROUP BY bg), "
+    "f AS (SELECT substr(bg, 1, 1) AS c1, sum(c) AS fc FROM m GROUP BY 1), "
+    "v AS (SELECT count(DISTINCT substr(bg, 2, 1)) AS vocab FROM m) "
+    "SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+    "  round(avg(ln((coalesce(m.c, 0) + 1) / (coalesce(f.fc, 0) + v.vocab))), "
+    "        4) AS avg_logp "
+    "FROM b LEFT JOIN m USING (bg) "
+    "LEFT JOIN f ON substr(b.bg, 1, 1) = f.c1 CROSS JOIN v "
+    "GROUP BY b.doc_id",
+)
+def q_char_lm_score(spark, sf):
+    """Extension — CCNet-style LM quality scoring with a corpus-trained
+    character-bigram model (operators/lm.py): one agg trains the
+    alphabet-bounded model, it broadcasts back, and every doc gets its
+    mean bigram log-probability. Deterministic arithmetic end to end, so
+    unlike the neural stubs this quality scorer is fully oracle-checked."""
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import lm
+
+    d = load(spark, sf, "documents")
+    model = lm.char_lm_model(d)
+    return lm.char_lm_score(d, model)
+
+
+@register(
     "q_boilerplate_removal",
     "WITH src AS (SELECT doc_id, replace(text, ' table ', '.' || chr(10)) "
     "  AS t FROM documents), "
