@@ -30,7 +30,7 @@ from metadata_enhanced_pretrain_datapipeline_spark.functions.hashing import (
     salted_hash_sql,
 )
 from metadata_enhanced_pretrain_datapipeline_spark.functions.text import TOKEN_REGEX, tokens_ws
-from metadata_enhanced_pretrain_datapipeline_spark.functions.urlf import HOST_REGEX, SUFFIX_REGEX, url_host, url_suffix
+from metadata_enhanced_pretrain_datapipeline_spark.functions.urlf import HOST_REGEX, SUFFIX_REGEX, canonical_url, url_host, url_suffix
 from metadata_enhanced_pretrain_datapipeline_spark.operators import (
     aggregates,
     annotators,
@@ -1377,6 +1377,82 @@ def q_ngram_jaccard_sampled(spark, sf):
     return dedup.jaccard_pairs(sample, shingle_n=2, min_jaccard=0.05).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+_CANON_URL_BUILD = (
+    "CASE doc_id % 4 "
+    "WHEN 0 THEN 'HTTPS://WWW.SITE' || (doc_id // 4) % 7 || "
+    "  '.EXAMPLE.COM:443/page/' || doc_id // 4 || "
+    "  '/?utm_source=feed&id=' || doc_id // 4 "
+    "WHEN 1 THEN 'https://site' || (doc_id // 4) % 7 || "
+    "  '.example.com/page/' || doc_id // 4 || '?id=' || doc_id // 4 "
+    "WHEN 2 THEN 'https://site' || (doc_id // 4) % 7 || "
+    "  '.example.com:443/page/' || doc_id // 4 || '?id=' || doc_id // 4 "
+    "  || '#top' "
+    "ELSE 'http://site' || (doc_id // 4) % 7 || '.example.com/page/' || "
+    "  doc_id // 4 || '?id=' || doc_id // 4 END"
+)
+
+_CANON_URL_SQL = (
+    "lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) || '://' || "
+    "regexp_replace(regexp_replace(lower(regexp_extract(u, "
+    "  '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)), '^www\\.', ''), "
+    "  ':(80|443)$', '') || "
+    "regexp_replace(regexp_extract(regexp_replace(regexp_extract(u, "
+    "  '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$', 1), '#.*$', ''), "
+    "  '^([^?]*)', 1), '/+$', '') || "
+    "CASE WHEN array_to_string(list_filter(string_split(regexp_extract("
+    "  regexp_replace(regexp_extract(u, "
+    "  '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$', 1), '#.*$', ''), "
+    "  '\\?(.*)$', 1), '&'), p -> p <> '' AND substr(p, 1, 4) <> 'utm_' "
+    "  AND substr(p, 1, 6) <> 'fbclid' AND substr(p, 1, 5) <> 'gclid'), "
+    "  '&') <> '' THEN '?' || array_to_string(list_filter(string_split("
+    "  regexp_extract(regexp_replace(regexp_extract(u, "
+    "  '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$', 1), '#.*$', ''), "
+    "  '\\?(.*)$', 1), '&'), p -> p <> '' AND substr(p, 1, 4) <> 'utm_' "
+    "  AND substr(p, 1, 6) <> 'fbclid' AND substr(p, 1, 5) <> 'gclid'), "
+    "  '&') ELSE '' END"
+)
+
+
+@register(
+    "q_url_canonical_dedup",
+    "WITH raw AS (SELECT doc_id, " + _CANON_URL_BUILD + " AS u FROM documents), "
+    "c AS (SELECT doc_id, " + _CANON_URL_SQL + " AS canon FROM raw) "
+    "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, canon AS canonical_url "
+    "FROM c GROUP BY canon",
+)
+def q_url_canonical_dedup(spark, sf):
+    """Extension — URL-level dedup after canonicalization (the
+    CommonCrawl normalization: case, www., default ports, fragments,
+    trailing slashes, tracking params). The query manufactures four
+    deterministic variants per page id — three that must collapse to one
+    canonical form (first doc_id wins) and an http:// one that must
+    stay distinct (functions/urlf.canonical_url + dedup.dedup_exact)."""
+    d = load(spark, sf, "documents")
+    page = F.floor(F.col("doc_id") / 4)
+    host_n = (page % 7).cast("string")
+    pg = page.cast("string")
+    v = F.col("doc_id") % 4
+    u = (
+        F.when(v == 0, F.concat(
+            F.lit("HTTPS://WWW.SITE"), host_n, F.lit(".EXAMPLE.COM:443/page/"),
+            pg, F.lit("/?utm_source=feed&id="), pg))
+        .when(v == 1, F.concat(
+            F.lit("https://site"), host_n, F.lit(".example.com/page/"),
+            pg, F.lit("?id="), pg))
+        .when(v == 2, F.concat(
+            F.lit("https://site"), host_n, F.lit(".example.com:443/page/"),
+            pg, F.lit("?id="), pg, F.lit("#top")))
+        .otherwise(F.concat(
+            F.lit("http://site"), host_n, F.lit(".example.com/page/"),
+            pg, F.lit("?id="), pg))
+    )
+    with_canon = d.select(
+        "doc_id", canonical_url(u).alias("canonical_url"))
+    kept = dedup.dedup_exact(
+        with_canon, F.col("canonical_url"), [F.col("doc_id")])
+    return kept.select("doc_id", "canonical_url")
 
 
 @register(
