@@ -511,3 +511,26 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 64,
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def dedup_against(df: DataFrame, seen: DataFrame, text_col: str = "text",
+                  seen_text_col: str | None = None) -> DataFrame:
+    """Cross-snapshot incremental dedup: drop documents whose normalized
+    text digest already occurs in a previously-processed corpus — the
+    crawl-over-crawl pass that keeps each monthly snapshot from
+    re-admitting last month's pages.
+
+    Digest-keyed anti-join: the seen side reduces to DISTINCT 60-bit
+    digests before the join (no text ever shuffles, the seen set is ids
+    of content not content); AQE broadcasts it when it fits. One shuffle
+    at most, zero when broadcast.
+    """
+    st = seen_text_col or text_col
+    seen_keys = seen.select(
+        normalized_text_key(F.col(st)).alias("__k")
+    ).distinct()
+    return (
+        df.withColumn("__k", normalized_text_key(F.col(text_col)))
+        .join(seen_keys, "__k", "left_anti")
+        .drop("__k")
+    )

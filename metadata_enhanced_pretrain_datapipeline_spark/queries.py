@@ -1379,6 +1379,32 @@ def q_ngram_jaccard_sampled(spark, sf):
     )
 
 
+@register(
+    "q_dedup_against_snapshot",
+    # the 'previous snapshot' is the doc_id % 3 = 0 slice PLUS case/
+    # whitespace-mangled copies of the doc_id % 10 = 1 docs (the synthetic
+    # corpus has no natural exact clones, so the mangled copies force the
+    # digest path to bite AND prove normalization: the mangle must not
+    # change the key). Survivors: fresh docs matching no seen digest.
+    "WITH k AS (SELECT doc_id, source, md5(lower(trim(regexp_replace("
+    "  text, '\\s+', ' ', 'g')))) AS tk FROM documents) "
+    "SELECT doc_id, source FROM k WHERE doc_id % 3 <> 0 AND tk NOT IN "
+    "  (SELECT tk FROM k WHERE doc_id % 3 = 0 OR doc_id % 10 = 1)",
+)
+def q_dedup_against_snapshot(spark, sf):
+    """Extension — cross-snapshot incremental dedup (operators/dedup.
+    dedup_against): the new crawl (doc_id % 3 <> 0) is deduped against
+    the previous snapshot's content digests — the % 3 = 0 slice plus
+    upper-cased, whitespace-padded copies of the % 10 = 1 docs, which
+    must still collide through the normalized key."""
+    d = load(spark, sf, "documents")
+    mangled = d.filter(F.col("doc_id") % 10 == 1).select(
+        F.concat(F.upper(F.col("text")), F.lit("   ")).alias("text"))
+    seen = d.filter(F.col("doc_id") % 3 == 0).select("text").unionByName(mangled)
+    fresh = d.filter(F.col("doc_id") % 3 != 0)
+    return dedup.dedup_against(fresh, seen).select("doc_id", "source")
+
+
 _CANON_URL_BUILD = (
     "CASE doc_id % 4 "
     "WHEN 0 THEN 'HTTPS://WWW.SITE' || (doc_id // 4) % 7 || "

@@ -225,3 +225,14 @@ def test_duplicate_clusters_long_path_converges(spark):
     got = {r.doc_id: r.cluster_id
            for r in dedup.duplicate_clusters(pairs).collect()}
     assert set(got.values()) == {0} and len(got) == n + 1
+
+
+def test_dedup_against_normalized_cross_corpus(spark):
+    seen = spark.createDataFrame(
+        [(100, "  THE   Quick brown FOX  ")], "doc_id long, text string")
+    fresh = spark.createDataFrame(
+        [(1, "the quick brown fox"),       # normalized clone of seen -> drop
+         (2, "a genuinely new document")],
+        "doc_id long, text string")
+    kept = [r.doc_id for r in dedup.dedup_against(fresh, seen).collect()]
+    assert kept == [2]
