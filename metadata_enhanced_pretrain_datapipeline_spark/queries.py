@@ -2654,6 +2654,74 @@ def q_tpch_q5(spark, sf):
     )
 
 
+@register(
+    "q_tpch_q10",
+    # revenue is NOT rounded: this query measurably hit a .005 boundary
+    # (sum accumulation order differs per engine by ~1e-10 relative);
+    # the harness's 12-sig-digit float canon absorbs that, a fixed 2dp
+    # grid does not
+    "SELECT c_custkey, c_name, n_name, "
+    "sum(l_extendedprice * (1 - l_discount)) AS revenue "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00' "
+    "AND l_returnflag = 'R' "
+    "GROUP BY c_custkey, c_name, n_name "
+    "ORDER BY revenue DESC, c_custkey LIMIT 20",
+)
+def q_tpch_q10(spark, sf):
+    """TPC-H Q10 shape — returned-item reporting: fact-fact join with a
+    pushed quarter predicate, dim broadcast, agg, then TakeOrdered top-20
+    (deterministic tie-break on custkey so the boundary is engine-stable)."""
+    c = load(spark, sf, "customer")
+    o = _ns_to_ts(load(spark, sf, "orders"), "o_orderdate").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q_tpch_q14",
+    "SELECT round(100.0 * sum(CASE WHEN p_type = 'ECONOMY' THEN "
+    "l_extendedprice * (1 - l_discount) ELSE 0 END) / "
+    "sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00' "
+    "AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'",
+)
+def q_tpch_q14(spark, sf):
+    """TPC-H Q14 shape — promotion-revenue ratio: conditional aggregate
+    over a month of lineitem joined to the part dim ('ECONOMY' stands in
+    for PROMO% — the synthetic p_type vocabulary differs); part
+    broadcasts, the predicate pushes to the fact scan."""
+    li = _ns_to_ts(load(spark, sf, "lineitem"), "l_shipdate").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    p = load(spark, sf, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(F.round(
+            100.0 * F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(0.0))
+            / F.sum(rev), 4).alias("promo_revenue"))
+    )
+
+
 # ===========================================================================
 # round-2 additions
 # ===========================================================================
