@@ -154,3 +154,75 @@ def test_pack_with_metadata_differential(spark, docs, seq_len, per_seq):
                   for r in sorted(shard_tok, key=lambda r: (r.shard, r.doc_id))]
     want = _naive_pack_with_metadata(naive_rows, seq_len, per_sequence=per_seq)
     assert got == want
+
+
+budget_rows = st.lists(
+    st.tuples(
+        st.integers(0, 99),       # id
+        st.sampled_from(["a", "b", "c"]),
+        st.integers(0, 20),       # tokens
+    ),
+    min_size=1, max_size=30,
+    unique_by=lambda t: t[0],
+)
+
+
+@_slow
+@given(rows=budget_rows, budget=st.integers(0, 60), nb=st.integers(1, 9))
+def test_token_budget_cap_invariants(spark, rows, budget, nb):
+    from pyspark.sql import functions as F
+
+    from metadata_enhanced_pretrain_datapipeline_spark.functions.hashing import salted_hash
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import sampling
+
+    df = spark.createDataFrame(rows, "id long, grp string, n long")
+    kept = sampling.token_budget_cap(
+        df, "grp", F.col("n"), budget, F.col("id"), num_buckets=nb).collect()
+    kept_ids = {r.id for r in kept}
+    # priority order = (salted_hash(id), id)
+    order = {r.id: (r.h, r.id) for r in
+             df.withColumn("h", salted_hash(F.col("id"))).collect()}
+    by_grp: dict = {}
+    for i, g, n in rows:
+        by_grp.setdefault(g, []).append((order[i], i, n))
+    for g, items in by_grp.items():
+        items.sort()
+        acc, want = 0, set()
+        for _, i, n in items:
+            if acc + n <= budget:
+                want.add(i)
+            acc += n  # inclusive running sum — NOT best-fit: later smaller
+            #           rows must not sneak in past an overflow (prefix rule)
+        got = {i for i in kept_ids if any(i == x[1] for x in items)}
+        assert got == want
+
+
+@_slow
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda p: p[0] != p[1]),
+        min_size=1, max_size=20,
+    )
+)
+def test_duplicate_clusters_matches_union_find(spark, edges):
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import dedup
+
+    pairs = [(min(a, b), max(a, b)) for a, b in edges]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r.doc_id: r.cluster_id for r in dedup.duplicate_clusters(df).collect()}
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    assert got == want
