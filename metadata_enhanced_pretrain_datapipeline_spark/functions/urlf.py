@@ -51,7 +51,13 @@ def canonical_url(url: Column) -> Column:
     scheme = F.lower(F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
     host = F.lower(F.regexp_extract(url, HOST_REGEX, 1))
     host = F.regexp_replace(host, r"^www\.", "")
-    host = F.regexp_replace(host, r":(80|443)$", "")
+    # default ports are SCHEME-specific: http-on-443 / https-on-80 are
+    # different origins than the portless form and must stay distinct
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, r":443$", ""))
+        .otherwise(host)
+    )
     tail = F.regexp_replace(F.regexp_extract(url, SUFFIX_REGEX, 1), r"#.*$", "")
     path = F.regexp_replace(F.regexp_extract(tail, r"^([^?]*)", 1), r"/+$", "")
     query = F.regexp_extract(tail, r"\?(.*)$", 1)
@@ -67,7 +73,11 @@ def canonical_url(url: Column) -> Column:
 
     kept = F.filter(F.split(query, "&"), not_tracking)
     params = F.array_join(kept, "&")
-    return F.concat(
+    canon = F.concat(
         scheme, F.lit("://"), host, path,
         F.when(params != "", F.concat(F.lit("?"), params)).otherwise(F.lit("")),
     )
+    # a URL the scheme/host regexes can't parse (relative, schemeless,
+    # garbage) must keep ITS OWN key — collapsing every malformed URL to
+    # the literal '://' would dedup unrelated documents into one survivor
+    return F.when((scheme != "") & (host != ""), canon).otherwise(url)

@@ -395,6 +395,15 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     return docs.join(hits.select(id_col), id_col, "left_anti")
 
 
+def _trimmed_nonempty_lines(text_col: str) -> Column:
+    """Trimmed, non-empty line array of a text column — the shared line
+    model of the boilerplate pair below."""
+    return F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+
+
 def boilerplate_lines(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", max_docs: int = 10) -> DataFrame:
     """Cross-document boilerplate detection (the CCNet-style paragraph
@@ -407,10 +416,7 @@ def boilerplate_lines(df: DataFrame, id_col: str = "doc_id",
     shuffle of (line, partial count) pairs and count(*) equals the distinct
     doc count exactly.
     """
-    lines = F.filter(
-        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
-        lambda l: l != "",
-    )
+    lines = _trimmed_nonempty_lines(text_col)
     per_doc = df.select(F.col(id_col), F.explode(F.array_distinct(lines)).alias("line"))
     return (
         per_doc.groupBy("line").agg(F.count("*").alias("n_docs"))
@@ -428,12 +434,11 @@ def drop_boilerplate_lines(df: DataFrame, id_col: str = "doc_id",
     positional lines against the boilerplate set (AQE broadcasts it when
     small, which it is in practice — the set is bounded by lines that
     repeat across >max_docs docs) → positional regroup (one shuffle keyed
-    by doc). The doc's other columns ride through the regroup via first().
+    by doc). When the input carries columns beyond (id, text), the
+    rebuilt text joins back to them on id — one more join the id-and-
+    text-only fast path avoids.
     """
-    lines = F.filter(
-        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
-        lambda l: l != "",
-    )
+    lines = _trimmed_nonempty_lines(text_col)
     bl = boilerplate_lines(df, id_col, text_col, max_docs).select("line")
     pos = df.select(
         F.col(id_col), F.posexplode(lines).alias("pos", "line")
@@ -479,6 +484,11 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 64,
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
+    if checkpoint:
+        # without this, every round's join re-evaluates the FULL upstream
+        # pair lineage (e.g. the whole MinHash-LSH subtree) — the loop is
+        # only "joins on the pair graph" if the graph is materialized
+        edges = edges.localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("id")).distinct()
         .withColumn("label", F.col("id"))

@@ -59,6 +59,10 @@ def char_lm_score(df: DataFrame, model: DataFrame, id_col: str = "doc_id",
     (default 4 dp) so the ~1e-13 accumulation-order drift between
     engines can never flip an oracle compare.
     """
+    # materialize the (tiny, alphabet-bounded) model once: it is consumed
+    # three times below (vocab count now, firsts + mdl in the final plan)
+    # and each use would otherwise re-run the full corpus aggregation
+    model = model.localCheckpoint(eager=True)
     firsts = model.groupBy("c1").agg(F.sum("c").alias("fc"))
     vocab = model.select("c2").distinct().count()  # alphabet scalar
     doc_bg = df.select(

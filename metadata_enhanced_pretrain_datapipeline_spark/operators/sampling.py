@@ -327,7 +327,9 @@ def token_budget_cap(df: DataFrame, group_col: str, tokens_col: Column,
             # == budget still admits zero-token rows)
             if acc <= budget:
                 entries.append((grp, b, acc))
-            acc += bs[b]
+            # sum() over an all-NULL bucket (every row's token expr NULL)
+            # collects as None — treat as contributing nothing
+            acc += bs[b] or 0
     off_schema = StructType([
         df.schema[group_col],
         StructField("__b", IntegerType()),

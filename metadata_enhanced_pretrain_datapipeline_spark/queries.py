@@ -1420,10 +1420,19 @@ _CANON_URL_BUILD = (
 )
 
 _CANON_URL_SQL = (
+    # scheme-specific default-port strip, mirroring canonical_url; the
+    # malformed-URL passthrough branch never fires here (every
+    # constructed URL parses)
     "lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) || '://' || "
-    "regexp_replace(regexp_replace(lower(regexp_extract(u, "
-    "  '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)), '^www\\.', ''), "
-    "  ':(80|443)$', '') || "
+    "CASE lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) "
+    "  WHEN 'http' THEN regexp_replace(regexp_replace(lower(regexp_extract(u, "
+    "    '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)), '^www\\.', ''), "
+    "    ':80$', '') "
+    "  WHEN 'https' THEN regexp_replace(regexp_replace(lower(regexp_extract(u, "
+    "    '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)), '^www\\.', ''), "
+    "    ':443$', '') "
+    "  ELSE regexp_replace(lower(regexp_extract(u, "
+    "    '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)), '^www\\.', '') END || "
     "regexp_replace(regexp_extract(regexp_replace(regexp_extract(u, "
     "  '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$', 1), '#.*$', ''), "
     "  '^([^?]*)', 1), '/+$', '') || "
@@ -1572,7 +1581,10 @@ def q_c4_line_filter(spark, sf):
     "WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source), "
     "m AS (SELECT max(n) AS nmax FROM c), "
     "r AS (SELECT source, least(1.0, 0.5 * sqrt(nmax / n)) AS f FROM c, m) "
-    "SELECT d.doc_id, d.source FROM documents d JOIN r USING (source) "
+    # IS NOT DISTINCT FROM mirrors the Spark side's eqNullSafe: a
+    # null-source row must match its own rate row, not vanish
+    "SELECT d.doc_id, d.source FROM documents d JOIN r "
+    "ON d.source IS NOT DISTINCT FROM r.source "
     "WHERE " + salted_hash_sql("doc_id", 7) + " < f * 1152921504606846976.0",
 )
 def q_temperature_mix(spark, sf):

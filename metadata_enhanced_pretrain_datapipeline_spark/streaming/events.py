@@ -154,12 +154,17 @@ def streaming_dedup(events: DataFrame, key_cols: list[str],
     don't scale; the watermark makes this the streaming twin of
     dedup.dedup_exact).
 
-    The event-time column rides along in the key set so Spark can expire
-    state: keys older than the watermark are dropped, bounding memory to
-    the watermark horizon regardless of stream length. Re-delivered rows
-    inside the horizon (the at-least-once source case) are suppressed.
+    The event-time column is APPENDED to the key set if the caller left
+    it out — Spark only expires dropDuplicates state when the watermark
+    column is part of the dedup subset, so omitting it would grow the
+    seen-key state forever (the exact failure this operator exists to
+    prevent). With it, keys older than the watermark are dropped,
+    bounding memory to the horizon regardless of stream length;
+    re-delivered rows inside the horizon (the at-least-once source case)
+    are suppressed.
     """
-    return events.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
+    keys = list(key_cols) if ts_col in key_cols else [*key_cols, ts_col]
+    return events.withWatermark(ts_col, watermark).dropDuplicates(keys)
 
 
 def streaming_dedup_within_watermark(events: DataFrame, key_cols: list[str],

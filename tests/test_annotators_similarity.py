@@ -325,11 +325,19 @@ def test_token_budget_cap_matches_naive_window(spark):
 
 
 def test_token_budget_cap_zero_token_rows_at_boundary(spark):
-    # a zero-token row landing exactly at offset == budget must be kept
+    """A zero-token row whose inclusive running sum lands exactly ON the
+    budget must be kept — compare against the naive window, which a
+    `<`-for-`<=` regression would diverge from."""
+    from pyspark.sql import Window
+    from metadata_enhanced_pretrain_datapipeline_spark.functions.hashing import salted_hash
+
     rows = [(1, "g", 10), (2, "g", 0), (3, "g", 5)]
     df = spark.createDataFrame(rows, "id long, grp string, n int")
-    out = sampling.token_budget_cap(df, "grp", F.col("n"), 10, F.col("id"),
-                                    num_buckets=2)
-    kept_n = {r.id: r.n for r in out.collect()}
-    assert all(v in (0, 10, 5) for v in kept_n.values())
-    assert sum(kept_n.values()) <= 10
+    got = sorted(r.id for r in sampling.token_budget_cap(
+        df, "grp", F.col("n"), 10, F.col("id"), num_buckets=2).collect())
+    w = (Window.partitionBy("grp").orderBy(salted_hash(F.col("id")), F.col("id"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    want = sorted(r.id for r in
+                  df.withColumn("__c", F.sum("n").over(w))
+                    .filter(F.col("__c") <= 10).collect())
+    assert got == want and len(want) >= 1

@@ -43,3 +43,22 @@ def test_canonical_url_distinct_pages_stay_distinct(spark):
         "https://a.com/p?id=8",
     )
     assert len(set(got)) == 4
+
+
+def test_canonical_url_scheme_specific_default_ports(spark):
+    got = _canon(
+        spark,
+        "https://a.com:80/p",    # 80 is NOT https's default port -> kept
+        "http://a.com:443/p",    # 443 is NOT http's default port -> kept
+        "https://a.com/p",
+        "http://a.com/p",
+    )
+    assert len(set(got)) == 4
+    assert got[0] == "https://a.com:80/p"
+    assert got[1] == "http://a.com:443/p"
+
+
+def test_canonical_url_malformed_passthrough(spark):
+    # unparseable URLs keep their OWN key — not the shared '://' collapse
+    got = _canon(spark, "page.html?id=7", "not a url", "ftp:/missing-slash")
+    assert got == ["page.html?id=7", "not a url", "ftp:/missing-slash"]
