@@ -72,3 +72,25 @@ def tumbling_window_agg(df: DataFrame, ts_col: str, keys: list[str],
     out = df.groupBy(F.window(F.col(ts_col), duration).alias("w"), *keys).agg(*aggs)
     agg_names = [c for c in out.columns if c not in {"w", *keys}]
     return out.select(F.col("w.start").alias("window_start"), *keys, *agg_names)
+
+
+def skew_safe_count_distinct(df: DataFrame, key_cols: list[str],
+                             value_col: str) -> DataFrame:
+    """Exact COUNT(DISTINCT value) per key, as the two-shuffle dedup-then-
+    count rewrite: groupBy(keys, value) → groupBy(keys) count.
+
+    Why not countDistinct: Spark plans a distinct aggregate via Expand,
+    shuffling every (key, value) row to the KEY's partition before
+    deduplicating — one hot key (a bot user, an empty-string URL) funnels
+    its entire row volume through one task. The rewrite's first shuffle
+    keys by (key, value), spreading a hot key over as many partitions as
+    it has distinct values, and map-side partial aggregation collapses
+    duplicate (key, value) pairs before anything moves. The second
+    shuffle carries one row per distinct pair. Same result, skew-bounded.
+    NULL values are not counted, matching COUNT(DISTINCT) semantics.
+    """
+    dedup = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*key_cols, value_col).distinct()
+    )
+    return dedup.groupBy(*key_cols).agg(F.count("*").alias("n_distinct"))

@@ -2667,6 +2667,44 @@ def q_tpch_q5(spark, sf):
 
 
 @register(
+    "q_count_distinct_skew",
+    "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) "
+    "AS n_distinct FROM events GROUP BY event_type",
+)
+def q_count_distinct_skew(spark, sf):
+    """Extension — exact distinct-count via the skew-safe dedup-then-count
+    rewrite (operators/aggregates.skew_safe_count_distinct): the first
+    shuffle keys by (key, value) so a hot key spreads over its distinct
+    values instead of funneling through one task."""
+    e = load_events(spark, sf)
+    return aggregates.skew_safe_count_distinct(e, ["event_type"], "user_id")
+
+
+@register(
+    "q_salted_join",
+    "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items, "
+    "sum(l_extendedprice * (1 - l_discount)) AS revenue "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "GROUP BY o_orderpriority",
+)
+def q_salted_join(spark, sf):
+    """Extension — the explicit skew-salted join (operators/joins.
+    salted_join): big side salted per row, small side replicated once per
+    salt value, so one hot join key spreads across salt_buckets tasks.
+    Results must be IDENTICAL to the plain join (the oracle runs one)."""
+    li = load(spark, sf, "lineitem")
+    o = load(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    joined = joins.salted_join(
+        li.withColumnRenamed("l_orderkey", "k"),
+        o.withColumnRenamed("o_orderkey", "k"),
+        on="k", salt_buckets=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+
+
+@register(
     "q_tpch_q10",
     # revenue is NOT rounded: this query measurably hit a .005 boundary
     # (sum accumulation order differs per engine by ~1e-10 relative);

@@ -83,3 +83,16 @@ def test_asof_join_duplicate_ts_deterministic(spark):
     vals = {joins.asof_join(events, orders, "k", "k", "ts", "ots", ["okey"])
             .collect()[0].okey for _ in range(3)}
     assert vals == {9}  # ties resolved to the greatest value tuple, every run
+
+
+def test_skew_safe_count_distinct_matches_countDistinct(spark):
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import aggregates
+
+    rows = [(1, "a", 10), (2, "a", 10), (3, "a", 11), (4, "b", None),
+            (5, "b", 12), (6, "b", 12)]
+    df = spark.createDataFrame(rows, "id long, k string, v int")
+    got = {r.k: r.n_distinct for r in
+           aggregates.skew_safe_count_distinct(df, ["k"], "v").collect()}
+    want = {r.k: r.n for r in
+            df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()}
+    assert got == want == {"a": 2, "b": 1}  # NULL not counted
