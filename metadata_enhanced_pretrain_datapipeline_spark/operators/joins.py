@@ -98,3 +98,54 @@ def salted_join(left: DataFrame, right: DataFrame, on: str, how: str = "inner",
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     ).withColumn("__salt", F.col("__salt").cast("int"))
     return lsalted.join(rsalted, [on, "__salt"], how).drop("__salt")
+
+
+def range_join(points: DataFrame, pt_col: str, intervals: DataFrame,
+               start_col: str, end_col: str, bin_width: float,
+               max_bins_per_interval: int = 4096) -> DataFrame:
+    """Interval/range join: every (point, interval) pair with
+    ``start <= point <= end`` (inclusive both ends) — the custom-operator
+    pattern for numeric/temporal containment (extension; the prompt's
+    canonical example alongside as-of).
+
+    Catalyst plans a naive ``ON pt BETWEEN start AND end`` as a
+    nested-loop over the cross product — quadratic and un-shuffleable.
+    The scalable shape BINS the number line: each interval explodes to
+    the bins it overlaps, each point lands in exactly ONE bin, and the
+    equi-join on bin carries the exact BETWEEN as a post-filter. One
+    hash shuffle keyed by bin; no duplicate pairs (one bin per point).
+    Pick ``bin_width`` near the typical interval length: wider bins
+    mean fewer replicas but more false candidates for the post-filter.
+
+    An interval spanning more than ``max_bins_per_interval`` bins fails
+    fast (assert inside the filter, which column pruning cannot elide) —
+    a degenerate [0, +inf)-style interval would otherwise replicate
+    across the whole axis.
+    """
+    clash = set(points.columns) & set(intervals.columns)
+    if clash:
+        raise ValueError(
+            f"point/interval column names collide: {sorted(clash)} — "
+            "alias one side first, the output carries both"
+        )
+    b0 = F.floor(F.col(start_col) / F.lit(bin_width))
+    b1 = F.floor(F.col(end_col) / F.lit(bin_width))
+    ok = (b1 - b0) < F.lit(max_bins_per_interval)
+    guarded = intervals.filter(
+        F.when(ok, F.lit(True)).otherwise(
+            F.assert_true(
+                F.lit(False),
+                F.lit(f"range_join: interval wider than "
+                      f"{max_bins_per_interval} bins — raise bin_width "
+                      f"or split the interval"),
+            ).isNull()
+        )
+    )
+    iv = guarded.withColumn("__bin", F.explode(F.sequence(b0, b1)))
+    pts = points.withColumn("__bin", F.floor(F.col(pt_col) / F.lit(bin_width)))
+    return (
+        pts.join(iv, "__bin")
+        .filter((F.col(pt_col) >= F.col(start_col))
+                & (F.col(pt_col) <= F.col(end_col)))
+        .drop("__bin")
+    )

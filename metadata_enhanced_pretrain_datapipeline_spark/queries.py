@@ -2667,6 +2667,38 @@ def q_tpch_q5(spark, sf):
 
 
 @register(
+    "q_range_join",
+    # intervals [20k, 20k+30] for k=0..24 tile value-space [0,510] with
+    # overlaps; the oracle is the naive BETWEEN join the binned form must
+    # reproduce exactly (boundaries inclusive)
+    "WITH iv AS (SELECT n_nationkey AS band_id, "
+    "  n_nationkey * 20.0 AS lo, n_nationkey * 20.0 + 30.0 AS hi "
+    "  FROM nation) "
+    "SELECT band_id, CAST(count(*) AS BIGINT) AS n_events, "
+    "  round(sum(value), 2) AS sum_value "
+    "FROM events JOIN iv ON value >= lo AND value <= hi "
+    "GROUP BY band_id",
+)
+def q_range_join(spark, sf):
+    """Extension — interval containment via the binned range join
+    (operators/joins.range_join): intervals explode to overlapped bins,
+    points land in ONE bin, the equi-join on bin carries BETWEEN as a
+    post-filter — one hash shuffle where the naive plan is a
+    nested-loop cross product."""
+    e = load_events(spark, sf).select(F.col("event_id"), F.col("value"))
+    iv = load(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("band_id"),
+        (F.col("n_nationkey") * 20.0).alias("lo"),
+        (F.col("n_nationkey") * 20.0 + 30.0).alias("hi"),
+    )
+    joined = joins.range_join(e, "value", iv, "lo", "hi", bin_width=25.0)
+    return joined.groupBy("band_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@register(
     "q_count_distinct_skew",
     "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) "
     "AS n_distinct FROM events GROUP BY event_type",

@@ -96,3 +96,35 @@ def test_skew_safe_count_distinct_matches_countDistinct(spark):
     want = {r.k: r.n for r in
             df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()}
     assert got == want == {"a": 2, "b": 1}  # NULL not counted
+
+
+def test_range_join_matches_naive_between(spark):
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import joins as J
+
+    pts = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([0.0, 5.0, 10.0, 10.5, 25.0, -3.0])],
+        "pid long, x double")
+    iv = spark.createDataFrame(
+        [(1, 0.0, 10.0), (2, 10.0, 20.0), (3, -5.0, -1.0), (4, 9.0, 11.0)],
+        "iid long, lo double, hi double")
+    got = sorted((r.pid, r.iid) for r in
+                 J.range_join(pts, "x", iv, "lo", "hi", bin_width=4.0).collect())
+    naive = pts.crossJoin(iv).filter("x >= lo AND x <= hi")
+    want = sorted((r.pid, r.iid) for r in naive.collect())
+    assert got == want
+    # boundary inclusivity: x=10.0 matches [0,10], [10,20] AND [9,11]
+    assert sum(1 for p, _ in got if p == 2) == 3
+
+
+def test_range_join_oversized_interval_fails_fast(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import joins as J
+
+    pts = spark.createDataFrame([(1, 5.0)], "pid long, x double")
+    iv = spark.createDataFrame([(1, 0.0, 1e9)], "iid long, lo double, hi double")
+    with pytest.raises((Py4JJavaError, SparkRuntimeException)):
+        J.range_join(pts, "x", iv, "lo", "hi", bin_width=1.0,
+                     max_bins_per_interval=100).collect()
