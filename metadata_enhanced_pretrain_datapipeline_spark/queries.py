@@ -1868,22 +1868,28 @@ _R01_CHECKED = [
 ]
 
 
-def _checked_counts() -> dict[str, int]:
-    """Times each query name appeared in a prior driver correctness run."""
+def _checked_counts() -> tuple[dict[str, int], set[str]]:
+    """(times each name appeared in a prior driver correctness run,
+    names whose prior rows were ALL rows-only — hash never checked)."""
     import glob as _glob
     import json as _json
     import os as _os
 
     root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     counts: dict[str, int] = {}
+    hash_checked: set[str] = set()
     for p in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             with open(p) as f:
-                for name in _json.load(f):
+                for name, row in _json.load(f).items():
                     counts[name] = counts.get(name, 0) + 1
-        except (OSError, ValueError):
+                    if isinstance(row, dict) and row.get("hash_match"):
+                        hash_checked.add(name)
+        except (OSError, ValueError, AttributeError):
             continue
-    return counts or {n: 1 for n in _R01_CHECKED}
+    if not counts:
+        return {n: 1 for n in _R01_CHECKED}, set(_R01_CHECKED)
+    return counts, hash_checked
 
 
 _ROTATION: list[str] | None = None
@@ -1895,9 +1901,23 @@ def _rotated() -> list[str]:
     # (a positional pairing of the two dicts would otherwise mismatch)
     global _ROTATION
     if _ROTATION is None:
-        counts = _checked_counts()
+        counts, hash_checked = _checked_counts()
         order = {n: i for i, n in enumerate(_REGISTRY)}
-        _ROTATION = sorted(_REGISTRY, key=lambda n: (counts.get(n, 0), order[n]))
+
+        def tier(n: str) -> tuple:
+            seen = counts.get(n, 0)
+            # a query whose prior driver rows were all rows-only but which
+            # NOW has an oracle is a conversion — surface it right after
+            # never-checked names so the driver records its first hash-
+            # checked row this round instead of some round later
+            converted = (
+                seen > 0 and n not in hash_checked
+                and _REGISTRY[n][1] is not None
+            )
+            return (0 if seen == 0 else (1 if converted else 1 + seen),
+                    order[n])
+
+        _ROTATION = sorted(_REGISTRY, key=tier)
     return _ROTATION
 
 
