@@ -44,18 +44,88 @@ def _fake_pixels(content: bytes, width: int, height: int) -> np.ndarray:
     return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
 
 
+def decode_bmp(content: bytes) -> np.ndarray:
+    """REAL image decode for uncompressed 24-bit BMP (no codec lib needed
+    — the format is a struct-defined pixel grid). Returns HxWx3 uint8 in
+    RGB order, top row first.
+
+    Handles the BITMAPINFOHEADER layout: bottom-up rows (positive height)
+    or top-down (negative), 4-byte row padding, BGR channel order.
+    """
+    import struct
+
+    if len(content) < 54 or content[:2] != b"BM":
+        raise ValueError("not a BMP blob")
+    pixel_off = struct.unpack_from("<I", content, 10)[0]
+    header_size = struct.unpack_from("<I", content, 14)[0]
+    if header_size < 40:
+        raise ValueError(f"unsupported BMP header size {header_size}")
+    width, height = struct.unpack_from("<ii", content, 18)
+    planes, bpp = struct.unpack_from("<HH", content, 26)
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    top_down = height < 0
+    height = abs(height)
+    row_bytes = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    need = pixel_off + row_bytes * height
+    if len(content) < need:
+        raise ValueError(f"truncated BMP: {len(content)} < {need} bytes")
+    rows = np.frombuffer(
+        content, np.uint8, count=row_bytes * height, offset=pixel_off
+    ).reshape(height, row_bytes)[:, : width * 3].reshape(height, width, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def decode_wav(content: bytes) -> np.ndarray:
+    """REAL audio decode for PCM WAV via the stdlib ``wave`` module:
+    returns mono float32 in [-1, 1] (multi-channel input is averaged)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(content)) as w:
+        n = w.getnframes()
+        raw = w.readframes(n)
+        width = w.getsampwidth()
+        channels = w.getnchannels()
+    if width == 2:
+        pcm = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+    elif width == 1:
+        pcm = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif width == 4:
+        pcm = np.frombuffer(raw, np.int32).astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    if channels > 1:
+        pcm = pcm.reshape(-1, channels).mean(axis=1)
+    return pcm
+
+
 def decode_image(content: bytes, stub: bool = False) -> np.ndarray:
-    """Decode an image blob to HxWx3 uint8. Real codec (PIL/cv2) is not in
-    this container — STUB: deterministic fake pixels when stub=True."""
+    """Decode an image blob to HxWx3 uint8. Uncompressed 24-bit BMP
+    decodes FOR REAL (struct-defined format, no codec lib needed); other
+    formats need a real codec (PIL/cv2, not in this container) — STUB:
+    deterministic fake pixels when stub=True."""
+    if len(content) >= 2 and content[:2] == b"BM":
+        return decode_bmp(content)
     if not stub:
-        raise NotImplementedError("image codec not available in this environment")
+        raise NotImplementedError(
+            "only BMP decodes without a codec lib in this environment"
+        )
     return _fake_pixels(content, 16, 16)
 
 
 def decode_audio(content: bytes, stub: bool = False) -> np.ndarray:
-    """Decode an audio blob to float32 PCM. STUB like decode_image."""
+    """Decode an audio blob to float32 PCM. RIFF/WAV decodes FOR REAL via
+    the stdlib wave module; other formats are stubbed like decode_image."""
+    if len(content) >= 4 and content[:4] == b"RIFF":
+        return decode_wav(content)
     if not stub:
-        raise NotImplementedError("audio codec not available in this environment")
+        raise NotImplementedError(
+            "only WAV decodes without a codec lib in this environment"
+        )
     seed = int.from_bytes(hashlib.md5(content).digest()[:4], "little")
     rng = np.random.default_rng(seed)
     return rng.standard_normal(1600).astype(np.float32)

@@ -51,3 +51,90 @@ def test_attach_media_keeps_blobs_out(spark, media, docs):
     assert "content" not in out.columns
     got = {r.doc_id: r.media_id for r in out.filter(F.col("media_id").isNotNull()).collect()}
     assert got == {0: "m1", 1: "m2"}
+
+
+def _bmp_bytes(pixels):
+    """Minimal 24-bit bottom-up BMP from an HxWx3 RGB uint8 array."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = pixels.shape
+    row_bytes = (w * 3 + 3) & ~3
+    img = bytearray()
+    for row in pixels[::-1]:                      # bottom-up
+        r = bytearray()
+        for px in row:
+            r += bytes([px[2], px[1], px[0]])     # BGR
+        r += b"\x00" * (row_bytes - len(r))
+        img += r
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(img), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(img), 0, 0, 0, 0)
+    return header + info + bytes(img)
+
+
+def _wav_bytes(samples, framerate=8000):
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(framerate)
+        w.writeframes((np.asarray(samples) * 32767).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_decode_bmp_real_pixels_roundtrip():
+    import numpy as np
+
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.multimodal import decode_bmp, decode_image
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    got = decode_bmp(_bmp_bytes(px))
+    assert got.shape == (2, 3, 3) and (got == px).all()
+    # decode_image auto-detects BMP and decodes REAL even with stub=False
+    assert (decode_image(_bmp_bytes(px)) == px).all()
+
+
+def test_decode_wav_real_pcm_roundtrip():
+    import numpy as np
+
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.multimodal import decode_audio
+
+    samples = np.linspace(-0.5, 0.5, 32)
+    got = decode_audio(_wav_bytes(samples))
+    assert got.shape == (32,)
+    assert np.abs(got - samples).max() < 1e-3   # int16 quantization
+
+
+def test_image_features_on_real_bmp(spark):
+    import numpy as np
+
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import multimodal as mm
+
+    # solid-color 8x8: mean features must equal the color exactly
+    px = np.zeros((8, 8, 3), np.uint8)
+    px[:, :, 0] = 200; px[:, :, 1] = 100; px[:, :, 2] = 50
+    df = spark.createDataFrame(
+        [("m1", "image", bytearray(_bmp_bytes(px)), "image/bmp", 8, 8, None)],
+        mm.MEDIA_SCHEMA)
+    row = mm.image_features(df, stub=False, target=(4, 4)).collect()[0]
+    assert (row.mean_r, row.mean_g, row.mean_b) == (200.0, 100.0, 50.0)
+
+
+def test_audio_features_on_real_wav(spark):
+    import numpy as np
+
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import multimodal as mm
+
+    samples = np.sin(np.linspace(0, 20 * np.pi, 800)) * 0.25
+    df = spark.createDataFrame(
+        [("a1", "audio", bytearray(_wav_bytes(samples)), "audio/wav", None, None, 100)],
+        mm.MEDIA_SCHEMA)
+    row = mm.audio_features(df, stub=False).collect()[0]
+    assert row.n_samples == 800
+    assert abs(row.rms - 0.25 / 2**0.5) < 1e-2  # sine RMS = A/sqrt(2)
