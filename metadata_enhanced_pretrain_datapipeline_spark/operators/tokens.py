@@ -422,3 +422,28 @@ def write_megatron_packed(df: DataFrame, out_dir: str, order_col: str = "doc_id"
             )
 
     packed.mapInArrow(write_part, "shard long, n_tokens long").collect()
+
+
+def read_megatron_partition(bin_path: str, idx_path: str) -> tuple[np.ndarray, np.ndarray]:
+    """Read a .bin/.idx pair back: (per-doc lengths, flat token array) —
+    the verification twin of write_megatron_partition (same layout:
+    magic, version, dtype code, counts, int32 lengths, int64 pointers,
+    int64 doc index; then the packed token buffer)."""
+    with open(idx_path, "rb") as f:
+        if f.read(len(_MAGIC)) != _MAGIC:
+            raise ValueError(f"{idx_path}: bad magic")
+        struct.unpack("<Q", f.read(8))  # version
+        code = struct.unpack("<B", f.read(1))[0]
+        n_docs = struct.unpack("<Q", f.read(8))[0]
+        n_idx = struct.unpack("<Q", f.read(8))[0]
+        lengths = np.frombuffer(f.read(4 * n_docs), np.int32)
+        np.frombuffer(f.read(8 * n_docs), np.int64)  # pointers
+        np.frombuffer(f.read(8 * n_idx), np.int64)   # doc index
+    dtype = np.uint16 if code == 8 else np.int32
+    flat = np.fromfile(bin_path, dtype=dtype)
+    if int(lengths.sum()) != len(flat):
+        raise ValueError(
+            f"{bin_path}: token buffer ({len(flat)}) disagrees with idx "
+            f"lengths ({int(lengths.sum())})"
+        )
+    return lengths, flat

@@ -2379,6 +2379,52 @@ def q_scan_json(spark, sf):
 
 
 @register(
+    "q_megatron_roundtrip",
+    "WITH tok AS (SELECT " + md5_hash64_sql("doc_id") + " % 4 AS shard, "
+    "  doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+    "  x -> x <> '') AS words FROM documents), "
+    "w AS (SELECT shard, unnest(words) AS word FROM tok), "
+    "ids AS (SELECT shard, " + md5_hash64_sql("word") + " % 50000 AS tid "
+    "  FROM w), "
+    "d AS (SELECT shard, count(*) AS n_docs FROM tok GROUP BY shard), "
+    "t AS (SELECT shard, count(*) AS n, sum(tid) AS s FROM ids "
+    "  GROUP BY shard) "
+    "SELECT d.shard, CAST(d.n_docs AS BIGINT) AS n_docs, "
+    "  CAST(coalesce(t.n, 0) AS BIGINT) AS total_tokens, "
+    "  CAST(coalesce(t.s, 0) AS BIGINT) AS tok_sum "
+    "FROM d LEFT JOIN t USING (shard)",
+)
+def q_megatron_roundtrip(spark, sf):
+    """K4 full round-trip — the reference's CORE sink: tokenize → write
+    one .bin/.idx pair per shard (executor-side, Arrow buffers) → parse
+    the binary format back (operators/tokens.read_megatron_partition)
+    and aggregate per-shard doc/token counts and the token-id sum. The
+    oracle recomputes all three from the raw table, so a single corrupt
+    byte in lengths, pointers or the packed buffer mismatches."""
+    import os
+
+    import numpy as np
+
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.tokens import (
+        read_megatron_partition, write_megatron)
+
+    d = load(spark, sf, "documents")
+    out_dir = _scratch_dir(sf, "megatron_roundtrip")
+    write_megatron(d, out_dir, shards=4)
+    rows = []
+    for name in sorted(os.listdir(out_dir)):
+        if not name.endswith(".idx"):
+            continue
+        shard = int(name[len("shard_"):-len(".idx")])
+        base = os.path.join(out_dir, name[:-len(".idx")])
+        lengths, flat = read_megatron_partition(base + ".bin", base + ".idx")
+        rows.append((shard, len(lengths), int(lengths.sum()),
+                     int(flat.astype(np.int64).sum())))
+    return spark.createDataFrame(
+        rows, "shard long, n_docs long, total_tokens long, tok_sum long")
+
+
+@register(
     "q_parquet_roundtrip",
     "SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars "
     "FROM documents GROUP BY lang, source",
