@@ -2843,6 +2843,41 @@ def q_tpch_q10(spark, sf):
 
 
 @register(
+    "q_tpch_q18",
+    "SELECT c_name, o_orderkey, round(o_totalprice, 2) AS total, "
+    "CAST(sum(l_quantity) AS BIGINT) AS total_qty "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem "
+    "  GROUP BY l_orderkey HAVING sum(l_quantity) > 150) "
+    "GROUP BY c_name, o_orderkey, o_totalprice",
+)
+def q_tpch_q18(spark, sf):
+    """TPC-H Q18 shape — large-volume orders: a HAVING-subquery becomes an
+    aggregate → semi-join (the keys side is tiny after the threshold, so
+    AQE broadcasts it), then the detail join re-aggregates. l_quantity is
+    integral in the fixture, so the sum is exact."""
+    li = load(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150).select("l_orderkey")
+    )
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
+        .select(
+            "c_name", "o_orderkey",
+            F.round("o_totalprice", 2).alias("total"), "total_qty",
+        )
+    )
+
+
+@register(
     "q_tpch_q14",
     "SELECT round(100.0 * sum(CASE WHEN p_type = 'ECONOMY' THEN "
     "l_extendedprice * (1 - l_discount) ELSE 0 END) / "
