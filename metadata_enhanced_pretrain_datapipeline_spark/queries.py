@@ -2400,7 +2400,11 @@ def q_megatron_roundtrip(spark, sf):
     the binary format back (operators/tokens.read_megatron_partition)
     and aggregate per-shard doc/token counts and the token-id sum. The
     oracle recomputes all three from the raw table, so a single corrupt
-    byte in lengths, pointers or the packed buffer mismatches."""
+    byte in lengths, pointers or the packed buffer mismatches.
+
+    The driver-side read-back is the local-mode verification harness; on
+    a cluster the sink writes to shared storage and verification reads it
+    distributed (binaryFile source + mapInArrow parse)."""
     import os
 
     import numpy as np
