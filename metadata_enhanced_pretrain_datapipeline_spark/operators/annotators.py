@@ -405,3 +405,37 @@ def hf_classifier_annotate(df: DataFrame, text_col: str = "text",
             yield out
 
     return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def compression_ratio(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", level: int = 6) -> DataFrame:
+    """Quality signal: deflate compression ratio of the document text
+    (compressed/raw bytes) — the classic repetitiveness proxy
+    (boilerplate and templated spam compress far below prose; the
+    RefinedWeb/Gopher-family pipelines gate on it). Pure stdlib zlib, so
+    it runs everywhere, but NOT SQL-expressible — the registered query
+    is rows-only by necessity (no zlib in the oracle engine); local
+    tests pin the closed-form cases instead.
+
+    Arrow-batched mapInPandas; deterministic for a fixed level and
+    zlib build. Empty/NULL text → NULL ratio (not 0: a 0 would sort
+    empty docs as 'maximally repetitive').
+    """
+    import zlib
+    from typing import Iterator as _It
+
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, raw_bytes int, ratio double"
+
+    def run(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                if t is None or t == "":
+                    out.append((i, 0 if t == "" else None, None))
+                    continue
+                raw = t.encode("utf-8")
+                out.append((i, len(raw), len(zlib.compress(raw, level)) / len(raw)))
+            yield pd.DataFrame(out, columns=[id_col, "raw_bytes", "ratio"])
+
+    return df.select(id_col, text_col).mapInPandas(run, schema)

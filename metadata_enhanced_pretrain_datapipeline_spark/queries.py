@@ -1490,6 +1490,17 @@ def q_url_canonical_dedup(spark, sf):
     return kept.select("doc_id", "canonical_url")
 
 
+@register("q_compression_ratio")
+def q_compression_ratio(spark, sf):
+    """† Extension — deflate compression-ratio quality signal
+    (operators/annotators.compression_ratio). Rows-only BY NECESSITY:
+    the oracle engine has no zlib, so no SQL twin can exist; local tests
+    pin closed-form cases (repetitive ≪ prose, empty/NULL handling)."""
+    d = load(spark, sf, "documents")
+    out = annotators.compression_ratio(d)
+    return out.select("doc_id", "raw_bytes", F.round("ratio", 6).alias("ratio"))
+
+
 @register(
     "q_char_lm_score",
     "WITH b AS (SELECT doc_id, substr(text, i, 2) AS bg FROM "

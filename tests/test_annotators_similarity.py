@@ -341,3 +341,24 @@ def test_token_budget_cap_zero_token_rows_at_boundary(spark):
                   df.withColumn("__c", F.sum("n").over(w))
                     .filter(F.col("__c") <= 10).collect())
     assert got == want and len(want) >= 1
+
+
+def test_compression_ratio_orders_repetitive_below_prose(spark):
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import annotators as ann
+
+    rows = [
+        (1, "spam " * 200),                       # highly repetitive
+        (2, "The quick brown fox jumps over the lazy dog while seventeen "
+            "magistrates deliberate obscure zoning variances downtown."),
+        (3, ""),                                   # empty -> NULL ratio
+        (4, None),                                 # NULL text -> NULLs
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.raw_bytes, r.ratio)
+           for r in ann.compression_ratio(df).collect()}
+    assert got[1][1] < 0.1 < got[2][1]            # repetition compresses hard
+    assert got[2][1] < 1.5                        # prose still compresses-ish
+    assert got[3] == (0, None) and got[4] == (None, None)
+    # deterministic across invocations
+    again = {r.doc_id: r.ratio for r in ann.compression_ratio(df).collect()}
+    assert again[1] == got[1][1] and again[2] == got[2][1]
