@@ -1490,6 +1490,63 @@ def q_url_canonical_dedup(spark, sf):
     return kept.select("doc_id", "canonical_url")
 
 
+@register(
+    "q_mix_pipeline",
+    # the full mix-construction chain, each stage the proven oracle piece:
+    # fuzzy dedup (portable MinHash pairs, min-id survives) → benchmark
+    # decontamination (8-gram broadcast) → length gate → temperature mix
+    # (sqrt-exact rates, salt 7) → per-source 600-token budget (hash
+    # priority) → per-source accounting
+    "WITH pairs AS (" + _minhash_pairs_sql("", 8, 4, 64) + "), "
+    "d1 AS (SELECT * FROM documents WHERE doc_id NOT IN "
+    "  (SELECT DISTINCT id_b FROM pairs)), "
+    + _shingle_ctes("", 8) + ", "
+    "h AS (SELECT doc_id, " + md5_hash64_sql("shingle") + " AS h FROM sh), "
+    "bh AS (SELECT DISTINCT h FROM h WHERE doc_id % 37 = 0), "
+    "contam AS (SELECT DISTINCT doc_id FROM h JOIN bh USING (h)), "
+    "d3 AS (SELECT * FROM d1 WHERE doc_id NOT IN "
+    "  (SELECT doc_id FROM contam) AND length(text) >= 100), "
+    "c AS (SELECT source, count(*) AS n FROM d3 GROUP BY source), "
+    "m AS (SELECT max(n) AS nmax FROM c), "
+    "r AS (SELECT source, least(1.0, 0.7 * sqrt(nmax / n)) AS f FROM c, m), "
+    "d4 AS (SELECT d3.* FROM d3 JOIN r "
+    "  ON d3.source IS NOT DISTINCT FROM r.source "
+    "  WHERE " + salted_hash_sql("doc_id", 7) + " < f * 1152921504606846976.0), "
+    "t AS (SELECT doc_id, source, len(list_filter(regexp_split_to_array("
+    "  trim(text), '\\s+'), x -> x <> '')) AS n, "
+    + salted_hash_sql("doc_id") + " AS hh FROM d4), "
+    "cum AS (SELECT doc_id, source, n, sum(n) OVER (PARTITION BY source "
+    "  ORDER BY hh, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT "
+    "  ROW) AS c FROM t) "
+    "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+    "  CAST(sum(n) AS BIGINT) AS total_tokens "
+    "FROM cum WHERE c <= 600 GROUP BY source",
+)
+def q_mix_pipeline(spark, sf):
+    """The engine's reason to exist, end to end: fuzzy dedup →
+    benchmark decontamination → quality gate → temperature source mixing
+    → per-source token budget → mix accounting. Every stage is the real
+    operator (minhash_dedup's pair/drop pieces, decontaminate,
+    temperature_mix, token_budget_cap) and the whole chain is
+    hash-checked against one composed DuckDB oracle."""
+    d = load(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, num_hashes=8, bands=4,
+                                    max_bucket_size=64, portable=True)
+    d1 = dedup.drop_near_duplicates(d, pairs)
+    bench = d.filter(F.col("doc_id") % 37 == 0)
+    d2 = dedup.decontaminate(d1, bench, shingle_n=8, portable=True)
+    d3 = d2.filter(F.length("text") >= 100)
+    d4 = sampling.temperature_mix(d3, "source", F.col("doc_id"),
+                                  base_rate=0.7, salt=7)
+    d4 = d4.withColumn("n_tokens", F.size(tokens_ws(F.col("text"))))
+    d5 = sampling.token_budget_cap(d4, "source", F.col("n_tokens"), 600,
+                                   F.col("doc_id"))
+    return d5.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
 @register("q_compression_ratio")
 def q_compression_ratio(spark, sf):
     """† Extension — deflate compression-ratio quality signal
