@@ -87,10 +87,29 @@ def skew_safe_count_distinct(df: DataFrame, key_cols: list[str],
     it has distinct values, and map-side partial aggregation collapses
     duplicate (key, value) pairs before anything moves. The second
     shuffle carries one row per distinct pair. Same result, skew-bounded.
-    NULL values are not counted, matching COUNT(DISTINCT) semantics.
+    NULL values are not counted, matching COUNT(DISTINCT) semantics —
+    including keys whose values are ALL NULL, which must still appear
+    with n_distinct = 0 (a bare isNotNull pre-filter would silently drop
+    the whole group and diverge from countDistinct).
     """
+    keys = df.select(*key_cols).distinct()
     dedup = (
         df.filter(F.col(value_col).isNotNull())
         .select(*key_cols, value_col).distinct()
     )
-    return dedup.groupBy(*key_cols).agg(F.count("*").alias("n_distinct"))
+    # the count side renames its keys: both frames share df's lineage, so
+    # a keys[k] == counts[k] condition resolves to the SAME attribute (a
+    # trivially-true predicate = accidental cross join)
+    counts = dedup.groupBy(*key_cols).agg(F.count("*").alias("__n"))
+    for k in key_cols:
+        counts = counts.withColumnRenamed(k, f"__k_{k}")
+    # null-safe join: a NULL key is a group too (GROUP BY semantics)
+    cond = None
+    for k in key_cols:
+        c = F.col(k).eqNullSafe(F.col(f"__k_{k}"))
+        cond = c if cond is None else (cond & c)
+    return (
+        keys.join(counts, cond, "left")
+        .select(*key_cols,
+                F.coalesce(F.col("__n"), F.lit(0)).alias("n_distinct"))
+    )

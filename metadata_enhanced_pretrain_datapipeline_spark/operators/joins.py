@@ -128,6 +128,18 @@ def range_join(points: DataFrame, pt_col: str, intervals: DataFrame,
             f"point/interval column names collide: {sorted(clash)} — "
             "alias one side first, the output carries both"
         )
+    # BETWEEN with a NULL/NaN bound never matches: drop such intervals
+    # BEFORE the width guard, which would otherwise assert-crash on them
+    # (NULL/NaN comparisons fall into the otherwise branch)
+    types = dict(intervals.dtypes)
+
+    def finite(col_name: str) -> Column:
+        c = F.col(col_name).isNotNull()
+        if types[col_name] in ("double", "float"):
+            c = c & ~F.isnan(F.col(col_name))
+        return c
+
+    intervals = intervals.filter(finite(start_col) & finite(end_col))
     b0 = F.floor(F.col(start_col) / F.lit(bin_width))
     b1 = F.floor(F.col(end_col) / F.lit(bin_width))
     ok = (b1 - b0) < F.lit(max_bins_per_interval)

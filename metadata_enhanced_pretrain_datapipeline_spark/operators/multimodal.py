@@ -107,9 +107,17 @@ def decode_image(content: bytes, stub: bool = False) -> np.ndarray:
     """Decode an image blob to HxWx3 uint8. Uncompressed 24-bit BMP
     decodes FOR REAL (struct-defined format, no codec lib needed); other
     formats need a real codec (PIL/cv2, not in this container) — STUB:
-    deterministic fake pixels when stub=True."""
+    deterministic fake pixels when stub=True.
+
+    stub=True GUARANTEES non-raising: a blob that merely starts with
+    'BM' but is not a valid BMP (e.g. text beginning 'BMW …') falls back
+    to the stub instead of failing the task."""
     if len(content) >= 2 and content[:2] == b"BM":
-        return decode_bmp(content)
+        try:
+            return decode_bmp(content)
+        except ValueError:
+            if not stub:
+                raise
     if not stub:
         raise NotImplementedError(
             "only BMP decodes without a codec lib in this environment"
@@ -119,10 +127,16 @@ def decode_image(content: bytes, stub: bool = False) -> np.ndarray:
 
 def decode_audio(content: bytes, stub: bool = False) -> np.ndarray:
     """Decode an audio blob to float32 PCM. RIFF/WAV decodes FOR REAL via
-    the stdlib wave module; other formats are stubbed like decode_image."""
+    the stdlib wave module; other formats are stubbed like decode_image —
+    and like it, stub=True never raises (a RIFF container that isn't PCM
+    WAV, e.g. WebP/AVI, falls back to the stub)."""
     if len(content) >= 4 and content[:4] == b"RIFF":
-        return decode_wav(content)
-    if not stub:
+        try:
+            return decode_wav(content)
+        except Exception:  # wave.Error, EOFError, struct errors
+            if not stub:
+                raise
+    elif not stub:
         raise NotImplementedError(
             "only WAV decodes without a codec lib in this environment"
         )

@@ -128,3 +128,28 @@ def test_range_join_oversized_interval_fails_fast(spark):
     with pytest.raises((Py4JJavaError, SparkRuntimeException)):
         J.range_join(pts, "x", iv, "lo", "hi", bin_width=1.0,
                      max_bins_per_interval=100).collect()
+
+
+def test_skew_safe_count_distinct_all_null_group_is_zero(spark):
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import aggregates
+
+    rows = [(1, "a", 10), (2, "c", None), (3, "c", None), (4, None, 5)]
+    df = spark.createDataFrame(rows, "id long, k string, v int")
+    got = {r.k: r.n_distinct for r in
+           aggregates.skew_safe_count_distinct(df, ["k"], "v").collect()}
+    # all-NULL group surfaces with 0 (COUNT DISTINCT semantics); a NULL
+    # key is a group of its own
+    assert got == {"a": 1, "c": 0, None: 1}
+
+
+def test_range_join_null_and_nan_intervals_drop(spark):
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import joins as J
+
+    pts = spark.createDataFrame([(1, 5.0)], "pid long, x double")
+    iv = spark.createDataFrame(
+        [(1, 0.0, 10.0), (2, None, 10.0), (3, 0.0, None),
+         (4, float("nan"), 10.0)],
+        "iid long, lo double, hi double")
+    got = [r.iid for r in
+           J.range_join(pts, "x", iv, "lo", "hi", bin_width=4.0).collect()]
+    assert got == [1]   # NULL/NaN bounds never match — and never crash

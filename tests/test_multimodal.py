@@ -138,3 +138,23 @@ def test_audio_features_on_real_wav(spark):
     row = mm.audio_features(df, stub=False).collect()[0]
     assert row.n_samples == 800
     assert abs(row.rms - 0.25 / 2**0.5) < 1e-2  # sine RMS = A/sqrt(2)
+
+
+def test_stub_decode_never_raises_on_magic_byte_collisions():
+    import numpy as np
+
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.multimodal import (
+        decode_audio, decode_image)
+
+    # text starting with the BMP magic must fall back to the stub
+    px = decode_image(b"BMW group annual report text", stub=True)
+    assert px.shape == (16, 16, 3)
+    # a RIFF container that is not PCM WAV (e.g. WebP) falls back too
+    pcm = decode_audio(b"RIFF\x10\x00\x00\x00WEBPVP8 ", stub=True)
+    assert pcm.dtype == np.float32
+    # with stub=False the same inputs DO raise (honest failure)
+    import pytest
+    with pytest.raises(ValueError):
+        decode_image(b"BMW group annual report text", stub=False)
+    with pytest.raises(Exception):
+        decode_audio(b"RIFF\x10\x00\x00\x00WEBPVP8 ", stub=False)
