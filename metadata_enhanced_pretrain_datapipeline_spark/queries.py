@@ -903,6 +903,55 @@ _PAIRDOT_SQL = (
 
 
 @register(
+    "q_ivf_static_topk",
+    # IVF probe with a STATIC codebook (vec_id < 4's embeddings): the
+    # training loop stays † on q_ivf_topk, but the production-shaped
+    # probe (pretrained codebook, argmax assignment, nprobe=2, exact
+    # cosine inside probed lists) is fully relational. Assignment uses
+    # s = dot(v,c) − |c|²/2 with ties to the smaller centroid id —
+    # identical to operators/similarity._nearest_centroid_col.
+    "WITH cb AS (SELECT vec_id AS cid, embedding FROM embeddings "
+    "  WHERE vec_id < 4), "
+    "ce AS (SELECT cid, unnest(embedding) AS v, "
+    "  generate_subscripts(embedding, 1) AS i FROM cb), "
+    "cn AS (SELECT cid, sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS n2 "
+    "  FROM ce GROUP BY cid), "
+    "ae AS (SELECT vec_id, unnest(embedding) AS v, "
+    "  generate_subscripts(embedding, 1) AS i FROM embeddings), "
+    "rd AS (SELECT a.vec_id, c.cid, "
+    "  sum(CAST(a.v AS DOUBLE) * CAST(c.v AS DOUBLE)) AS dp "
+    "  FROM ae a JOIN ce c ON a.i = c.i GROUP BY a.vec_id, c.cid), "
+    "sc AS (SELECT rd.vec_id, rd.cid, rd.dp - cn.n2 / 2 AS s "
+    "  FROM rd JOIN cn USING (cid)), "
+    "assign AS (SELECT vec_id, cid AS list_id FROM ("
+    "  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id "
+    "    ORDER BY s DESC, cid) AS rn FROM sc) WHERE rn = 1), "
+    "probe AS (SELECT cid FROM (SELECT cid, row_number() OVER ("
+    "  ORDER BY s DESC, cid) AS rn FROM sc WHERE vec_id = 0) "
+    "  WHERE rn <= 2), "
+    f"n AS ({_NORM_SQL}), d AS ({_PAIRDOT_SQL}), "
+    "q AS (SELECT nrm AS qn FROM n WHERE vec_id = 0) "
+    "SELECT d.vec_id, round(d.dp / (n.nrm * q.qn), 6) AS cosine "
+    "FROM d JOIN n ON d.vec_id = n.vec_id CROSS JOIN q "
+    "JOIN assign ON assign.vec_id = d.vec_id "
+    "JOIN probe ON probe.cid = assign.list_id "
+    "ORDER BY cosine DESC, d.vec_id LIMIT 10",
+)
+def q_ivf_static_topk(spark, sf):
+    """Extension — the IVF ANN probe with a static (pretrained-shaped)
+    codebook, fully oracle-checked: only the k-means TRAINING loop is
+    float-iterative and stays rows-only (q_ivf_topk); the probe itself —
+    argmax list assignment, nprobe nearest lists, exact cosine within —
+    is deterministic arithmetic both engines reproduce."""
+    e = load(spark, sf, "embeddings")
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in e.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    return similarity.ivf_topk(e, cents, cents[0], k=10, nprobe=2)
+
+
+@register(
     "q_embedding_topk",
     f"WITH n AS ({_NORM_SQL}), d AS ({_PAIRDOT_SQL}), "
     "q AS (SELECT nrm AS qn FROM n WHERE vec_id = 0) "
