@@ -460,26 +460,40 @@ def drop_boilerplate_lines(df: DataFrame, id_col: str = "doc_id",
 
 
 def duplicate_clusters(pairs: DataFrame, max_iterations: int = 64,
-                       checkpoint: bool = True) -> DataFrame:
+                       checkpoint: bool = True,
+                       stats: dict | None = None) -> DataFrame:
     """Resolve candidate near-duplicate pairs into TRANSITIVE clusters:
     (doc_id, cluster_id) with cluster_id = the minimum id reachable
     through the pair graph — the connected-components resolution that
     complements :func:`drop_near_duplicates` (greedy, non-transitive)
     when chains a-b, b-c must land in ONE cluster.
 
-    Iterative min-label propagation as plain DataFrame joins: each round,
-    every node takes min(own label, neighbors' labels); stops at the
-    fixpoint (no label changed) or ``max_iterations``. Rounds needed =
-    graph diameter; dedup clusters are near-cliques so a handful of
-    rounds closes them. Only ids appearing in pairs are emitted
-    (singletons are trivially their own cluster).
+    Min-label propagation WITH pointer doubling, as plain DataFrame
+    joins. Each round every node (1) takes min(own label, neighbors'
+    labels), then (2) shortcuts through its label's label
+    (``l(u) <- l(l(u))``, the pointer-jumping half of
+    large-star/small-star connected components). Labels are ids from the
+    same component and only ever decrease, and ``l(x) <= x`` holds
+    throughout, so the jump is safe; with it the frontier a label has
+    traveled roughly doubles per round, making rounds-to-fixpoint
+    O(log n) in the component size rather than O(diameter) — a 100 TB
+    boilerplate chain of length d closes in ~log2(d) rounds, not d.
+    Stops at the fixpoint (no label changed); **raises RuntimeError** if
+    ``max_iterations`` rounds pass without convergence — partial labels
+    are wrong answers and are never returned silently. Only ids
+    appearing in pairs are emitted (singletons are trivially their own
+    cluster).
 
-    Scale: per-round cost is two joins on the PAIR graph (ids only, no
-    text) — orders of magnitude smaller than the corpus. localCheckpoint
-    truncates the growing lineage each round (eager, so the convergence
-    count reuses it); at cluster scale prefer a reliable checkpoint dir
-    via spark.sparkContext.setCheckpointDir + df.checkpoint. The
-    fixpoint is unique, so iteration order never changes the result.
+    Scale: per-round cost is three id-only joins (two on the PAIR graph,
+    one label self-join) — orders of magnitude smaller than the corpus.
+    localCheckpoint truncates the growing lineage each round (eager, so
+    the convergence count reuses it); at cluster scale prefer a reliable
+    checkpoint dir via spark.sparkContext.setCheckpointDir +
+    df.checkpoint. The fixpoint is unique, so iteration order never
+    changes the result.
+
+    ``stats``, when passed a dict, receives ``{"iterations": n,
+    "converged": True}`` for observability/tests.
     """
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
@@ -493,17 +507,37 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 64,
         edges.select(F.col("src").alias("id")).distinct()
         .withColumn("label", F.col("id"))
     )
+    converged = False
+    rounds = 0
     for _ in range(max_iterations):
+        rounds += 1
         nbr = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src").agg(F.min("label").alias("nbr_min"))
         )
-        new_labels = (
+        propagated = (
             labels.join(nbr, labels["id"] == nbr["src"], "left")
             .select(
                 labels["id"],
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # pointer doubling: l(u) <- min(l(u), l(l(u))). Every label value
+        # is itself a node id in the graph, so the self-join always hits
+        # (left join only guards the l(u)=u rows joining to themselves —
+        # they hit too, harmlessly).
+        jump = propagated.select(
+            F.col("id").alias("__jid"), F.col("label").alias("__jlabel")
+        )
+        new_labels = (
+            propagated.join(jump, propagated["label"] == jump["__jid"], "left")
+            .select(
+                propagated["id"],
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("__jlabel"), F.col("label")),
                 ).alias("label"),
             )
         )
@@ -517,7 +551,17 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 64,
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if stats is not None:
+        stats["iterations"] = rounds
+        stats["converged"] = converged
+    if not converged:
+        raise RuntimeError(
+            f"duplicate_clusters: no fixpoint after {max_iterations} rounds; "
+            "labels are partially propagated — raise max_iterations "
+            "(pointer doubling needs ~log2(component size) rounds)"
+        )
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -1381,8 +1381,9 @@ def q_minhash_pairs_portable(spark, sf):
 )
 def q_duplicate_clusters(spark, sf):
     """Extension — transitive near-duplicate clusters (connected
-    components) over the portable MinHash-LSH pair set, via iterative
-    min-label propagation (operators/dedup.duplicate_clusters). The
+    components) over the portable MinHash-LSH pair set, via min-label
+    propagation with pointer doubling — O(log n) rounds
+    (operators/dedup.duplicate_clusters). The
     DuckDB oracle computes the exact transitive closure with a recursive
     CTE, so every chain a-b-c must collapse to one cluster id."""
     d = load(spark, sf, "documents")

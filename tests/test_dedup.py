@@ -227,6 +227,31 @@ def test_duplicate_clusters_long_path_converges(spark):
     assert set(got.values()) == {0} and len(got) == n + 1
 
 
+def test_duplicate_clusters_pointer_doubling_log_rounds(spark):
+    # 200-node path: plain min-propagation needs ~200 rounds (the label 0
+    # travels one hop per round); pointer doubling must close it in
+    # ~log2(200) — assert <= 10 to leave slack, and that the stats dict
+    # reports convergence
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    stats = {}
+    got = {r.doc_id: r.cluster_id
+           for r in dedup.duplicate_clusters(
+               pairs, max_iterations=12, stats=stats).collect()}
+    assert set(got.values()) == {0} and len(got) == n
+    assert stats["converged"] is True
+    assert stats["iterations"] <= 10
+
+
+def test_duplicate_clusters_raises_when_unconverged(spark):
+    import pytest
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="no fixpoint after 1 rounds"):
+        dedup.duplicate_clusters(pairs, max_iterations=1)
+
+
 def test_dedup_against_normalized_cross_corpus(spark):
     seen = spark.createDataFrame(
         [(100, "  THE   Quick brown FOX  ")], "doc_id long, text string")
