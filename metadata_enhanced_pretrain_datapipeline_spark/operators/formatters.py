@@ -48,13 +48,25 @@ PII_PASSES = [
 ]
 
 
+def _pii_chain(text: Column) -> list[tuple[Column, Column]]:
+    """THE shared per-pass chain all three A3 outputs derive from: for each
+    pass, ``(items, rewritten)`` where ``items`` is the distinct matches of
+    that family on the text **as seen by that pass** (i.e. after all prior
+    rewrites — pii_formatter.py:93-114's sequential semantics) and
+    ``rewritten`` is the text after the pass. Callers reference only what
+    they need; unreferenced expressions never reach the physical plan."""
+    passes, seen = [], text
+    for pat, tag in PII_PASSES:
+        items = F.array_distinct(F.regexp_extract_all(seen, F.lit(pat), F.lit(0)))
+        seen = F.regexp_replace(seen, pat, tag)
+        passes.append((items, seen))
+    return passes
+
+
 def pii_scrub(text: Column) -> Column:
     """A3 rewrite — replace ALL occurrences of each PII family, in pass
     order (pii_formatter.py:63-70,93-114)."""
-    out = text
-    for pat, tag in PII_PASSES:
-        out = F.regexp_replace(out, pat, tag)
-    return out
+    return _pii_chain(text)[-1][1]
 
 
 def pii_count(text: Column) -> Column:
@@ -62,11 +74,7 @@ def pii_count(text: Column) -> Column:
     (pii_formatter.py:78,88-99,117: replacement hits all occurrences, the
     count is of distinct matched strings). Counted per family on the text
     as seen by that pass, mirroring the sequential passes."""
-    counts = []
-    seen = text
-    for pat, tag in PII_PASSES:
-        counts.append(F.size(F.array_distinct(F.regexp_extract_all(seen, F.lit(pat), F.lit(0)))))
-        seen = F.regexp_replace(seen, pat, tag)
+    counts = [F.size(items) for items, _ in _pii_chain(text)]
     total = counts[0]
     for c in counts[1:]:
         total = total + c
@@ -75,36 +83,43 @@ def pii_count(text: Column) -> Column:
 
 def pii_list(text: Column) -> Column:
     """A3 optional — the distinct matched PII strings (pii_formatter.py:118-119)."""
-    arrs = []
-    seen = text
-    for pat, tag in PII_PASSES:
-        arrs.append(F.array_distinct(F.regexp_extract_all(seen, F.lit(pat), F.lit(0))))
-        seen = F.regexp_replace(seen, pat, tag)
-    return F.concat(*arrs)
+    return F.concat(*[items for items, _ in _pii_chain(text)])
 
 
 def with_pii(df: DataFrame, text_col: str, scrub_col: str = "pii_scrubbed",
-             count_col: str = "pii_count") -> DataFrame:
-    """A3 combined form — scrub AND count in one rewritten-text chain.
+             count_col: str = "pii_count",
+             list_col: str | None = None) -> DataFrame:
+    """A3 combined form — scrub, count, AND (optionally) the match list
+    from ONE rewritten-text chain.
 
-    ``pii_scrub`` + ``pii_count`` as independent expressions each rebuild
-    the per-pass rewritten text, so a query selecting both pays ~2× the
-    regex traversals. Here each pass's rewrite is threaded through a real
-    intermediate column: the pass's count extracts from it and the next
-    pass rewrites it, so every regexp_replace runs exactly once per pass.
-    (Catalyst's CollapseProject keeps the stacked projections separate
-    because each intermediate is non-cheap and referenced twice — verified
-    via the optimized plan in tests.)
+    ``pii_scrub`` + ``pii_count`` + ``pii_list`` as independent
+    expressions each rebuild the per-pass rewritten text, so a query
+    selecting all three pays ~3× the regex traversals. Here each pass's
+    rewrite is threaded through a real intermediate column: the pass's
+    count AND list extract from it (one regexp_extract_all serves both)
+    and the next pass rewrites it, so every regex runs exactly once per
+    pass regardless of how many outputs are selected. (Catalyst's
+    CollapseProject keeps the stacked projections separate because each
+    intermediate is non-cheap and referenced twice — verified via the
+    optimized plan in tests.)
     """
-    out, prev, total, tmp = df, text_col, None, []
+    out, prev, total, tmp, item_cols = df, text_col, None, [], []
     for i, (pat, tag) in enumerate(PII_PASSES):
-        cnt = F.size(F.array_distinct(F.regexp_extract_all(F.col(prev), F.lit(pat), F.lit(0))))
+        items_col = f"__pii_items_{i}"
+        out = out.withColumn(
+            items_col,
+            F.array_distinct(F.regexp_extract_all(F.col(prev), F.lit(pat), F.lit(0))),
+        )
+        cnt = F.size(F.col(items_col))
         total = cnt if total is None else total + cnt
         nxt = f"__pii_pass_{i}"
         out = out.withColumn(nxt, F.regexp_replace(F.col(prev), pat, tag))
-        tmp.append(nxt)
+        tmp += [nxt, items_col]
+        item_cols.append(items_col)
         prev = nxt
     out = out.withColumn(count_col, total).withColumn(scrub_col, F.col(prev))
+    if list_col is not None:
+        out = out.withColumn(list_col, F.concat(*[F.col(c) for c in item_cols]))
     return out.drop(*tmp)
 
 

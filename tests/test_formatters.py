@@ -97,6 +97,39 @@ def test_iban_spaced_reference_format(spark):
     assert r.c == 1
 
 
+def test_with_pii_parity_all_three_outputs(spark):
+    """with_pii (the ONE shared rewritten-text chain) must agree with the
+    standalone pii_scrub / pii_count / pii_list expressions on every
+    output, including the optional match list."""
+    texts = [
+        "mail a@b.com and a@b.com ip 10.0.0.1 iban DE89370400440532013000",
+        "pay DE89 3704 0044 0532 0130 00 today",
+        "no pii here at all",
+        "x@y.org then 192.168.0.1 then x@y.org",
+        "",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    shared = {
+        r.doc_id: (r.s, r.c, list(r.l))
+        for r in formatters.with_pii(
+            df, "text", scrub_col="s", count_col="c", list_col="l"
+        ).collect()
+    }
+    standalone = {
+        r.doc_id: (r.s, r.c, list(r.l))
+        for r in df.select(
+            "doc_id",
+            formatters.pii_scrub(F.col("text")).alias("s"),
+            formatters.pii_count(F.col("text")).alias("c"),
+            formatters.pii_list(F.col("text")).alias("l"),
+        ).collect()
+    }
+    assert shared == standalone
+    assert shared[0][1] == 3 and "a@b.com" in shared[0][2]
+    assert shared[2] == ("no pii here at all", 0, [])
+
+
 def test_hf_classifier_annotate(spark):
     from metadata_enhanced_pretrain_datapipeline_spark.operators import annotators
 
