@@ -53,11 +53,15 @@ def char_lm_score(df: DataFrame, model: DataFrame, id_col: str = "doc_id",
     (higher = more corpus-typical; the boilerplate/garbage tail scores
     low — the CCNet perplexity-bucket signal).
 
-    Returns (id_col, n_bigrams, avg_logp). Scale: the model and its
-    first-char totals broadcast; the corpus explodes to bigrams once and
-    re-aggregates keyed by id — no other shuffle. avg_logp is rounded
-    (default 4 dp) so the ~1e-13 accumulation-order drift between
-    engines can never flip an oracle compare.
+    Returns (id_col, n_bigrams, avg_logp) with EXACTLY one row per input
+    document: documents shorter than 2 characters have no bigrams (they
+    vanish at the explode) and are joined back as (0, NULL) so downstream
+    one-row-per-doc joins never silently drop them. Scale: the model and
+    its first-char totals broadcast; the corpus explodes to bigrams once
+    and re-aggregates keyed by id; the join-back is an ids-only left join
+    on the same key. avg_logp is rounded (default 4 dp) so the ~1e-13
+    accumulation-order drift between engines can never flip an oracle
+    compare.
     """
     # materialize the (tiny, alphabet-bounded) model once: it is consumed
     # three times below (vocab count now, firsts + mdl in the final plan)
@@ -81,7 +85,12 @@ def char_lm_score(df: DataFrame, model: DataFrame, id_col: str = "doc_id",
             ),
         )
     )
-    return scored.groupBy(id_col).agg(
+    scores = scored.groupBy(id_col).agg(
         F.count("*").alias("n_bigrams"),
         F.round(F.avg("__logp"), round_digits).alias("avg_logp"),
+    )
+    return df.select(id_col).join(scores, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+        F.col("avg_logp"),
     )

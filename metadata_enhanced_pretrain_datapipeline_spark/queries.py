@@ -1615,13 +1615,15 @@ def q_compression_ratio(spark, sf):
     "   FROM documents)), "
     "m AS (SELECT bg, count(*) AS c FROM b GROUP BY bg), "
     "f AS (SELECT substr(bg, 1, 1) AS c1, sum(c) AS fc FROM m GROUP BY 1), "
-    "v AS (SELECT count(DISTINCT substr(bg, 2, 1)) AS vocab FROM m) "
-    "SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+    "v AS (SELECT count(DISTINCT substr(bg, 2, 1)) AS vocab FROM m), "
+    "s AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
     "  round(avg(ln((coalesce(m.c, 0) + 1) / (coalesce(f.fc, 0) + v.vocab))), "
     "        4) AS avg_logp "
     "FROM b LEFT JOIN m USING (bg) "
     "LEFT JOIN f ON substr(b.bg, 1, 1) = f.c1 CROSS JOIN v "
-    "GROUP BY b.doc_id",
+    "GROUP BY b.doc_id) "
+    "SELECT d.doc_id, CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams, "
+    "  s.avg_logp FROM documents d LEFT JOIN s USING (doc_id)",
 )
 def q_char_lm_score(spark, sf):
     """Extension — CCNet-style LM quality scoring with a corpus-trained

@@ -148,11 +148,18 @@ def streaming_sessionize(events: DataFrame, ts_col: str = "ts",
 
 def streaming_dedup(events: DataFrame, key_cols: list[str],
                     ts_col: str = "ts", watermark: str = "2 hours") -> DataFrame:
-    """Streaming exact deduplication: first arrival per key wins, with
-    watermark-bounded seen-key state (dropDuplicates on an unwatermarked
-    stream would grow state forever — the same reason batch seen-sets
-    don't scale; the watermark makes this the streaming twin of
+    """Streaming exact deduplication: first arrival per (key, event-time)
+    wins, with watermark-bounded seen-key state (dropDuplicates on an
+    unwatermarked stream would grow state forever — the same reason batch
+    seen-sets don't scale; the watermark makes this the streaming twin of
     dedup.dedup_exact).
+
+    NOTE the exact semantics: because the event-time column participates
+    in the dedup subset (required for state expiry, below), only exact
+    (key, ts) redeliveries are suppressed — rows with the same key but
+    DIFFERENT event times (e.g. retries that stamp a fresh timestamp) are
+    all kept. Callers needing true per-key suppression within the horizon
+    want :func:`streaming_dedup_within_watermark` instead.
 
     The event-time column is APPENDED to the key set if the caller left
     it out — Spark only expires dropDuplicates state when the watermark

@@ -34,8 +34,9 @@ def test_char_lm_score_unseen_chars_and_short_docs(spark):
     model = lm.char_lm_model(train)
     got = {r.doc_id: (r.n_bigrams, r.avg_logp)
            for r in lm.char_lm_score(test, model).collect()}
-    # "zz": unseen first char -> p = 1/V = 1/2; "x" has no bigrams -> absent
-    assert got == {9: (1, round(math.log(0.5), 4))}
+    # "zz": unseen first char -> p = 1/V = 1/2; "x" has no bigrams -> it
+    # still gets its one-row-per-doc (0, NULL) row via the join-back
+    assert got == {9: (1, round(math.log(0.5), 4)), 10: (0, None)}
 
 
 def test_garbage_scores_below_typical(spark):
