@@ -43,6 +43,22 @@ HEADLINE = [
     "q_boilerplate_removal",
 ]
 
+#: round-3 operator families, benched since r4 (VERDICT r3 #2). Kept in a
+#: SEPARATE group so `value`/headline_total stays the sum of the original
+#: HEADLINE set and remains comparable across rounds; these get their own
+#: `r3_families_total`. Covers: composed mix pipeline (dedup→decontam→
+#: gate→mix→cap), iterative connected components (pointer doubling),
+#: bucketed token-budget window, binned range join, salted skew join,
+#: bigram LM scoring.
+R3_FAMILIES = [
+    "q_mix_pipeline",
+    "q_duplicate_clusters",
+    "q_token_budget_cap",
+    "q_range_join",
+    "q_salted_join",
+    "q_char_lm_score",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -56,7 +72,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     all_laps: dict[str, list[float]] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + R3_FAMILIES:
         fn = registry[name]
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm (JIT+IO cache)
         laps = []
@@ -68,15 +84,18 @@ def main() -> None:
         all_laps[name] = laps  # both laps recorded: lap spread makes noise
         # vs regression decidable from the artifact alone
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(timings[n] for n in HEADLINE), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_total",
-                "value": total,
+                "value": total,  # original HEADLINE only: cross-round comparable
                 "unit": "sec",
-                "queries": timings,
+                "queries": timings,  # includes R3_FAMILIES
                 "laps": all_laps,
+                "r3_families_total": round(
+                    sum(timings[n] for n in R3_FAMILIES), 3
+                ),
                 "sf": sf,
             }
         )
