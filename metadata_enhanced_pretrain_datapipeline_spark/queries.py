@@ -55,6 +55,7 @@ def register(name: str, oracle: str | None = None):
             tune_for_oracle(spark)
             return fn(spark, sf_dir)
 
+        wrapped.__wrapped__ = fn  # _changed_queries introspects the real fn
         _REGISTRY[name] = (wrapped, oracle)
         return fn
 
@@ -2012,6 +2013,109 @@ def _checked_counts() -> tuple[dict[str, int], set[str]]:
     return counts, hash_checked
 
 
+def _changed_queries() -> set[str]:
+    """Names whose implementation changed since the last driver
+    correctness run — so the rotation re-checks every query touched this
+    round instead of waiting ~2.4 rounds for its stale-first turn.
+
+    Baseline = the commit that added the newest CORRECTNESS_r*.json (the
+    driver commits artifacts at round end, so that commit IS the
+    last-checked state). A query counts as changed when (a) its own
+    function source in queries.py differs from the baseline (AST-level:
+    whole-file churn in queries.py does NOT flag untouched queries), or
+    (b) any package module file its source references changed since the
+    baseline (committed or working-tree). Any git/parse failure degrades
+    to 'nothing changed' — the rotation then behaves exactly as before.
+    """
+    import ast
+    import glob as _glob
+    import inspect
+    import os as _os
+    import re as _re
+    import subprocess
+
+    root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+
+    def git(*args: str) -> str:
+        return subprocess.run(
+            ["git", "-C", root, *args], capture_output=True, text=True,
+            timeout=30, check=True,
+        ).stdout
+
+    def fn_sources(src: str) -> dict[str, str]:
+        """name -> source segment of each module-level function, decorator
+        lines included (inspect.getsource includes them, and an oracle-SQL
+        edit inside @register(...) must flag the query as changed)."""
+        tree = ast.parse(src)
+        lines = src.splitlines(keepends=True)
+        out = {}
+        for node in tree.body:
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                start = min(
+                    [node.lineno] + [d.lineno for d in node.decorator_list]
+                )
+                out[node.name] = "".join(lines[start - 1:node.end_lineno])
+        return out
+
+    try:
+        corrs = _glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))
+        if not corrs:
+            return set()
+        newest = max(corrs)  # r01 < r02 < ... lexically
+        base = git("log", "-1", "--format=%H", "--",
+                   _os.path.basename(newest)).strip()
+        if not base:
+            return set()
+        pkg = _os.path.basename(_os.path.dirname(_os.path.abspath(__file__)))
+        changed_files = {
+            f for f in git("diff", "--name-only", base).splitlines()
+            if f.startswith(pkg + "/")
+        }
+        qfile = f"{pkg}/queries.py"
+        old_fns = {}
+        if qfile in changed_files:
+            old_fns = fn_sources(git("show", f"{base}:{qfile}"))
+        changed: set[str] = set()
+        for name, (fn, _oracle) in _REGISTRY.items():
+            raw = inspect.unwrap(getattr(fn, "__wrapped__", fn))
+            try:
+                src = inspect.getsource(raw)
+            except (OSError, TypeError):
+                changed.add(name)  # can't prove unchanged -> re-check
+                continue
+            if qfile in changed_files and old_fns.get(raw.__name__) != src:
+                changed.add(name)
+                continue
+            # modules the query touches: dotted names resolved through the
+            # function's globals, plus in-body `from pkg... import x` lines
+            mods = set()
+            for tok in set(_re.findall(r"\b([A-Za-z_]\w*)\s*\.", src)):
+                obj = raw.__globals__.get(tok)
+                mod_file = getattr(obj, "__file__", None)
+                if mod_file and pkg in mod_file:
+                    mods.add(_os.path.relpath(mod_file, root))
+            for m in _re.finditer(
+                r"from\s+(" + pkg + r"[.\w]*)\s+import\s+([\w,\s]+)", src
+            ):
+                base_mod, names = m.group(1), m.group(2)
+                # both shapes: `from pkg.sub import module` (module file is
+                # sub/module.py) and `from pkg.sub.module import fn` (file
+                # is sub/module.py itself)
+                mods.add(base_mod.replace(".", "/") + ".py")
+                for imported in names.split(","):
+                    words = imported.split()  # drop any 'as alias' suffix
+                    if words:
+                        mods.add(
+                            (base_mod + "." + words[0]).replace(".", "/")
+                            + ".py"
+                        )
+            if mods & changed_files:
+                changed.add(name)
+        return changed
+    except Exception:
+        return set()
+
+
 _ROTATION: list[str] | None = None
 
 
@@ -2022,6 +2126,7 @@ def _rotated() -> list[str]:
     global _ROTATION
     if _ROTATION is None:
         counts, hash_checked = _checked_counts()
+        changed = _changed_queries()
         order = {n: i for i, n in enumerate(_REGISTRY)}
 
         def tier(n: str) -> tuple:
@@ -2034,8 +2139,9 @@ def _rotated() -> list[str]:
                 seen > 0 and n not in hash_checked
                 and _REGISTRY[n][1] is not None
             )
-            return (0 if seen == 0 else (1 if converted else 1 + seen),
-                    order[n])
+            group = (0 if seen == 0 else
+                     (1 if converted else (2 if n in changed else 3)))
+            return (group, seen, order[n])
 
         _ROTATION = sorted(_REGISTRY, key=tier)
     return _ROTATION
@@ -2592,6 +2698,33 @@ def q_csv_roundtrip(spark, sf):
     return back.groupBy("p_brand").agg(
         F.count("*").alias("n"),
         F.round(F.sum("p_retailprice"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "q_hf_snapshot_roundtrip",
+    "SELECT source, count(*) AS n, CAST(sum(length(text)) AS BIGINT) AS total_len "
+    "FROM documents GROUP BY source",
+)
+def q_hf_snapshot_roundtrip(spark, sf):
+    """S3 — HuggingFaceDatasetReader analogue (readers.read_hf_snapshot;
+    reference preprocess_megatron.py:107-111): write the documents table
+    as a hub-layout snapshot (``{split}/*.parquet`` with the text column
+    under a dataset-specific name), resolve it back through the snapshot
+    reader with ``split=`` + ``text_key=`` (exercising layout resolution
+    AND the text_key→text surfacing), and aggregate. The write→read must
+    be identity-preserving, so the same aggregate off the driver's
+    parquet table is the oracle."""
+    from metadata_enhanced_pretrain_datapipeline_spark.sources import readers
+
+    d = load(spark, sf, "documents").select(
+        "doc_id", F.col("text").alias("content"), "lang", "source")
+    path = _scratch_dir(sf, "hf_snapshot")
+    d.write.mode("overwrite").parquet(f"{path}/train")
+    back = readers.read_hf_snapshot(spark, path, text_key="content", split="train")
+    return back.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum(F.length("text")).alias("total_len"),
     )
 
 
