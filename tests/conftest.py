@@ -5,6 +5,16 @@ import pytest
 from metadata_enhanced_pretrain_datapipeline_spark.session import get_spark
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "real_models: integration tests that run the real model/codec "
+        "runtimes (sentence-transformers, fasttext, Pillow); they skip "
+        "automatically when the library is absent and activate the moment "
+        "it is importable — run them alone with `pytest -m real_models`.",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("tests", cpus=4, shuffle_partitions=4)

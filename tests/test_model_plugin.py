@@ -132,6 +132,9 @@ def test_stub_false_without_factory_raises(spark):
 
 
 # --- real-runtime integration (skip unless the library is installed) -------
+# all carry @pytest.mark.real_models: `pytest -m real_models` runs exactly
+# this group, and each test activates automatically once its library is
+# importable (see README "Real-model smoke test")
 
 needs_st = pytest.mark.skipif(
     importlib.util.find_spec("sentence_transformers") is None,
@@ -147,6 +150,7 @@ needs_pil = pytest.mark.skipif(
 )
 
 
+@pytest.mark.real_models
 @needs_st
 def test_embed_documents_real_encoder(spark):
     def st_factory():
@@ -165,6 +169,7 @@ def test_embed_documents_real_encoder(spark):
     assert all(len(r.embeddings[0]) == 384 for r in out)
 
 
+@pytest.mark.real_models
 @needs_fasttext
 def test_fasttext_real_model(tmp_path, spark):
     import fasttext
@@ -187,6 +192,7 @@ def test_fasttext_real_model(tmp_path, spark):
     assert out.count() == 3
 
 
+@pytest.mark.real_models
 @needs_pil
 def test_image_features_real_pil(spark):
     import io
