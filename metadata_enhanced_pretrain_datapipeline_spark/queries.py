@@ -3040,16 +3040,25 @@ def q_count_distinct_skew(spark, sf):
 
 @register(
     "q_salted_join",
+    # exact, accumulation-order-independent measures: the salted join's
+    # ShuffledHashJoin orders partial sums differently than DuckDB's plain
+    # join, and an unrounded double revenue sum drifted past the 12-sig-
+    # digit canon (~1.6e-12 relative on a 6e8 sum). qty is integral in
+    # doubles (exact to 2^53) and max is order-free, so both are stable.
     "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items, "
-    "sum(l_extendedprice * (1 - l_discount)) AS revenue "
+    "CAST(sum(l_quantity) AS BIGINT) AS qty_sum, "
+    "max(l_extendedprice) AS max_price "
     "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
     "GROUP BY o_orderpriority",
 )
 def q_salted_join(spark, sf):
     """Extension — the explicit skew-salted join (operators/joins.
     salted_join): big side salted per row, small side replicated once per
-    salt value, so one hot join key spreads across salt_buckets tasks.
-    Results must be IDENTICAL to the plain join (the oracle runs one)."""
+    salt value and pinned SHUFFLE_HASH (Catalyst size-estimates the
+    replicated side pre-explode and would broadcast it — the exact
+    anti-pattern salting exists to avoid), so one hot join key spreads
+    across salt_buckets tasks. Results must be IDENTICAL to the plain
+    join (the oracle runs one)."""
     li = load(spark, sf, "lineitem")
     o = load(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
     joined = joins.salted_join(
@@ -3058,7 +3067,8 @@ def q_salted_join(spark, sf):
         on="k", salt_buckets=8)
     return joined.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_items"),
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.sum("l_quantity").cast("long").alias("qty_sum"),
+        F.max("l_extendedprice").alias("max_price"),
     )
 
 
