@@ -522,6 +522,10 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 64,
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
                 ).alias("label"),
+                # the pre-round label rides along so the convergence check
+                # is a filter on the checkpointed rows — not an extra join
+                # per round against the previous iteration's DataFrame
+                labels["label"].alias("__old"),
             )
         )
         # pointer doubling: l(u) <- min(l(u), l(l(u))). Every label value
@@ -531,7 +535,7 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 64,
         jump = propagated.select(
             F.col("id").alias("__jid"), F.col("label").alias("__jlabel")
         )
-        new_labels = (
+        stepped = (
             propagated.join(jump, propagated["label"] == jump["__jid"], "left")
             .select(
                 propagated["id"],
@@ -539,17 +543,15 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 64,
                     F.col("label"),
                     F.coalesce(F.col("__jlabel"), F.col("label")),
                 ).alias("label"),
+                F.col("__old"),
             )
         )
         if checkpoint:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            stepped = stepped.localCheckpoint(eager=True)
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1).count()
+            stepped.filter(F.col("label") != F.col("__old")).limit(1).count()
         )
-        labels = new_labels
+        labels = stepped.drop("__old")
         if changed == 0:
             converged = True
             break

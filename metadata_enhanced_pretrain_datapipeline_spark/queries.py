@@ -1586,7 +1586,13 @@ def q_mix_pipeline(spark, sf):
     d1 = dedup.drop_near_duplicates(d, pairs)
     bench = d.filter(F.col("doc_id") % 37 == 0)
     d2 = dedup.decontaminate(d1, bench, shingle_n=8, portable=True)
-    d3 = d2.filter(F.length("text") >= 100)
+    # materialization boundary: the tail is multi-action (token_budget_cap
+    # collects per-bucket offsets, then the final aggregate runs) and each
+    # action would otherwise re-execute the whole minhash+decontamination
+    # subtree. Checkpointing the gated corpus here runs that subtree ONCE
+    # — the same persist point a 100 TB pipeline would write to durable
+    # storage between its dedup and mixing phases.
+    d3 = d2.filter(F.length("text") >= 100).localCheckpoint(eager=False)
     d4 = sampling.temperature_mix(d3, "source", F.col("doc_id"),
                                   base_rate=0.7, salt=7)
     d4 = d4.withColumn("n_tokens", F.size(tokens_ws(F.col("text"))))
