@@ -569,6 +569,77 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 64,
     )
 
 
+def excise_repeated_ngrams(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", n: int = 8,
+                           min_count: int = 2,
+                           portable: bool = False) -> DataFrame:
+    """Substring-level corpus dedup (Lee et al. 2022, 'Deduplicating
+    Training Data Makes Language Models Better'), word-granular: any word
+    n-gram occurring ``min_count``-or-more times ACROSS the corpus is
+    excised from every document — the cross-document repeated-span pass
+    that complements within-doc :func:`repetition` signals, line-level
+    :func:`drop_boilerplate_lines`, and whole-doc near-dup. Lee et al.
+    build suffix arrays for exact maximal substrings; the Spark-first
+    equivalent at fixed granularity is positional n-gram hashing — every
+    word covered by any repeated n-gram window is dropped, so a repeated
+    span of any length >= n disappears wholesale (overlapping windows all
+    trip the counter).
+
+    Returns (id_col, n_kept_words, text_col) with exactly one row per
+    input document — fully-excised docs come back with empty text, docs
+    shorter than n words pass through untouched.
+
+    Scale: positional n-grams are one explode of words-per-doc rows
+    (hashes only — 60-bit ints, never the gram text, beyond the initial
+    projection); the occurrence count and the per-doc flagged-start
+    regroup are the only shuffles, both keyed (hash / doc id) and linear;
+    the repeated-set join is an equi-join on the hash, no broadcast
+    assumption. The excision itself is per-row array arithmetic in
+    codegen.
+    """
+    from metadata_enhanced_pretrain_datapipeline_spark.functions.text import tokens_ws
+
+    base = df.select(F.col(id_col), tokens_ws(F.col(text_col)).alias("__ws"))
+    starts = F.when(
+        F.size("__ws") >= n, F.sequence(F.lit(1), F.size("__ws") - F.lit(n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = base.select(
+        F.col(id_col), F.col("__ws"), F.explode(starts).alias("__s")
+    ).select(
+        F.col(id_col),
+        F.col("__s"),
+        _shingle_hash(
+            F.array_join(F.slice("__ws", F.col("__s"), n), " "), portable
+        ).alias("__h"),
+    )
+    repeated = (
+        grams.groupBy("__h").agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") >= min_count).select("__h")
+    )
+    flagged = (
+        grams.join(repeated, "__h")
+        .groupBy(id_col).agg(F.collect_list("__s").alias("__starts"))
+    )
+    out = df.select(id_col, text_col).join(flagged, id_col, "left")
+    ws = tokens_ws(F.col(text_col))
+    starts_arr = F.coalesce(F.col("__starts"), F.array().cast("array<int>"))
+    indexed = F.transform(
+        ws, lambda w, i: F.struct(w.alias("w"), (i + F.lit(1)).alias("j"))
+    )
+    kept = F.filter(
+        indexed,
+        lambda x: ~F.exists(
+            starts_arr,
+            lambda s: (s <= x["j"]) & (x["j"] <= s + F.lit(n - 1)),
+        ),
+    )
+    return out.select(
+        F.col(id_col),
+        F.size(kept).cast("int").alias("n_kept_words"),
+        F.array_join(F.transform(kept, lambda x: x["w"]), " ").alias(text_col),
+    )
+
+
 def dedup_against(df: DataFrame, seen: DataFrame, text_col: str = "text",
                   seen_text_col: str | None = None) -> DataFrame:
     """Cross-snapshot incremental dedup: drop documents whose normalized

@@ -1604,6 +1604,41 @@ def q_mix_pipeline(spark, sf):
     )
 
 
+@register(
+    "q_repeated_ngram_excise",
+    "WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array("
+    "  trim(text), '\\s+'), x -> x <> '') AS ws FROM documents), "
+    "g AS (SELECT doc_id, s, "
+    + md5_hash64_sql("array_to_string(list_slice(ws, s, s + 4), ' ')")
+    + " AS h FROM (SELECT doc_id, ws, "
+    "  unnest(range(1, len(ws) - 3)) AS s FROM tok)), "
+    "rep AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2), "
+    "fl AS (SELECT doc_id, list(s) AS starts FROM g JOIN rep USING (h) "
+    "  GROUP BY doc_id), "
+    "w AS (SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) "
+    "  AS j FROM tok), "
+    "keep AS (SELECT w.doc_id, w.w, w.j FROM w LEFT JOIN fl USING (doc_id) "
+    "  WHERE fl.starts IS NULL OR len(list_filter(fl.starts, "
+    "    s -> s <= w.j AND w.j <= s + 4)) = 0) "
+    "SELECT t.doc_id, CAST(coalesce(k.n, 0) AS INT) AS n_kept_words, "
+    "  coalesce(k.txt, '') AS text FROM tok t LEFT JOIN "
+    "  (SELECT doc_id, count(*) AS n, string_agg(w, ' ' ORDER BY j) AS txt "
+    "   FROM keep GROUP BY doc_id) k USING (doc_id)",
+)
+def q_repeated_ngram_excise(spark, sf):
+    """Extension — substring-level corpus dedup (Lee et al. 2022): every
+    word 5-gram occurring twice-or-more across the corpus is excised from
+    every document and the text rebuilt
+    (operators/dedup.excise_repeated_ngrams, portable hash). The oracle
+    replays the positional n-gram hashing, occurrence count, and
+    window-cover excision in SQL and hash-compares the full rebuilt
+    texts. Distinct from within-doc repetition signals (Gopher),
+    line-level boilerplate removal, and whole-doc near-dup — this kills
+    repeated SPANS wherever they appear."""
+    d = load(spark, sf, "documents")
+    return dedup.excise_repeated_ngrams(d, n=5, min_count=2, portable=True)
+
+
 @register("q_compression_ratio")
 def q_compression_ratio(spark, sf):
     """† Extension — deflate compression-ratio quality signal

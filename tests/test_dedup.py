@@ -252,6 +252,40 @@ def test_duplicate_clusters_raises_when_unconverged(spark):
         dedup.duplicate_clusters(pairs, max_iterations=1)
 
 
+def test_excise_repeated_ngrams_kills_shared_span(spark):
+    # a 5-gram shared by 3 docs is excised from ALL of them; unique
+    # suffixes survive; untouched and short docs pass through whole
+    docs = [
+        (1, "alpha beta gamma delta epsilon unique tail one"),
+        (2, "alpha beta gamma delta epsilon other ending two"),
+        (3, "alpha beta gamma delta epsilon third closing xyz"),
+        (4, "totally different words with no overlap here ok"),
+        (5, "short doc"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: (r.n_kept_words, r.text)
+           for r in dedup.excise_repeated_ngrams(df, n=5, min_count=3).collect()}
+    assert out[1] == (3, "unique tail one")
+    assert out[2] == (3, "other ending two")
+    assert out[3] == (3, "third closing xyz")
+    assert out[4] == (8, "totally different words with no overlap here ok")
+    assert out[5] == (2, "short doc")
+
+
+def test_excise_repeated_ngrams_long_span_fully_covered(spark):
+    # a repeated span LONGER than n disappears wholesale: every word in
+    # the span is covered by some repeated n-gram window (overlapping
+    # windows all trip the counter), including a fully-excised doc
+    span = "one two three four five six seven"
+    docs = [(1, f"{span} tail"), (2, f"head {span}"), (3, span)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: (r.n_kept_words, r.text)
+           for r in dedup.excise_repeated_ngrams(df, n=5, min_count=3).collect()}
+    assert out[1] == (1, "tail")
+    assert out[2] == (1, "head")
+    assert out[3] == (0, "")
+
+
 def test_dedup_against_normalized_cross_corpus(spark):
     seen = spark.createDataFrame(
         [(100, "  THE   Quick brown FOX  ")], "doc_id long, text string")
