@@ -199,6 +199,43 @@ def test_token_budget_cap_invariants(spark, rows, budget, nb):
 
 @_slow
 @given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d", "e"]), min_size=0, max_size=14),
+        min_size=1, max_size=8,
+    ),
+    n=st.integers(2, 4),
+    min_count=st.integers(2, 3),
+)
+def test_excise_repeated_ngrams_matches_naive_fold(spark, docs, n, min_count):
+    """Differential: the distributed positional-hash excision must equal a
+    naive single-process reference on arbitrary tiny corpora (small
+    alphabet forces plenty of repeated n-grams, within AND across docs)."""
+    from collections import Counter
+
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import dedup
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_kept_words, r.text)
+           for r in dedup.excise_repeated_ngrams(
+               df, n=n, min_count=min_count).collect()}
+
+    counts = Counter()
+    for ws in docs:
+        for s in range(len(ws) - n + 1):
+            counts[tuple(ws[s:s + n])] += 1
+    want = {}
+    for i, ws in enumerate(docs):
+        flagged = [s for s in range(len(ws) - n + 1)
+                   if counts[tuple(ws[s:s + n])] >= min_count]
+        kept = [w for j, w in enumerate(ws)
+                if not any(s <= j <= s + n - 1 for s in flagged)]
+        want[i] = (len(kept), " ".join(kept))
+    assert got == want
+
+
+@_slow
+@given(
     edges=st.lists(
         st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda p: p[0] != p[1]),
         min_size=1, max_size=20,
