@@ -1650,9 +1650,11 @@ def q_compression_ratio(spark, sf):
     return out.select("doc_id", "raw_bytes", F.round("ratio", 6).alias("ratio"))
 
 
-@register(
-    "q_char_lm_score",
-    "WITH b AS (SELECT doc_id, substr(text, i, 2) AS bg FROM "
+#: char-bigram LM scoring CTE chain (shared by q_char_lm_score and
+#: q_perplexity_buckets): s = (doc_id, n_bigrams, avg_logp) for every doc
+#: that HAS bigrams.
+_CHAR_LM_CTES = (
+    "b AS (SELECT doc_id, substr(text, i, 2) AS bg FROM "
     "  (SELECT doc_id, text, unnest(range(1, length(text))) AS i "
     "   FROM documents)), "
     "m AS (SELECT bg, count(*) AS c FROM b GROUP BY bg), "
@@ -1663,7 +1665,13 @@ def q_compression_ratio(spark, sf):
     "        4) AS avg_logp "
     "FROM b LEFT JOIN m USING (bg) "
     "LEFT JOIN f ON substr(b.bg, 1, 1) = f.c1 CROSS JOIN v "
-    "GROUP BY b.doc_id) "
+    "GROUP BY b.doc_id)"
+)
+
+
+@register(
+    "q_char_lm_score",
+    f"WITH {_CHAR_LM_CTES} "
     "SELECT d.doc_id, CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams, "
     "  s.avg_logp FROM documents d LEFT JOIN s USING (doc_id)",
 )
@@ -1678,6 +1686,39 @@ def q_char_lm_score(spark, sf):
     d = load(spark, sf, "documents")
     model = lm.char_lm_model(d)
     return lm.char_lm_score(d, model)
+
+
+@register(
+    "q_perplexity_buckets",
+    f"WITH {_CHAR_LM_CTES}, "
+    "r AS (SELECT doc_id, avg_logp, "
+    "  row_number() OVER (ORDER BY avg_logp, doc_id) AS pos, "
+    "  count(*) OVER () AS tot FROM s) "
+    "SELECT doc_id, avg_logp, CASE ((pos - 1) * 3) // tot "
+    "  WHEN 2 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END "
+    "  AS ppl_bucket FROM r",
+)
+def q_perplexity_buckets(spark, sf):
+    """Extension — the CCNet head/middle/tail perplexity partition: score
+    every doc with the corpus char-bigram LM, rank by score, and split
+    into thirds (head = most corpus-typical). Spark-first the global rank
+    uses sampling.global_rank (range boundaries as plan literals — no
+    single-task window sort at 100 TB); the explicit ((pos-1)*3) div total
+    bucket formula, rather than each engine's ntile, makes the tie-split
+    engine-identical and the whole partition hash-checkable."""
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import lm
+
+    d = load(spark, sf, "documents")
+    scores = lm.char_lm_score(d, lm.char_lm_model(d)).filter(
+        F.col("n_bigrams") > 0)
+    ranked, total = sampling.global_rank(
+        scores, [F.col("avg_logp"), F.col("doc_id")], with_total=True)
+    bucket = F.floor(((F.col("pos") - 1) * 3) / F.lit(total)).cast("int")
+    return ranked.select(
+        "doc_id", "avg_logp",
+        F.when(bucket == 2, "head").when(bucket == 1, "middle")
+        .otherwise("tail").alias("ppl_bucket"),
+    )
 
 
 @register(

@@ -39,6 +39,28 @@ def test_char_lm_score_unseen_chars_and_short_docs(spark):
     assert got == {9: (1, round(math.log(0.5), 4)), 10: (0, None)}
 
 
+def test_perplexity_buckets_split_in_thirds(spark):
+    """CCNet head/middle/tail partition: bucket sizes differ by at most
+    one, and every head doc scores >= every tail doc."""
+    rows = [(i, ("the cat sat on the mat " * (1 + i % 3)).strip()
+             + f" tail{i}qz"[: 4 + i % 5]) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import sampling
+    from pyspark.sql import functions as F
+
+    scores = lm.char_lm_score(df, lm.char_lm_model(df)).filter(
+        F.col("n_bigrams") > 0)
+    ranked, total = sampling.global_rank(
+        scores, [F.col("avg_logp"), F.col("doc_id")], with_total=True)
+    bucket = F.floor(((F.col("pos") - 1) * 3) / F.lit(total)).cast("int")
+    out = ranked.select("doc_id", "avg_logp", bucket.alias("b")).collect()
+    sizes = {b: sum(1 for r in out if r.b == b) for b in (0, 1, 2)}
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    assert min(r.avg_logp for r in out if r.b == 2) >= \
+        max(r.avg_logp for r in out if r.b == 0)
+
+
 def test_garbage_scores_below_typical(spark):
     rows = [(i, "the cat sat on the mat and the dog sat too") for i in range(5)]
     rows.append((99, "qqxzvkjqq zzkklp qqq"))
