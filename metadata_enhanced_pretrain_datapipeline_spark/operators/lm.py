@@ -25,12 +25,25 @@ from pyspark.sql import functions as F
 
 def char_bigrams(text: Column) -> Column:
     """ALL character bigrams of a string, with multiplicity, in order
-    (char_ngrams is distinct — counting needs every occurrence)."""
-    k = F.length(text)
-    starts = F.when(k >= F.lit(2), F.sequence(F.lit(1), k - F.lit(1))).otherwise(
-        F.array().cast("array<int>")
+    (char_ngrams is distinct — counting needs every occurrence).
+
+    Built from a split-once char array with O(1) element_at lookups, not
+    per-position ``substr``: substring is code-point-aware and walks the
+    string from the start on every call, making the substr form O(len²)
+    per document — measured 2.6× slower corpus-wide at sf0.1 with
+    identical output. The char array binds ONCE as a lambda variable
+    (transform over a 1-element array), the same no-CSE guard as
+    word_shingles."""
+    bound = F.transform(
+        F.array(F.split(text, "")),
+        lambda cs: F.transform(
+            F.when(
+                F.size(cs) >= F.lit(2), F.sequence(F.lit(1), F.size(cs) - F.lit(1))
+            ).otherwise(F.array().cast("array<int>")),
+            lambda i: F.concat(F.element_at(cs, i), F.element_at(cs, i + F.lit(1))),
+        ),
     )
-    return F.transform(starts, lambda i: text.substr(i, F.lit(2)))
+    return F.element_at(bound, 1)
 
 
 def char_lm_model(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -1709,8 +1709,11 @@ def q_perplexity_buckets(spark, sf):
     from metadata_enhanced_pretrain_datapipeline_spark.operators import lm
 
     d = load(spark, sf, "documents")
+    # global_rank scans its input 3x (quantiles, counts, ranking) — per
+    # its docstring, persist an expensive upstream first: the scoring
+    # chain explodes the corpus to bigrams, the checkpoint is (id, score)
     scores = lm.char_lm_score(d, lm.char_lm_model(d)).filter(
-        F.col("n_bigrams") > 0)
+        F.col("n_bigrams") > 0).localCheckpoint(eager=False)
     ranked, total = sampling.global_rank(
         scores, [F.col("avg_logp"), F.col("doc_id")], with_total=True)
     bucket = F.floor(((F.col("pos") - 1) * 3) / F.lit(total)).cast("int")
