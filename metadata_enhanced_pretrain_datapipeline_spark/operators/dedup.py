@@ -633,10 +633,14 @@ def excise_repeated_ngrams(df: DataFrame, id_col: str = "doc_id",
             lambda s: (s <= x["j"]) & (x["j"] <= s + F.lit(n - 1)),
         ),
     )
+    # bind the filtered array ONCE (size + rebuild both consume it; two
+    # bare references would each re-run the whole filter/exists chain —
+    # the word_shingles no-CSE guard)
+    out = out.withColumn("__kept", kept)
     return out.select(
         F.col(id_col),
-        F.size(kept).cast("int").alias("n_kept_words"),
-        F.array_join(F.transform(kept, lambda x: x["w"]), " ").alias(text_col),
+        F.size("__kept").cast("int").alias("n_kept_words"),
+        F.array_join(F.transform("__kept", lambda x: x["w"]), " ").alias(text_col),
     )
 
 
