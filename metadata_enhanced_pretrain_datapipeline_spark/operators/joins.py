@@ -110,7 +110,8 @@ def salted_join(left: DataFrame, right: DataFrame, on: str, how: str = "inner",
 
 def range_join(points: DataFrame, pt_col: str, intervals: DataFrame,
                start_col: str, end_col: str, bin_width: float,
-               max_bins_per_interval: int = 4096) -> DataFrame:
+               max_bins_per_interval: int = 4096,
+               strategy: str = "auto") -> DataFrame:
     """Interval/range join: every (point, interval) pair with
     ``start <= point <= end`` (inclusive both ends) — the custom-operator
     pattern for numeric/temporal containment (extension; the prompt's
@@ -129,7 +130,18 @@ def range_join(points: DataFrame, pt_col: str, intervals: DataFrame,
     fast (assert inside the filter, which column pruning cannot elide) —
     a degenerate [0, +inf)-style interval would otherwise replicate
     across the whole axis.
+
+    ``strategy``: ``'auto'`` (default) lets Catalyst choose — right when
+    the interval table is genuinely small (the common case: broadcast,
+    zero shuffle on the points). BUT Catalyst size-estimates the interval
+    side BEFORE the bin explode (Generate does not scale stats, the same
+    hazard measured on salted_join), so a large interval table can be
+    underestimated by up to ``max_bins_per_interval``× and mis-broadcast
+    — pass ``'shuffle'`` to pin a ShuffledHashJoin when the interval side
+    is big or its width distribution is unknown.
     """
+    if strategy not in ("auto", "shuffle"):
+        raise ValueError(f"strategy must be 'auto' or 'shuffle', got {strategy!r}")
     clash = set(points.columns) & set(intervals.columns)
     if clash:
         raise ValueError(
@@ -162,6 +174,8 @@ def range_join(points: DataFrame, pt_col: str, intervals: DataFrame,
         )
     )
     iv = guarded.withColumn("__bin", F.explode(F.sequence(b0, b1)))
+    if strategy == "shuffle":
+        iv = iv.hint("shuffle_hash")
     pts = points.withColumn("__bin", F.floor(F.col(pt_col) / F.lit(bin_width)))
     return (
         pts.join(iv, "__bin")

@@ -116,6 +116,30 @@ def test_range_join_matches_naive_between(spark):
     assert sum(1 for p, _ in got if p == 2) == 3
 
 
+def test_range_join_shuffle_strategy_pins_plan_and_matches(spark):
+    """strategy='shuffle' must produce the same pairs as auto AND carry a
+    ShuffledHashJoin (no BroadcastHashJoin) — the guard against Catalyst
+    mis-broadcasting a bin-exploded interval table it size-estimated
+    pre-explode."""
+    import pytest
+
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import joins as J
+
+    pts = spark.createDataFrame(
+        [(i, float(i)) for i in range(12)], "pid long, x double")
+    iv = spark.createDataFrame(
+        [(1, 0.0, 5.0), (2, 4.0, 9.0)], "iid long, lo double, hi double")
+    auto = J.range_join(pts, "x", iv, "lo", "hi", bin_width=2.0)
+    pinned = J.range_join(pts, "x", iv, "lo", "hi", bin_width=2.0,
+                          strategy="shuffle")
+    assert sorted((r.pid, r.iid) for r in auto.collect()) == \
+        sorted((r.pid, r.iid) for r in pinned.collect())
+    plan = pinned._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan and "BroadcastHashJoin" not in plan
+    with pytest.raises(ValueError, match="strategy"):
+        J.range_join(pts, "x", iv, "lo", "hi", bin_width=2.0, strategy="nope")
+
+
 def test_range_join_oversized_interval_fails_fast(spark):
     import pytest
     from py4j.protocol import Py4JJavaError
