@@ -623,14 +623,42 @@ def excise_repeated_ngrams(df: DataFrame, id_col: str = "doc_id",
     out = df.select(id_col, text_col).join(flagged, id_col, "left")
     ws = tokens_ws(F.col(text_col))
     starts_arr = F.coalesce(F.col("__starts"), F.array().cast("array<int>"))
+    # merge the flagged windows into disjoint covered ranges BEFORE the
+    # per-word test: a boilerplate doc whose every window is flagged has
+    # thousands of starts but ONE merged range, so the membership test is
+    # O(ranges) per word instead of O(starts) — the same quadratic-scalar
+    # class as the char_bigrams substr fix (see SCALE.md). The fold
+    # appends/replaces the last range of a sorted scan; covered windows
+    # [s, s+n-1] merge whenever the next start is <= hi + 1.
+    merged = F.aggregate(
+        F.array_sort(starts_arr),
+        F.array().cast("array<struct<lo:int,hi:int>>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (s <= F.element_at(acc, -1)["hi"] + 1),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.struct(
+                    F.element_at(acc, -1)["lo"].alias("lo"),
+                    F.greatest(
+                        F.element_at(acc, -1)["hi"], s + F.lit(n - 1)
+                    ).alias("hi"),
+                )),
+            ),
+        ).otherwise(
+            F.concat(acc, F.array(F.struct(
+                s.alias("lo"), (s + F.lit(n - 1)).alias("hi")
+            )))
+        ),
+    )
+    out = out.withColumn("__cov", merged)
     indexed = F.transform(
         ws, lambda w, i: F.struct(w.alias("w"), (i + F.lit(1)).alias("j"))
     )
     kept = F.filter(
         indexed,
         lambda x: ~F.exists(
-            starts_arr,
-            lambda s: (s <= x["j"]) & (x["j"] <= s + F.lit(n - 1)),
+            F.col("__cov"),
+            lambda r: (r["lo"] <= x["j"]) & (x["j"] <= r["hi"]),
         ),
     )
     # bind the filtered array ONCE (size + rebuild both consume it; two

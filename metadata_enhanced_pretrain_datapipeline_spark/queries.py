@@ -2171,16 +2171,50 @@ def _changed_queries() -> set[str]:
             if qfile in changed_files and old_fns.get(raw.__name__) != src:
                 changed.add(name)
                 continue
-            # modules the query touches: dotted names resolved through the
-            # function's globals, plus in-body `from pkg... import x` lines
+            # modules the query touches: EVERY identifier in the body is
+            # resolved through the function's globals — modules (dotted
+            # use) via __file__, and bare helpers imported at queries.py
+            # top level (tokens_ws, canonical_url, ...) via their defining
+            # module — plus in-body `from pkg... import x` lines. Helpers
+            # that live in queries.py ITSELF (load, _scratch_dir, ...)
+            # compare at function level like the query body does — adding
+            # the file would flag the whole registry on any queries.py
+            # churn.
             mods = set()
-            for tok in set(_re.findall(r"\b([A-Za-z_]\w*)\s*\.", src)):
+            helper_changed = False
+            for tok in set(_re.findall(r"\b([A-Za-z_]\w*)\b", src)):
+                if tok == "register":
+                    # every query's decorator references the registration
+                    # machinery; a register() edit is uniform across the
+                    # registry (any breakage shows in the first driver
+                    # rows regardless), so it must not flood the tier
+                    continue
                 obj = raw.__globals__.get(tok)
+                if obj is None:
+                    continue
                 mod_file = getattr(obj, "__file__", None)
-                if mod_file and pkg in mod_file:
-                    mods.add(_os.path.relpath(mod_file, root))
+                if mod_file is None:
+                    defining = inspect.getmodule(obj)
+                    mod_file = getattr(defining, "__file__", None)
+                if not (mod_file and pkg in mod_file):
+                    continue
+                rel = _os.path.relpath(mod_file, root)
+                if rel != qfile:
+                    mods.add(rel)
+                elif qfile in changed_files and callable(obj):
+                    try:
+                        hsrc = inspect.getsource(inspect.unwrap(obj))
+                    except (OSError, TypeError):
+                        helper_changed = True
+                        continue
+                    hname = getattr(obj, "__name__", tok)
+                    if old_fns.get(hname) != hsrc:
+                        helper_changed = True
+            if helper_changed:
+                changed.add(name)
+                continue
             for m in _re.finditer(
-                r"from\s+(" + pkg + r"[.\w]*)\s+import\s+([\w,\s]+)", src
+                r"from\s+(" + pkg + r"[.\w]*)\s+import\s+\(?([\w,\s]+)\)?", src
             ):
                 base_mod, names = m.group(1), m.group(2)
                 # both shapes: `from pkg.sub import module` (module file is

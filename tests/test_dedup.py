@@ -286,6 +286,18 @@ def test_excise_repeated_ngrams_long_span_fully_covered(spark):
     assert out[3] == (0, "")
 
 
+def test_excise_degenerate_boilerplate_doc(spark):
+    # thousands of flagged windows merge into ONE covered range, so the
+    # per-word test stays O(1) even for a fully-repeated spam doc
+    docs = [(1, " ".join(["spam"] * 2000)),
+            (2, " ".join(["spam"] * 2000) + " unique")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: (r.n_kept_words, r.text)
+           for r in dedup.excise_repeated_ngrams(df, n=5, min_count=2).collect()}
+    assert out[1] == (0, "")
+    assert out[2] == (1, "unique")
+
+
 def test_dedup_against_normalized_cross_corpus(spark):
     seen = spark.createDataFrame(
         [(100, "  THE   Quick brown FOX  ")], "doc_id long, text string")
