@@ -59,6 +59,13 @@ R3_FAMILIES = [
     "q_char_lm_score",
 ]
 
+#: round-4 additions, priced from the round they land (same rationale):
+#: substring-level corpus dedup and the CCNet perplexity partition.
+R4_ADDITIONS = [
+    "q_repeated_ngram_excise",
+    "q_perplexity_buckets",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -72,7 +79,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     all_laps: dict[str, list[float]] = {}
-    for name in HEADLINE + R3_FAMILIES:
+    for name in HEADLINE + R3_FAMILIES + R4_ADDITIONS:
         fn = registry[name]
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm (JIT+IO cache)
         laps = []
@@ -95,6 +102,9 @@ def main() -> None:
                 "laps": all_laps,
                 "r3_families_total": round(
                     sum(timings[n] for n in R3_FAMILIES), 3
+                ),
+                "r4_additions_total": round(
+                    sum(timings[n] for n in R4_ADDITIONS), 3
                 ),
                 "sf": sf,
             }

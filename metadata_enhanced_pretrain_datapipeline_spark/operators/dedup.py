@@ -612,12 +612,16 @@ def excise_repeated_ngrams(df: DataFrame, id_col: str = "doc_id",
             F.array_join(F.slice("__ws", F.col("__s"), n), " "), portable
         ).alias("__h"),
     )
-    repeated = (
-        grams.groupBy("__h").agg(F.count("*").alias("__c"))
-        .filter(F.col("__c") >= min_count).select("__h")
-    )
+    # occurrence count as a WINDOW over the hash clustering, not a
+    # count-aggregate joined back: the join formulation consumes the gram
+    # subtree twice (once for the counts, once for the probe — measured
+    # ~2x the gram cost at sf0.1), while the window rides the single
+    # Exchange on __h that the grams need anyway — the same one-shuffle
+    # guard shape as minhash_lsh_pairs' bucket cap
+    wh = Window.partitionBy("__h")
     flagged = (
-        grams.join(repeated, "__h")
+        grams.withColumn("__c", F.count("*").over(wh))
+        .filter(F.col("__c") >= min_count)
         .groupBy(id_col).agg(F.collect_list("__s").alias("__starts"))
     )
     out = df.select(id_col, text_col).join(flagged, id_col, "left")
