@@ -3381,3 +3381,476 @@ def q_promote_metadata(spark, sf):
                         metadata_cols=["toxic_score", "pii_count"])
     out = promote_metadata(docs, ["toxic_score", "pii_count"])
     return out.select("id", "toxic_score", "pii_count")
+
+
+# ===========================================================================
+# round-4 additions: TPC-H decision-support breadth (q4..q22 shapes)
+#
+# The testdata schema is trimmed TPC-H (TESTDATA.md): no partsupp table,
+# no commit/receipt dates, shipmode/container/phone/comment columns.
+# Each query below keeps the REFERENCE SHAPE of its TPC-H number — the
+# join graph, subquery structure, and aggregation pattern — with the
+# predicate vocabulary remapped onto columns that exist. Doubles follow
+# the q10 rule: sums of price products stay UNROUNDED (the harness's
+# 12-sig-digit float canon absorbs per-engine accumulation-order noise;
+# a fixed 2dp grid can flip on a .005 boundary); threshold comparisons
+# use integral l_quantity measures so both engines compare exact values.
+# ===========================================================================
+
+
+@register(
+    "q_tpch_q4",
+    "SELECT o_orderpriority, count(*) AS order_count "
+    "FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00' "
+    "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+    "AND l_returnflag = 'R') "
+    "GROUP BY o_orderpriority",
+)
+def q_tpch_q4(spark, sf):
+    """TPC-H Q4 shape — order-priority checking: the EXISTS subquery is a
+    left-semi join on the order key ('R' returns stand in for the trimmed
+    commitdate<receiptdate predicate). The semi side carries only
+    l_orderkey, so the shuffle moves one bigint per matching lineitem."""
+    o = load_orders_dated(spark, sf).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    late = load(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "q_tpch_q7",
+    "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+    "CAST(year(l_shipdate) AS INT) AS l_year, "
+    "sum(l_extendedprice * (1 - l_discount)) AS revenue "
+    "FROM supplier JOIN lineitem ON s_suppkey = l_suppkey "
+    "JOIN orders ON o_orderkey = l_orderkey "
+    "JOIN customer ON c_custkey = o_custkey "
+    "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+    "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+    "WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+    "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) "
+    "AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' "
+    "GROUP BY 1, 2, 3",
+)
+def q_tpch_q7(spark, sf):
+    """TPC-H Q7 shape — volume shipping between a nation pair: the two
+    nation dims broadcast twice under different roles; the nation-pair
+    disjunction is applied AFTER both broadcasts so Catalyst keeps it a
+    residual filter on broadcast-join output, never a shuffle."""
+    li = _ns_to_ts(load(spark, sf, "lineitem"), "l_shipdate").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    s = load(spark, sf, "supplier")
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    n1 = load(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = load(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@register(
+    "q_tpch_q8",
+    "SELECT o_year, round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) "
+    "/ sum(volume), 6) AS mkt_share FROM ("
+    "  SELECT CAST(year(o_orderdate) AS INT) AS o_year, "
+    "  l_extendedprice * (1 - l_discount) AS volume, n2.n_name AS nation "
+    "  FROM part JOIN lineitem ON p_partkey = l_partkey "
+    "  JOIN supplier ON s_suppkey = l_suppkey "
+    "  JOIN orders ON l_orderkey = o_orderkey "
+    "  JOIN customer ON o_custkey = c_custkey "
+    "  JOIN nation n1 ON c_nationkey = n1.n_nationkey "
+    "  JOIN region ON n1.n_regionkey = r_regionkey "
+    "  JOIN nation n2 ON s_nationkey = n2.n_nationkey "
+    "  WHERE r_name = 'EUROPE' AND p_type = 'PROMO' "
+    "  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00') "
+    "GROUP BY o_year",
+)
+def q_tpch_q8(spark, sf):
+    """TPC-H Q8 shape — national market share: the deepest dim chain in the
+    suite (part, supplier, customer, nation x2, region all broadcast; the
+    only shuffles are lineitem->orders and the final 2-group agg). The
+    share ratio is rounded at 6dp: numerator and denominator are the SAME
+    grouped sums in both engines, so the quotient is stable well past 6dp."""
+    o = load_orders_dated(spark, sf).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part").filter(F.col("p_type") == "PROMO")
+    s = load(spark, sf, "supplier")
+    c = load(spark, sf, "customer")
+    n1 = load(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region"))
+    n2 = load(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation"))
+    r = load(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q_tpch_q9",
+    "SELECT nation, o_year, sum(l_extendedprice * (1 - l_discount)) AS sum_profit "
+    "FROM (SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year, "
+    "  l_extendedprice, l_discount "
+    "  FROM part JOIN lineitem ON p_partkey = l_partkey "
+    "  JOIN supplier ON s_suppkey = l_suppkey "
+    "  JOIN orders ON o_orderkey = l_orderkey "
+    "  JOIN nation ON s_nationkey = n_nationkey "
+    "  WHERE p_name LIKE '%red%') "
+    "GROUP BY nation, o_year",
+)
+def q_tpch_q9(spark, sf):
+    """TPC-H Q9 shape — product-type profit by nation-year (profit term
+    trimmed to the revenue component: no partsupp table, so no
+    ps_supplycost to subtract). The p_name LIKE filter prunes the part
+    broadcast BEFORE the build side ships."""
+    li = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part").filter(F.col("p_name").like("%red%"))
+    s = load(spark, sf, "supplier")
+    o = load_orders_dated(spark, sf)
+    n = load(spark, sf, "nation")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_profit"))
+    )
+
+
+@register(
+    "q_tpch_q12",
+    "SELECT l_linestatus, "
+    "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)"
+    "::BIGINT AS high_line_count, "
+    "sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)"
+    "::BIGINT AS low_line_count "
+    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+    "WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' "
+    "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' "
+    "GROUP BY l_linestatus",
+)
+def q_tpch_q12(spark, sf):
+    """TPC-H Q12 shape — shipping-mode priority counts (l_linestatus stands
+    in for the trimmed l_shipmode): fact-fact equi-join with the year
+    predicate pushed to the lineitem scan, conditional-count aggregate."""
+    li = _ns_to_ts(load(spark, sf, "lineitem"), "l_shipdate").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = load(spark, sf, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q13",
+    "SELECT c_count, count(*) AS custdist FROM ("
+    "  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count "
+    "  FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+    "  AND o_orderpriority <> '1-URGENT' "
+    "  GROUP BY c_custkey) "
+    "GROUP BY c_count",
+)
+def q_tpch_q13(spark, sf):
+    """TPC-H Q13 shape — customer order-count distribution: LEFT OUTER join
+    with the predicate in the JOIN CONDITION (not a WHERE — customers with
+    only urgent orders must still appear with c_count 0), then a
+    histogram-of-counts double aggregate."""
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@register(
+    "q_tpch_q15",
+    "WITH revenue AS (SELECT l_suppkey AS supplier_no, "
+    "  CAST(sum(l_quantity) AS BIGINT) AS total_qty FROM lineitem "
+    "  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' "
+    "  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00' GROUP BY l_suppkey) "
+    "SELECT s_suppkey, s_name, total_qty FROM supplier "
+    "JOIN revenue ON s_suppkey = supplier_no "
+    "WHERE total_qty = (SELECT max(total_qty) FROM revenue)",
+)
+def q_tpch_q15(spark, sf):
+    """TPC-H Q15 shape — top supplier via a scalar-subquery max over a
+    derived view. The max measure is integral l_quantity (exact in both
+    engines), so the equality join cannot flip on float accumulation
+    noise the way a price sum could. Spark plan: per-supplier agg (small),
+    1-row max agg cross-broadcast back, equality filter — no window over
+    a single partition."""
+    li = _ns_to_ts(load(spark, sf, "lineitem"), "l_shipdate").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
+    )
+    mx = rev.agg(F.max("total_qty").alias("max_qty"))
+    s = load(spark, sf, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev.total_qty == mx.max_qty)
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_qty")
+    )
+
+
+@register(
+    "q_tpch_q16",
+    "SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt "
+    "FROM part JOIN lineitem ON p_partkey = l_partkey "
+    "WHERE p_brand <> 'Brand#1' AND p_size IN (1, 4, 7, 10, 15, 20, 25, 30) "
+    "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+    "GROUP BY p_brand, p_type, p_size",
+)
+def q_tpch_q16(spark, sf):
+    """TPC-H Q16 shape — supplier-count per part attribute: lineitem is the
+    part-supplier bridge (no partsupp table), the NOT IN complaint-filter
+    becomes a broadcast anti-join (negative-balance suppliers stand in for
+    the trimmed comment LIKE), then count(DISTINCT) per part triple."""
+    p = load(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 4, 7, 10, 15, 20, 25, 30)
+    )
+    bad = load(spark, sf, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    li = load(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q_tpch_q17",
+    "SELECT sum(l_extendedprice) / 7.0 AS avg_yearly "
+    "FROM lineitem JOIN part ON p_partkey = l_partkey "
+    "WHERE p_brand = 'Brand#12' AND l_quantity < ("
+    "  SELECT 0.2 * avg(l_quantity) FROM lineitem l2 "
+    "  WHERE l2.l_partkey = lineitem.l_partkey)",
+)
+def q_tpch_q17(spark, sf):
+    """TPC-H Q17 shape — small-quantity-order revenue: the correlated
+    per-part average decorrelates into an aggregate + equi-join. Both
+    engines compute avg from exact integral sums, and 0.2*avg is the same
+    IEEE op on the same value, so the < threshold is engine-stable. Spark
+    plan: brand-filtered part broadcasts; the per-part avg is computed on
+    the SEMI-restricted lineitem (only parts of that brand) so the avg
+    build side is tiny and broadcasts too."""
+    p = load(spark, sf, "part").filter(F.col("p_brand") == "Brand#12").select("p_partkey")
+    li = load(spark, sf, "lineitem")
+    brand_li = li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+    avgs = (
+        brand_li.groupBy(F.col("l_partkey").alias("avg_partkey"))
+        .agg((F.avg("l_quantity") * F.lit(0.2)).alias("qty_threshold"))
+    )
+    return (
+        brand_li.join(F.broadcast(avgs), brand_li.l_partkey == F.col("avg_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg((F.sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q_tpch_q19",
+    "SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue "
+    "FROM lineitem JOIN part ON p_partkey = l_partkey "
+    "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 "
+    "  AND l_quantity BETWEEN 1 AND 11) "
+    "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 "
+    "  AND l_quantity BETWEEN 10 AND 20) "
+    "OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 "
+    "  AND l_quantity BETWEEN 20 AND 30) "
+    "GROUP BY ()",
+)
+def q_tpch_q19(spark, sf):
+    """TPC-H Q19 shape — disjunctive AND-OR predicate across the join:
+    Catalyst extracts the common l_partkey equi-condition so the plan is a
+    broadcast hash join with the OR-of-ANDs as a residual filter, plus the
+    derivable per-side disjunctions (brand set, quantity range) pushed to
+    each scan — not a nested-loop join."""
+    li = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(cond).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+
+
+@register(
+    "q_tpch_q21",
+    "SELECT s_name, count(*) AS numwait FROM supplier "
+    "JOIN lineitem l1 ON s_suppkey = l1.l_suppkey "
+    "JOIN orders ON o_orderkey = l1.l_orderkey "
+    "WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R' "
+    "AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey "
+    "  AND l2.l_suppkey <> l1.l_suppkey) "
+    "AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey "
+    "  AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R') "
+    "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20",
+)
+def q_tpch_q21(spark, sf):
+    """TPC-H Q21 shape — suppliers who kept orders waiting ('R' returns
+    stand in for the trimmed receipt>commit lateness): the correlated
+    EXISTS / NOT EXISTS pair decorrelates into ONE per-order aggregate —
+    n_supp(distinct suppliers) > 1 AND n_supp_r(distinct suppliers among
+    'R' lines) = 1. Since l1 itself has returnflag='R', 'no OTHER supplier
+    with R' is exactly n_supp_r = 1. One extra shuffle instead of two
+    correlated re-scans of lineitem."""
+    li = load(spark, sf, "lineitem")
+    ordstats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey")))
+        .alias("n_supp_r"),
+    ).filter((F.col("n_supp") > 1) & (F.col("n_supp_r") == 1)).select("l_orderkey")
+    l1 = li.filter(F.col("l_returnflag") == "R")
+    o = load(spark, sf, "orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    s = load(spark, sf, "supplier")
+    return (
+        l1.join(ordstats, "l_orderkey", "left_semi")
+        .join(o, l1.l_orderkey == o.o_orderkey, "left_semi")
+        .join(F.broadcast(s), l1.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "q_tpch_q22",
+    "SELECT bucket, count(*) AS numcust, sum(c_acctbal) AS totacctbal FROM ("
+    "  SELECT CAST(c_nationkey % 5 AS INT) AS bucket, c_acctbal, c_custkey "
+    "  FROM customer WHERE c_nationkey % 5 IN (0, 1, 2) "
+    "  AND c_acctbal > (SELECT avg(c_acctbal) FROM customer "
+    "    WHERE c_acctbal > 0.0 AND c_nationkey % 5 IN (0, 1, 2)) "
+    "  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+    "    AND o_orderpriority = '1-URGENT')) "
+    "GROUP BY bucket",
+)
+def q_tpch_q22(spark, sf):
+    """TPC-H Q22 shape — global-sales opportunity: nationkey buckets stand
+    in for the trimmed phone country codes; 'never placed an urgent order'
+    stands in for 'no orders at all' (the dense fixture gives every
+    customer orders, which would make the anti-join vacuous). The scalar
+    avg subquery cross-broadcasts (1 row); the NOT EXISTS is an anti-join
+    against the urgent orders' custkeys. The avg threshold is a float
+    comparison, but both engines compare against their own
+    exact-sum-derived avg of the SAME rows."""
+    c = load(spark, sf, "customer").withColumn(
+        "bucket", (F.col("c_nationkey") % 5).cast("int")
+    ).filter(F.col("bucket").isin(0, 1, 2))
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal"))
+    o = (
+        load(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("numcust"), F.sum("c_acctbal").alias("totacctbal"))
+    )
+
+
+@register(
+    "q_tpch_q11",
+    "SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS qty_value "
+    "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_1' "
+    "GROUP BY l_partkey HAVING sum(l_quantity) > ("
+    "  SELECT sum(l_quantity) * 0.001 FROM lineitem "
+    "  JOIN supplier ON l_suppkey = s_suppkey "
+    "  JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_1')",
+)
+def q_tpch_q11(spark, sf):
+    """TPC-H Q11 shape — important stock: per-part value with a HAVING
+    against a global-fraction scalar (lineitem quantity stands in for the
+    absent partsupp value). The measure is integral, so group sums are
+    exact in both engines and the 0.001*total product is the same IEEE op
+    — no boundary flip. Spark computes the national subset ONCE; the
+    scalar total cross-broadcasts onto the per-part agg."""
+    li = load(spark, sf, "lineitem")
+    s = load(spark, sf, "supplier")
+    n = load(spark, sf, "nation").filter(F.col("n_name") == "NATION_1")
+    national = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("l_partkey", "l_quantity")
+    )
+    per_part = national.groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("qty_sum"))
+    total = national.agg((F.sum("l_quantity") * F.lit(0.001)).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("qty_sum") > F.col("threshold"))
+        .select("l_partkey", F.col("qty_sum").cast("long").alias("qty_value"))
+    )
