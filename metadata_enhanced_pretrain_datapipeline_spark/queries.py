@@ -3854,3 +3854,122 @@ def q_tpch_q11(spark, sf):
         .filter(F.col("qty_sum") > F.col("threshold"))
         .select("l_partkey", F.col("qty_sum").cast("long").alias("qty_value"))
     )
+
+
+# ===========================================================================
+# round-4 additions: OLAP breadth — cube, pivot, window suite, range frames
+# ===========================================================================
+
+
+@register(
+    "q_cube_events",
+    "SELECT coalesce(event_type, 'ALL') AS event_type, "
+    "coalesce(CAST(cohort AS VARCHAR), 'ALL') AS cohort, "
+    "CAST(grouping(event_type) AS INT) + 2 * CAST(grouping(cohort) AS INT) "
+    "AS grouping_level, count(*) AS n, sum(value) AS sum_value FROM ("
+    "  SELECT event_type, CAST(user_id % 4 AS INT) AS cohort, value FROM events) "
+    "GROUP BY CUBE (event_type, cohort)",
+)
+def q_cube_events(spark, sf):
+    """OLAP extension — full CUBE over (event_type, cohort) with
+    grouping_level disambiguating real NULL-free groups from the
+    subtotal rows (both engines compute grouping() bits identically).
+    CUBE is a Catalyst Expand: one pass over events emits all 4 grouping
+    combinations into ONE partial-agg shuffle — no per-level rescan."""
+    e = load(spark, sf, "events").withColumn(
+        "cohort", (F.col("user_id") % 4).cast("int"))
+    return (
+        e.cube("event_type", "cohort")
+        .agg(
+            (F.grouping("event_type").cast("int")
+             + F.lit(2) * F.grouping("cohort").cast("int")).alias("grouping_level"),
+            F.count("*").alias("n"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("cohort").cast("string"), F.lit("ALL")).alias("cohort"),
+            "grouping_level", "n", "sum_value",
+        )
+    )
+
+
+@register(
+    "q_pivot_events",
+    "SELECT CAST(user_id % 10 AS INT) AS cohort, "
+    "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click, "
+    "sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error, "
+    "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase, "
+    "sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup, "
+    "sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view "
+    "FROM events GROUP BY 1",
+)
+def q_pivot_events(spark, sf):
+    """OLAP extension — pivot event_type into per-cohort count columns.
+    The pivot values are DECLARED (not discovered), which skips Spark's
+    extra distinct-scan job and keeps the plan a single partial-agg
+    shuffle — at 100 TB an undeclared pivot would pay a full extra pass."""
+    e = load(spark, sf, "events").withColumn(
+        "cohort", (F.col("user_id") % 10).cast("int"))
+    return (
+        e.groupBy("cohort")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )
+
+
+@register(
+    "q_window_suite",
+    "SELECT event_id, "
+    "CAST(row_number() OVER w AS INT) AS rn, "
+    "CAST(ntile(4) OVER w AS INT) AS quartile, "
+    "percent_rank() OVER w AS pct_rank, "
+    "lead(event_id) OVER w AS next_event, "
+    "sum(value) OVER (PARTITION BY event_type ORDER BY ts, event_id "
+    "  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_sum "
+    "FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)",
+)
+def q_window_suite(spark, sf):
+    """OLAP extension — the ranking/navigation window family over one
+    window spec: row_number, ntile, percent_rank, lead, and a rows-frame
+    moving sum. One shuffle by event_type serves all five functions
+    (Catalyst collapses same-spec windows into a single Window node);
+    ordering ties broken by unique event_id so ranks are engine-stable."""
+    e = load_events(spark, sf)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wf = w.rowsBetween(-2, Window.currentRow)
+    return e.select(
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.lead("event_id").over(w).alias("next_event"),
+        F.sum("value").over(wf).alias("moving_sum"),
+    )
+
+
+@register(
+    "q_range_frame_agg",
+    "SELECT event_id, CAST(count(*) OVER w AS BIGINT) AS n_5min, "
+    "sum(value) OVER w AS sum_5min FROM ("
+    "  SELECT event_id, user_id, value, "
+    "  CAST(epoch(ts) AS BIGINT) AS ts_s FROM events) "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts_s "
+    "RANGE BETWEEN 300 PRECEDING AND CURRENT ROW)",
+)
+def q_range_frame_agg(spark, sf):
+    """OLAP extension — TIME-RANGE window frame: per-user trailing-5-minute
+    event count and value sum, the sliding aggregation a sessionizing
+    pipeline needs WITHOUT self-join or explode. Spark's rangeBetween on
+    the integral epoch-seconds key matches DuckDB's RANGE frame exactly
+    (same peer semantics: all rows within 300s, ties included)."""
+    e = load_events(spark, sf).withColumn(
+        "ts_s", F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1_000_000)
+    ).withColumn("ts_s", F.col("ts_s").cast("long"))
+    w = Window.partitionBy("user_id").orderBy("ts_s").rangeBetween(-300, 0)
+    return e.select(
+        "event_id",
+        F.count("*").over(w).alias("n_5min"),
+        F.sum("value").over(w).alias("sum_5min"),
+    )
