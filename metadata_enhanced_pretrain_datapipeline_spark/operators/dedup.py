@@ -697,3 +697,159 @@ def dedup_against(df: DataFrame, seen: DataFrame, text_col: str = "text",
         .join(seen_keys, "__k", "left_anti")
         .drop("__k")
     )
+
+
+def segment_dedup(segments: DataFrame, id_col: str = "doc_id",
+                  pos_col: str = "pos", seg_col: str = "segment",
+                  max_pos: int = 4096) -> DataFrame:
+    """Corpus-level line/paragraph dedup (the RefinedWeb/CCNet line-level
+    pass; complements the document-level dedup_exact_text and the
+    substring-level excise_repeated_ngrams): keep each distinct segment
+    only at its FIRST occurrence — the smallest (doc, position) over the
+    whole corpus — and drop every later copy.
+
+    Input is the exploded (id, pos, segment) stream. Plan: digest each
+    segment, groupBy-min on an exact integral order key
+    ``id*max_pos + pos`` (map-side partial agg: a boilerplate segment
+    duplicated 1e9 times reduces per-partition BEFORE the shuffle, so hot
+    digests cannot skew a reducer the way a row_number window would),
+    then a join on (digest, order_key) recovers the keeper rows. Two
+    linear shuffles; only digests and bigints move.
+
+    ``max_pos`` must exceed every per-doc segment count (and
+    ``max(id)*max_pos`` must stay under 2^63 — ANSI mode makes an
+    overflow loud, not silent).
+    """
+    digest = F.md5(F.col(seg_col))
+    okey = (F.col(id_col).cast("long") * F.lit(max_pos) + F.col(pos_col)).alias("__ok")
+    d = segments.withColumn("__dg", digest).withColumn("__ok", okey)
+    firsts = d.groupBy("__dg").agg(F.min("__ok").alias("__mok"))
+    return (
+        d.join(firsts, (d["__dg"] == firsts["__dg"]) & (d["__ok"] == firsts["__mok"]))
+        .select(*[F.col(c) for c in segments.columns])
+    )
+
+
+def reassemble_segments(kept: DataFrame, docs: DataFrame,
+                        id_col: str = "doc_id", pos_col: str = "pos",
+                        seg_col: str = "segment", sep: str = " ",
+                        out_col: str = "kept_text") -> DataFrame:
+    """Stitch deduped segments back into per-doc text, ordered by position.
+    Docs whose every segment was a duplicate do NOT vanish: a left join
+    back to the doc ids emits them with 0 segments and empty text (the
+    char_lm_score lesson — downstream joins expect one row per doc)."""
+    per_doc = (
+        kept.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(pos_col, seg_col))),
+                    lambda s: s[seg_col],
+                ),
+                sep,
+            ).alias(out_col),
+        )
+    )
+    return (
+        docs.select(id_col).join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce(out_col, F.lit("")).alias(out_col),
+        )
+    )
+
+
+# --- Bloom-prefiltered membership (scale path for anti-joins) -------------
+
+
+def _bloom_position_cols(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
+    """k double-hashed bit positions, computed JVM-side so the build and
+    probe sides share EXACT arithmetic (xxhash64 is Spark-internal — fine:
+    bloom bits are never compared to an oracle, only final rows are).
+    h1/h2 are reduced mod num_bits before combining, so h1 + i*h2 stays
+    far under 2^63 (ANSI overflow would throw)."""
+    h1 = F.pmod(F.xxhash64(key), F.lit(num_bits))
+    h2 = F.pmod(F.xxhash64(key, F.lit(1)), F.lit(num_bits))
+    return [
+        F.pmod(h1 + F.lit(i) * h2, F.lit(num_bits)).cast("long").alias(f"__bp{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def build_bloom_bits(keys: DataFrame, key_col: str,
+                     num_bits: int = 1 << 23, num_hashes: int = 4) -> bytes:
+    """Distributed Bloom filter build: every partition folds its keys into
+    a local numpy bitmap in ONE Arrow pass (no explode, no shuffle), the
+    per-partition bitmaps (num_bits/8 bytes each) come back to the driver
+    and OR-merge. 2^23 bits = 1 MiB per partition message; for 1e9 keys
+    size num_bits ~ 10x key count for ~1% FP.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    nbytes = num_bits // 8
+    pos_df = keys.select(*_bloom_position_cols(F.col(key_col), num_bits, num_hashes))
+
+    def fold(batches):
+        bm = np.zeros(nbytes, dtype=np.uint8)
+        for batch in batches:
+            for col in batch.columns:
+                pos = col.to_numpy(zero_copy_only=False)
+                np.bitwise_or.at(bm, pos >> 3, (np.uint8(1) << (pos & 7).astype(np.uint8)))
+        yield pa.RecordBatch.from_arrays([pa.array([bm.tobytes()])], ["bits"])
+
+    merged = np.zeros(nbytes, dtype=np.uint8)
+    for row in pos_df.mapInArrow(fold, "bits binary").collect():
+        merged |= np.frombuffer(row.bits, dtype=np.uint8)
+    return merged.tobytes()
+
+
+def bloom_anti_join(df: DataFrame, seen: DataFrame, df_key: Column,
+                    seen_key: Column, num_bits: int = 1 << 23,
+                    num_hashes: int = 4) -> DataFrame:
+    """EXACT anti-join with a Bloom pre-filter — the 100 TB shape for
+    'drop everything already in that other corpus' when the seen side is
+    too big to broadcast exactly but its bloom fits in a closure:
+
+    1. build the bloom over the seen keys (one linear pass, 1 MiB bits);
+    2. definite-misses (bloom says absent) pass through with NO shuffle;
+    3. only the maybe-hits (a ~FP-fraction sliver plus true members)
+       enter the exact anti-join shuffle.
+
+    False positives cost only wasted verification; the result equals the
+    plain anti-join bit-for-bit (pytest-pinned), so the oracle is NOT IN.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    bits = build_bloom_bits(seen.select(seen_key.alias("__sk")), "__sk",
+                            num_bits, num_hashes)
+
+    def _might_contain(pos_arrays):
+        bm = np.frombuffer(bits, dtype=np.uint8)
+        # k positions per row, packed as one array column (pandas_udf has
+        # no varargs signature); vstack → (n, k) int matrix, all-bits-set
+        pos = np.vstack(pos_arrays.to_numpy())
+        hit = ((bm[pos >> 3] >> (pos & 7)) & 1).astype(bool)
+        return pd.Series(hit.all(axis=1))
+
+    # hint-free form: `from __future__ import annotations` stringifies
+    # hints and pyspark can't resolve them against function-local imports
+    might_contain = pandas_udf(_might_contain, "boolean")
+
+    tagged = df.withColumn(
+        "__maybe",
+        might_contain(F.array(*_bloom_position_cols(df_key, num_bits, num_hashes))),
+    )
+    misses = tagged.filter(~F.col("__maybe")).drop("__maybe")
+    maybes = tagged.filter(F.col("__maybe")).drop("__maybe")
+    seen_keys = seen.select(seen_key.alias("__sk")).distinct()
+    verified = (
+        maybes.withColumn("__dk", df_key)
+        .join(seen_keys, F.col("__dk") == F.col("__sk"), "left_anti")
+        .drop("__dk")
+    )
+    return misses.unionByName(verified)

@@ -3973,3 +3973,81 @@ def q_range_frame_agg(spark, sf):
         F.count("*").over(w).alias("n_5min"),
         F.sum("value").over(w).alias("sum_5min"),
     )
+
+
+# ===========================================================================
+# round-4 additions: segment-level dedup + bloom-prefiltered anti-join
+# ===========================================================================
+
+
+@register(
+    "q_segment_dedup",
+    "WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents), "
+    "sg AS (SELECT doc_id, words, unnest(generate_series(0, "
+    "  CAST(ceil(len(words) / 8.0) AS BIGINT) - 1)) AS gs FROM w), "
+    "seg AS (SELECT doc_id, CAST(gs AS INT) AS pos, "
+    "  array_to_string(list_slice(words, gs * 8 + 1, gs * 8 + 8), ' ') AS para, "
+    "  doc_id * 4096 + gs AS ok FROM sg), "
+    "m AS (SELECT md5(para) AS dg, min(ok) AS mok FROM seg GROUP BY 1), "
+    "k AS (SELECT s.doc_id, s.pos, s.para FROM seg s "
+    "  JOIN m ON md5(s.para) = m.dg AND s.ok = m.mok) "
+    "SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_kept, "
+    "coalesce(c.t, '') AS kept_text FROM documents d LEFT JOIN ("
+    "  SELECT doc_id, count(*) AS n, "
+    "  string_agg(para, ' ' ORDER BY pos) AS t FROM k GROUP BY doc_id) c "
+    "USING (doc_id)",
+)
+def q_segment_dedup(spark, sf):
+    """Corpus-level segment (line/paragraph) dedup — the RefinedWeb line
+    pass: split every doc into 8-word segments (the fixture has no
+    newlines, so position-chunking stands in for line splitting), keep
+    each distinct segment only at its corpus-first (doc, pos), reassemble
+    per-doc text in order, and emit fully-deduped docs as EMPTY rather
+    than dropping them (dedup.segment_dedup + reassemble_segments).
+    Skew-safe: first-wins is a groupBy-MIN on an integral order key
+    (map-side combine), never a row_number window over a hot digest."""
+    d = load(spark, sf, "documents")
+    words = F.split(F.col("text"), " ")
+    segs = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), (F.ceil(F.size(words) / F.lit(8)) - 1).cast("int"))
+            ).alias("pos"),
+            words.alias("__w"),
+        )
+        .select(
+            "doc_id", "pos",
+            F.array_join(
+                F.slice("__w", F.col("pos") * 8 + 1, 8), " ").alias("segment"),
+        )
+    )
+    kept = dedup.segment_dedup(segs, "doc_id", "pos", "segment", max_pos=4096)
+    return dedup.reassemble_segments(kept, d, "doc_id", "pos", "segment")
+
+
+@register(
+    "q_bloom_dedup",
+    "WITH k AS (SELECT doc_id, source, md5(lower(trim(regexp_replace("
+    "  text, '\\s+', ' ', 'g')))) AS tk FROM documents) "
+    "SELECT doc_id, source FROM k WHERE doc_id % 3 <> 0 AND tk NOT IN "
+    "  (SELECT tk FROM k WHERE doc_id % 3 = 0)",
+)
+def q_bloom_dedup(spark, sf):
+    """Bloom-prefiltered cross-snapshot dedup (dedup.bloom_anti_join): the
+    SAME result as the exact anti-join (q_dedup_against_snapshot shape —
+    this oracle IS the plain NOT IN), but the corpus first passes a 1 MiB
+    Bloom filter built distributively over the seen digests: definite
+    misses skip the shuffle entirely; only maybe-hits are verified
+    exactly. At 100 TB this is the shape when the seen side fits a bloom
+    but not an exact broadcast."""
+    d = load(spark, sf, "documents")
+    seen = d.filter(F.col("doc_id") % 3 == 0)
+    fresh = d.filter(F.col("doc_id") % 3 != 0)
+    kept = dedup.bloom_anti_join(
+        fresh, seen,
+        df_key=dedup.normalized_text_key(F.col("text")),
+        seen_key=dedup.normalized_text_key(F.col("text")),
+        num_bits=1 << 20,
+    )
+    return kept.select("doc_id", "source")

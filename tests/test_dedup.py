@@ -307,3 +307,61 @@ def test_dedup_against_normalized_cross_corpus(spark):
         "doc_id long, text string")
     kept = [r.doc_id for r in dedup.dedup_against(fresh, seen).collect()]
     assert kept == [2]
+
+
+def test_segment_dedup_first_wins_and_reassembly(spark):
+    from pyspark.sql import functions as F
+
+    segs = spark.createDataFrame(
+        [(1, 0, "alpha beta"), (1, 1, "gamma delta"),
+         (2, 0, "gamma delta"),   # dup of (1,1) -> dropped
+         (2, 1, "epsilon"),
+         (3, 0, "alpha beta"),    # dup of (1,0) -> dropped
+         (3, 1, "gamma delta")],  # dup -> doc 3 fully deduped
+        "doc_id long, pos int, segment string")
+    docs = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    kept = dedup.segment_dedup(segs)
+    out = {(r.doc_id, r.pos): r.segment for r in kept.collect()}
+    assert out == {(1, 0): "alpha beta", (1, 1): "gamma delta", (2, 1): "epsilon"}
+    re = {r.doc_id: (r.n_kept, r.kept_text)
+          for r in dedup.reassemble_segments(kept, docs).collect()}
+    # doc 3 must survive as an EMPTY row, not vanish
+    assert re == {1: (2, "alpha beta gamma delta"), 2: (1, "epsilon"),
+                  3: (0, "")}
+
+
+def test_segment_dedup_ties_broken_by_position(spark):
+    # same segment twice within ONE doc: the earlier position wins
+    segs = spark.createDataFrame(
+        [(5, 3, "dup seg"), (5, 1, "dup seg"), (5, 2, "mid")],
+        "doc_id long, pos int, segment string")
+    kept = {(r.doc_id, r.pos) for r in dedup.segment_dedup(segs).collect()}
+    assert kept == {(5, 1), (5, 2)}
+
+
+def test_bloom_anti_join_equals_plain_anti_join(spark):
+    from pyspark.sql import functions as F
+
+    # 500 corpus keys, seen = multiples of 3; tiny bloom (2^10 bits) to
+    # force plenty of false positives through the exact-verify path
+    corpus = spark.range(500).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    seen = spark.range(0, 500, 3).select(F.col("id").alias("sk"))
+    out = dedup.bloom_anti_join(
+        corpus, seen, df_key=F.col("k").cast("string"),
+        seen_key=F.col("sk").cast("string"), num_bits=1 << 10, num_hashes=3)
+    expect = corpus.join(seen, corpus.k == seen.sk, "left_anti")
+    got = sorted((r.k, r.v) for r in out.collect())
+    want = sorted((r.k, r.v) for r in expect.collect())
+    assert got == want and len(want) == 333
+
+
+def test_bloom_no_false_negatives(spark):
+    from pyspark.sql import functions as F
+
+    # every seen member must be dropped even with a saturated 64-bit bloom
+    corpus = spark.range(100).select(F.col("id").alias("k"))
+    seen = spark.range(100).select(F.col("id").alias("sk"))
+    out = dedup.bloom_anti_join(
+        corpus, seen, df_key=F.col("k").cast("string"),
+        seen_key=F.col("sk").cast("string"), num_bits=64, num_hashes=2)
+    assert out.count() == 0
