@@ -4051,3 +4051,79 @@ def q_bloom_dedup(spark, sf):
         num_bits=1 << 20,
     )
     return kept.select("doc_id", "source")
+
+
+# ===========================================================================
+# round-4 additions: corpus term statistics (text_stats.py)
+# ===========================================================================
+
+_TOK_SQL = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '')"
+
+
+@register(
+    "q_tfidf_top_terms",
+    "WITH tok AS (SELECT doc_id, unnest(" + _TOK_SQL + ") AS term FROM documents), "
+    "tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2), "
+    "dft AS (SELECT term, count(*)::BIGINT AS df_t FROM tf GROUP BY 1), "
+    "n AS (SELECT count(*) AS n_docs FROM documents), "
+    "sc AS (SELECT tf.doc_id, tf.term, tf.tf, dft.df_t, "
+    "  tf.tf * (ln((n.n_docs + 1.0) / (dft.df_t + 1.0)) + 1) AS tfidf "
+    "  FROM tf JOIN dft USING (term) CROSS JOIN n), "
+    "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+    "  ORDER BY tfidf DESC, term) AS rank FROM sc) "
+    "SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df_t, tfidf "
+    "FROM r WHERE rank <= 3",
+)
+def q_tfidf_top_terms(spark, sf):
+    """Corpus TF-IDF (text_stats.top_terms): top-3 characteristic terms
+    per doc under smooth idf. One token explode, two vocab-sized
+    broadcasts back; exact score ties share (tf, df_t) so the
+    (score, term) tie-break is bit-stable in both engines."""
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import text_stats
+
+    return text_stats.top_terms(load(spark, sf, "documents"), k=3)
+
+
+@register(
+    "q_inverted_index",
+    "WITH pairs AS (SELECT DISTINCT term, doc_id FROM ("
+    "  SELECT doc_id, unnest(" + _TOK_SQL + ") AS term FROM documents)), "
+    "agg AS (SELECT term, count(*)::BIGINT AS df_t, "
+    "  list(doc_id ORDER BY doc_id) AS postings FROM pairs GROUP BY term) "
+    "SELECT term, df_t, CASE WHEN df_t <= 40 THEN postings "
+    "ELSE []::BIGINT[] END AS postings FROM agg",
+)
+def q_inverted_index(spark, sf):
+    """Inverted index (text_stats.inverted_index): per-term sorted
+    postings with the max_postings=40 degenerate-row cap — a stopword's
+    billion-id postings row is the at-scale failure mode, so hot terms
+    keep df_t but an empty array (the exploded pair table is the real
+    100 TB representation)."""
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import text_stats
+
+    return text_stats.inverted_index(
+        load(spark, sf, "documents"), max_postings=40)
+
+
+@register(
+    "q_term_drift",
+    "WITH tok AS (SELECT CASE WHEN lang = 'en' THEN 'p' ELSE 'q' END AS slice, "
+    "  unnest(" + _TOK_SQL + ") AS term FROM documents), "
+    "c AS (SELECT term, sum(CASE WHEN slice = 'p' THEN 1 ELSE 0 END)::BIGINT AS np, "
+    "  sum(CASE WHEN slice = 'q' THEN 1 ELSE 0 END)::BIGINT AS nq FROM tok GROUP BY 1), "
+    "t AS (SELECT sum(np) AS tp, sum(nq) AS tq, count(*) AS vocab FROM c) "
+    "SELECT term, (np + 1.0) / (tp + vocab) AS p, (nq + 1.0) / (tq + vocab) AS q, "
+    "((np + 1.0) / (tp + vocab)) * ln(((np + 1.0) / (tp + vocab)) / "
+    "((nq + 1.0) / (tq + vocab))) AS kl_term FROM c CROSS JOIN t",
+)
+def q_term_drift(spark, sf):
+    """Distribution-drift monitor (text_stats.term_distribution_drift):
+    per-term KL contribution of the 'en' slice against the rest with
+    add-one smoothing — the snapshot-over-snapshot drift check. All
+    arithmetic is exact-rounded div/mul over exact integer counts; ln is
+    1-ulp and compared at 12 significant digits, never filtered on."""
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import text_stats
+
+    d = load(spark, sf, "documents")
+    return text_stats.term_distribution_drift(
+        d, F.when(F.col("lang") == "en", "p").otherwise("q"))

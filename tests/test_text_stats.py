@@ -1,0 +1,60 @@
+"""text_stats operator invariants (TF-IDF, inverted index, KL drift)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from metadata_enhanced_pretrain_datapipeline_spark.operators import text_stats
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, "apple banana apple", "p"),
+         (2, "banana cherry", "p"),
+         (3, "apple cherry cherry date", "q")],
+        "doc_id long, text string, slice string")
+
+
+def test_tf_idf_values(spark):
+    out = {(r.doc_id, r.term): (r.tf, r.df_t, r.tfidf)
+           for r in text_stats.tf_idf(_docs(spark)).collect()}
+    # apple: doc1 tf=2, appears in 2 of 3 docs
+    tf, dft, score = out[(1, "apple")]
+    assert (tf, dft) == (2, 2)
+    assert abs(score - 2 * (math.log(4 / 3) + 1)) < 1e-12
+    # date: unique to doc3
+    tf, dft, score = out[(3, "date")]
+    assert (tf, dft) == (1, 1)
+    assert abs(score - (math.log(4 / 2) + 1)) < 1e-12
+
+
+def test_top_terms_rank_and_tiebreak(spark):
+    top = text_stats.top_terms(_docs(spark), k=2).collect()
+    by_doc = {}
+    for r in top:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.term))
+    # doc1: apple (tf=2) outranks banana; doc2 tie tf=1/df=2 both -> term order
+    assert sorted(by_doc[1]) == [(1, "apple"), (2, "banana")]
+    assert sorted(by_doc[2]) == [(1, "banana"), (2, "cherry")]
+
+
+def test_inverted_index_cap(spark):
+    out = {r.term: (r.df_t, r.postings)
+           for r in text_stats.inverted_index(
+               _docs(spark), max_postings=1).collect()}
+    assert out["date"] == (1, [3])
+    # df_t=2 exceeds the cap -> postings emptied, df kept
+    assert out["apple"] == (2, [])
+    assert out["cherry"] == (2, [])
+
+
+def test_term_drift_kl_nonnegative_total_and_smoothing(spark):
+    rows = text_stats.term_distribution_drift(
+        _docs(spark), F.col("slice")).collect()
+    terms = {r.term for r in rows}
+    # union vocabulary: 'date' never occurs in p but must still get a row
+    assert terms == {"apple", "banana", "cherry", "date"}
+    for r in rows:
+        assert r.p > 0 and r.q > 0
+    # KL(P||Q) as a sum of contributions is >= 0
+    assert sum(r.kl_term for r in rows) >= 0
