@@ -60,10 +60,20 @@ R3_FAMILIES = [
 ]
 
 #: round-4 additions, priced from the round they land (same rationale):
-#: substring-level corpus dedup and the CCNet perplexity partition.
+#: substring-level corpus dedup, the CCNet perplexity partition, the
+#: deepest TPC-H dim chain (q8) and decorrelated double-EXISTS (q21),
+#: segment-level dedup (explode→min→reassemble), the bloom-prefiltered
+#: anti-join, TF-IDF (token explode + vocab broadcasts + rank window),
+#: and the collapsed five-function window suite.
 R4_ADDITIONS = [
     "q_repeated_ngram_excise",
     "q_perplexity_buckets",
+    "q_tpch_q8",
+    "q_tpch_q21",
+    "q_segment_dedup",
+    "q_bloom_dedup",
+    "q_tfidf_top_terms",
+    "q_window_suite",
 ]
 
 
