@@ -72,6 +72,45 @@ AUDITS = {
     "q_mix_pipeline": "Composed dedup→decontaminate→gate→mix→cap: the "
     "gated corpus localCheckpoints before the multi-action tail so the "
     "minhash+decontamination subtree executes once, not once per action.",
+    "q_tpch_q8": "Deepest dim chain in the suite: part, supplier, "
+    "customer, nation x2, region ALL broadcast — 7 BroadcastHashJoins "
+    "stacked on the lineitem scan, ONE Exchange total (the final 2-group "
+    "agg). The fact table never shuffles.",
+    "q_tpch_q19": "Disjunctive AND-OR join predicate: Catalyst extracts "
+    "the common l_partkey equi-key, so the plan is a BroadcastHashJoin "
+    "with the OR-of-ANDs as join condition — NOT a nested-loop — and "
+    "per-side IN/range disjunctions pushed to each scan.",
+    "q_tpch_q21": "Double correlated EXISTS/NOT-EXISTS decorrelated into "
+    "ONE per-order countDistinct aggregate (n_supp>1 AND n_supp_r=1) "
+    "semi-joined back — two lineitem passes total instead of two "
+    "correlated re-scans per row.",
+    "q_window_suite": "Five window functions (row_number/ntile/"
+    "percent_rank/lead/moving sum) over one spec collapse into ONE "
+    "Window node behind ONE Exchange — adding functions to the same "
+    "spec is free at 100 TB.",
+    "q_cube_events": "CUBE is a Catalyst Expand: one events pass emits "
+    "all 4 grouping combinations into a single partial-agg shuffle; no "
+    "per-level rescan.",
+    "q_pivot_events": "Pivot with DECLARED values: no distinct-discovery "
+    "job; partial (cohort,event_type) agg shuffles once, the second "
+    "Exchange moves only the vocab-sized agg.",
+    "q_segment_dedup": "Segment first-wins: groupBy-MIN on the integral "
+    "order key (map-side combine — hot boilerplate digests reduce "
+    "per-partition, no row_number window on a skewed digest); the "
+    "firsts side joins back by (digest, key). The segment explode "
+    "recomputes on both join sides — deliberate: re-scanning parquet "
+    "beats materializing an exploded 100 TB corpus.",
+    "q_bloom_dedup": "Bloom-prefiltered anti-join: the probe is one "
+    "vectorized ArrowEvalPython over JVM-computed positions; definite "
+    "misses bypass the shuffle, only maybe-hits reach the exact "
+    "anti-join. Probe recomputes per DAG branch (misses/maybes) — "
+    "cheap vs persisting the corpus.",
+    "q_tfidf_top_terms": "TF-IDF: one token explode into the (doc,term) "
+    "partial-agg shuffle; doc-frequency and N are vocab-/1-row-sized "
+    "BroadcastExchanges back onto it; top-k is a per-doc rank window.",
+    "q_range_frame_agg": "Trailing-5-minute sliding aggregate as a RANGE "
+    "window frame on epoch seconds: one Exchange by user, no self-join, "
+    "no explode — the frame scan is linear in events.",
 }
 
 KEEP = re.compile(
