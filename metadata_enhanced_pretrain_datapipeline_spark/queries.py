@@ -4127,3 +4127,41 @@ def q_term_drift(spark, sf):
     d = load(spark, sf, "documents")
     return text_stats.term_distribution_drift(
         d, F.when(F.col("lang") == "en", "p").otherwise("q"))
+
+
+@register(
+    "q_stream_static_join",
+    "SELECT c_mktsegment, count(*) AS n, sum(value) AS sum_value "
+    "FROM events JOIN customer ON user_id = c_custkey "
+    "GROUP BY c_mktsegment",
+)
+def q_stream_static_join(spark, sf):
+    """Streaming extension (§2.11) — stream-static enrichment: the events
+    stream joins the static customer dim (broadcast, stateless, no
+    watermark needed) and aggregates per segment, drained complete-mode —
+    checked against the identical BATCH join+agg SQL, proving
+    batch/stream parity for the join operator
+    (streaming.stream_static_enrich)."""
+    import uuid
+
+    from metadata_enhanced_pretrain_datapipeline_spark.streaming import events as se
+
+    table = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    raw_schema = load(spark, sf, "events").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+        .select("user_id", "value")
+    )
+    dim = load(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    enriched = se.stream_static_enrich(
+        stream, dim, F.col("user_id") == F.col("c_custkey"))
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+    q = (
+        agg.writeStream.format("memory").queryName(table)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT c_mktsegment, n, sum_value FROM {table}")

@@ -183,3 +183,18 @@ def streaming_dedup_within_watermark(events: DataFrame, key_cols: list[str],
     where retries carry fresh timestamps — plain dropDuplicates would
     treat each retry as new)."""
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
+def stream_static_enrich(stream_df: DataFrame, dim: DataFrame,
+                         on, how: str = "inner") -> DataFrame:
+    """Stream-static join: enrich a stream with a batch dimension.
+
+    Stateless on the stream side — Spark re-resolves the static relation
+    per micro-batch and (for a small dim) broadcasts it, so no state
+    store, no watermark, and no shuffle of the stream. This is the
+    streaming twin of the batch broadcast-lookup join (joins.lookup_join)
+    and the shape for 'attach account/domain/source metadata to an event
+    firehose' at any scale; only the static side must fit broadcast, else
+    Spark falls back to a per-batch shuffled join.
+    """
+    return stream_df.join(F.broadcast(dim), on, how)
