@@ -4165,3 +4165,79 @@ def q_stream_static_join(spark, sf):
     )
     q.awaitTermination()
     return spark.sql(f"SELECT c_mktsegment, n, sum_value FROM {table}")
+
+
+@register(
+    "q_tpch_q2",
+    "WITH elig AS (SELECT p_partkey, s_suppkey, s_name, l_extendedprice AS price "
+    "  FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "  JOIN supplier ON l_suppkey = s_suppkey "
+    "  JOIN nation ON s_nationkey = n_nationkey "
+    "  JOIN region ON n_regionkey = r_regionkey "
+    "  WHERE r_name = 'EUROPE' AND p_size = 15), "
+    "m AS (SELECT p_partkey, min(price) AS mp FROM elig GROUP BY 1) "
+    "SELECT DISTINCT e.p_partkey, e.s_suppkey, e.s_name, e.price AS min_price "
+    "FROM elig e JOIN m ON e.p_partkey = m.p_partkey AND e.price = m.mp",
+)
+def q_tpch_q2(spark, sf):
+    """TPC-H Q2 shape — minimum-cost supplier per part within a region
+    (lineitem extendedprice stands in for the absent ps_supplycost): the
+    correlated MIN subquery decorrelates into a per-part aggregate joined
+    back on (part, price = min). The min is selected from the SAME double
+    set in both engines, so the equality cannot flip; ties emit all tied
+    suppliers in both. All dims broadcast; two shuffles (agg + re-join)."""
+    li = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part").filter(F.col("p_size") == 15)
+    s = load(spark, sf, "supplier")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    elig = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("p_partkey", "s_suppkey", "s_name",
+                F.col("l_extendedprice").alias("price"))
+    )
+    m = elig.groupBy(F.col("p_partkey").alias("m_partkey")).agg(
+        F.min("price").alias("mp"))
+    return (
+        elig.join(m, (elig.p_partkey == m.m_partkey) & (elig.price == m.mp))
+        .select("p_partkey", "s_suppkey", "s_name",
+                F.col("price").alias("min_price"))
+        .distinct()
+    )
+
+
+@register(
+    "q_tpch_q20",
+    "SELECT s_suppkey, s_name FROM supplier "
+    "JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_2' "
+    "AND s_suppkey IN (SELECT l_suppkey FROM lineitem "
+    "  JOIN part ON l_partkey = p_partkey WHERE p_name LIKE 'red%' "
+    "  GROUP BY l_suppkey, l_partkey HAVING sum(l_quantity) > 50)",
+)
+def q_tpch_q20(spark, sf):
+    """TPC-H Q20 shape — suppliers with excess stock of a part family
+    (lineitem shipment totals stand in for partsupp availqty): the nested
+    IN subquery becomes an aggregate → left-semi join chain. The HAVING
+    threshold is integral quantity — exact in both engines. The 'red'
+    part set broadcasts into the lineitem scan before the (supp, part)
+    aggregate, so only matching lineitems shuffle."""
+    li = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part").filter(F.col("p_name").like("red%")).select("p_partkey")
+    heavy = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load(spark, sf, "supplier")
+    n = load(spark, sf, "nation").filter(F.col("n_name") == "NATION_2")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")
+        .join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
