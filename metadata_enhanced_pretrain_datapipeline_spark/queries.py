@@ -4241,3 +4241,64 @@ def q_tpch_q20(spark, sf):
         .join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
         .select("s_suppkey", "s_name")
     )
+
+
+# ===========================================================================
+# round-4 additions: data-quality expectations
+# ===========================================================================
+
+_EXPECT_RULES_SQL = {
+    "text_not_null": "text IS NOT NULL",
+    "n_chars_consistent": "n_chars = length(text)",
+    "known_lang": "lang IN ('en', 'de', 'fr', 'it', 'pt')",
+    "min_length": "length(text) >= 450",
+}
+
+
+@register(
+    "q_expectation_summary",
+    "SELECT rule, n_violations, n_violations = 0 AS passed FROM ("
+    + " UNION ALL ".join(
+        f"SELECT '{name}' AS rule, CAST(sum(CASE WHEN coalesce(({cond}), FALSE) "
+        "THEN 0 ELSE 1 END) AS BIGINT) AS n_violations FROM documents"
+        for name, cond in _EXPECT_RULES_SQL.items()
+    )
+    + ")",
+)
+def q_expectation_summary(spark, sf):
+    """Data-quality gate (expectations.expectation_summary): per-rule
+    violation counts over documents in ONE aggregation pass — the SQL
+    oracle needs a UNION ALL re-scan per rule; the operator folds all
+    rules into a single map-side-combined agg, which is the difference
+    that matters at 100 TB."""
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import expectations as ex
+
+    d = load(spark, sf, "documents")
+    rules = [
+        ("text_not_null", F.col("text").isNotNull()),
+        ("n_chars_consistent", F.col("n_chars") == F.length("text")),
+        ("known_lang", F.col("lang").isin("en", "de", "fr", "it", "pt")),
+        ("min_length", F.length("text") >= 450),
+    ]
+    return ex.expectation_summary(d, rules)
+
+
+@register(
+    "q_flag_violations",
+    "SELECT doc_id, list_filter(["
+    "CASE WHEN NOT coalesce(length(text) >= 450, FALSE) THEN 'min_length' END, "
+    "CASE WHEN NOT coalesce(lang IN ('en', 'de'), FALSE) THEN 'core_lang' END"
+    "], x -> x IS NOT NULL) AS failed_rules FROM documents",
+)
+def q_flag_violations(spark, sf):
+    """Per-row rule flagging (expectations.flag_violations): every doc
+    carries the array of expectations it fails — the routing key for
+    exclusion sinks. Pure projection, zero shuffles."""
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import expectations as ex
+
+    d = load(spark, sf, "documents")
+    rules = [
+        ("min_length", F.length("text") >= 450),
+        ("core_lang", F.col("lang").isin("en", "de")),
+    ]
+    return ex.flag_violations(d, rules).select("doc_id", "failed_rules")
