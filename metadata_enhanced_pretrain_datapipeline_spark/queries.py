@@ -4302,3 +4302,43 @@ def q_flag_violations(spark, sf):
         ("core_lang", F.col("lang").isin("en", "de")),
     ]
     return ex.flag_violations(d, rules).select("doc_id", "failed_rules")
+
+
+@register(
+    "q_zorder_stats",
+    "WITH z AS (SELECT "
+    + __import__("metadata_enhanced_pretrain_datapipeline_spark.operators.layout",
+                 fromlist=["zorder_key_sql"]).zorder_key_sql(
+        "(user_id & 255)", "((CAST(epoch(ts) AS BIGINT) // 3600) & 255)", 8)
+    + " AS zkey, (user_id & 255) AS ux, "
+    "((CAST(epoch(ts) AS BIGINT) // 3600) & 255) AS hy FROM events) "
+    "SELECT CAST(zkey // 4096 AS BIGINT) AS z_bucket, count(*) AS n, "
+    "CAST(min(ux) AS BIGINT) AS min_x, CAST(max(ux) AS BIGINT) AS max_x, "
+    "CAST(min(hy) AS BIGINT) AS min_y, CAST(max(hy) AS BIGINT) AS max_y "
+    "FROM z GROUP BY 1",
+)
+def q_zorder_stats(spark, sf):
+    """Z-order layout (layout.zorder_key): Morton-interleave (user, hour)
+    and report per-Z-range min-max rectangles — the stats a parquet
+    reader would prune on. Each fixed-width Z bucket covers a bounded
+    (x, y) rectangle (bucket width 4096 = a 64x64 tile of the 256x256
+    key space), which is exactly why selective predicates on EITHER
+    dimension skip most Z-clustered files; a plain (x, y) sort gives
+    min-max boxes spanning all of y. The key chain is pure codegen."""
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import layout
+
+    e = load_events(spark, sf)
+    x = (F.col("user_id") % 256).cast("long")
+    hy = (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(3_600_000_000)) % 256).cast("long")
+    z = e.select(
+        layout.zorder_key(x, hy, bits=8).alias("zkey"),
+        x.alias("ux"), hy.alias("hy"),
+    )
+    return (
+        z.groupBy(F.floor(F.col("zkey") / 4096).cast("long").alias("z_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("ux").alias("min_x"), F.max("ux").alias("max_x"),
+            F.min("hy").alias("min_y"), F.max("hy").alias("max_y"),
+        )
+    )
