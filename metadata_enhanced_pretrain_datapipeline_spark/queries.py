@@ -4342,3 +4342,51 @@ def q_zorder_stats(spark, sf):
             F.min("hy").alias("min_y"), F.max("hy").alias("max_y"),
         )
     )
+
+
+# ===========================================================================
+# round-4 additions: event analytics (funnel, cohort retention)
+# ===========================================================================
+
+
+@register(
+    "q_funnel",
+    "WITH s1 AS (SELECT user_id, min(ts) AS t FROM events "
+    "  WHERE event_type = 'signup' GROUP BY 1), "
+    "s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+    "  JOIN s1 ON e.user_id = s1.user_id "
+    "  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1), "
+    "s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+    "  JOIN s2 ON e.user_id = s2.user_id "
+    "  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1) "
+    "SELECT 1 AS stage_idx, 'signup' AS stage, count(*) AS n_users FROM s1 "
+    "UNION ALL SELECT 2, 'click', count(*) FROM s2 "
+    "UNION ALL SELECT 3, 'purchase', count(*) FROM s3",
+)
+def q_funnel(spark, sf):
+    """Ordered funnel (events_analytics.funnel_counts): users completing
+    signup -> click -> purchase strictly in order, earliest-completion
+    semantics. Per-stage conditional min-aggs with shrinking broadcast
+    user sets — no per-user event-history arrays."""
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import events_analytics as ea
+
+    e = load_events(spark, sf)
+    return ea.funnel_counts(e, ["signup", "click", "purchase"])
+
+
+@register(
+    "q_cohort_retention",
+    "WITH w AS (SELECT user_id, "
+    "  CAST(epoch(ts) AS BIGINT) // 604800 AS week FROM events), "
+    "f AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY 1), "
+    "a AS (SELECT DISTINCT w.user_id, f.cohort_week, "
+    "  w.week - f.cohort_week AS week_offset FROM w JOIN f ON w.user_id = f.user_id) "
+    "SELECT cohort_week, week_offset, count(*) AS n_users FROM a GROUP BY 1, 2",
+)
+def q_cohort_retention(spark, sf):
+    """Cohort retention (events_analytics.cohort_retention): first-seen
+    week cohorts x week offsets, distinct users. Week indexing is
+    integral epoch arithmetic — engine-portable and timezone-free."""
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import events_analytics as ea
+
+    return ea.cohort_retention(load_events(spark, sf))
