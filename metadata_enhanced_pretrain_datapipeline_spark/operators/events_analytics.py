@@ -7,7 +7,9 @@ pure DataFrame plans:
 - :func:`funnel_counts` — how many users completed stage1 -> stage2 ->
   stage3 IN ORDER (each stage strictly after the previous one's first
   completion). Decorrelates into per-stage conditional min-aggregates
-  joined user-wise: 3 aggs + 2 broadcasts of shrinking user sets, no
+  joined user-wise: k aggs + k-1 user-keyed joins of shrinking user
+  sets (AQE broadcasts them when they fit — never forced, since the
+  stage-1 set can be every user on the platform), no
   per-user sorting, no collect_list of event histories (which at 100 TB
   would materialize a power user's million events into one row).
 - :func:`cohort_retention` — users bucketed by first-seen week, counted
@@ -40,8 +42,7 @@ def funnel_counts(events: DataFrame, stages: list[str],
             cur = ev.groupBy(user_col).agg(F.min(ts_col).alias("t"))
         else:
             cur = (
-                ev.join(F.broadcast(reached.withColumnRenamed("t", "prev_t")),
-                        user_col)
+                ev.join(reached.withColumnRenamed("t", "prev_t"), user_col)
                 .filter(F.col(ts_col) > F.col("prev_t"))
                 .groupBy(user_col)
                 .agg(F.min(ts_col).alias("t"))
