@@ -113,3 +113,31 @@ def skew_safe_count_distinct(df: DataFrame, key_cols: list[str],
         .select(*key_cols,
                 F.coalesce(F.col("__n"), F.lit(0)).alias("n_distinct"))
     )
+
+
+def equi_width_histogram(df: DataFrame, value_col: str,
+                         n_bins: int = 10) -> DataFrame:
+    """(bin, bin_lo, n) equi-width histogram of a numeric column — the
+    distribution profile a curation run records for every quality score.
+
+    Two passes, both trivial: a 1-row (min, max) aggregate broadcast
+    back, then the binning projection + one count shuffle. The top edge
+    closes via least(bin, n_bins-1) so max lands in the last bin; all
+    arithmetic is exact-rounded IEEE ops on identical inputs, hence
+    engine-portable bin assignment. Degenerate case lo == hi puts every
+    row in bin 0 (width would be 0 — guarded with a NULL-safe floor).
+    """
+    mm = df.agg(F.min(value_col).alias("__lo"), F.max(value_col).alias("__hi"))
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(n_bins)
+    raw_bin = F.floor((F.col(value_col) - F.col("__lo")) / width)
+    bin_col = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+        F.least(raw_bin, F.lit(n_bins - 1))
+    ).cast("int")
+    return (
+        df.join(F.broadcast(mm))
+        .select(bin_col.alias("bin"),
+                (F.col("__lo") + bin_col.cast("double")
+                 * ((F.col("__hi") - F.col("__lo")) / F.lit(n_bins))).alias("bin_lo"))
+        .groupBy("bin", "bin_lo")
+        .agg(F.count("*").alias("n"))
+    )

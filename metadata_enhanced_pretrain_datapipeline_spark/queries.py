@@ -4390,3 +4390,20 @@ def q_cohort_retention(spark, sf):
     from metadata_enhanced_pretrain_datapipeline_spark.operators import events_analytics as ea
 
     return ea.cohort_retention(load_events(spark, sf))
+
+
+@register(
+    "q_histogram",
+    "WITH mm AS (SELECT min(c_acctbal) AS lo, max(c_acctbal) AS hi FROM customer), "
+    "b AS (SELECT CAST(least(CAST(floor((c_acctbal - lo) / ((hi - lo) / 10)) "
+    "  AS BIGINT), 9) AS INT) AS bin, lo, hi FROM customer CROSS JOIN mm) "
+    "SELECT bin, lo + bin * ((hi - lo) / 10) AS bin_lo, count(*) AS n "
+    "FROM b GROUP BY 1, 2",
+)
+def q_histogram(spark, sf):
+    """Equi-width histogram (aggregates.equi_width_histogram) of customer
+    balances, 10 bins: 1-row min-max broadcast + binning projection +
+    one count shuffle. Bin edges are identical exact-rounded IEEE
+    arithmetic in both engines."""
+    return aggregates.equi_width_histogram(
+        load(spark, sf, "customer"), "c_acctbal", 10)

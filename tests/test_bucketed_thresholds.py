@@ -36,3 +36,20 @@ def test_bucketed_join_has_no_shuffle(spark, docs, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE t_left")
         spark.sql("DROP TABLE t_right")
+
+
+def test_equi_width_histogram_bins_and_degenerate(spark):
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import aggregates
+
+    df = spark.createDataFrame([(float(v),) for v in range(0, 100)], "v double")
+    out = {r.bin: (r.bin_lo, r.n) for r in
+           aggregates.equi_width_histogram(df, "v", 10).collect()}
+    assert len(out) == 10
+    # v in [0, 99]; width 9.9 -> bin 9 holds [89.1, 99] = 10 values incl max
+    assert out[0][0] == 0.0 and out[0][1] == 10
+    assert out[9][1] == 10
+    assert sum(n for _, n in out.values()) == 100
+    # degenerate: constant column -> single bin 0, no div-by-zero
+    const = spark.createDataFrame([(5.0,), (5.0,), (5.0,)], "v double")
+    got = aggregates.equi_width_histogram(const, "v", 10).collect()
+    assert len(got) == 1 and got[0].bin == 0 and got[0].n == 3
