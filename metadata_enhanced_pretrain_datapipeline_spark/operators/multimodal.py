@@ -103,9 +103,53 @@ def decode_wav(content: bytes) -> np.ndarray:
     return pcm
 
 
+
+def decode_netpbm(content: bytes) -> np.ndarray:
+    """REAL image decode for binary netpbm: P5 (grayscale PGM) and P6
+    (RGB PPM), maxval <= 255 — like BMP, a struct-defined pixel grid
+    needing no codec lib. Returns HxWx3 uint8 (grayscale replicated
+    across channels so every decoder in this module shares one shape
+    contract).
+
+    Header = magic, whitespace/comment-separated width height maxval,
+    ONE whitespace byte, then raw samples.
+    """
+    if len(content) < 2 or content[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary netpbm blob")
+    fields, pos = [], 2
+    while len(fields) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(content) and content[pos : pos + 1] == b"#":  # comment
+            nl = content.find(b"\n", pos)
+            if nl == -1:
+                raise ValueError("truncated netpbm header")
+            pos = nl + 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated netpbm header")
+        fields.append(int(content[start:pos]))
+    pos += 1  # exactly one whitespace byte after maxval
+    width, height, maxval = fields
+    if not (0 < maxval <= 255) or width <= 0 or height <= 0:
+        raise ValueError(f"unsupported netpbm geometry {fields}")
+    ch = 3 if content[:2] == b"P6" else 1
+    need = width * height * ch
+    if len(content) < pos + need:
+        raise ValueError(f"truncated netpbm: {len(content)} < {pos + need}")
+    px = np.frombuffer(content, np.uint8, count=need, offset=pos)
+    if ch == 1:
+        return np.repeat(px.reshape(height, width, 1), 3, axis=2).copy()
+    return px.reshape(height, width, 3).copy()
+
+
 def decode_image(content: bytes, stub: bool = False) -> np.ndarray:
     """Decode an image blob to HxWx3 uint8. Uncompressed 24-bit BMP
-    decodes FOR REAL (struct-defined format, no codec lib needed); other
+    and binary netpbm (P5/P6) decode FOR REAL (struct-defined formats,
+    no codec lib needed); other
     formats need a real codec (PIL/cv2, not in this container) — STUB:
     deterministic fake pixels when stub=True.
 
@@ -118,9 +162,16 @@ def decode_image(content: bytes, stub: bool = False) -> np.ndarray:
         except ValueError:
             if not stub:
                 raise
+    if len(content) >= 2 and content[:2] in (b"P5", b"P6"):
+        try:
+            return decode_netpbm(content)
+        except ValueError:
+            if not stub:
+                raise
     if not stub:
         raise NotImplementedError(
-            "only BMP decodes without a codec lib in this environment"
+            "only BMP and binary netpbm (PGM/PPM) decode without a codec "
+            "lib in this environment"
         )
     return _fake_pixels(content, 16, 16)
 

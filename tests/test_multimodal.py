@@ -158,3 +158,38 @@ def test_stub_decode_never_raises_on_magic_byte_collisions():
         decode_image(b"BMW group annual report text", stub=False)
     with pytest.raises(Exception):
         decode_audio(b"RIFF\x10\x00\x00\x00WEBPVP8 ", stub=False)
+
+
+def test_decode_netpbm_ppm_and_pgm_golden():
+    import numpy as np
+
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.multimodal import decode_netpbm
+
+    # P6 2x2 RGB with a comment line in the header
+    ppm = b"P6\n# test\n2 2\n255\n" + bytes(
+        [255, 0, 0,  0, 255, 0,
+         0, 0, 255,  10, 20, 30])
+    img = decode_netpbm(ppm)
+    assert img.shape == (2, 2, 3) and img.dtype == np.uint8
+    assert list(img[0, 0]) == [255, 0, 0]
+    assert list(img[1, 1]) == [10, 20, 30]
+    # P5 grayscale replicates into 3 channels
+    pgm = b"P5 3 1 255\n" + bytes([0, 128, 255])
+    g = decode_netpbm(pgm)
+    assert g.shape == (1, 3, 3)
+    assert list(g[0, 1]) == [128, 128, 128]
+
+
+def test_decode_netpbm_truncation_and_stub_fallback():
+    import pytest
+
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.multimodal import (
+        decode_image, decode_netpbm)
+
+    with pytest.raises(ValueError):
+        decode_netpbm(b"P6\n2 2\n255\n\x00\x01")     # not enough samples
+    with pytest.raises(ValueError):
+        decode_netpbm(b"P6 2 2")                      # truncated header
+    # a P5-prefixed non-image falls back to the stub instead of raising
+    fake = decode_image(b"P5ANO_IMAGE", stub=True)
+    assert fake.shape == (16, 16, 3)
