@@ -111,6 +111,20 @@ AUDITS = {
     "q_range_frame_agg": "Trailing-5-minute sliding aggregate as a RANGE "
     "window frame on epoch seconds: one Exchange by user, no self-join, "
     "no explode — the frame scan is linear in events.",
+    "q_expectation_summary": "All data-quality rules fold into ONE "
+    "map-side-combined scalar aggregate (bytes move, not rows); the "
+    "per-rule output is an explode of that 1-row result.",
+    "q_funnel": "Ordered funnel: per-stage conditional min-aggs joined "
+    "user-wise; reached-user sets are AQE-sized (never force-broadcast — "
+    "stage 1 can be every user), no event-history arrays.",
+    "q_cohort_retention": "Cohort retention: integral epoch-week "
+    "arithmetic in codegen; per-user min agg + one (cohort, offset) "
+    "count over the user-distinct activity set.",
+    "q_zorder_stats": "Morton key is a pure shift/add codegen chain; "
+    "the layout op is repartitionByRange + sortWithinPartitions on it — "
+    "one range shuffle, every output file a bounded (x, y) rectangle.",
+    "q_histogram": "Equi-width histogram: 1-row min-max broadcast, "
+    "binning projection in codegen, one count shuffle.",
 }
 
 KEEP = re.compile(
