@@ -4407,3 +4407,58 @@ def q_histogram(spark, sf):
     arithmetic in both engines."""
     return aggregates.equi_width_histogram(
         load(spark, sf, "customer"), "c_acctbal", 10)
+
+
+@register(
+    "q_stream_interval_join",
+    "SELECT c.event_id AS click_id, p.event_id AS purchase_id FROM "
+    "(SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c "
+    "JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p "
+    "ON c.user_id = p.user_id AND p.ts > c.ts "
+    "AND p.ts <= c.ts + INTERVAL 1 HOUR",
+)
+def q_stream_interval_join(spark, sf):
+    """Stream-stream interval join (streaming.stream_stream_interval_join):
+    clicks and purchases as TWO watermarked streams, purchases attributed
+    to clicks of the same user within one hour — state expires past
+    watermark+delay. Inner emissions are exact, so the batch BETWEEN
+    join is the oracle (batch/stream parity for stateful two-stream
+    joins)."""
+    import uuid
+
+    from metadata_enhanced_pretrain_datapipeline_spark.streaming import events as se
+
+    table = f"stream_ivj_{uuid.uuid4().hex[:8]}"
+    raw_schema = load(spark, sf, "events").schema
+
+    def typed_stream(etype, alias):
+        s = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf)
+        )
+        s = _ns_to_ts(s, "ts").withColumn("ts", F.col("ts").cast("timestamp"))
+        return (
+            s.filter(F.col("event_type") == etype)
+            .select(
+                F.col("event_id").alias(f"{alias}_id"),
+                F.col("user_id").alias(f"{alias}_user"),
+                F.col("ts").alias(f"{alias}_ts"),
+            )
+        )
+
+    clicks = typed_stream("click", "click")
+    purchases = typed_stream("purchase", "purchase")
+    joined = se.stream_stream_interval_join(
+        clicks, purchases,
+        left_key="click_user", right_key="purchase_user",
+        left_ts="click_ts", right_ts="purchase_ts",
+        max_delay="1 hour", watermark="2 hours",
+    )
+    q = (
+        joined.select(F.col("click_id"), F.col("purchase_id"))
+        .writeStream.format("memory").queryName(table)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT click_id, purchase_id FROM {table}")

@@ -198,3 +198,31 @@ def stream_static_enrich(stream_df: DataFrame, dim: DataFrame,
     Spark falls back to a per-batch shuffled join.
     """
     return stream_df.join(F.broadcast(dim), on, how)
+
+
+def stream_stream_interval_join(left: DataFrame, right: DataFrame,
+                                left_key: str, right_key: str,
+                                left_ts: str, right_ts: str,
+                                max_delay: str = "1 hour",
+                                watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream INNER interval join: pair each left event with the
+    right events of the same key arriving in ``(left_ts, left_ts +
+    max_delay]`` — the attribution shape (click -> purchase within an
+    hour) that a self-join over a firehose needs.
+
+    Both sides carry watermarks and the join condition bounds right_ts
+    relative to left_ts, which is what lets Spark EXPIRE buffered state:
+    a left row older than watermark+max_delay can never match again and
+    is evicted; without the time bound the state store grows with the
+    stream (the scale failure this wrapper's signature makes
+    unrepresentable). Inner-join emissions are exact, so the batch twin
+    (plain BETWEEN join) is a value-level oracle.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[left_key] == rw[right_key])
+        & (rw[right_ts] > lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return lw.join(rw, cond, "inner")
