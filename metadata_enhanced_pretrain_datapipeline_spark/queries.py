@@ -4462,3 +4462,54 @@ def q_stream_interval_join(spark, sf):
     )
     q.awaitTermination()
     return spark.sql(f"SELECT click_id, purchase_id FROM {table}")
+
+
+@register(
+    "q_sql_frontend",
+    "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars, "
+    "count(DISTINCT source) AS n_sources FROM documents "
+    "WHERE length(text) >= 200 GROUP BY lang",
+)
+def q_sql_frontend(spark, sf):
+    """SQL front-end surface: the engine's tables registered as temp views
+    and queried with spark.sql — the same Catalyst plan as the DataFrame
+    API (this engine IS Spark SQL; a reference user can bring raw SQL,
+    not just the operator library)."""
+    load(spark, sf, "documents").createOrReplaceTempView("v_documents")
+    return spark.sql(
+        "SELECT lang, count(*) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS chars, "
+        "count(DISTINCT source) AS n_sources FROM v_documents "
+        "WHERE length(text) >= 200 GROUP BY lang"
+    )
+
+
+@register(
+    "q_partitioned_write_prune",
+    "SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars "
+    "FROM documents WHERE lang IN ('en', 'de') GROUP BY source",
+)
+def q_partitioned_write_prune(spark, sf):
+    """Hive-partitioned write → partition-pruned read-back: documents are
+    written partitionBy(lang), then the lang IN (...) filter comes back
+    as PartitionFilters on the directory layout — file listing skips the
+    other langs entirely, no row-level filtering needed. THE 100 TB scan
+    lever (a date/lang/source-partitioned corpus reads only the slice a
+    query names); asserted here by checking the pruned input file count,
+    value-checked by the oracle against the original table."""
+    from metadata_enhanced_pretrain_datapipeline_spark.sources.writers import write_parquet
+
+    d = load(spark, sf, "documents")
+    out = _scratch_dir(sf, "part_prune")
+    write_parquet(d, out, partition_by=["lang"])
+    back = spark.read.parquet(out).filter(F.col("lang").isin("en", "de"))
+    # the partition-pruning proof: the lang predicate reaches the scan as
+    # a PartitionFilter on the directory layout (inputFiles() can't show
+    # this — it lists the base relation pre-pruning)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan.split(
+        "PartitionFilters", 1)[1][:200], plan[:500]
+    return back.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
