@@ -183,3 +183,19 @@ def range_join(points: DataFrame, pt_col: str, intervals: DataFrame,
                 & (F.col(pt_col) <= F.col(end_col)))
         .drop("__bin")
     )
+
+
+def merge_upsert(base: DataFrame, updates: DataFrame, key_cols: list[str]) -> DataFrame:
+    """MERGE-style upsert: every key present in ``updates`` takes the
+    update row; all other base rows pass through — the incremental
+    metadata-refresh shape (re-annotated quality scores, recrawled pages)
+    without a table format's MERGE INTO.
+
+    Plan: base anti-joins the updates' key set (ids only — AQE broadcasts
+    when small), then unions the updates verbatim. One shuffle at most;
+    at 100 TB pair with a partition-aligned write so only touched
+    partitions rewrite. Schemas must match (unionByName enforces it
+    loudly rather than silently reordering)."""
+    keys = updates.select(*key_cols).distinct()
+    kept = base.join(keys, key_cols, "left_anti")
+    return kept.unionByName(updates)

@@ -4513,3 +4513,27 @@ def q_partitioned_write_prune(spark, sf):
         F.count("*").alias("n"),
         F.sum("n_chars").cast("long").alias("chars"),
     )
+
+
+@register(
+    "q_merge_upsert",
+    "SELECT doc_id, n_chars, src FROM ("
+    "  SELECT doc_id, CAST(-1 AS BIGINT) AS n_chars, 'update' AS src "
+    "  FROM documents WHERE doc_id % 7 = 0 "
+    "  UNION ALL "
+    "  SELECT doc_id, n_chars, 'base' AS src FROM documents "
+    "  WHERE doc_id % 7 <> 0)",
+)
+def q_merge_upsert(spark, sf):
+    """MERGE-style upsert (joins.merge_upsert): a re-annotation batch
+    (every 7th doc with a rewritten n_chars) overrides the base corpus,
+    untouched rows pass through — anti-join on ids + union, one shuffle
+    at most."""
+    d = load(spark, sf, "documents").select("doc_id", "n_chars")
+    updates = (
+        d.filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id", F.lit(-1).cast("long").alias("n_chars"))
+        .withColumn("src", F.lit("update"))
+    )
+    base = d.withColumn("src", F.lit("base"))
+    return joins.merge_upsert(base, updates, ["doc_id"])

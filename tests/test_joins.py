@@ -177,3 +177,14 @@ def test_range_join_null_and_nan_intervals_drop(spark):
     got = [r.iid for r in
            J.range_join(pts, "x", iv, "lo", "hi", bin_width=4.0).collect()]
     assert got == [1]   # NULL/NaN bounds never match — and never crash
+
+
+def test_merge_upsert_overrides_and_passthrough(spark):
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import joins
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string")
+    updates = spark.createDataFrame(
+        [(2, "B2"), (4, "d")], "id long, v string")
+    out = {r.id: r.v for r in joins.merge_upsert(base, updates, ["id"]).collect()}
+    assert out == {1: "a", 2: "B2", 3: "c", 4: "d"}
