@@ -203,3 +203,26 @@ def c4_kept_lines(text: Column, min_words: int = 3) -> Column:
         )
 
     return F.filter(lines, ok)
+
+
+def nfc_normalize_udf():
+    """Unicode NFC normalization as an Arrow-batched pandas UDF — the
+    canonicalization pass a multilingual corpus runs before hashing/
+    dedup (combining-mark sequences vs precomposed chars must not make
+    identical text look distinct to a digest). Spark has no built-in
+    unicode normalizer, so this is a legitimate Python stage: stdlib
+    ``unicodedata``, vectorized per batch, no model or codec needed.
+    Returns a fresh UDF each call (pyspark UDFs are not shareable across
+    SparkContexts in long sessions)."""
+    import unicodedata
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _norm(s):
+        return pd.Series(
+            [None if t is None else unicodedata.normalize("NFC", t) for t in s]
+        )
+
+    # hint-free form (module uses `from __future__ import annotations`)
+    return pandas_udf(_norm, "string")

@@ -4537,3 +4537,32 @@ def q_merge_upsert(spark, sf):
     )
     base = d.withColumn("src", F.lit("base"))
     return joins.merge_upsert(base, updates, ["doc_id"])
+
+
+@register(
+    "q_nfc_normalize",
+    # inject a decomposed 'e'+combining-acute per doc so NFC has real
+    # work on the ASCII fixture; both engines implement UAX#15
+    "SELECT doc_id, length(nfc_normalize(text || 'caf' || 'e' || chr(769))) "
+    "AS n_norm, CAST(length(text || 'caf' || 'e' || chr(769)) AS BIGINT) AS n_raw, "
+    "md5(nfc_normalize(text || 'caf' || 'e' || chr(769))) AS digest "
+    "FROM documents",
+)
+def q_nfc_normalize(spark, sf):
+    """Unicode NFC canonicalization (functions/text.nfc_normalize_udf):
+    decomposed combining sequences collapse to precomposed chars before
+    hashing — without it, byte-different-but-identical text defeats every
+    digest-keyed dedup. Arrow-batched stdlib unicodedata; oracle is
+    DuckDB's nfc_normalize (same UAX#15 algorithm), value-checked via
+    post-normalization md5."""
+    from metadata_enhanced_pretrain_datapipeline_spark.functions.text import nfc_normalize_udf
+
+    norm = nfc_normalize_udf()
+    d = load(spark, sf, "documents").withColumn(
+        "raw", F.concat(F.col("text"), F.lit("caf"), F.lit("e\u0301")))
+    return d.select(
+        "doc_id",
+        F.length(norm(F.col("raw"))).cast("long").alias("n_norm"),
+        F.length("raw").cast("long").alias("n_raw"),
+        F.md5(norm(F.col("raw"))).alias("digest"),
+    )

@@ -58,3 +58,16 @@ def test_term_drift_kl_nonnegative_total_and_smoothing(spark):
         assert r.p > 0 and r.q > 0
     # KL(P||Q) as a sum of contributions is >= 0
     assert sum(r.kl_term for r in rows) >= 0
+
+
+def test_nfc_normalize_udf_collapses_combining_marks(spark):
+    from metadata_enhanced_pretrain_datapipeline_spark.functions.text import nfc_normalize_udf
+
+    norm = nfc_normalize_udf()
+    decomposed, precomposed = "e\u0301", "\u00e9"
+    assert decomposed != precomposed  # distinct byte sequences going in
+    df = spark.createDataFrame(
+        [(decomposed,), (precomposed,), (None,), ("plain",)], "t string")
+    out = [r.n for r in df.select(norm(F.col("t")).alias("n")).collect()]
+    assert out[0] == out[1] == precomposed
+    assert out[2] is None and out[3] == "plain"
