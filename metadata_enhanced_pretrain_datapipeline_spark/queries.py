@@ -4566,3 +4566,53 @@ def q_nfc_normalize(spark, sf):
         F.length("raw").cast("long").alias("n_raw"),
         F.md5(norm(F.col("raw"))).alias("digest"),
     )
+
+
+@register(
+    "q_yoy_growth",
+    "WITH y AS (SELECT CAST(year(o_orderdate) AS INT) AS yr, "
+    "  sum(o_totalprice) AS rev FROM orders GROUP BY 1) "
+    "SELECT yr, rev, rev - lag(rev) OVER (ORDER BY yr) AS delta, "
+    "round(100.0 * (rev - lag(rev) OVER (ORDER BY yr)) "
+    "  / lag(rev) OVER (ORDER BY yr), 4) AS pct "
+    "FROM y",
+)
+def q_yoy_growth(spark, sf):
+    """Year-over-year growth: yearly aggregate (one shuffle over orders)
+    then lag over the TINY per-year frame — the single-partition window
+    runs on ~7 rows, not the fact table, which is the only safe place
+    for an unpartitioned window."""
+    o = load_orders_dated(spark, sf)
+    y = o.groupBy(F.year("o_orderdate").alias("yr")).agg(
+        F.sum("o_totalprice").alias("rev"))
+    w = Window.orderBy("yr")
+    return y.select(
+        "yr", "rev",
+        (F.col("rev") - F.lag("rev").over(w)).alias("delta"),
+        F.round(100.0 * (F.col("rev") - F.lag("rev").over(w))
+                / F.lag("rev").over(w), 4).alias("pct"),
+    )
+
+
+@register(
+    "q_topk_per_group",
+    "SELECT n_name, s_suppkey, s_name, s_acctbal, CAST(rnk AS INT) AS rnk FROM ("
+    "  SELECT n_name, s_suppkey, s_name, s_acctbal, "
+    "  rank() OVER (PARTITION BY n_name ORDER BY s_acctbal DESC, s_suppkey) AS rnk "
+    "  FROM supplier JOIN nation ON s_nationkey = n_nationkey) "
+    "WHERE rnk <= 2",
+)
+def q_topk_per_group(spark, sf):
+    """Top-k per group: rank window partitioned by nation — each group's
+    top-2 suppliers by balance with a deterministic suppkey tie-break.
+    One Exchange on the group key; no global sort, no per-group
+    collect."""
+    s = load(spark, sf, "supplier")
+    n = load(spark, sf, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.desc("s_acctbal"), "s_suppkey")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("n_name", "s_suppkey", "s_name", "s_acctbal", "rnk")
+    )
