@@ -263,3 +263,37 @@ def test_duplicate_clusters_matches_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     want = {x: find(x) for x in parent}
     assert got == want
+
+
+segments_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 4),                                  # doc
+        st.integers(0, 15),                                 # pos
+        st.text(alphabet="xy", min_size=1, max_size=4),     # segment
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@_slow
+@given(segs=segments_strategy)
+def test_segment_dedup_first_wins_invariants(spark, segs):
+    """For ARBITRARY segment streams: (a) exactly one survivor per
+    distinct segment text, (b) each survivor is the (doc, pos)-smallest
+    occurrence, (c) survivors are a subset of the input rows."""
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import dedup
+
+    df = spark.createDataFrame(segs, "doc_id long, pos int, segment string")
+    kept = [(r.doc_id, r.pos, r.segment)
+            for r in dedup.segment_dedup(df, max_pos=16).collect()]
+    inp = set(segs)
+    assert set(kept) <= inp
+    by_text = {}
+    for d, p, s in segs:
+        cur = by_text.get(s)
+        if cur is None or (d, p) < cur:
+            by_text[s] = (d, p)
+    expect = {(d, p, s) for s, (d, p) in by_text.items()}
+    assert set(kept) == expect
