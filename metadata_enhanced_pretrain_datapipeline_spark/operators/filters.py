@@ -175,3 +175,22 @@ def c4_line_filter(df: DataFrame, text_col: str = "text", min_words: int = 3,
         .withColumn(text_col, F.array_join("__kept", "\n"))
         .drop("__kept")
     )
+
+
+def stratified_hash_sample(df: DataFrame, key: Column, strata: Column,
+                           rates: dict[str, float], default_rate: float = 0.0,
+                           salt: int = 42) -> DataFrame:
+    """Per-stratum deterministic sampling — `df.sampleBy` with hash
+    determinism instead of RNG: each stratum keeps its own fraction
+    (keep 100% of curated sources, 10% of crawl — the hand-tuned mixing
+    primitive next to temperature_mix's computed rates). Strata absent
+    from ``rates`` keep ``default_rate``.
+
+    The rate map compiles to a CASE expression over integer hash
+    thresholds — pure codegen, zero shuffles, retry/cluster-size stable,
+    and exactly reproducible in SQL for the differential oracle."""
+    n = 1_000_003
+    thresh = F.lit(int(default_rate * n))
+    for value, rate in sorted(rates.items()):
+        thresh = F.when(strata == value, F.lit(int(rate * n))).otherwise(thresh)
+    return df.filter(hash_bucket(key, n, salt) < thresh)

@@ -4616,3 +4616,23 @@ def q_topk_per_group(spark, sf):
         .filter(F.col("rnk") <= 2)
         .select("n_name", "s_suppkey", "s_name", "s_acctbal", "rnk")
     )
+
+
+@register(
+    "q_stratified_sample",
+    "SELECT doc_id, lang FROM documents WHERE "
+    f"{lin_sql('doc_id', 7)} % 1000003 < "
+    "(CASE lang WHEN 'en' THEN 1000003 WHEN 'de' THEN 500000 "
+    "WHEN 'fr' THEN 100000 ELSE 0 END)",
+)
+def q_stratified_sample(spark, sf):
+    """Per-stratum deterministic sampling (filters.stratified_hash_sample):
+    keep all English, half German, 10% French, drop the rest — sampleBy
+    semantics with hash determinism, compiled to one CASE threshold in
+    codegen. Zero shuffles."""
+    d = load(spark, sf, "documents")
+    out = filters.stratified_hash_sample(
+        d, F.col("doc_id"), F.col("lang"),
+        {"en": 1000003 / 1000003, "de": 500000 / 1000003, "fr": 100000 / 1000003},
+        default_rate=0.0, salt=7)
+    return out.select("doc_id", "lang")

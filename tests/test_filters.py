@@ -74,3 +74,27 @@ def test_c4_line_filter_min_lines_gate(spark):
         "doc_id long, text string")
     assert filters.c4_line_filter(df, min_lines=2).count() == 0
     assert filters.c4_line_filter(df, min_lines=1).count() == 1
+
+
+def test_stratified_hash_sample_rates_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import filters
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(2000)],
+        "id long, s string")
+    out = filters.stratified_hash_sample(
+        df, F.col("id"), F.col("s"), {"a": 1.0, "b": 0.25}, default_rate=0.0)
+    rows = out.collect()
+    a = sum(1 for r in rows if r.s == "a")
+    b = sum(1 for r in rows if r.s == "b")
+    assert a == 1000                      # rate 1.0 keeps every 'a'
+    assert 150 < b < 350                  # ~25% of 1000, hash-exact
+    again = filters.stratified_hash_sample(
+        df, F.col("id"), F.col("s"), {"a": 1.0, "b": 0.25}, default_rate=0.0)
+    assert sorted((r.id for r in rows)) == sorted((r.id for r in again.collect()))
+    # unknown stratum with default 0 -> dropped
+    df2 = spark.createDataFrame([(1, "zz")], "id long, s string")
+    assert filters.stratified_hash_sample(
+        df2, F.col("id"), F.col("s"), {"a": 1.0}).count() == 0
