@@ -126,7 +126,13 @@ def equi_width_histogram(df: DataFrame, value_col: str,
     arithmetic is exact-rounded IEEE ops on identical inputs, hence
     engine-portable bin assignment. Degenerate case lo == hi puts every
     row in bin 0 (width would be 0 — guarded with a NULL-safe floor).
+    NULL (and for float columns NaN) values are EXCLUDED up front —
+    without the filter a NULL raw_bin would slip through F.least (which
+    skips nulls) straight into the top bin as phantom mass.
     """
+    df = df.filter(F.col(value_col).isNotNull())
+    if dict(df.dtypes).get(value_col) in ("double", "float"):
+        df = df.filter(~F.isnan(value_col))
     mm = df.agg(F.min(value_col).alias("__lo"), F.max(value_col).alias("__hi"))
     width = (F.col("__hi") - F.col("__lo")) / F.lit(n_bins)
     raw_bin = F.floor((F.col(value_col) - F.col("__lo")) / width)

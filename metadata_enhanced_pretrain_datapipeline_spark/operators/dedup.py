@@ -701,7 +701,7 @@ def dedup_against(df: DataFrame, seen: DataFrame, text_col: str = "text",
 
 def segment_dedup(segments: DataFrame, id_col: str = "doc_id",
                   pos_col: str = "pos", seg_col: str = "segment",
-                  max_pos: int = 4096) -> DataFrame:
+                  max_pos: int | None = None) -> DataFrame:
     """Corpus-level line/paragraph dedup (the RefinedWeb/CCNet line-level
     pass; complements the document-level dedup_exact_text and the
     substring-level excise_repeated_ngrams): keep each distinct segment
@@ -709,23 +709,32 @@ def segment_dedup(segments: DataFrame, id_col: str = "doc_id",
     whole corpus — and drop every later copy.
 
     Input is the exploded (id, pos, segment) stream. Plan: digest each
-    segment, groupBy-min on an exact integral order key
-    ``id*max_pos + pos`` (map-side partial agg: a boilerplate segment
-    duplicated 1e9 times reduces per-partition BEFORE the shuffle, so hot
-    digests cannot skew a reducer the way a row_number window would),
-    then a join on (digest, order_key) recovers the keeper rows. Two
-    linear shuffles; only digests and bigints move.
-
-    ``max_pos`` must exceed every per-doc segment count (and
-    ``max(id)*max_pos`` must stay under 2^63 — ANSI mode makes an
-    overflow loud, not silent).
+    segment, groupBy-MIN of the (id, pos) STRUCT (lexicographic struct
+    ordering — map-side partial agg, so a boilerplate segment duplicated
+    1e9 times reduces per-partition BEFORE the shuffle and hot digests
+    cannot skew a reducer the way a row_number window would), then a
+    join on (digest, id, pos) recovers the keeper rows. Two linear
+    shuffles; only digests and bigints move. The struct-min needs no
+    integer encoding, so there is NO max-position contract to violate
+    (``max_pos`` is accepted and ignored for API compatibility).
     """
     digest = F.md5(F.col(seg_col))
-    okey = (F.col(id_col).cast("long") * F.lit(max_pos) + F.col(pos_col)).alias("__ok")
-    d = segments.withColumn("__dg", digest).withColumn("__ok", okey)
-    firsts = d.groupBy("__dg").agg(F.min("__ok").alias("__mok"))
+    d = segments.withColumn("__dg", digest)
+    firsts = d.groupBy("__dg").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col(pos_col).alias("p")))
+        .alias("__first")
+    ).select(
+        F.col("__dg").alias("__fdg"),
+        F.col("__first.i").alias("__fid"),
+        F.col("__first.p").alias("__fpos"),
+    )
     return (
-        d.join(firsts, (d["__dg"] == firsts["__dg"]) & (d["__ok"] == firsts["__mok"]))
+        d.join(
+            firsts,
+            (d["__dg"] == firsts["__fdg"])
+            & (d[id_col] == firsts["__fid"])
+            & (d[pos_col] == firsts["__fpos"]),
+        )
         .select(*[F.col(c) for c in segments.columns])
     )
 
@@ -779,18 +788,28 @@ def _bloom_position_cols(key: Column, num_bits: int, num_hashes: int) -> list[Co
 
 
 def build_bloom_bits(keys: DataFrame, key_col: str,
-                     num_bits: int = 1 << 23, num_hashes: int = 4) -> bytes:
+                     num_bits: int = 1 << 23, num_hashes: int = 4,
+                     max_build_partitions: int = 64) -> bytes:
     """Distributed Bloom filter build: every partition folds its keys into
     a local numpy bitmap in ONE Arrow pass (no explode, no shuffle), the
     per-partition bitmaps (num_bits/8 bytes each) come back to the driver
     and OR-merge. 2^23 bits = 1 MiB per partition message; for 1e9 keys
     size num_bits ~ 10x key count for ~1% FP.
+
+    The position stream coalesces to ``max_build_partitions`` first so
+    driver traffic is bounded at max_build_partitions x (num_bits/8)
+    bytes regardless of the seen side's input partitioning — a 100 TB
+    seen-side with 100k parquet splits must not ship 100k bitmaps to a
+    single-threaded driver merge (coalesce is shuffle-free; each build
+    task just reads more splits).
     """
     import numpy as np
     import pyarrow as pa
 
     nbytes = num_bits // 8
     pos_df = keys.select(*_bloom_position_cols(F.col(key_col), num_bits, num_hashes))
+    if pos_df.rdd.getNumPartitions() > max_build_partitions:
+        pos_df = pos_df.coalesce(max_build_partitions)
 
     def fold(batches):
         bm = np.zeros(nbytes, dtype=np.uint8)

@@ -86,13 +86,18 @@ def domain_blocklist_filter(df: DataFrame, domain_col: Column, blocked: DataFram
     return out.drop("__domain")
 
 
+#: shared sampler modulus: both samplers (and every hand-rendered
+#: oracle literal) must agree on this space or they silently diverge
+SAMPLE_SPACE = 1_000_003
+
+
 def hash_sample(df: DataFrame, key: Column, rate: float, salt: int = 42) -> DataFrame:
     """F4 — SamplerFilter, deterministic variant: keep ``rate`` of rows by
     hash of a stable key (reference keeps w.p. rate with seed=42,
     fineweb-2/main.py:286-295). Hash-based → identical across retries,
     engines, and cluster sizes; `df.sample` is not."""
-    n = 1_000_003
-    return df.filter(hash_bucket(key, n, salt) < F.lit(int(rate * n)))
+    return df.filter(
+        hash_bucket(key, SAMPLE_SPACE, salt) < F.lit(int(rate * SAMPLE_SPACE)))
 
 
 def shard_select(df: DataFrame, key: Column, shard: int, num_shards: int) -> DataFrame:
@@ -189,8 +194,8 @@ def stratified_hash_sample(df: DataFrame, key: Column, strata: Column,
     The rate map compiles to a CASE expression over integer hash
     thresholds — pure codegen, zero shuffles, retry/cluster-size stable,
     and exactly reproducible in SQL for the differential oracle."""
-    n = 1_000_003
-    thresh = F.lit(int(default_rate * n))
+    thresh = F.lit(int(default_rate * SAMPLE_SPACE))
     for value, rate in sorted(rates.items()):
-        thresh = F.when(strata == value, F.lit(int(rate * n))).otherwise(thresh)
-    return df.filter(hash_bucket(key, n, salt) < thresh)
+        thresh = F.when(
+            strata == value, F.lit(int(rate * SAMPLE_SPACE))).otherwise(thresh)
+    return df.filter(hash_bucket(key, SAMPLE_SPACE, salt) < thresh)

@@ -29,7 +29,6 @@ def term_frequencies(df: DataFrame, id_col: str = "doc_id",
     the (id, term) shuffle."""
     return (
         df.select(F.col(id_col), F.explode(tokens_ws(F.col(text_col))).alias("term"))
-        .filter(F.col("term") != "")
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"))
     )
@@ -88,7 +87,6 @@ def inverted_index(df: DataFrame, id_col: str = "doc_id",
     """
     pairs = (
         df.select(F.col(id_col), F.explode(tokens_ws(F.col(text_col))).alias("term"))
-        .filter(F.col("term") != "")
         .distinct()
     )
     agg = pairs.groupBy("term").agg(
@@ -118,7 +116,6 @@ def term_distribution_drift(df: DataFrame, slice_col: Column,
     counts = (
         df.select(slice_col.alias("slice"),
                   F.explode(tokens_ws(F.col(text_col))).alias("term"))
-        .filter(F.col("term") != "")
         .groupBy("term")
         .agg(
             F.sum(F.when(F.col("slice") == "p", 1).otherwise(0)).alias("np"),

@@ -3954,7 +3954,7 @@ def q_window_suite(spark, sf):
     "SELECT event_id, CAST(count(*) OVER w AS BIGINT) AS n_5min, "
     "sum(value) OVER w AS sum_5min FROM ("
     "  SELECT event_id, user_id, value, "
-    "  CAST(epoch(ts) AS BIGINT) AS ts_s FROM events) "
+    "  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events) "
     "WINDOW w AS (PARTITION BY user_id ORDER BY ts_s "
     "RANGE BETWEEN 300 PRECEDING AND CURRENT ROW)",
 )
@@ -4309,9 +4309,9 @@ def q_flag_violations(spark, sf):
     "WITH z AS (SELECT "
     + __import__("metadata_enhanced_pretrain_datapipeline_spark.operators.layout",
                  fromlist=["zorder_key_sql"]).zorder_key_sql(
-        "(user_id & 255)", "((CAST(epoch(ts) AS BIGINT) // 3600) & 255)", 8)
+        "(user_id & 255)", "((CAST(floor(epoch(ts)) AS BIGINT) // 3600) & 255)", 8)
     + " AS zkey, (user_id & 255) AS ux, "
-    "((CAST(epoch(ts) AS BIGINT) // 3600) & 255) AS hy FROM events) "
+    "((CAST(floor(epoch(ts)) AS BIGINT) // 3600) & 255) AS hy FROM events) "
     "SELECT CAST(zkey // 4096 AS BIGINT) AS z_bucket, count(*) AS n, "
     "CAST(min(ux) AS BIGINT) AS min_x, CAST(max(ux) AS BIGINT) AS max_x, "
     "CAST(min(hy) AS BIGINT) AS min_y, CAST(max(hy) AS BIGINT) AS max_y "
@@ -4377,7 +4377,7 @@ def q_funnel(spark, sf):
 @register(
     "q_cohort_retention",
     "WITH w AS (SELECT user_id, "
-    "  CAST(epoch(ts) AS BIGINT) // 604800 AS week FROM events), "
+    "  CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week FROM events), "
     "f AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY 1), "
     "a AS (SELECT DISTINCT w.user_id, f.cohort_week, "
     "  w.week - f.cohort_week AS week_offset FROM w JOIN f ON w.user_id = f.user_id) "

@@ -190,14 +190,17 @@ def stream_static_enrich(stream_df: DataFrame, dim: DataFrame,
     """Stream-static join: enrich a stream with a batch dimension.
 
     Stateless on the stream side — Spark re-resolves the static relation
-    per micro-batch and (for a small dim) broadcasts it, so no state
-    store, no watermark, and no shuffle of the stream. This is the
-    streaming twin of the batch broadcast-lookup join (joins.lookup_join)
-    and the shape for 'attach account/domain/source metadata to an event
-    firehose' at any scale; only the static side must fit broadcast, else
-    Spark falls back to a per-batch shuffled join.
+    per micro-batch and broadcasts it when it fits, so no state store,
+    no watermark, and (for a broadcastable dim) no shuffle of the
+    stream. This is the streaming twin of the batch broadcast-lookup
+    join and the shape for 'attach account/domain/source metadata to an
+    event firehose' at any scale. The dim is deliberately NOT hinted
+    with F.broadcast: a too-big dimension must be able to fall back to a
+    per-batch shuffled join instead of dying in a driver-side broadcast
+    build (the same mis-broadcast class range_join/salted_join pin
+    against).
     """
-    return stream_df.join(F.broadcast(dim), on, how)
+    return stream_df.join(dim, on, how)
 
 
 def stream_stream_interval_join(left: DataFrame, right: DataFrame,

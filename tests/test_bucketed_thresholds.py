@@ -53,3 +53,16 @@ def test_equi_width_histogram_bins_and_degenerate(spark):
     const = spark.createDataFrame([(5.0,), (5.0,), (5.0,)], "v double")
     got = aggregates.equi_width_histogram(const, "v", 10).collect()
     assert len(got) == 1 and got[0].bin == 0 and got[0].n == 3
+
+
+def test_equi_width_histogram_excludes_null_and_nan(spark):
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import aggregates
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in range(10)] + [(None,), (None,), (float("nan"),)],
+        "v double")
+    out = {r.bin: r.n for r in
+           aggregates.equi_width_histogram(df, "v", 10).collect()}
+    # 10 real values, one per bin; NULL/NaN must NOT inflate the top bin
+    assert out[9] == 1
+    assert sum(out.values()) == 10
