@@ -4636,3 +4636,66 @@ def q_stratified_sample(spark, sf):
         {"en": 1000003 / 1000003, "de": 500000 / 1000003, "fr": 100000 / 1000003},
         default_rate=0.0, salt=7)
     return out.select("doc_id", "lang")
+
+
+@register(
+    "q_median_per_group",
+    "SELECT o_orderpriority, round(quantile_cont(o_totalprice, 0.5), 4) AS median_price, "
+    "round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price, count(*) AS n "
+    "FROM orders GROUP BY o_orderpriority",
+)
+def q_median_per_group(spark, sf):
+    """Per-group exact percentiles: median and p90 order value per
+    priority — Spark's `percentile` (exact, interpolated) is the same
+    definition as DuckDB's quantile_cont. One shuffle; the sort cost is
+    per-group (spillable), never global."""
+    o = load(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "q_consecutive_years",
+    "SELECT CAST(year(o_orderdate) AS INT) AS yr, count(DISTINCT o_custkey) AS n_repeat "
+    "FROM orders o1 WHERE EXISTS ("
+    "  SELECT 1 FROM orders o2 WHERE o2.o_custkey = o1.o_custkey "
+    "  AND year(o2.o_orderdate) = year(o1.o_orderdate) + 1) "
+    "GROUP BY 1",
+)
+def q_consecutive_years(spark, sf):
+    """Customers retained year-over-year: the correlated EXISTS on
+    (custkey, year+1) decorrelates into a self semi-join of the DISTINCT
+    (custkey, year) set against itself shifted by one year — the distinct
+    set is orders-cardinality-bounded and both sides co-partition on
+    custkey+year, one shuffle pair, no row-level self-join of the fact
+    table."""
+    o = load_orders_dated(spark, sf)
+    cy = o.select("o_custkey", F.year("o_orderdate").alias("yr")).distinct()
+    nxt = cy.select(F.col("o_custkey").alias("n_cust"), (F.col("yr") - 1).alias("n_yr"))
+    return (
+        cy.join(nxt, (cy.o_custkey == nxt.n_cust) & (cy.yr == nxt.n_yr), "left_semi")
+        .groupBy("yr")
+        .agg(F.countDistinct("o_custkey").alias("n_repeat"))
+    )
+
+
+@register(
+    "q_try_divide",
+    "SELECT l_orderkey, l_linenumber, "
+    "l_extendedprice / NULLIF(l_quantity - 25, 0.0) AS price_per_excess "
+    "FROM lineitem WHERE l_orderkey % 1000 = 0",
+)
+def q_try_divide(spark, sf):
+    """ANSI-safe arithmetic: Spark 4 runs ANSI mode where x/0 THROWS and
+    kills the job — try_divide yields NULL instead, the behavior a
+    pipeline over dirty data needs (the engine twin of F12's try_cast).
+    Oracle renders the same semantics via NULLIF."""
+    li = load(spark, sf, "lineitem").filter(F.col("l_orderkey") % 1000 == 0)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.try_divide(F.col("l_extendedprice"),
+                     F.col("l_quantity") - F.lit(25.0)).alias("price_per_excess"),
+    )
