@@ -4699,3 +4699,38 @@ def q_try_divide(spark, sf):
         F.try_divide(F.col("l_extendedprice"),
                      F.col("l_quantity") - F.lit(25.0)).alias("price_per_excess"),
     )
+
+
+@register(
+    "q_json_nested",
+    "WITH j AS (SELECT o_orderpriority, "
+    "  '{\"items\":[{\"p\":' || o_custkey || '},{\"p\":' || (o_orderkey % 100) "
+    "  || '}]}' AS js FROM orders) "
+    "SELECT o_orderpriority, CAST(sum("
+    "  CAST(json_extract(js, '$.items[0].p') AS BIGINT) "
+    "  + CAST(json_extract(js, '$.items[1].p') AS BIGINT)) AS BIGINT) AS sum_p, "
+    "count(*) AS n FROM j GROUP BY 1",
+)
+def q_json_nested(spark, sf):
+    """Nested-JSON parsing: from_json with an explicit
+    struct<array<struct>> schema then explode of the inner array — the
+    log-ingestion shape (§2.10 json.loads boundary, one level deeper than
+    q_event_json's flat get_json_object). The JSON text is BUILT from
+    integer columns identically in both engines, so parsing is the only
+    thing under test."""
+    o = load(spark, sf, "orders")
+    j = F.concat(
+        F.lit('{"items":[{"p":'), F.col("o_custkey").cast("string"),
+        F.lit('},{"p":'), (F.col("o_orderkey") % 100).cast("string"),
+        F.lit('}]}'),
+    )
+    parsed = o.select(
+        "o_orderpriority",
+        F.from_json(j, "struct<items:array<struct<p:bigint>>>").alias("doc"),
+    )
+    return (
+        parsed.select("o_orderpriority", F.explode("doc.items").alias("item"))
+        .groupBy("o_orderpriority")
+        .agg(F.sum("item.p").alias("sum_p"),
+             (F.count("*") / 2).cast("long").alias("n"))
+    )

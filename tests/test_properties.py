@@ -297,3 +297,36 @@ def test_segment_dedup_first_wins_invariants(spark, segs):
             by_text[s] = (d, p)
     expect = {(d, p, s) for s, (d, p) in by_text.items()}
     assert set(kept) == expect
+
+
+bloom_keys_strategy = st.tuples(
+    st.sets(st.integers(0, 300), max_size=40),   # corpus keys
+    st.sets(st.integers(0, 300), max_size=40),   # seen keys
+    st.sampled_from([64, 256, 1 << 12]),         # bloom sizes incl. saturated
+)
+
+
+@_slow
+@given(cfg=bloom_keys_strategy)
+def test_bloom_anti_join_always_equals_plain_anti_join(spark, cfg):
+    """For ARBITRARY key sets and bloom sizes (including tiny saturated
+    filters that force everything through the verify path), the
+    bloom-prefiltered anti-join must equal the plain anti-join exactly —
+    false positives cost work, never rows; false negatives are
+    impossible."""
+    from pyspark.sql import functions as F
+
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import dedup
+
+    corpus_keys, seen_keys, bits = cfg
+    corpus = spark.createDataFrame(
+        [(k,) for k in sorted(corpus_keys)] or [(None,)], "k long").filter(
+        F.col("k").isNotNull())
+    seen = spark.createDataFrame(
+        [(k,) for k in sorted(seen_keys)] or [(None,)], "sk long").filter(
+        F.col("sk").isNotNull())
+    out = dedup.bloom_anti_join(
+        corpus, seen, df_key=F.col("k").cast("string"),
+        seen_key=F.col("sk").cast("string"), num_bits=bits, num_hashes=3)
+    got = sorted(r.k for r in out.collect())
+    assert got == sorted(corpus_keys - seen_keys)
