@@ -4734,3 +4734,29 @@ def q_json_nested(spark, sf):
         .agg(F.sum("item.p").alias("sum_p"),
              (F.count("*") / 2).cast("long").alias("n"))
     )
+
+
+@register("q_ivf_pruned_probe", _REGISTRY["q_ivf_static_topk"][1])
+def q_ivf_pruned_probe(spark, sf):
+    """The IVF ANN layout end to end, physically: assign static-codebook
+    list ids (similarity.ivf_assign), WRITE the corpus partitioned by
+    list_id, read it back and probe with ivf_topk(list_col=...) — the
+    nprobe isin filter must arrive as a PartitionFilter on the directory
+    layout (asserted in-plan), so a 100 TB index reads nprobe
+    directories, not the corpus. Same oracle as q_ivf_static_topk: the
+    physical layout must not change a single value."""
+    e = load(spark, sf, "embeddings")
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in e.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    path = _scratch_dir(sf, "ivf_layout")
+    similarity.ivf_assign(e, cents).write.mode("overwrite").partitionBy(
+        "list_id").parquet(path)
+    back = spark.read.parquet(path)
+    out = similarity.ivf_topk(back, cents, cents[0], k=10, nprobe=2,
+                              list_col="list_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan.split(
+        "PartitionFilters", 1)[1][:200], plan[:400]
+    return out
