@@ -4760,3 +4760,46 @@ def q_ivf_pruned_probe(spark, sf):
     assert "PartitionFilters" in plan and "list_id" in plan.split(
         "PartitionFilters", 1)[1][:200], plan[:400]
     return out
+
+
+_LSH_BUCKET_SQL = (
+    "SELECT vec_id, "
+    + " + ".join(
+        f"(CASE WHEN {_plane_sql(p)} > 0 THEN {1 << p} ELSE 0 END)" for p in range(8)
+    )
+    + " AS bucket FROM (SELECT vec_id, unnest(embedding) AS v, "
+    "generate_subscripts(embedding, 1) AS i FROM embeddings) GROUP BY vec_id"
+)
+
+
+@register(
+    "q_lsh_pruned_probe",
+    f"WITH b AS ({_LSH_BUCKET_SQL}), "
+    "qb AS (SELECT bucket FROM b WHERE vec_id = 0), "
+    f"n AS ({_NORM_SQL}), d AS ({_PAIRDOT_SQL}), "
+    "q AS (SELECT nrm AS qn FROM n WHERE vec_id = 0) "
+    "SELECT d.vec_id, round(d.dp / (n.nrm * q.qn), 6) AS cosine "
+    "FROM d JOIN n ON d.vec_id = n.vec_id CROSS JOIN q "
+    "JOIN b ON b.vec_id = d.vec_id JOIN qb ON b.bucket = qb.bucket "
+    "ORDER BY cosine DESC, d.vec_id LIMIT 10",
+)
+def q_lsh_pruned_probe(spark, sf):
+    """The LSH ANN layout end to end, physically
+    (similarity.write_bucketed_embeddings → lsh_topk(bucket_col=...)):
+    buckets are computed once at WRITE time and become the directory
+    layout; the probe's bucket equality must arrive as a PartitionFilter
+    (asserted in-plan) so a 100 TB index reads ONE bucket's files. The
+    oracle recomputes the same bucket arithmetic logically — the
+    physical layout must not change a value."""
+    e = load(spark, sf, "embeddings")
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    path = _scratch_dir(sf, "lsh_layout")
+    similarity.write_bucketed_embeddings(e, path, num_planes=8)
+    back = spark.read.parquet(path)
+    out = similarity.lsh_topk(back, qvec, k=10, num_planes=8,
+                              bucket_col="bucket")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan.split(
+        "PartitionFilters", 1)[1][:200], plan[:400]
+    return out
