@@ -27,9 +27,14 @@ from pyspark.sql import functions as F
 def expectation_summary(df: DataFrame, rules: list[tuple[str, Column]]) -> DataFrame:
     """One row per rule: (rule, n_violations, passed). NULL predicate
     results count as violations (an expectation must hold provably)."""
+    # coalesce(sum, 0): an EMPTY corpus violates nothing — sum over zero
+    # rows is NULL, which would read as "unknown" instead of a pass
     aggs = [
-        F.sum(F.when(F.coalesce(cond.cast("boolean"), F.lit(False)), 0).otherwise(1))
-        .alias(name)
+        F.coalesce(
+            F.sum(F.when(F.coalesce(cond.cast("boolean"), F.lit(False)), 0)
+                  .otherwise(1)),
+            F.lit(0),
+        ).alias(name)
         for name, cond in rules
     ]
     wide = df.agg(*aggs)

@@ -31,3 +31,12 @@ def test_flag_violations_arrays(spark):
            for r in ex.flag_violations(_df(spark), rules).collect()}
     assert out == {1: ["score_low"], 2: ["txt_present"],
                    3: ["score_low"], 4: []}
+
+
+def test_expectation_summary_empty_corpus_passes(spark):
+    from pyspark.sql import functions as F
+
+    empty = spark.createDataFrame([], "id long, txt string")
+    out = ex.expectation_summary(empty, [("txt_present", F.col("txt").isNotNull())]).collect()
+    assert [(r.rule, r.n_violations, r.passed) for r in out] == [
+        ("txt_present", 0, True)]
