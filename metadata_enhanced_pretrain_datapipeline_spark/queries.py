@@ -945,10 +945,7 @@ def q_ivf_static_topk(spark, sf):
     argmax list assignment, nprobe nearest lists, exact cosine within —
     is deterministic arithmetic both engines reproduce."""
     e = load(spark, sf, "embeddings")
-    cents = [
-        [float(x) for x in r.embedding]
-        for r in e.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
-    ]
+    cents = _static_codebook(e)
     return similarity.ivf_topk(e, cents, cents[0], k=10, nprobe=2)
 
 
@@ -985,15 +982,22 @@ def _plane_sql(p: int) -> str:
     )
 
 
+def _lsh_bucket_sql() -> str:
+    """SQL twin of similarity.lsh_bucket over the embeddings table."""
+    return (
+        "SELECT vec_id, "
+        + " + ".join(
+            f"(CASE WHEN {_plane_sql(p)} > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(8)
+        )
+        + " AS bucket FROM (SELECT vec_id, unnest(embedding) AS v, "
+        "generate_subscripts(embedding, 1) AS i FROM embeddings) GROUP BY vec_id"
+    )
+
+
 @register(
     "q_ann_lsh_buckets",
-    "SELECT bucket, count(*) AS n FROM (SELECT vec_id, "
-    + " + ".join(
-        f"(CASE WHEN {_plane_sql(p)} > 0 THEN {1 << p} ELSE 0 END)" for p in range(8)
-    )
-    + " AS bucket FROM (SELECT vec_id, unnest(embedding) AS v, "
-    "generate_subscripts(embedding, 1) AS i FROM embeddings) GROUP BY vec_id) "
-    "GROUP BY bucket",
+    f"SELECT bucket, count(*) AS n FROM ({_lsh_bucket_sql()}) GROUP BY bucket",
 )
 def q_ann_lsh_buckets(spark, sf):
     """Extension — hyperplane-LSH bucket histogram (the ANN scale path:
@@ -4507,8 +4511,10 @@ def q_partitioned_write_prune(spark, sf):
     # a PartitionFilter on the directory layout (inputFiles() can't show
     # this — it lists the base relation pre-pruning)
     plan = back._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan and "lang" in plan.split(
-        "PartitionFilters", 1)[1][:200], plan[:500]
+    import re as _re
+    # match INSIDE the brackets: an empty 'PartitionFilters: []' followed
+    # by PushedFilters/ReadSchema mentioning lang must NOT pass
+    assert _re.search(r"PartitionFilters: \[[^\]]*lang", plan), plan[:500]
     return back.groupBy("source").agg(
         F.count("*").alias("n"),
         F.sum("n_chars").cast("long").alias("chars"),
@@ -4736,6 +4742,16 @@ def q_json_nested(spark, sf):
     )
 
 
+def _static_codebook(e):
+    """First-4-vectors codebook shared by q_ivf_static_topk and
+    q_ivf_pruned_probe (one definition; the two queries must probe the
+    SAME lists or their shared oracle is meaningless)."""
+    return [
+        [float(x) for x in r.embedding]
+        for r in e.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+
+
 @register("q_ivf_pruned_probe", _REGISTRY["q_ivf_static_topk"][1])
 def q_ivf_pruned_probe(spark, sf):
     """The IVF ANN layout end to end, physically: assign static-codebook
@@ -4746,10 +4762,7 @@ def q_ivf_pruned_probe(spark, sf):
     directories, not the corpus. Same oracle as q_ivf_static_topk: the
     physical layout must not change a single value."""
     e = load(spark, sf, "embeddings")
-    cents = [
-        [float(x) for x in r.embedding]
-        for r in e.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
-    ]
+    cents = _static_codebook(e)
     path = _scratch_dir(sf, "ivf_layout")
     similarity.ivf_assign(e, cents).write.mode("overwrite").partitionBy(
         "list_id").parquet(path)
@@ -4757,19 +4770,16 @@ def q_ivf_pruned_probe(spark, sf):
     out = similarity.ivf_topk(back, cents, cents[0], k=10, nprobe=2,
                               list_col="list_id")
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan and "list_id" in plan.split(
-        "PartitionFilters", 1)[1][:200], plan[:400]
+    import re as _re
+    # match INSIDE the brackets: an empty 'PartitionFilters: []' followed
+    # by PushedFilters/ReadSchema mentioning list_id must NOT pass
+    assert _re.search(r"PartitionFilters: \[[^\]]*list_id", plan), plan[:500]
     return out
 
 
-_LSH_BUCKET_SQL = (
-    "SELECT vec_id, "
-    + " + ".join(
-        f"(CASE WHEN {_plane_sql(p)} > 0 THEN {1 << p} ELSE 0 END)" for p in range(8)
-    )
-    + " AS bucket FROM (SELECT vec_id, unnest(embedding) AS v, "
-    "generate_subscripts(embedding, 1) AS i FROM embeddings) GROUP BY vec_id"
-)
+# single definition shared with q_ann_lsh_buckets' oracle (one edit point
+# for the plane constants — two inline copies could silently diverge)
+_LSH_BUCKET_SQL = _lsh_bucket_sql()
 
 
 @register(
@@ -4800,6 +4810,8 @@ def q_lsh_pruned_probe(spark, sf):
     out = similarity.lsh_topk(back, qvec, k=10, num_planes=8,
                               bucket_col="bucket")
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan and "bucket" in plan.split(
-        "PartitionFilters", 1)[1][:200], plan[:400]
+    import re as _re
+    # match INSIDE the brackets: an empty 'PartitionFilters: []' followed
+    # by PushedFilters/ReadSchema mentioning bucket must NOT pass
+    assert _re.search(r"PartitionFilters: \[[^\]]*bucket", plan), plan[:500]
     return out
