@@ -4815,3 +4815,37 @@ def q_lsh_pruned_probe(spark, sf):
     # by PushedFilters/ReadSchema mentioning bucket must NOT pass
     assert _re.search(r"PartitionFilters: \[[^\]]*bucket", plan), plan[:500]
     return out
+
+
+@register(
+    "q_session_window_native",
+    # islands twin with the BUILT-IN's boundary semantics: a gap of
+    # EXACTLY 30min splits (session windows are [t, t+gap) half-open),
+    # hence >=, not > (no exact-gap pair exists in the fixture, but the
+    # oracle should not rely on that)
+    "WITH o AS (SELECT user_id, ts, event_id, CASE WHEN "
+    "  lag(ts) OVER w IS NULL "
+    "  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk "
+    "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id "
+    "  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM o) "
+    "SELECT user_id, count(*) AS n_events, "
+    "strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start "
+    "FROM s GROUP BY user_id, sid",
+)
+def q_session_window_native(spark, sf):
+    """Gap sessionization via Spark's BUILT-IN session_window groupBy —
+    the merged-interval operator the islands construction
+    (q_session_window) reimplements relationally; both must agree row for
+    row. One shuffle on the session key; the built-in merges sessions
+    inside the aggregate (no window function pass at all)."""
+    e = load_events(spark, sf)
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id", "n_events",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss")
+            .alias("session_start"),
+        )
+    )
