@@ -317,3 +317,24 @@ def attach_media(docs: DataFrame, media: DataFrame, doc_media_map: DataFrame) ->
     (doc_id, media_id) link table — the layout that keeps the 100 TB blob
     store out of every text-side query plan."""
     return docs.join(doc_media_map, "doc_id", "left").join(media, "media_id", "left")
+
+
+def encode_bmp(pixels: "np.ndarray") -> bytes:
+    """REAL BMP encoder (24-bit uncompressed, BITMAPINFOHEADER,
+    bottom-up rows, 4-byte padding) — the inverse of decode_bmp, giving
+    the binary-media path a true round-trip: synthesize → encode →
+    decode must reproduce pixels bit-exactly (pytest + the
+    q_bmp_roundtrip closed-form oracle). Input HxWx3 uint8 RGB."""
+    import struct
+
+    h, w, c = pixels.shape
+    if c != 3:
+        raise ValueError("encode_bmp wants HxWx3 RGB")
+    row_bytes = (w * 3 + 3) & ~3
+    img_size = row_bytes * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                       2835, 2835, 0, 0)
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    rows[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    return header + info + rows.tobytes()

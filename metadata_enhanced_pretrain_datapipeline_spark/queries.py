@@ -4849,3 +4849,100 @@ def q_session_window_native(spark, sf):
             .alias("session_start"),
         )
     )
+
+
+@register(
+    "q_bmp_roundtrip",
+    # the decoded pixel sum has a closed form: channel value at (i,j,c)
+    # is (doc_id*31 + i*7 + j*3 + c*11) % 256 over an 8x8 image
+    "WITH px AS (SELECT doc_id, (doc_id * 31 + i.g * 7 + j.g * 3 + c.g * 11) "
+    "  % 256 AS v FROM (SELECT doc_id FROM documents WHERE doc_id % 20 = 0) d, "
+    "  generate_series(0, 7) i(g), generate_series(0, 7) j(g), "
+    "  generate_series(0, 2) c(g)) "
+    "SELECT doc_id, CAST(sum(v) AS BIGINT) AS pixel_sum, "
+    "CAST(count(*) AS BIGINT) AS n_px FROM px GROUP BY doc_id",
+)
+def q_bmp_roundtrip(spark, sf):
+    """Multimodal with a REAL oracle (converts the family from rows-only):
+    per doc, synthesize deterministic 8x8 RGB pixels, ENCODE them into an
+    actual 24-bit BMP byte blob (multimodal.encode_bmp — header, bottom-up
+    rows, padding), ship the binary column through Arrow, DECODE it with
+    the real parser (decode_bmp), and aggregate the pixel sum. The oracle
+    computes the same sum from the closed-form pixel formula — any
+    header/stride/channel-order bug in either codec path breaks the
+    hash."""
+    import numpy as np
+    import pandas as pd
+
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.multimodal import (
+        decode_bmp, encode_bmp)
+
+    d = load(spark, sf, "documents").filter(F.col("doc_id") % 20 == 0).select("doc_id")
+
+    def roundtrip(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            sums, counts = [], []
+            for did in ids:
+                i = np.arange(8).reshape(8, 1, 1)
+                j = np.arange(8).reshape(1, 8, 1)
+                c = np.arange(3).reshape(1, 1, 3)
+                px = ((did * 31 + i * 7 + j * 3 + c * 11) % 256).astype(np.uint8)
+                blob = encode_bmp(px)
+                back = decode_bmp(blob)
+                sums.append(int(back.astype(np.int64).sum()))
+                counts.append(int(back.size))
+            yield pd.DataFrame(
+                {"doc_id": ids, "pixel_sum": sums, "n_px": counts})
+
+    return d.mapInPandas(roundtrip, "doc_id long, pixel_sum long, n_px long")
+
+
+@register(
+    "q_wav_roundtrip",
+    # decoded samples are ((doc_id*7 + t*13) % 65536 - 32768) / 32768 —
+    # dyadic rationals, exact in both float32 storage and the float64
+    # sum, so the oracle's closed form matches bit-for-bit
+    "WITH s AS (SELECT doc_id, "
+    "  ((doc_id * 7 + t.g * 13) % 65536 - 32768) / 32768.0 AS v "
+    "  FROM (SELECT doc_id FROM documents WHERE doc_id % 25 = 0) d, "
+    "  generate_series(0, 399) t(g)) "
+    "SELECT doc_id, sum(v) AS sample_sum, CAST(count(*) AS BIGINT) AS n "
+    "FROM s GROUP BY doc_id",
+)
+def q_wav_roundtrip(spark, sf):
+    """Audio twin of q_bmp_roundtrip: synthesize deterministic int16 PCM,
+    encode a REAL RIFF/WAV blob (stdlib wave), decode it back with the
+    real parser (multimodal.decode_wav), and aggregate the float sample
+    sum in float64 (each sample is a dyadic rational k/32768 — exact in
+    float32 storage AND in the float64 sum, so the closed-form oracle is
+    an equality, not a tolerance)."""
+    import io
+    import wave
+
+    import numpy as np
+    import pandas as pd
+
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.multimodal import decode_wav
+
+    d = load(spark, sf, "documents").filter(F.col("doc_id") % 25 == 0).select("doc_id")
+
+    def roundtrip(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            sums, counts = [], []
+            for did in ids:
+                t = np.arange(400, dtype=np.int64)
+                pcm = ((did * 7 + t * 13) % 65536 - 32768).astype(np.int16)
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(16000)
+                    w.writeframes(pcm.tobytes())
+                back = decode_wav(buf.getvalue())
+                sums.append(float(back.astype(np.float64).sum()))
+                counts.append(int(back.size))
+            yield pd.DataFrame({"doc_id": ids, "sample_sum": sums, "n": counts})
+
+    return d.mapInPandas(roundtrip, "doc_id long, sample_sum double, n long")

@@ -193,3 +193,16 @@ def test_decode_netpbm_truncation_and_stub_fallback():
     # a P5-prefixed non-image falls back to the stub instead of raising
     fake = decode_image(b"P5ANO_IMAGE", stub=True)
     assert fake.shape == (16, 16, 3)
+
+
+def test_bmp_encode_decode_roundtrip():
+    import numpy as np
+
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.multimodal import (
+        decode_bmp, encode_bmp)
+
+    rng = np.arange(5 * 7 * 3, dtype=np.uint8).reshape(5, 7, 3)
+    assert (decode_bmp(encode_bmp(rng)) == rng).all()
+    # odd width exercises the 4-byte row padding
+    odd = (np.arange(3 * 3 * 3, dtype=np.uint8) * 7 % 256).astype(np.uint8).reshape(3, 3, 3)
+    assert (decode_bmp(encode_bmp(odd)) == odd).all()
