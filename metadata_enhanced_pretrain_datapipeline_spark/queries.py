@@ -4946,3 +4946,50 @@ def q_wav_roundtrip(spark, sf):
             yield pd.DataFrame({"doc_id": ids, "sample_sum": sums, "n": counts})
 
     return d.mapInPandas(roundtrip, "doc_id long, sample_sum double, n long")
+
+
+def _mlp_weights_sql() -> tuple[str, str]:
+    """Render the stub MLP's seeded-numpy weights as SQL VALUES literals
+    (repr round-trips doubles exactly), so the REAL pandas_udf model path
+    gets a full DuckDB twin — the seeded Gaussian is the only part SQL
+    cannot generate, so it ships as data."""
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.annotators import _mlp_weights
+
+    w1, b1, w2, b2 = _mlp_weights(64, 16)
+    w1_rows = ", ".join(
+        f"({i + 1}, {h + 1}, {w1[i, h]!r})" for i in range(64) for h in range(16)
+    )
+    w2_rows = ", ".join(f"({h + 1}, {w2[h, 0]!r})" for h in range(16))
+    return w1_rows, w2_rows
+
+
+_W1_SQL, _W2_SQL = _mlp_weights_sql()
+
+
+@register(
+    "q_mlp_score_oracle",
+    f"WITH w1(i, h, w) AS (VALUES {_W1_SQL}), "
+    f"w2(h, w) AS (VALUES {_W2_SQL}), "
+    "e AS (SELECT vec_id, unnest(embedding) AS v, "
+    "  generate_subscripts(embedding, 1) AS i FROM embeddings "
+    "  WHERE vec_id % 10 = 0), "
+    "hs AS (SELECT vec_id, h, sum(CAST(v AS DOUBLE) * w) AS s "
+    "  FROM e JOIN w1 USING (i) GROUP BY 1, 2), "
+    "hid AS (SELECT vec_id, h, CASE WHEN s > 0 THEN s ELSE 0 END AS hv FROM hs), "
+    "z AS (SELECT hid.vec_id, sum(hv * w2.w) AS z FROM hid "
+    "  JOIN w2 USING (h) GROUP BY 1) "
+    "SELECT vec_id, 1.0 / (1.0 + exp(-z)) AS quality_score FROM z",
+)
+def q_mlp_score_oracle(spark, sf):
+    """F6's model path FULLY oracle-checked (upgrades the family beyond
+    the linear q_dot_product_score twin): the SAME Arrow pandas_udf and
+    seeded-weight MLP as q_mlp_quality_filter, scored over a slice and
+    compared against a DuckDB twin that carries the weight matrices as
+    VALUES literals and replays relu(x@W1)@W2 -> sigmoid relationally.
+    Scores emit UNROUNDED — matmul-vs-SQL accumulation drift (~1e-15
+    relative) and exp's 1-ulp sit far inside the 12-significant-digit
+    canon; only the (thresholding) filter query remains rows-only."""
+    e = load(spark, sf, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    scored = e.withColumn(
+        "quality_score", annotators.mlp_score_udf(64)(F.col("embedding")))
+    return scored.select("vec_id", "quality_score")
