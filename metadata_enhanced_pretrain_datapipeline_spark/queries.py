@@ -4819,13 +4819,14 @@ def q_lsh_pruned_probe(spark, sf):
 
 @register(
     "q_session_window_native",
-    # islands twin with the BUILT-IN's boundary semantics: a gap of
-    # EXACTLY 30min splits (session windows are [t, t+gap) half-open),
-    # hence >=, not > (no exact-gap pair exists in the fixture, but the
-    # oracle should not rely on that)
+    # islands twin with the BUILT-IN's boundary semantics: Spark MERGES
+    # two events exactly gap apart (verified empirically — the session
+    # end extends to last_ts + gap, and a new event AT the end still
+    # joins), so the break is strict >, same as the q_session_window
+    # islands oracle
     "WITH o AS (SELECT user_id, ts, event_id, CASE WHEN "
     "  lag(ts) OVER w IS NULL "
-    "  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk "
+    "  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk "
     "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
     "s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id "
     "  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM o) "
@@ -4956,10 +4957,13 @@ def _mlp_weights_sql() -> tuple[str, str]:
     from metadata_enhanced_pretrain_datapipeline_spark.operators.annotators import _mlp_weights
 
     w1, b1, w2, b2 = _mlp_weights(64, 16)
+    # float(...) before repr: numpy >= 2.0 reprs scalars as
+    # 'np.float64(x)', which is not SQL; Python float repr round-trips
     w1_rows = ", ".join(
-        f"({i + 1}, {h + 1}, {w1[i, h]!r})" for i in range(64) for h in range(16)
+        f"({i + 1}, {h + 1}, {float(w1[i, h])!r})"
+        for i in range(64) for h in range(16)
     )
-    w2_rows = ", ".join(f"({h + 1}, {w2[h, 0]!r})" for h in range(16))
+    w2_rows = ", ".join(f"({h + 1}, {float(w2[h, 0])!r})" for h in range(16))
     return w1_rows, w2_rows
 
 
@@ -4972,7 +4976,8 @@ _W1_SQL, _W2_SQL = _mlp_weights_sql()
     f"w2(h, w) AS (VALUES {_W2_SQL}), "
     "e AS (SELECT vec_id, unnest(embedding) AS v, "
     "  generate_subscripts(embedding, 1) AS i FROM embeddings "
-    "  WHERE vec_id % 10 = 0), "
+    "  WHERE vec_id % 10 = 0 AND embedding IS NOT NULL "
+    "  AND len(embedding) = 64), "
     "hs AS (SELECT vec_id, h, sum(CAST(v AS DOUBLE) * w) AS s "
     "  FROM e JOIN w1 USING (i) GROUP BY 1, 2), "
     "hid AS (SELECT vec_id, h, CASE WHEN s > 0 THEN s ELSE 0 END AS hv FROM hs), "
@@ -4989,7 +4994,13 @@ def q_mlp_score_oracle(spark, sf):
     Scores emit UNROUNDED — matmul-vs-SQL accumulation drift (~1e-15
     relative) and exp's 1-ulp sit far inside the 12-significant-digit
     canon; only the (thresholding) filter query remains rows-only."""
-    e = load(spark, sf, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    e = load(spark, sf, "embeddings").filter(
+        (F.col("vec_id") % 10 == 0)
+        & F.col("embedding").isNotNull()
+        & (F.size("embedding") == 64)  # the UDF scores invalid vectors
+        # NaN; restrict BOTH sides to valid ones so the oracle compares
+        # arithmetic, not a fixture invariant
+    )
     scored = e.withColumn(
         "quality_score", annotators.mlp_score_udf(64)(F.col("embedding")))
     return scored.select("vec_id", "quality_score")

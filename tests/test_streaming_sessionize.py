@@ -37,3 +37,22 @@ def test_streaming_sessionize_closes_sessions(spark, tmp_path):
     assert (1, "2024-01-01 00:00:00", 2) in got
     assert (1, "2024-01-01 03:00:00", 1) in got
     assert (2, "2024-01-01 00:00:00", 1) in got
+
+
+def test_builtin_session_window_merges_exact_gap_boundary(spark):
+    """Spark's session_window MERGES two events exactly gap apart (the
+    q_session_window_native oracle's strict-> break encodes this; if a
+    Spark upgrade ever flips the boundary, this fails before the oracle
+    does)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    df = spark.createDataFrame(
+        [(1, t0), (1, t0 + dt.timedelta(minutes=30))], "user_id long, ts timestamp")
+    out = (
+        df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n")).collect()
+    )
+    assert len(out) == 1 and out[0].n == 2
