@@ -5004,3 +5004,49 @@ def q_mlp_score_oracle(spark, sf):
     scored = e.withColumn(
         "quality_score", annotators.mlp_score_udf(64)(F.col("embedding")))
     return scored.select("vec_id", "quality_score")
+
+
+@register(
+    "q_stream_upsert_sink",
+    # final table = max-version row per user over both change files:
+    # v1 = all users (value = user_id), v2 = users % 3 = 0 (value = -user_id)
+    "WITH ch AS (SELECT DISTINCT user_id, 1 AS version, "
+    "  CAST(user_id AS BIGINT) AS val FROM events "
+    "  UNION ALL SELECT DISTINCT user_id, 2, -CAST(user_id AS BIGINT) "
+    "  FROM events WHERE user_id % 3 = 0) "
+    "SELECT user_id, version, val FROM ("
+    "  SELECT user_id, version, val, row_number() OVER ("
+    "    PARTITION BY user_id ORDER BY version DESC) AS rn FROM ch) "
+    "WHERE rn = 1",
+)
+def q_stream_upsert_sink(spark, sf):
+    """CDC streaming sink (streaming.foreach_batch_versioned_upsert): two
+    change files (v1 full snapshot, v2 partial correction) stream through
+    foreachBatch with maxFilesPerTrigger=1 and merge into a parquet table
+    by MAX-VERSION upsert — order-independent, so the final table is
+    deterministic whichever batch lands first, and the oracle is a plain
+    per-key argmax. Returns the sunk table read back from disk."""
+    import uuid
+
+    from metadata_enhanced_pretrain_datapipeline_spark.streaming import events as se
+
+    users = load(spark, sf, "events").select("user_id").distinct()
+    v1 = users.select(
+        "user_id", F.lit(1).alias("version"),
+        F.col("user_id").cast("long").alias("val"))
+    v2 = users.filter(F.col("user_id") % 3 == 0).select(
+        "user_id", F.lit(2).alias("version"),
+        (-F.col("user_id")).cast("long").alias("val"))
+    scratch = _scratch_dir(sf, "upsert_sink")
+    in_dir, out_dir = f"{scratch}/changes", f"{scratch}/table"
+    ck = f"{scratch}/ck_{uuid.uuid4().hex[:8]}"
+    v1.coalesce(1).write.mode("overwrite").parquet(f"{in_dir}/batch_a")
+    v2.coalesce(1).write.mode("overwrite").parquet(f"{in_dir}/batch_b")
+    stream = (
+        spark.readStream.schema("user_id long, version int, val long")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(in_dir)
+    )
+    se.foreach_batch_versioned_upsert(stream, out_dir, ck, ["user_id"], "version")
+    return spark.read.parquet(out_dir).select("user_id", "version", "val")

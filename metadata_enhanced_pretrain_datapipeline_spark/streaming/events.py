@@ -229,3 +229,55 @@ def stream_stream_interval_join(left: DataFrame, right: DataFrame,
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {max_delay}"))
     )
     return lw.join(rw, cond, "inner")
+
+
+def versioned_upsert(base: DataFrame, updates: DataFrame,
+                     key_cols: list[str], version_col: str) -> DataFrame:
+    """Max-version-wins merge: for every key keep the row with the
+    highest version across base ∪ updates. Unlike last-writer-wins this
+    is ORDER-INDEPENDENT — merging update batches in any order converges
+    to the same table, which is what makes the streaming sink below
+    exactly-once-equivalent under retries and batch reordering. Ties on
+    version prefer the update side (tagged, so still deterministic)."""
+    tagged = base.withColumn("__upd", F.lit(0)).unionByName(
+        updates.withColumn("__upd", F.lit(1)))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.desc(version_col), F.desc("__upd"))
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__upd")
+    )
+
+
+def foreach_batch_versioned_upsert(stream_df: DataFrame, out_path: str,
+                                   checkpoint: str, key_cols: list[str],
+                                   version_col: str) -> None:
+    """CDC-style streaming sink: each micro-batch merges into the parquet
+    table at ``out_path`` by max-version upsert, drained availableNow.
+
+    The merged frame localCheckpoints before the overwrite (Spark cannot
+    overwrite a path it is lazily reading in the same action). At 100 TB
+    the overwrite should be partition-aligned (dynamic partition
+    overwrite on the key's partition column) so only touched partitions
+    rewrite — this local sink rewrites the whole table and says so.
+    """
+    spark = stream_df.sparkSession
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            base = spark.read.parquet(out_path)
+            merged = versioned_upsert(base, batch_df, key_cols, version_col)
+        except Exception:  # first batch: no table yet
+            merged = batch_df
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(out_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

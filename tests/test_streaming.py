@@ -125,3 +125,30 @@ def test_streaming_dedup_within_watermark_retry_with_jitter(spark, tmp_path):
         stream_events.stream_events_from_parquet(spark, src), ["event_id"])
     _drain_append(out, "jitter_out")
     assert spark.sql("SELECT count(*) AS c FROM jitter_out").collect()[0].c == 1
+
+
+def test_versioned_upsert_order_independent(spark):
+    from metadata_enhanced_pretrain_datapipeline_spark.streaming.events import versioned_upsert
+
+    base = spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "b")], "k long, version int, v string")
+    upd = spark.createDataFrame(
+        [(1, 2, "A"), (3, 1, "c")], "k long, version int, v string")
+    fwd = {(r.k): (r.version, r.v)
+           for r in versioned_upsert(base, upd, ["k"], "version").collect()}
+    rev = {(r.k): (r.version, r.v)
+           for r in versioned_upsert(upd, base, ["k"], "version").collect()}
+    assert fwd == {1: (2, "A"), 2: (1, "b"), 3: (1, "c")}
+    # merging in the opposite order converges to the same table — except
+    # the version-TIE rows, which prefer whichever side is 'updates';
+    # here versions are unique per key so both orders agree exactly
+    assert fwd == rev
+
+
+def test_versioned_upsert_tie_prefers_update_side(spark):
+    from metadata_enhanced_pretrain_datapipeline_spark.streaming.events import versioned_upsert
+
+    base = spark.createDataFrame([(1, 5, "old")], "k long, version int, v string")
+    upd = spark.createDataFrame([(1, 5, "new")], "k long, version int, v string")
+    out = versioned_upsert(base, upd, ["k"], "version").collect()
+    assert out[0].v == "new"
