@@ -872,3 +872,30 @@ def bloom_anti_join(df: DataFrame, seen: DataFrame, df_key: Column,
         .drop("__dk")
     )
     return misses.unionByName(verified)
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key_col: str,
+                  digest: Column | None = None,
+                  text_col: str = "text") -> DataFrame:
+    """Change-data derivation between two corpus snapshots: one row per
+    key present in either side, labeled ``added`` (new only), ``removed``
+    (old only), ``changed`` (both, digest differs) or ``unchanged`` —
+    the crawl-over-crawl audit that tells a pipeline what to re-process
+    (the complement of dedup_against, which only drops).
+
+    Digest-only full outer join on the key: text never joins, each side
+    reduces to (key, digest) first, so the shuffle carries two bigints
+    per row. Default digest = the normalized text key.
+    """
+    dg = digest if digest is not None else normalized_text_key(F.col(text_col))
+    o = old.select(F.col(key_col).alias("__k"), dg.alias("__od"))
+    n = new.select(F.col(key_col).alias("__k"), dg.alias("__nd"))
+    joined = o.join(n, "__k", "full_outer")
+    return joined.select(
+        F.col("__k").alias(key_col),
+        F.when(F.col("__od").isNull(), "added")
+        .when(F.col("__nd").isNull(), "removed")
+        .when(F.col("__od") != F.col("__nd"), "changed")
+        .otherwise("unchanged")
+        .alias("change"),
+    )

@@ -5050,3 +5050,34 @@ def q_stream_upsert_sink(spark, sf):
     )
     se.foreach_batch_versioned_upsert(stream, out_dir, ck, ["user_id"], "version")
     return spark.read.parquet(out_dir).select("user_id", "version", "val")
+
+
+@register(
+    "q_snapshot_diff",
+    # old = doc_id % 3 != 1; new = doc_id % 5 != 1, with % 7 = 0 texts
+    # rewritten -> changed. Both engines derive the same two snapshots.
+    "WITH o AS (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS d "
+    "  FROM documents WHERE doc_id % 3 <> 1), "
+    "n AS (SELECT doc_id, md5(lower(trim(regexp_replace("
+    "  CASE WHEN doc_id % 7 = 0 THEN text || ' edited' ELSE text END, "
+    "  '\\s+', ' ', 'g')))) AS d FROM documents WHERE doc_id % 5 <> 1) "
+    "SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, CASE "
+    "WHEN o.d IS NULL THEN 'added' WHEN n.d IS NULL THEN 'removed' "
+    "WHEN o.d <> n.d THEN 'changed' ELSE 'unchanged' END AS change "
+    "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id",
+)
+def q_snapshot_diff(spark, sf):
+    """Crawl-over-crawl change feed (dedup.snapshot_diff): full-outer
+    digest join labeling every doc added/removed/changed/unchanged —
+    the audit that decides what a 100 TB pipeline re-processes. Only
+    (key, digest) pairs shuffle. Note: the md5-string digest here (vs
+    the 60-bit key) keeps the oracle cheap; semantics identical."""
+    d = load(spark, sf, "documents")
+    old = d.filter(F.col("doc_id") % 3 != 1)
+    new = d.filter(F.col("doc_id") % 5 != 1).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" edited"))).otherwise(F.col("text")),
+    )
+    digest = F.md5(F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))))
+    return dedup.snapshot_diff(old, new, "doc_id", digest=digest)

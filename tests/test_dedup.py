@@ -365,3 +365,13 @@ def test_bloom_no_false_negatives(spark):
         corpus, seen, df_key=F.col("k").cast("string"),
         seen_key=F.col("sk").cast("string"), num_bits=64, num_hashes=2)
     assert out.count() == 0
+
+
+def test_snapshot_diff_labels(spark):
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "gone")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (4, "fresh")], "doc_id long, text string")
+    out = {r.doc_id: r.change
+           for r in dedup.snapshot_diff(old, new, "doc_id").collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
