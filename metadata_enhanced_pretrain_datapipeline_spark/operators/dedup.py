@@ -884,18 +884,27 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_col: str,
     (the complement of dedup_against, which only drops).
 
     Digest-only full outer join on the key: text never joins, each side
-    reduces to (key, digest) first, so the shuffle carries two bigints
-    per row. Default digest = the normalized text key.
+    reduces to ONE (key, digest) row per key first (groupBy-max — a
+    duplicate-key crawl record must not fan the diff out into a
+    cross-product), so the shuffle carries two bigints per row. Default
+    digest = the normalized text key. Presence is tracked with explicit
+    markers, NOT digest nullity — a NULL text (NULL digest) on a present
+    key is still present, and NULL-vs-value digests compare as changed
+    via null-safe equality.
     """
     dg = digest if digest is not None else normalized_text_key(F.col(text_col))
-    o = old.select(F.col(key_col).alias("__k"), dg.alias("__od"))
-    n = new.select(F.col(key_col).alias("__k"), dg.alias("__nd"))
+    o = (old.select(F.col(key_col).alias("__k"), dg.alias("__od"))
+         .groupBy("__k").agg(F.max("__od").alias("__od"))
+         .withColumn("__op", F.lit(1)))
+    n = (new.select(F.col(key_col).alias("__k"), dg.alias("__nd"))
+         .groupBy("__k").agg(F.max("__nd").alias("__nd"))
+         .withColumn("__np", F.lit(1)))
     joined = o.join(n, "__k", "full_outer")
     return joined.select(
         F.col("__k").alias(key_col),
-        F.when(F.col("__od").isNull(), "added")
-        .when(F.col("__nd").isNull(), "removed")
-        .when(F.col("__od") != F.col("__nd"), "changed")
+        F.when(F.col("__op").isNull(), "added")
+        .when(F.col("__np").isNull(), "removed")
+        .when(~F.col("__od").eqNullSafe(F.col("__nd")), "changed")
         .otherwise("unchanged")
         .alias("change"),
     )

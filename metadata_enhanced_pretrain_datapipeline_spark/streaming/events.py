@@ -232,19 +232,27 @@ def stream_stream_interval_join(left: DataFrame, right: DataFrame,
 
 
 def versioned_upsert(base: DataFrame, updates: DataFrame,
-                     key_cols: list[str], version_col: str) -> DataFrame:
+                     key_cols: list[str], version_col: str,
+                     tiebreak_cols: list[str] | None = None) -> DataFrame:
     """Max-version-wins merge: for every key keep the row with the
-    highest version across base ∪ updates. Unlike last-writer-wins this
-    is ORDER-INDEPENDENT — merging update batches in any order converges
-    to the same table, which is what makes the streaming sink below
-    exactly-once-equivalent under retries and batch reordering. Ties on
-    version prefer the update side (tagged, so still deterministic)."""
+    highest version across base ∪ updates.
+
+    Order-independence is scoped: when versions are UNIQUE per key (the
+    normal CDC contract), merging batches in any order converges to the
+    same table — that is what makes the sink below retry/reorder-safe.
+    A version TIE prefers the update side, which IS order-dependent
+    across batches; same-(key, version) rows within one side need
+    ``tiebreak_cols`` for a deterministic winner (without them
+    row_number picks arbitrarily). Enforce unique versions upstream or
+    pass a total tiebreak."""
     tagged = base.withColumn("__upd", F.lit(0)).unionByName(
         updates.withColumn("__upd", F.lit(1)))
     from pyspark.sql import Window
 
-    w = Window.partitionBy(*key_cols).orderBy(
-        F.desc(version_col), F.desc("__upd"))
+    order = [F.desc(version_col), F.desc("__upd")]
+    if tiebreak_cols:
+        order += [F.desc(c) for c in tiebreak_cols]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
     return (
         tagged.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -258,21 +266,35 @@ def foreach_batch_versioned_upsert(stream_df: DataFrame, out_path: str,
     """CDC-style streaming sink: each micro-batch merges into the parquet
     table at ``out_path`` by max-version upsert, drained availableNow.
 
-    The merged frame localCheckpoints before the overwrite (Spark cannot
-    overwrite a path it is lazily reading in the same action). At 100 TB
-    the overwrite should be partition-aligned (dynamic partition
-    overwrite on the key's partition column) so only touched partitions
-    rewrite — this local sink rewrites the whole table and says so.
+    The merged frame localCheckpoints, writes to a STAGING dir, then the
+    staging dir replaces the table (delete + rename — atomic on a POSIX
+    FS; an object store or a crash inside the replace window still needs
+    a real table format for full crash atomicity, and at 100 TB the
+    overwrite should be partition-aligned dynamic-partition overwrite so
+    only touched partitions rewrite — this local sink rewrites the whole
+    table and says so). The first batch (and every batch) goes THROUGH
+    versioned_upsert against a possibly-empty base, so a batch carrying
+    several versions of one key still reduces to one row; only a
+    genuinely-missing table path selects the empty base — any other read
+    failure propagates instead of silently restarting the table from the
+    current batch.
     """
+    import os
+    import shutil
+
     spark = stream_df.sparkSession
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        try:
+        if os.path.exists(out_path):
             base = spark.read.parquet(out_path)
-            merged = versioned_upsert(base, batch_df, key_cols, version_col)
-        except Exception:  # first batch: no table yet
-            merged = batch_df
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(out_path)
+        else:
+            base = spark.createDataFrame([], batch_df.schema)
+        merged = versioned_upsert(base, batch_df, key_cols, version_col)
+        staging = f"{out_path}__staging"
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(staging)
+        if os.path.exists(out_path):
+            shutil.rmtree(out_path)
+        os.rename(staging, out_path)
 
     q = (
         stream_df.writeStream.foreachBatch(apply)

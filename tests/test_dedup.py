@@ -375,3 +375,16 @@ def test_snapshot_diff_labels(spark):
     out = {r.doc_id: r.change
            for r in dedup.snapshot_diff(old, new, "doc_id").collect()}
     assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_snapshot_diff_null_text_and_duplicate_keys(spark):
+    # NULL text on a PRESENT key must not read as absent; duplicate-key
+    # crawl records must not fan out the diff (review findings)
+    old = spark.createDataFrame(
+        [(1, None), (2, "x"), (2, "x")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "now filled"), (2, "x")], "doc_id long, text string")
+    rows = dedup.snapshot_diff(old, new, "doc_id").collect()
+    out = {r.doc_id: r.change for r in rows}
+    assert len(rows) == 2
+    assert out == {1: "changed", 2: "unchanged"}

@@ -152,3 +152,20 @@ def test_versioned_upsert_tie_prefers_update_side(spark):
     upd = spark.createDataFrame([(1, 5, "new")], "k long, version int, v string")
     out = versioned_upsert(base, upd, ["k"], "version").collect()
     assert out[0].v == "new"
+
+
+def test_upsert_sink_first_batch_self_reduces_and_survives(spark, tmp_path):
+    from metadata_enhanced_pretrain_datapipeline_spark.streaming.events import (
+        foreach_batch_versioned_upsert)
+
+    in_dir = str(tmp_path / "in")
+    # ONE batch carrying two versions of the same key: the sink must
+    # reduce it (review finding: first batch used to skip the upsert)
+    spark.createDataFrame(
+        [(1, 1, "old"), (1, 2, "new"), (2, 1, "b")],
+        "k long, version int, v string").coalesce(1).write.parquet(in_dir)
+    stream = spark.readStream.schema("k long, version int, v string").parquet(in_dir)
+    out, ck = str(tmp_path / "t"), str(tmp_path / "ck")
+    foreach_batch_versioned_upsert(stream, out, ck, ["k"], "version")
+    got = {r.k: (r.version, r.v) for r in spark.read.parquet(out).collect()}
+    assert got == {1: (2, "new"), 2: (1, "b")}
