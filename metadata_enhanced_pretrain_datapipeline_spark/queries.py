@@ -5081,3 +5081,33 @@ def q_snapshot_diff(spark, sf):
     )
     digest = F.md5(F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))))
     return dedup.snapshot_diff(old, new, "doc_id", digest=digest)
+
+
+@register(
+    "q_udtf_excerpt_windows",
+    "WITH d AS (SELECT doc_id, string_split(text, ' ') AS words "
+    "  FROM documents WHERE doc_id % 10 = 0), "
+    "w AS (SELECT doc_id, CAST(gs AS INT) AS win_idx, "
+    "  array_to_string(list_slice(words, gs * 5 + 1, gs * 5 + 10), ' ') AS excerpt "
+    "  FROM (SELECT doc_id, words, unnest(generate_series(0, "
+    "    CAST(floor((len(words) - 10) / 5.0) AS BIGINT))) AS gs FROM d "
+    "    WHERE len(words) >= 10)) "
+    "SELECT doc_id, win_idx, excerpt, CAST(10 AS INT) AS n_words FROM w",
+)
+def q_udtf_excerpt_windows(spark, sf):
+    """Python UDTF surface (table_functions.ExcerptWindows): a lateral
+    row-generator emitting every full 10-word window (stride 5) per doc
+    through Spark 4's native UDTF API — the literal port target for the
+    reference's yield-0..n generator steps. Row-at-a-time Python by
+    design (the scale twins are the explode/mapInPandas excerpt queries);
+    the oracle replays the window arithmetic relationally."""
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.table_functions import (
+        register_table_functions)
+
+    register_table_functions(spark)
+    load(spark, sf, "documents").filter(F.col("doc_id") % 10 == 0) \
+        .createOrReplaceTempView("v_docs_udtf")
+    return spark.sql(
+        "SELECT d.doc_id, w.win_idx, w.excerpt, w.n_words "
+        "FROM v_docs_udtf d, LATERAL excerpt_windows(d.text, 10, 5) w"
+    )
