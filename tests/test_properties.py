@@ -330,3 +330,59 @@ def test_bloom_anti_join_always_equals_plain_anti_join(spark, cfg):
         seen_key=F.col("sk").cast("string"), num_bits=bits, num_hashes=3)
     got = sorted(r.k for r in out.collect())
     assert got == sorted(corpus_keys - seen_keys)
+
+
+upsert_batches_strategy = st.lists(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 30), st.integers(0, 99)),
+        min_size=0, max_size=8,
+        unique_by=lambda t: (t[0], t[1]),  # version unique per key per batch
+    ),
+    min_size=1, max_size=4,
+)
+
+
+@_slow
+@given(batches=upsert_batches_strategy)
+def test_versioned_upsert_idempotent_and_order_independent(spark, batches):
+    """With versions unique per key (the CDC contract): folding batches
+    in ANY order converges to the global max-version row per key, and
+    re-applying any batch is a no-op (retry safety)."""
+    from metadata_enhanced_pretrain_datapipeline_spark.streaming.events import versioned_upsert
+
+    # make versions globally unique per key across batches too
+    seen = set()
+    flat = []
+    for bi, b in enumerate(batches):
+        kept = []
+        for k, v, p in b:
+            if (k, v) not in seen:
+                seen.add((k, v))
+                kept.append((k, v, p))
+        flat.append(kept)
+    schema = "k long, version int, payload int"
+    empty = spark.createDataFrame([], schema)
+
+    def fold(order):
+        t = empty
+        for b in order:
+            t = versioned_upsert(t, spark.createDataFrame(b, schema) if b else empty,
+                                 ["k"], "version")
+        return {r.k: (r.version, r.payload) for r in t.collect()}
+
+    fwd = fold(flat)
+    rev = fold(list(reversed(flat)))
+    # reference: global max version per key
+    best = {}
+    for b in flat:
+        for k, v, p in b:
+            if k not in best or v > best[k][0]:
+                best[k] = (v, p)
+    assert fwd == best and rev == best
+    # retry: re-applying the last batch changes nothing
+    if flat and flat[-1]:
+        t = empty
+        for b in flat:
+            t = versioned_upsert(t, spark.createDataFrame(b, schema), ["k"], "version") if b else t
+        again = versioned_upsert(t, spark.createDataFrame(flat[-1], schema), ["k"], "version")
+        assert {r.k: (r.version, r.payload) for r in again.collect()} == best
