@@ -74,6 +74,11 @@ R4_ADDITIONS = [
     "q_bloom_dedup",
     "q_tfidf_top_terms",
     "q_window_suite",
+    # late-round families: snapshot diffing (full-outer digest join),
+    # the weights-as-literals MLP scoring path, real-codec roundtrip
+    "q_snapshot_diff",
+    "q_mlp_score_oracle",
+    "q_bmp_roundtrip",
 ]
 
 
