@@ -21,8 +21,16 @@ class ExcerptWindows:
     shape (gutenberg create_excerpt.py), 0 rows for short docs."""
 
     def eval(self, text: str, width: int, stride: int):
+        # validate eagerly: a bad stride would otherwise surface as an
+        # opaque worker-side range() error mid-job
+        if width is None or stride is None or width <= 0 or stride <= 0:
+            raise ValueError(
+                f"excerpt_windows: width and stride must be positive "
+                f"(got width={width}, stride={stride})")
         if not text:
             return
+        # whitespace-run tokenization, matching the engine's tokens_ws
+        # convention (NOT single-space split) — the oracle uses the same
         words = text.split()
         idx = 0
         for start in range(0, len(words) - width + 1, stride):

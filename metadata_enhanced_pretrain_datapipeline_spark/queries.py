@@ -5085,7 +5085,7 @@ def q_snapshot_diff(spark, sf):
 
 @register(
     "q_udtf_excerpt_windows",
-    "WITH d AS (SELECT doc_id, string_split(text, ' ') AS words "
+    "WITH d AS (SELECT doc_id, " + _TOK_SQL + " AS words "
     "  FROM documents WHERE doc_id % 10 = 0), "
     "w AS (SELECT doc_id, CAST(gs AS INT) AS win_idx, "
     "  array_to_string(list_slice(words, gs * 5 + 1, gs * 5 + 10), ' ') AS excerpt "

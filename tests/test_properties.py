@@ -379,10 +379,10 @@ def test_versioned_upsert_idempotent_and_order_independent(spark, batches):
             if k not in best or v > best[k][0]:
                 best[k] = (v, p)
     assert fwd == best and rev == best
-    # retry: re-applying the last batch changes nothing
+    # retry: re-applying the last batch onto the already-folded table
+    # changes nothing (no third fold chain — rebuild from the fwd dict)
     if flat and flat[-1]:
-        t = empty
-        for b in flat:
-            t = versioned_upsert(t, spark.createDataFrame(b, schema), ["k"], "version") if b else t
+        t = spark.createDataFrame(
+            [(k, v, pay) for k, (v, pay) in fwd.items()] or [], schema)
         again = versioned_upsert(t, spark.createDataFrame(flat[-1], schema), ["k"], "version")
         assert {r.k: (r.version, r.payload) for r in again.collect()} == best
