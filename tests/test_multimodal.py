@@ -206,3 +206,19 @@ def test_bmp_encode_decode_roundtrip():
     # odd width exercises the 4-byte row padding
     odd = (np.arange(3 * 3 * 3, dtype=np.uint8) * 7 % 256).astype(np.uint8).reshape(3, 3, 3)
     assert (decode_bmp(encode_bmp(odd)) == odd).all()
+
+
+def test_decode_bmp_rejects_non_and_unsupported_bmp():
+    import struct
+
+    import pytest
+
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.multimodal import decode_bmp
+
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"JUNKJUNK" * 10)
+    # valid 'BM' + header but 8bpp: explicit unsupported-depth error
+    header = struct.pack("<2sIHHI", b"BM", 54 + 4, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 8, 0, 4, 0, 0, 0, 0)
+    with pytest.raises(ValueError, match="24-bit"):
+        decode_bmp(header + info + b"\x00\x00\x00\x00")

@@ -80,3 +80,15 @@ def test_write_megatron_packed(spark, docs, tmp_path):
         (n_seq,) = struct.unpack_from("<Q", raw, 18)
         lengths = np.frombuffer(raw, dtype=np.int32, count=n_seq, offset=34)
         assert all(l == 64 for l in lengths)
+
+
+def test_read_megatron_rejects_bad_magic(tmp_path):
+    import pytest
+
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.tokens import read_megatron_partition
+
+    bad = tmp_path / "corrupt.idx"
+    bad.write_bytes(b"NOTMAGIC" + b"\x00" * 64)
+    (tmp_path / "corrupt.bin").write_bytes(b"\x00" * 8)
+    with pytest.raises(ValueError, match="bad magic"):
+        read_megatron_partition(str(tmp_path / "corrupt.bin"), str(bad))
