@@ -5111,3 +5111,27 @@ def q_udtf_excerpt_windows(spark, sf):
         "SELECT d.doc_id, w.win_idx, w.excerpt, w.n_words "
         "FROM v_docs_udtf d, LATERAL excerpt_windows(d.text, 10, 5) w"
     )
+
+
+@register("q_sketch_stats")
+def q_sketch_stats(spark, sf):
+    """† Sketch surface — HLL++ distinct estimation and quantile-sketch
+    percentiles per source (approx_count_distinct / percentile_approx):
+    DETERMINISTIC given the data (hash-based sketches, no RNG) but
+    engine-specific (DuckDB's approx sketches differ), so rows-only by
+    necessity; the accuracy contract (|approx-exact|/exact <= 5% for
+    distinct counts, percentile within the value domain) is pinned by
+    test_sketch_accuracy_vs_exact. At 100 TB these are the
+    constant-memory profile aggregations where exact distinct would
+    shuffle every token."""
+    d = load(spark, sf, "documents")
+    toks = d.select("source", F.explode(tokens_ws(F.col("text"))).alias("term"))
+    return (
+        toks.groupBy("source")
+        .agg(
+            F.approx_count_distinct("term", rsd=0.02).alias("approx_terms"),
+            F.percentile_approx(F.length("term"), 0.5).alias("p50_term_len"),
+        )
+        .join(
+            d.groupBy("source").agg(F.count("*").alias("n_docs")), "source")
+    )

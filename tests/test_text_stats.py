@@ -71,3 +71,22 @@ def test_nfc_normalize_udf_collapses_combining_marks(spark):
     out = [r.n for r in df.select(norm(F.col("t")).alias("n")).collect()]
     assert out[0] == out[1] == precomposed
     assert out[2] is None and out[3] == "plain"
+
+
+def test_sketch_accuracy_vs_exact(spark):
+    """q_sketch_stats's rows-only contract: HLL++ distinct estimates stay
+    within 5% of exact per group; the approx median is an actual member
+    of the value domain."""
+    from metadata_enhanced_pretrain_datapipeline_spark.functions.text import tokens_ws
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = d.select("source", F.explode(tokens_ws(F.col("text"))).alias("term"))
+    approx = {r.source: r.a for r in toks.groupBy("source").agg(
+        F.approx_count_distinct("term", rsd=0.02).alias("a")).collect()}
+    exact = {r.source: r.e for r in toks.groupBy("source").agg(
+        F.countDistinct("term").alias("e")).collect()}
+    for src, e in exact.items():
+        assert abs(approx[src] - e) / e <= 0.05, (src, approx[src], e)
+    lens = {r[0] for r in toks.select(F.length("term")).distinct().collect()}
+    p50 = toks.agg(F.percentile_approx(F.length("term"), 0.5).alias("p")).collect()[0].p
+    assert p50 in lens
