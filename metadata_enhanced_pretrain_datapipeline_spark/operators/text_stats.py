@@ -40,15 +40,19 @@ def tf_idf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Dat
     zero, unseen-term idf stays finite).
 
     Two aggregations over the same exploded stream: per-(doc, term)
-    counts, then per-term doc frequencies (already tiny — vocab-sized)
-    broadcast back. N arrives as a 1-row cross-broadcast, never a
-    driver-side collect.
+    counts, then per-term doc frequencies joined back ON TERM — not
+    force-broadcast: a clean corpus has a modest vocabulary, but a
+    100 TB web crawl's token set (typos, URLs, ids) is itself huge, and
+    AQE should pick broadcast only when the vocab actually fits (both
+    sides already hash-partition by term from their aggregations, so
+    the fallback join is co-partitioned). N arrives as a 1-row
+    cross-broadcast, never a driver-side collect.
     """
     tf = term_frequencies(df, id_col, text_col)
     doc_freq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
     n_docs = df.agg(F.count("*").alias("n_docs"))
     return (
-        tf.join(F.broadcast(doc_freq), "term")
+        tf.join(doc_freq, "term")
         .join(F.broadcast(n_docs))
         .withColumn(
             "tfidf",

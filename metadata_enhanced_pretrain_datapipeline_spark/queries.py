@@ -3697,8 +3697,10 @@ def q_tpch_q17(spark, sf):
     engines compute avg from exact integral sums, and 0.2*avg is the same
     IEEE op on the same value, so the < threshold is engine-stable. Spark
     plan: brand-filtered part broadcasts; the per-part avg is computed on
-    the SEMI-restricted lineitem (only parts of that brand) so the avg
-    build side is tiny and broadcasts too."""
+    the SEMI-restricted lineitem (only parts of that brand). The avg side
+    is per-PART — a table that scales with the corpus — so it is NOT
+    force-broadcast: AQE broadcasts it when the brand slice fits, else
+    the join co-partitions on partkey with the already-shuffled agg."""
     p = load(spark, sf, "part").filter(F.col("p_brand") == "Brand#12").select("p_partkey")
     li = load(spark, sf, "lineitem")
     brand_li = li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
@@ -3707,7 +3709,7 @@ def q_tpch_q17(spark, sf):
         .agg((F.avg("l_quantity") * F.lit(0.2)).alias("qty_threshold"))
     )
     return (
-        brand_li.join(F.broadcast(avgs), brand_li.l_partkey == F.col("avg_partkey"))
+        brand_li.join(avgs, brand_li.l_partkey == F.col("avg_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg((F.sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
     )
