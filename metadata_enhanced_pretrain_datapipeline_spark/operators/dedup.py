@@ -700,8 +700,7 @@ def dedup_against(df: DataFrame, seen: DataFrame, text_col: str = "text",
 
 
 def segment_dedup(segments: DataFrame, id_col: str = "doc_id",
-                  pos_col: str = "pos", seg_col: str = "segment",
-                  max_pos: int | None = None) -> DataFrame:
+                  pos_col: str = "pos", seg_col: str = "segment") -> DataFrame:
     """Corpus-level line/paragraph dedup (the RefinedWeb/CCNet line-level
     pass; complements the document-level dedup_exact_text and the
     substring-level excise_repeated_ngrams): keep each distinct segment
@@ -715,8 +714,7 @@ def segment_dedup(segments: DataFrame, id_col: str = "doc_id",
     cannot skew a reducer the way a row_number window would), then a
     join on (digest, id, pos) recovers the keeper rows. Two linear
     shuffles; only digests and bigints move. The struct-min needs no
-    integer encoding, so there is NO max-position contract to violate
-    (``max_pos`` is accepted and ignored for API compatibility).
+    integer encoding, so there is no max-position contract to validate.
     """
     digest = F.md5(F.col(seg_col))
     d = segments.withColumn("__dg", digest)
@@ -848,6 +846,8 @@ def bloom_anti_join(df: DataFrame, seen: DataFrame, df_key: Column,
                             num_bits, num_hashes)
 
     def _might_contain(pos_arrays):
+        if len(pos_arrays) == 0:  # np.vstack raises on an empty batch
+            return pd.Series([], dtype=bool)
         bm = np.frombuffer(bits, dtype=np.uint8)
         # k positions per row, packed as one array column (pandas_udf has
         # no varargs signature); vstack → (n, k) int matrix, all-bits-set
@@ -863,6 +863,10 @@ def bloom_anti_join(df: DataFrame, seen: DataFrame, df_key: Column,
         "__maybe",
         might_contain(F.array(*_bloom_position_cols(df_key, num_bits, num_hashes))),
     )
+    # the two branches each scan+probe independently (the UDF is a cheap
+    # vectorized bitmap lookup); the alternative — one anti-join over ALL
+    # rows with `__maybe AND key=key` — would drag every definite-miss
+    # through the shuffle, which is exactly what the bloom exists to avoid
     misses = tagged.filter(~F.col("__maybe")).drop("__maybe")
     maybes = tagged.filter(F.col("__maybe")).drop("__maybe")
     seen_keys = seen.select(seen_key.alias("__sk")).distinct()

@@ -4028,7 +4028,7 @@ def q_segment_dedup(spark, sf):
                 F.slice("__w", F.col("pos") * 8 + 1, 8), " ").alias("segment"),
         )
     )
-    kept = dedup.segment_dedup(segs, "doc_id", "pos", "segment", max_pos=4096)
+    kept = dedup.segment_dedup(segs, "doc_id", "pos", "segment")
     return dedup.reassemble_segments(kept, d, "doc_id", "pos", "segment")
 
 
@@ -4096,19 +4096,24 @@ def q_tfidf_top_terms(spark, sf):
     "  SELECT doc_id, unnest(" + _TOK_SQL + ") AS term FROM documents)), "
     "agg AS (SELECT term, count(*)::BIGINT AS df_t, "
     "  list(doc_id ORDER BY doc_id) AS postings FROM pairs GROUP BY term) "
-    "SELECT term, df_t, CASE WHEN df_t <= 40 THEN postings "
-    "ELSE []::BIGINT[] END AS postings FROM agg",
+    "SELECT term, df_t, CASE WHEN df_t <= 40 "
+    "THEN array_to_string(postings, ',') "
+    "ELSE '' END AS postings FROM agg",
 )
 def q_inverted_index(spark, sf):
     """Inverted index (text_stats.inverted_index): per-term sorted
     postings with the max_postings=40 degenerate-row cap — a stopword's
     billion-id postings row is the at-scale failure mode, so hot terms
     keep df_t but an empty array (the exploded pair table is the real
-    100 TB representation)."""
+    100 TB representation). The query boundary serializes postings to a
+    CSV string (driver's pandas canonicalizer can't sort raw arrays —
+    VERDICT r4 #1); the operator itself keeps the typed array."""
     from metadata_enhanced_pretrain_datapipeline_spark.operators import text_stats
 
-    return text_stats.inverted_index(
+    idx = text_stats.inverted_index(
         load(spark, sf, "documents"), max_postings=40)
+    return idx.withColumn(
+        "postings", F.array_join(F.col("postings").cast("array<string>"), ","))
 
 
 @register(
@@ -4291,15 +4296,18 @@ def q_expectation_summary(spark, sf):
 
 @register(
     "q_flag_violations",
-    "SELECT doc_id, list_filter(["
+    "SELECT doc_id, coalesce(array_to_string(list_filter(["
     "CASE WHEN NOT coalesce(length(text) >= 450, FALSE) THEN 'min_length' END, "
     "CASE WHEN NOT coalesce(lang IN ('en', 'de'), FALSE) THEN 'core_lang' END"
-    "], x -> x IS NOT NULL) AS failed_rules FROM documents",
+    "], x -> x IS NOT NULL), ','), '') AS failed_rules FROM documents",
 )
 def q_flag_violations(spark, sf):
     """Per-row rule flagging (expectations.flag_violations): every doc
     carries the array of expectations it fails — the routing key for
-    exclusion sinks. Pure projection, zero shuffles."""
+    exclusion sinks. Pure projection, zero shuffles. The query boundary
+    serializes the array to a CSV string (driver canonicalizer contract,
+    VERDICT r4 #1); DuckDB's array_to_string is NULL on the empty list
+    where Spark's array_join is '', hence the oracle coalesce."""
     from metadata_enhanced_pretrain_datapipeline_spark.operators import expectations as ex
 
     d = load(spark, sf, "documents")
@@ -4307,7 +4315,8 @@ def q_flag_violations(spark, sf):
         ("min_length", F.length("text") >= 450),
         ("core_lang", F.col("lang").isin("en", "de")),
     ]
-    return ex.flag_violations(d, rules).select("doc_id", "failed_rules")
+    return ex.flag_violations(d, rules).select(
+        "doc_id", F.array_join("failed_rules", ",").alias("failed_rules"))
 
 
 @register(
@@ -5113,6 +5122,37 @@ def q_udtf_excerpt_windows(spark, sf):
         "SELECT d.doc_id, w.win_idx, w.excerpt, w.n_words "
         "FROM v_docs_udtf d, LATERAL excerpt_windows(d.text, 10, 5) w"
     )
+
+
+@register(
+    "q_fasttext_label_oracle",
+    "SELECT doc_id, CAST(CAST(('0x' || substr(md5(coalesce(text, '')), 1, 2)) "
+    "AS INT) % 2 AS INT) AS label FROM documents",
+)
+def q_fasttext_label_oracle(spark, sf):
+    """A6 — fasttext annotator (reference code_classifier.py:53-68)
+    through the REAL mapInPandas + executor-singleton path with the
+    deterministic digest stub (md5 byte 0 mod n_labels). The stub's
+    byte-arithmetic is portable, so the oracle replays it in SQL and the
+    driver hash-checks the whole Arrow batch path end to end — same
+    pattern as A4's q_llm_annotate_split (VERDICT r4 #5)."""
+    d = load(spark, sf, "documents")
+    return annotators.fasttext_annotate(d, n_labels=2)
+
+
+@register(
+    "q_hf_classifier_oracle",
+    "SELECT doc_id, CAST(CAST(('0x' || substr(md5(coalesce(text, '')), 9, 2)) "
+    "AS INT) % 10 AS INT) AS cb_quality FROM documents",
+)
+def q_hf_classifier_oracle(spark, sf):
+    """A7 — HF classifier annotation (reference code_classifier.py:336-371)
+    through the real mapInPandas + executor-singleton path with the
+    deterministic digest stub (md5 byte 4 mod n_labels → ``cb_quality``).
+    Oracle replays the digest arithmetic so the driver hash-checks the
+    plumbing (VERDICT r4 #5)."""
+    d = load(spark, sf, "documents")
+    return annotators.hf_classifier_annotate(d, label_name="quality", n_labels=10)
 
 
 @register("q_sketch_stats")

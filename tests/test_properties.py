@@ -287,7 +287,7 @@ def test_segment_dedup_first_wins_invariants(spark, segs):
 
     df = spark.createDataFrame(segs, "doc_id long, pos int, segment string")
     kept = [(r.doc_id, r.pos, r.segment)
-            for r in dedup.segment_dedup(df, max_pos=16).collect()]
+            for r in dedup.segment_dedup(df).collect()]
     inp = set(segs)
     assert set(kept) <= inp
     by_text = {}
