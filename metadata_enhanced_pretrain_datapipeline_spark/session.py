@@ -27,6 +27,16 @@ _ORACLE_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Start every shuffle wide and let AQE coalesce DOWN (parallelismFirst
+    # keeps >= the core count): a fixed 32-partition shuffle was the
+    # uniform cause of the sf1.0 outliers (SCALE.md — q_tpch_q3 2.73x,
+    # q_minhash_lsh_pairs 2.57x: same plan spine, 10x rows per reducer).
+    # On a real cluster this is the knob that scales reducer count with
+    # data volume instead of with a static conf. 128 = 4x the local core
+    # count: an A/B at sf1.0 showed 256 pays more in map-side bucket
+    # overhead than it buys on this box, 64 under-splits the window-heavy
+    # queries, 128 improves every former outlier.
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "128",
     # The driver's vanilla session defaults to 200 shuffle partitions —
     # wasteful at oracle scale (sf0.01) and for streaming state stores,
     # which size to this at checkpoint creation. Runtime-settable.
