@@ -1,6 +1,8 @@
 """Benchmark harness (driver contract): run the headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and print ONE JSON line.
+local[$SPARK_GRAFT_CPUS]. The LAST stdout line is the compact contract
+JSON (metric/value/unit/queries/sf — sized to survive a tail capture);
+a preceding line carries the per-lap arrays and group totals.
 
 Each query is forced through the `noop` sink — a full materialization of
 every output column (a bare .count() would let Catalyst prune the

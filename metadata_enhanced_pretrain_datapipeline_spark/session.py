@@ -76,6 +76,13 @@ def get_spark(app_name: str = "metadata-enhanced-pretrain-datapipeline-spark",
     builder = (
         builder
         .config("spark.sql.shuffle.partitions", str(shuffle))
+        # keep the AQE starting width proportional to the session's
+        # explicit sizing (4x, matching the 32->128 default ratio): the
+        # fixed 128 in _ORACLE_CONFS is for sessions we did NOT build
+        # (driver vanilla); here it would override a caller's small
+        # shuffle_partitions (tests use 4) with 128 map-side buckets
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+                str(4 * shuffle))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")

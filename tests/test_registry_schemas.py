@@ -22,6 +22,17 @@ from metadata_enhanced_pretrain_datapipeline_spark import queries as q
 SF_DIR = "/root/testdata/sf0.001"
 
 
+def _has_container(dt: T.DataType) -> bool:
+    """True if the type contains an array/map ANYWHERE — a Row wrapping a
+    list is just as unhashable for the driver's pandas sort as a bare
+    list, so struct fields recurse."""
+    if isinstance(dt, (T.ArrayType, T.MapType)):
+        return True
+    if isinstance(dt, T.StructType):
+        return any(_has_container(f.dataType) for f in dt.fields)
+    return False
+
+
 @pytest.mark.skipif(
     not os.path.isdir(SF_DIR), reason="driver testdata not present"
 )
@@ -38,8 +49,7 @@ def test_no_array_or_map_output_in_oracle_backed_queries(spark):
             errors.append(f"{name}: {type(e).__name__}: {e}")
             continue
         bad = [
-            f.name for f in schema.fields
-            if isinstance(f.dataType, (T.ArrayType, T.MapType))
+            f.name for f in schema.fields if _has_container(f.dataType)
         ]
         if bad:
             offenders.append(f"{name}: {bad}")
