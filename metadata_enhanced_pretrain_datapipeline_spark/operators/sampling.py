@@ -347,3 +347,65 @@ def token_budget_cap(df: DataFrame, group_col: str, tokens_col: Column,
     cum = live.withColumn("__cum", F.sum("__t").over(w) + F.col("__off"))
     return cum.filter(F.col("__cum") <= F.lit(budget)).drop(
         "__t", "__h", "__b", "__off", "__cum")
+
+
+def leakage_safe_split(df: DataFrame, clusters: DataFrame,
+                       id_col: str = "doc_id",
+                       boundaries: tuple[float, float] = (0.9, 0.95),
+                       labels: tuple[str, str, str] = ("train", "validation", "test"),
+                       salt: int = 13,
+                       tag_col: str = "split") -> DataFrame:
+    """Train/validation/test assignment that can never leak near
+    duplicates across splits: the split unit is the document's duplicate
+    CLUSTER (``clusters`` = (doc_id, cluster_id) from
+    :func:`~metadata_enhanced_pretrain_datapipeline_spark.operators.dedup.duplicate_clusters`),
+    falling back to the document's own id for singletons — so an
+    eval-set document's near-twin cannot sit in train (the contamination
+    mode a per-document hash split invites, and the reason a plain
+    :func:`positional_split` is unsafe after fuzzy dedup).
+
+    Assignment is ``salted_hash(unit, salt)`` against integer thresholds
+    ``floor(b * 2^60)`` — deterministic under rerun/retry, and exact in
+    both engines (no float division). Adding a document to the corpus
+    never moves any OTHER document between splits (hash-stable, unlike
+    rank-based splits).
+
+    Scale: one id-only left join against the cluster map (ids of docs
+    that appear in any candidate pair — a small fraction of the corpus;
+    AQE broadcasts it when it fits) plus a projection. The corpus text
+    never shuffles.
+    """
+    lo = int(boundaries[0] * MD5_SPACE)
+    hi = int(boundaries[1] * MD5_SPACE)
+    cl = clusters.select(
+        F.col("doc_id").alias("__cl_id"), F.col("cluster_id").alias("__cid")
+    )
+    out = df.join(cl, F.col(id_col) == F.col("__cl_id"), "left").drop("__cl_id")
+    unit = F.coalesce(F.col("__cid"), F.col(id_col))
+    h = salted_hash(unit, salt)
+    return out.select(
+        *[F.col(c) for c in df.columns],
+        unit.cast("long").alias("split_key"),
+        F.when(h < F.lit(lo), labels[0])
+        .when(h < F.lit(hi), labels[1])
+        .otherwise(labels[2])
+        .alias(tag_col),
+    )
+
+
+def per_host_cap(df: DataFrame, host_col: str, k: int, key: Column,
+                 num_buckets: int | None = None) -> DataFrame:
+    """Per-host document cap (RefinedWeb-style domain balancing): keep at
+    most ``k`` documents per host, chosen by deterministic hash priority
+    — a uniform within-host sample that caps crawl-frequency bias
+    (one forum mirror must not be 10% of the mix).
+
+    This IS :func:`token_budget_cap` with a unit token count: running
+    inclusive count <= k in (hash, key) order — so it inherits the
+    bucketed two-phase shape (per-(host, bucket) counts -> broadcast
+    offsets -> in-bucket window) and never sorts a whole mega-host in a
+    single task, which is exactly where a naive per-host row_number
+    window dies at 100 TB.
+    """
+    return token_budget_cap(df, host_col, F.lit(1), k, key,
+                            num_buckets=num_buckets)

@@ -5155,6 +5155,72 @@ def q_hf_classifier_oracle(spark, sf):
     return annotators.hf_classifier_annotate(d, label_name="quality", n_labels=10)
 
 
+#: leakage-safe split thresholds — computed ONCE in Python and formatted
+#: into both engines, so the integer literals are bit-identical
+_SPLIT_LO = int(0.9 * (1 << 60))
+_SPLIT_HI = int(0.95 * (1 << 60))
+_SPLIT_H = salted_hash_sql("COALESCE(cl.cluster_id, d.doc_id)", 13)
+
+
+@register(
+    "q_leakage_safe_split",
+    "WITH RECURSIVE pairs AS (" + _minhash_pairs_sql("", 8, 4, 64) + "), "
+    "e AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+    "  UNION ALL SELECT id_b, id_a FROM pairs), "
+    "n AS (SELECT DISTINCT src AS node FROM e), "
+    "reach AS (SELECT node, node AS lab FROM n "
+    "  UNION SELECT e.dst AS node, reach.lab FROM reach "
+    "    JOIN e ON e.src = reach.node), "
+    "cl AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach "
+    "  GROUP BY node) "
+    "SELECT d.doc_id, "
+    "CAST(COALESCE(cl.cluster_id, d.doc_id) AS BIGINT) AS split_key, "
+    f"CASE WHEN {_SPLIT_H} < {_SPLIT_LO} THEN 'train' "
+    f"WHEN {_SPLIT_H} < {_SPLIT_HI} THEN 'validation' ELSE 'test' END "
+    "AS split FROM documents d LEFT JOIN cl USING (doc_id)",
+)
+def q_leakage_safe_split(spark, sf):
+    """Extension — leakage-safe train/val/test split
+    (operators/sampling.leakage_safe_split): the split unit is the
+    transitive near-duplicate CLUSTER (pointer-doubling components over
+    the portable MinHash pair set), so an eval document's near-twin can
+    never land in train. The oracle recomputes the exact transitive
+    closure (recursive CTE) and replays the integer-threshold hash
+    assignment, hash-checking every document's split."""
+    d = load(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, num_hashes=8, bands=4,
+                                    max_bucket_size=64, portable=True)
+    clusters = dedup.duplicate_clusters(pairs)
+    out = sampling.leakage_safe_split(d, clusters, boundaries=(0.9, 0.95),
+                                      salt=13)
+    return out.select("doc_id", "split_key", "split")
+
+
+@register(
+    "q_per_host_cap",
+    "WITH d AS (SELECT doc_id, source || '.' || lang || '.example.com' "
+    "  AS host FROM documents), "
+    "t AS (SELECT doc_id, host, " + salted_hash_sql("doc_id") + " AS h FROM d), "
+    "r AS (SELECT doc_id, host, row_number() OVER (PARTITION BY host "
+    "  ORDER BY h, doc_id) AS rn FROM t) "
+    "SELECT doc_id, host FROM r WHERE rn <= 15",
+)
+def q_per_host_cap(spark, sf):
+    """Extension — per-host document cap (RefinedWeb-style domain
+    balancing, operators/sampling.per_host_cap): at most 15 docs per
+    synthetic host, chosen by hash priority. The Spark side runs the
+    bucketed two-phase cap (token_budget_cap with a unit count — no
+    single-task per-host sort); the oracle is the naive per-host
+    row_number window, proving the decomposition exact."""
+    d = load(spark, sf, "documents").withColumn(
+        "host",
+        F.concat(F.col("source"), F.lit("."), F.col("lang"),
+                 F.lit(".example.com")),
+    )
+    capped = sampling.per_host_cap(d, "host", 15, F.col("doc_id"))
+    return capped.select("doc_id", "host")
+
+
 @register("q_sketch_stats")
 def q_sketch_stats(spark, sf):
     """† Sketch surface — HLL++ distinct estimation and quantile-sketch
