@@ -83,6 +83,17 @@ R4_ADDITIONS = [
     "q_bmp_roundtrip",
 ]
 
+#: round-5 additions (same rationale): cluster-coherent train/val/test
+#: split (pairs -> pointer-doubling components -> hash assignment),
+#: per-host cap (bucketed two-phase with unit counts), and the A6/A7
+#: digest-twin annotator paths (mapInPandas + executor singleton).
+R5_ADDITIONS = [
+    "q_leakage_safe_split",
+    "q_per_host_cap",
+    "q_fasttext_label_oracle",
+    "q_hf_classifier_oracle",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -96,7 +107,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     all_laps: dict[str, list[float]] = {}
-    for name in HEADLINE + R3_FAMILIES + R4_ADDITIONS:
+    for name in HEADLINE + R3_FAMILIES + R4_ADDITIONS + R5_ADDITIONS:
         fn = registry[name]
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm (JIT+IO cache)
         laps = []
@@ -123,6 +134,9 @@ def main() -> None:
                 ),
                 "r4_additions_total": round(
                     sum(timings[n] for n in R4_ADDITIONS), 3
+                ),
+                "r5_additions_total": round(
+                    sum(timings[n] for n in R5_ADDITIONS), 3
                 ),
             }
         )

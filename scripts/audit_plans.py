@@ -108,6 +108,15 @@ AUDITS = {
     "q_tfidf_top_terms": "TF-IDF: one token explode into the (doc,term) "
     "partial-agg shuffle; doc-frequency and N are vocab-/1-row-sized "
     "BroadcastExchanges back onto it; top-k is a per-doc rank window.",
+    "q_leakage_safe_split": "Cluster-coherent split: the corpus side is "
+    "ONE id-only left join against the (pair-graph-sized, AQE-broadcast "
+    "when small) cluster map plus a pure-codegen hash projection — the "
+    "text never shuffles; all iteration lives in the pointer-doubling "
+    "cluster subtree whose per-round joins touch only pair ids.",
+    "q_per_host_cap": "Per-host cap: per-(host,bucket) count agg (tiny) "
+    "-> broadcast offsets prune buckets past the cap BEFORE the window "
+    "Exchange, so the in-bucket rank sorts only surviving rows — no "
+    "single-task sort of a mega-host.",
     "q_range_frame_agg": "Trailing-5-minute sliding aggregate as a RANGE "
     "window frame on epoch seconds: one Exchange by user, no self-join, "
     "no explode — the frame scan is linear in events.",
