@@ -66,3 +66,23 @@ def test_per_host_cap_matches_naive_window(spark):
     for _, h in got:
         per_host[h] = per_host.get(h, 0) + 1
     assert all(v <= k for v in per_host.values())
+
+
+def test_leakage_split_query_prunes_scan_to_doc_id(spark):
+    """The registered split query projects (doc_id, split_key, split);
+    column pruning must reach the parquet scan through the whole
+    pairs->clusters->split chain — a scan reading text for an id-only
+    output is the 100 TB regression this pins (PLANS.md shows
+    ReadSchema: struct<doc_id:bigint> on the corpus side)."""
+    import os
+    import pytest
+    from metadata_enhanced_pretrain_datapipeline_spark import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata not present")
+    df = q.all_queries()["q_leakage_safe_split"](spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the corpus branch scans only the id; the pair subtree needs text
+    # (shingling) but the split projection itself must not
+    assert "struct<doc_id:bigint>" in plan
