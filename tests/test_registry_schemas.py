@@ -1,13 +1,19 @@
-"""Driver-contract guard (VERDICT r4 #4): every oracle-backed query must
-emit only scalar top-level columns. The external driver canonicalizes
-results with a pandas ``sort_values`` over all output columns, which
-raises ``unhashable type: 'list'`` on ArrayType/MapType values — that is
-exactly how CORRECTNESS_r04's two red rows (q_inverted_index,
-q_flag_violations) happened despite both being locally oracle-green.
+"""Registry-wide guards, one build pass over every query at sf0.001.
 
-Builds every registered query's plan at sf0.001 and inspects the schema.
-†-queries (no oracle) are exempt: the driver's rows-only check never
-hashes their values.
+1. Driver-contract schema guard (VERDICT r4 #4): every oracle-backed
+   query must emit only scalar top-level columns. The external driver
+   canonicalizes results with a pandas ``sort_values`` over all output
+   columns, which raises ``unhashable type: 'list'`` on ArrayType/
+   MapType values — that is exactly how CORRECTNESS_r04's two red rows
+   (q_inverted_index, q_flag_violations) happened despite both being
+   locally oracle-green. †-queries (no oracle) are exempt: the driver's
+   rows-only check never hashes their values.
+
+2. Physical-plan antipattern guard (round 5): no registered query may
+   plan a CartesianProduct, a BroadcastNestedLoopJoin, or a
+   row-at-a-time Python stage (BatchEvalPython) unless the pattern is
+   explicitly adjudicated below — the sweep that added this found zero
+   unexplained hits, and this pins that state.
 """
 
 from __future__ import annotations
@@ -20,6 +26,28 @@ from pyspark.sql import types as T
 from metadata_enhanced_pretrain_datapipeline_spark import queries as q
 
 SF_DIR = "/root/testdata/sf0.001"
+
+#: BroadcastNestedLoopJoin is THE right plan when one side is a 1-row
+#: aggregate (a scalar threshold / total / max joined to every row);
+#: each name here was adjudicated as exactly that shape. A new BNLJ hit
+#: means either add it here WITH the same justification or fix the join.
+ALLOWED_SCALAR_BNLJ = {
+    "q_embedding_topk",      # top-k threshold scalar
+    "q_histogram",           # global min/max row
+    "q_mix_pipeline",        # temperature-mix n_max scalar
+    "q_quantile_gate",       # per-column quantile scalar row
+    "q_temperature_mix",     # n_max scalar
+    "q_term_drift",          # (tp, tq, vocab) totals row
+    "q_tfidf_top_terms",     # n_docs scalar
+    "q_tpch_q11",            # sum(value)*fraction scalar
+    "q_tpch_q22",            # avg(acctbal) scalar
+    "q_leakage_safe_split",  # via the shared minhash/cluster subtree
+}
+
+#: q_udtf_excerpt_windows is the deliberate Python-UDTF API surface demo
+#: (row-at-a-time BY DESIGN; the scale twins are the explode/mapInPandas
+#: excerpt queries — see its docstring).
+ALLOWED_PY_ROW = {"q_udtf_excerpt_windows"}
 
 
 def _has_container(dt: T.DataType) -> bool:
@@ -36,25 +64,34 @@ def _has_container(dt: T.DataType) -> bool:
 @pytest.mark.skipif(
     not os.path.isdir(SF_DIR), reason="driver testdata not present"
 )
-def test_no_array_or_map_output_in_oracle_backed_queries(spark):
+def test_registry_schemas_and_plans(spark):
     oracles = q.all_oracles()
-    offenders: list[str] = []
+    schema_bad: list[str] = []
+    plan_bad: list[str] = []
     errors: list[str] = []
     for name, fn in q.all_queries().items():
-        if name not in oracles:
-            continue  # rows-only by design: values never hashed
         try:
-            schema = fn(spark, SF_DIR).schema
+            df = fn(spark, SF_DIR)
+            schema = df.schema
         except Exception as e:  # build failure is its own red flag
             errors.append(f"{name}: {type(e).__name__}: {e}")
             continue
-        bad = [
-            f.name for f in schema.fields if _has_container(f.dataType)
-        ]
-        if bad:
-            offenders.append(f"{name}: {bad}")
+        if name in oracles:
+            bad = [f.name for f in schema.fields if _has_container(f.dataType)]
+            if bad:
+                schema_bad.append(f"{name}: {bad}")
+        if name.startswith("q_stream"):
+            continue  # batch DF drained from a memory sink — no corpus plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            plan_bad.append(f"{name}: CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in ALLOWED_SCALAR_BNLJ:
+            plan_bad.append(f"{name}: unadjudicated BroadcastNestedLoopJoin")
+        if "BatchEvalPython" in plan and name not in ALLOWED_PY_ROW:
+            plan_bad.append(f"{name}: row-at-a-time Python stage")
     assert not errors, f"queries failed to build at sf0.001: {errors}"
-    assert not offenders, (
+    assert not schema_bad, (
         "oracle-backed queries with array/map output columns (the driver's "
-        f"pandas canonicalizer cannot hash these): {offenders}"
+        f"pandas canonicalizer cannot hash these): {schema_bad}"
     )
+    assert not plan_bad, f"plan antipatterns: {plan_bad}"
