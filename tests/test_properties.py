@@ -386,3 +386,45 @@ def test_versioned_upsert_idempotent_and_order_independent(spark, batches):
             [(k, v, pay) for k, (v, pay) in fwd.items()] or [], schema)
         again = versioned_upsert(t, spark.createDataFrame(flat[-1], schema), ["k"], "version")
         assert {r.k: (r.version, r.payload) for r in again.collect()} == best
+
+
+@_slow
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda p: p[0] != p[1]),
+        min_size=0, max_size=20,
+    )
+)
+def test_leakage_safe_split_never_separates_connected_docs(spark, edges):
+    """End-to-end leakage safety for ARBITRARY pair graphs: run the REAL
+    clustering (pointer doubling) into the REAL split and assert no two
+    connected docs ever land in different splits — the contamination
+    the operator exists to make impossible — and that every doc (in a
+    pair or not) gets exactly one assignment."""
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import dedup, sampling
+
+    docs = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    pairs = [(min(a, b), max(a, b)) for a, b in edges]
+    pdf = (spark.createDataFrame(pairs, "id_a long, id_b long")
+           if pairs else spark.createDataFrame([], "id_a long, id_b long"))
+    clusters = dedup.duplicate_clusters(pdf)
+    out = {r.doc_id: (r.split_key, r.split)
+           for r in sampling.leakage_safe_split(docs, clusters).collect()}
+    assert set(out) == set(range(20))  # one row per doc, always
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in pairs:
+        assert out[a] == out[b], f"connected {a},{b} split apart"
+        assert find(a) == find(b)
