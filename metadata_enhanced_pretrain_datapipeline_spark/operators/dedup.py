@@ -383,6 +383,48 @@ def contamination_hits(docs: DataFrame, benchmark: DataFrame,
     )
 
 
+def multi_benchmark_contamination(docs: DataFrame, benchmarks: DataFrame,
+                                  id_col: str = "doc_id",
+                                  text_col: str = "text",
+                                  bench_id_col: str = "benchmark_id",
+                                  shingle_n: int = 8, min_hits: int = 1,
+                                  bench_text_col: str | None = None,
+                                  portable: bool = False) -> DataFrame:
+    """Decontamination against MANY benchmarks in ONE corpus pass:
+    ``benchmarks`` carries (bench_id_col, text) for every eval set, and
+    the result is (id_col, bench_id_col, contam_hits) — identical to
+    running :func:`contamination_hits` once per benchmark, without
+    re-scanning the corpus per eval set (real pipelines decontaminate
+    against dozens; at 100 TB the corpus scan IS the cost).
+
+    Scale: the (benchmark, shingle-hash) pairs are distinct-ed and
+    broadcast (eval sets are tiny next to the corpus); a shingle shared
+    by k benchmarks fans its matching corpus row into k join rows —
+    exactly the per-benchmark hit those k separate passes would count.
+    The only exchange is the per-(doc, benchmark) count keyed by id.
+    """
+    bt = bench_text_col or text_col
+    bench_h = (
+        benchmarks
+        .select(F.col(bench_id_col),
+                F.explode(word_shingles(F.col(bt), shingle_n)).alias("sh"))
+        .select(bench_id_col, _shingle_hash(F.col("sh"), portable).alias("h"))
+        .distinct()
+    )
+    doc_h = docs.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+    ).select(id_col, _shingle_hash(F.col("sh"), portable).alias("h"))
+    return (
+        doc_h.join(F.broadcast(bench_h), "h")
+        # doc shingles and (benchmark, h) pairs are both distinct, so
+        # count(*) is the distinct shared-shingle count per pair
+        .groupBy(id_col, bench_id_col)
+        .agg(F.count("*").alias("contam_hits"))
+        .filter(F.col("contam_hits") >= F.lit(min_hits))
+    )
+
+
 def decontaminate(docs: DataFrame, benchmark: DataFrame,
                   id_col: str = "doc_id", text_col: str = "text",
                   shingle_n: int = 8, min_hits: int = 1,

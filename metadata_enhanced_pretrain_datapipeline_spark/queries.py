@@ -1840,6 +1840,36 @@ _DECONTAM_SQL_HITS = (
 )
 
 
+@register(
+    "q_multi_benchmark_contamination",
+    "WITH " + _shingle_ctes("", 8) + ", "
+    "h AS (SELECT doc_id, " + md5_hash64_sql("shingle") + " AS h FROM sh), "
+    "bh AS (SELECT 'a' AS benchmark_id, h FROM "
+    "  (SELECT DISTINCT h FROM h WHERE doc_id % 37 = 0) "
+    "UNION ALL SELECT 'b' AS benchmark_id, h FROM "
+    "  (SELECT DISTINCT h FROM h WHERE doc_id % 41 = 0)) "
+    "SELECT doc_id, benchmark_id, CAST(count(*) AS BIGINT) AS contam_hits "
+    "FROM h JOIN bh USING (h) GROUP BY doc_id, benchmark_id",
+)
+def q_multi_benchmark_contamination(spark, sf):
+    """Extension — decontamination against MANY eval sets in ONE corpus
+    pass (operators/dedup.multi_benchmark_contamination): two synthetic
+    benchmarks (doc_id % 37 / % 41) share one broadcast of (benchmark,
+    shingle-hash) pairs and one corpus shingle explosion; the oracle
+    replays both per-benchmark joins and the driver hash-checks every
+    (doc, benchmark, hits) row. Real pipelines decontaminate against
+    dozens of benchmarks — at 100 TB the corpus scan is the cost, and
+    this does it once instead of once per benchmark."""
+    d = load(spark, sf, "documents")
+    b = (
+        d.filter(F.col("doc_id") % 37 == 0).withColumn("benchmark_id", F.lit("a"))
+        .unionByName(
+            d.filter(F.col("doc_id") % 41 == 0).withColumn("benchmark_id", F.lit("b"))
+        )
+    )
+    return dedup.multi_benchmark_contamination(d, b, portable=True)
+
+
 @register("q_contamination_hits", _DECONTAM_SQL_HITS)
 def q_contamination_hits(spark, sf):
     """Extension — benchmark n-gram decontamination flag pass (the

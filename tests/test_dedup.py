@@ -388,3 +388,32 @@ def test_snapshot_diff_null_text_and_duplicate_keys(spark):
     out = {r.doc_id: r.change for r in rows}
     assert len(rows) == 2
     assert out == {1: "changed", 2: "unchanged"}
+
+
+def test_multi_benchmark_equals_per_benchmark_passes(spark):
+    """The single-pass multi-benchmark result must equal running
+    contamination_hits once per benchmark — the equivalence the operator
+    exists to provide without re-scanning the corpus."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common phrase tail {' '.join(f't{i}{j}' for j in range(6))}")
+         for i in range(12)],
+        "doc_id long, text string",
+    )
+    b1 = docs.filter(F.col("doc_id") % 3 == 0)
+    b2 = docs.filter(F.col("doc_id") % 4 == 0)
+    benches = (
+        b1.withColumn("benchmark_id", F.lit("b1"))
+        .unionByName(b2.withColumn("benchmark_id", F.lit("b2")))
+    )
+    multi = {
+        (r.doc_id, r.benchmark_id): r.contam_hits
+        for r in dedup.multi_benchmark_contamination(
+            docs, benches, shingle_n=3).collect()
+    }
+    want = {}
+    for name, bench in [("b1", b1), ("b2", b2)]:
+        for r in dedup.contamination_hits(docs, bench, shingle_n=3).collect():
+            want[(r.doc_id, name)] = r.contam_hits
+    assert multi == want and multi  # equal and non-trivial
