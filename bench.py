@@ -92,6 +92,7 @@ R5_ADDITIONS = [
     "q_per_host_cap",
     "q_fasttext_label_oracle",
     "q_hf_classifier_oracle",
+    "q_multi_benchmark_contamination",
 ]
 
 
