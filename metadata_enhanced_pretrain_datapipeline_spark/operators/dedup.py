@@ -196,6 +196,72 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     )
 
 
+def minhash_band_keys(sigs: DataFrame, id_col: str = "doc_id",
+                      num_hashes: int = 32, bands: int = 8) -> DataFrame:
+    """(id, band, key) LSH band-bucket keys of a signature frame — the
+    SIGNATURE-STORE schema for incremental fuzzy dedup: write this to
+    parquet (partitioned or bucketed by (band, key)) once per snapshot,
+    and later snapshots dedup against the STORE without ever
+    re-minhashing the old corpus (at 100 TB, re-shingling last month's
+    crawl is the cost that makes naive re-dedup infeasible).
+
+    Same banding arithmetic as :func:`minhash_lsh_pairs` (docs sharing
+    ALL rows of any band collide); null-signature docs (fewer tokens
+    than the shingle width) emit no keys — they cannot be shingle
+    near-dups.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
+    rows_per_band = num_hashes // bands
+    sigs = sigs.filter(F.col("mh_0").isNotNull())
+    band_cols = []
+    for b in range(bands):
+        members = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws("_", *members).alias("key"))
+        )
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def minhash_dedup_against(new_docs: DataFrame, seen_bands: DataFrame,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          num_hashes: int = 32, bands: int = 8,
+                          shingle_n: int = 3,
+                          portable: bool = False) -> DataFrame:
+    """Incremental FUZZY dedup across snapshots: drop new documents that
+    LSH-collide with a previously-written signature store
+    (:func:`minhash_band_keys` output) — the near-dup complement of
+    :func:`dedup_against` (exact digests), and the monthly-crawl
+    workflow where the old corpus is only ever touched as its store.
+
+    Collision = sharing ANY band key with any seen document — the
+    standard LSH candidate rule. Precision is set by the bands x rows
+    layout (more rows per band = stricter); there is deliberately no
+    exact-Jaccard verification step, because that would need the seen
+    TEXT, which the store does not carry — callers needing verification
+    keep a text-addressable sample of the store instead.
+
+    Scale: the new snapshot is shingled/minhashed once; the join is
+    keyed on (band, key) against the store (distinct-ed store-side —
+    a hot boilerplate bucket must not fan new rows out); flagged ids
+    come back as an ids-only anti-join. No broadcast assumption on
+    either side.
+    """
+    sigs = minhash_signatures(new_docs.select(id_col, text_col), text_col,
+                              num_hashes, shingle_n, portable)
+    new_bands = minhash_band_keys(sigs, id_col, num_hashes, bands)
+    hits = (
+        new_bands
+        .join(seen_bands.select("band", "key").distinct(), ["band", "key"])
+        .select(id_col).distinct()
+    )
+    return new_docs.join(hits, id_col, "left_anti")
+
+
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                   shingle_n: int = 3, min_jaccard: float = 0.0) -> DataFrame:
     """n-gram Jaccard similarity for candidate pairs via a shingle inverted

@@ -1397,6 +1397,64 @@ def q_duplicate_clusters(spark, sf):
     return dedup.duplicate_clusters(pairs)
 
 
+def _minhash_bands_sql(num_hashes: int, bands: int, shingle_n: int = 3) -> str:
+    """DuckDB CTE chain ending in ``bands(doc_id, band, key)`` — the twin
+    of dedup.minhash_band_keys over ALL documents (each doc's signature
+    depends only on its own text, so one shared chain serves both the
+    'seen' and 'new' halves of the incremental-dedup oracle)."""
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.dedup import _MINHASH_PARAMS
+
+    rows_per_band = num_hashes // bands
+    mh_cols = ", ".join(
+        f"min((h % {_MERSENNE_P} * {a} + {b}) % {_MERSENNE_P}) AS mh_{i}"
+        for i, (a, b) in enumerate(_MINHASH_PARAMS[:num_hashes])
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || '_' || ".join(
+            f"CAST(mh_{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+        )
+        + " AS key FROM mh"
+        for b in range(bands)
+    )
+    return (
+        f"{_shingle_ctes('', shingle_n)}, "
+        f"h AS (SELECT DISTINCT doc_id, {md5_hash64_sql('shingle')} AS h FROM sh), "
+        f"mh AS (SELECT doc_id, {mh_cols} FROM h GROUP BY doc_id), "
+        f"bands AS ({band_selects})"
+    )
+
+
+@register(
+    "q_minhash_dedup_against",
+    "WITH " + _minhash_bands_sql(8, 4) + ", "
+    "coll AS (SELECT DISTINCT n.doc_id FROM bands n "
+    "  JOIN (SELECT DISTINCT band, key FROM bands WHERE doc_id % 5 = 0) s "
+    "  USING (band, key) WHERE n.doc_id % 5 <> 0) "
+    "SELECT doc_id FROM documents WHERE doc_id % 5 <> 0 "
+    "AND doc_id NOT IN (SELECT doc_id FROM coll)",
+)
+def q_minhash_dedup_against(spark, sf):
+    """Extension — incremental FUZZY dedup against a signature store
+    (operators/dedup.minhash_band_keys + minhash_dedup_against): the
+    'seen' snapshot (doc_id % 5 = 0) is reduced to its LSH band keys
+    once, and the new snapshot drops every doc sharing any band key —
+    the monthly-crawl workflow where last month's 100 TB is only ever
+    touched as its (band, key) store, never re-shingled. The oracle
+    replays signatures and banding for both halves and the kept set is
+    hash-checked."""
+    d = load(spark, sf, "documents")
+    seen = d.filter(F.col("doc_id") % 5 == 0)
+    new = d.filter(F.col("doc_id") % 5 != 0)
+    store = dedup.minhash_band_keys(
+        dedup.minhash_signatures(seen.select("doc_id", "text"),
+                                 num_hashes=8, portable=True),
+        num_hashes=8, bands=4)
+    kept = dedup.minhash_dedup_against(new, store, num_hashes=8, bands=4,
+                                       portable=True)
+    return kept.select("doc_id")
+
+
 @register("q_simhash", _simhash_sql())
 def q_simhash(spark, sf):
     """Extension — SimHash fingerprints (operators/dedup.simhash), portable

@@ -417,3 +417,34 @@ def test_multi_benchmark_equals_per_benchmark_passes(spark):
         for r in dedup.contamination_hits(docs, bench, shingle_n=3).collect():
             want[(r.doc_id, name)] = r.contam_hits
     assert multi == want and multi  # equal and non-trivial
+
+
+def test_minhash_store_roundtrip_dedup(spark, tmp_path):
+    """The incremental-dedup workflow end to end: band keys written to
+    parquet (the signature store), read back cold, and a new snapshot
+    deduped against the LOADED store — an exact near-twin of a seen doc
+    must drop, novel docs must survive, and short no-shingle docs must
+    never be flagged."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    seen = spark.createDataFrame(
+        [(i, f"{base} seen variant {i} " + "filler words here " * 3)
+         for i in range(5)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (100, f"{base} seen variant 2 " + "filler words here " * 3),  # near-twin
+            (101, "completely different content about spark catalyst optimizer internals and shuffles"),
+            (102, "xy"),  # too short to shingle: must never be flagged
+        ],
+        "doc_id long, text string",
+    )
+    store = dedup.minhash_band_keys(
+        dedup.minhash_signatures(seen, num_hashes=8), num_hashes=8, bands=4)
+    path = str(tmp_path / "store")
+    store.write.parquet(path)
+    loaded = spark.read.parquet(path)
+    kept = {r.doc_id for r in dedup.minhash_dedup_against(
+        new, loaded, num_hashes=8, bands=4).collect()}
+    assert 100 not in kept      # twin of seen doc 2: collides, dropped
+    assert {101, 102} <= kept   # novel + unshingleable: kept
