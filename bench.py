@@ -93,6 +93,7 @@ R5_ADDITIONS = [
     "q_fasttext_label_oracle",
     "q_hf_classifier_oracle",
     "q_multi_benchmark_contamination",
+    "q_minhash_dedup_against",
 ]
 
 

@@ -117,6 +117,11 @@ AUDITS = {
     "-> broadcast offsets prune buckets past the cap BEFORE the window "
     "Exchange, so the in-bucket rank sorts only surviving rows — no "
     "single-task sort of a mega-host.",
+    "q_minhash_dedup_against": "Incremental fuzzy dedup: only the NEW "
+    "snapshot is shingled/minhashed (one codegen projection); the store "
+    "side is band keys only, distinct-ed before the (band,key) join; "
+    "flagged ids return through an ids-only anti-join — the old corpus "
+    "text is never read.",
     "q_range_frame_agg": "Trailing-5-minute sliding aggregate as a RANGE "
     "window frame on epoch seconds: one Exchange by user, no self-join, "
     "no explode — the frame scan is linear in events.",
