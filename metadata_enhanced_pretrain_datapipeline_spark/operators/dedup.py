@@ -117,21 +117,9 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
             "trailing signature components would be paid for but never banded"
         )
-    rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df.select(id_col, text_col), text_col, num_hashes,
                               shingle_n, portable)
-    # docs with no shingles (< shingle_n tokens) have null signatures; they
-    # cannot be shingle-near-dups and would otherwise all share one bucket
-    sigs = sigs.filter(F.col("mh_0").isNotNull())
-    band_cols = []
-    for b in range(bands):
-        members = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.concat_ws("_", *members).alias("key"))
-        )
-    buckets = sigs.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    buckets = minhash_band_keys(sigs, id_col, num_hashes, bands)
     # ONE explicit exchange on the bucket key. Everything downstream (the
     # size guard and both sides of the self-join) hangs off this single
     # shuffle of tiny (id, band, key) rows, so the expensive
@@ -205,10 +193,10 @@ def minhash_band_keys(sigs: DataFrame, id_col: str = "doc_id",
     re-minhashing the old corpus (at 100 TB, re-shingling last month's
     crawl is the cost that makes naive re-dedup infeasible).
 
-    Same banding arithmetic as :func:`minhash_lsh_pairs` (docs sharing
+    Also the banding stage OF :func:`minhash_lsh_pairs` (docs sharing
     ALL rows of any band collide); null-signature docs (fewer tokens
     than the shingle width) emit no keys — they cannot be shingle
-    near-dups.
+    near-dups and would otherwise all share one degenerate bucket.
     """
     if num_hashes % bands != 0:
         raise ValueError(

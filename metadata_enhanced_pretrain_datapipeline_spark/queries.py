@@ -1303,13 +1303,16 @@ def _shingle_ctes(where: str, n: int = 3) -> str:
     )
 
 
-def _minhash_pairs_sql(where: str, num_hashes: int, bands: int,
-                       max_bucket_size: int, shingle_n: int = 3) -> str:
-    """DuckDB twin of dedup.minhash_lsh_pairs(portable=True)."""
+def _minhash_bands_sql(num_hashes: int, bands: int, shingle_n: int = 3,
+                       where: str = "") -> str:
+    """DuckDB CTE chain ending in ``bands(doc_id, band, key)`` — the twin
+    of dedup.minhash_band_keys (and the shared prefix of the LSH-pairs
+    oracle below). One chain serves both the 'seen' and 'new' halves of
+    the incremental-dedup oracle, since a doc's signature depends only on
+    its own text."""
     from metadata_enhanced_pretrain_datapipeline_spark.operators.dedup import _MINHASH_PARAMS
 
     rows_per_band = num_hashes // bands
-    hash_expr = md5_hash64_sql("shingle")
     mh_cols = ", ".join(
         f"min((h % {_MERSENNE_P} * {a} + {b}) % {_MERSENNE_P}) AS mh_{i}"
         for i, (a, b) in enumerate(_MINHASH_PARAMS[:num_hashes])
@@ -1323,10 +1326,18 @@ def _minhash_pairs_sql(where: str, num_hashes: int, bands: int,
         for b in range(bands)
     )
     return (
-        f"WITH {_shingle_ctes(where, shingle_n)}, "
-        f"h AS (SELECT DISTINCT doc_id, {hash_expr} AS h FROM sh), "
+        f"{_shingle_ctes(where, shingle_n)}, "
+        f"h AS (SELECT DISTINCT doc_id, {md5_hash64_sql('shingle')} AS h FROM sh), "
         f"mh AS (SELECT doc_id, {mh_cols} FROM h GROUP BY doc_id), "
-        f"bands AS ({band_selects}), "
+        f"bands AS ({band_selects})"
+    )
+
+
+def _minhash_pairs_sql(where: str, num_hashes: int, bands: int,
+                       max_bucket_size: int, shingle_n: int = 3) -> str:
+    """DuckDB twin of dedup.minhash_lsh_pairs(portable=True)."""
+    return (
+        f"WITH {_minhash_bands_sql(num_hashes, bands, shingle_n, where)}, "
         "kept AS (SELECT band, key FROM bands GROUP BY band, key "
         f"         HAVING count(*) BETWEEN 2 AND {max_bucket_size}), "
         "el AS (SELECT b.doc_id, b.band, b.key FROM bands b JOIN kept USING (band, key)) "
@@ -1395,34 +1406,6 @@ def q_duplicate_clusters(spark, sf):
     pairs = dedup.minhash_lsh_pairs(d, num_hashes=8, bands=4,
                                     max_bucket_size=64, portable=True)
     return dedup.duplicate_clusters(pairs)
-
-
-def _minhash_bands_sql(num_hashes: int, bands: int, shingle_n: int = 3) -> str:
-    """DuckDB CTE chain ending in ``bands(doc_id, band, key)`` — the twin
-    of dedup.minhash_band_keys over ALL documents (each doc's signature
-    depends only on its own text, so one shared chain serves both the
-    'seen' and 'new' halves of the incremental-dedup oracle)."""
-    from metadata_enhanced_pretrain_datapipeline_spark.operators.dedup import _MINHASH_PARAMS
-
-    rows_per_band = num_hashes // bands
-    mh_cols = ", ".join(
-        f"min((h % {_MERSENNE_P} * {a} + {b}) % {_MERSENNE_P}) AS mh_{i}"
-        for i, (a, b) in enumerate(_MINHASH_PARAMS[:num_hashes])
-    )
-    band_selects = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, "
-        + " || '_' || ".join(
-            f"CAST(mh_{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
-        )
-        + " AS key FROM mh"
-        for b in range(bands)
-    )
-    return (
-        f"{_shingle_ctes('', shingle_n)}, "
-        f"h AS (SELECT DISTINCT doc_id, {md5_hash64_sql('shingle')} AS h FROM sh), "
-        f"mh AS (SELECT doc_id, {mh_cols} FROM h GROUP BY doc_id), "
-        f"bands AS ({band_selects})"
-    )
 
 
 @register(
