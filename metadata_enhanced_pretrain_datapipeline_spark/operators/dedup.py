@@ -215,6 +215,38 @@ def minhash_band_keys(sigs: DataFrame, id_col: str = "doc_id",
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
 
+def minhash_estimate_jaccard(pairs: DataFrame, sigs: DataFrame,
+                             id_col: str = "doc_id",
+                             num_hashes: int = 32) -> DataFrame:
+    """Signature-estimated Jaccard for candidate pairs: the fraction of
+    matching MinHash components is an unbiased estimator of J(A, B)
+    (the defining MinHash property: P[min-hash collision] = Jaccard) —
+    the TEXT-FREE verification step for LSH candidates. With signatures
+    persisted next to :func:`minhash_band_keys`'s store, dedup
+    thresholds are tuned and candidates scored from the store alone;
+    estimator std-error is sqrt(J(1-J)/k), so k=32 resolves ~0.09.
+
+    Input ``pairs`` is (id_a, id_b) (:func:`minhash_lsh_pairs` output);
+    ``sigs`` is :func:`minhash_signatures` output. Two id-keyed joins
+    pull each side's components; the match count is a pure-codegen sum.
+    The division is by a power of two, so the estimate is bit-exact
+    across engines for num_hashes in {8, 16, 32, 64}.
+    """
+    a = sigs.select(F.col(id_col).alias("id_a"),
+                    *[F.col(f"mh_{i}").alias(f"__a{i}") for i in range(num_hashes)])
+    b = sigs.select(F.col(id_col).alias("id_b"),
+                    *[F.col(f"mh_{i}").alias(f"__b{i}") for i in range(num_hashes)])
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    matches = sum(
+        F.when(F.col(f"__a{i}") == F.col(f"__b{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return joined.select(
+        "id_a", "id_b",
+        (matches / F.lit(float(num_hashes))).alias("est_jaccard"),
+    )
+
+
 def minhash_dedup_against(new_docs: DataFrame, seen_bands: DataFrame,
                           id_col: str = "doc_id", text_col: str = "text",
                           num_hashes: int = 32, bands: int = 8,

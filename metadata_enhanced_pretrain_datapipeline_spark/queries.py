@@ -1409,6 +1409,32 @@ def q_duplicate_clusters(spark, sf):
 
 
 @register(
+    "q_minhash_est_jaccard",
+    "WITH pairs AS (" + _minhash_pairs_sql("", 8, 4, 64) + "), "
+    + _minhash_bands_sql(8, 4) + " "
+    "SELECT p.id_a, p.id_b, ("
+    + " + ".join(f"CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END"
+                 for i in range(8))
+    + ") / 8.0 AS est_jaccard "
+    "FROM pairs p JOIN mh a ON a.doc_id = p.id_a "
+    "JOIN mh b ON b.doc_id = p.id_b",
+)
+def q_minhash_est_jaccard(spark, sf):
+    """Extension — signature-estimated Jaccard for every LSH candidate
+    pair (operators/dedup.minhash_estimate_jaccard): the matching-
+    component fraction scores candidates WITHOUT touching text — the
+    store-only verification step for incremental dedup threshold
+    tuning. Division by 8 is exact, so the whole scored pair set is
+    hash-checked."""
+    d = load(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, num_hashes=8, bands=4,
+                                    max_bucket_size=64, portable=True)
+    sigs = dedup.minhash_signatures(d.select("doc_id", "text"),
+                                    num_hashes=8, portable=True)
+    return dedup.minhash_estimate_jaccard(pairs, sigs, num_hashes=8)
+
+
+@register(
     "q_minhash_dedup_against",
     "WITH " + _minhash_bands_sql(8, 4) + ", "
     "coll AS (SELECT DISTINCT n.doc_id FROM bands n "

@@ -448,3 +448,22 @@ def test_minhash_store_roundtrip_dedup(spark, tmp_path):
         new, loaded, num_hashes=8, bands=4).collect()}
     assert 100 not in kept      # twin of seen doc 2: collides, dropped
     assert {101, 102} <= kept   # novel + unshingleable: kept
+
+
+def test_minhash_estimate_jaccard_matches_components(spark):
+    """est_jaccard must equal the hand-counted matching-component
+    fraction; identical texts estimate exactly 1.0."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "alpha beta gamma delta epsilon zeta eta theta"),   # identical
+         (3, "totally different words with no overlap at all")],
+        "doc_id long, text string",
+    )
+    sigs = dedup.minhash_signatures(docs, num_hashes=8)
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    est = {(r.id_a, r.id_b): r.est_jaccard
+           for r in dedup.minhash_estimate_jaccard(pairs, sigs, num_hashes=8).collect()}
+    assert est[(1, 2)] == 1.0
+    by_id = {r.doc_id: [r[f"mh_{i}"] for i in range(8)] for r in sigs.collect()}
+    want_13 = sum(x == y for x, y in zip(by_id[1], by_id[3])) / 8.0
+    assert est[(1, 3)] == want_13 < 1.0
