@@ -467,3 +467,53 @@ def test_minhash_estimate_jaccard_matches_components(spark):
     by_id = {r.doc_id: [r[f"mh_{i}"] for i in range(8)] for r in sigs.collect()}
     want_13 = sum(x == y for x, y in zip(by_id[1], by_id[3])) / 8.0
     assert est[(1, 3)] == want_13 < 1.0
+
+
+def test_monthly_snapshot_workflow_end_to_end(spark, tmp_path):
+    """Capstone: the full incremental-curation workflow across two crawl
+    snapshots — month 1 writes its signature store; month 2 drops exact
+    re-crawls (digest) and near-dups of month 1 (stored bands), then
+    the survivors get a leakage-safe split. Asserts each stage's
+    contract on planted fixtures."""
+    from pyspark.sql import functions as F
+
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import sampling
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    month1 = spark.createDataFrame(
+        [(i, f"{base} article {i} " + f"unique tail {i} " * 2) for i in range(8)],
+        "doc_id long, text string",
+    )
+    month2 = spark.createDataFrame(
+        [
+            (100, f"{base} article 3 " + "unique tail 3 " * 2),   # exact re-crawl of doc 3
+            (101, f"{base} article 5 " + "unique tail 5 " * 2 + "x"),  # near-dup of doc 5
+            (102, "entirely novel reporting about spark adaptive query execution internals"),
+            (103, "another novel piece on distributed minhash signature stores"),
+        ],
+        "doc_id long, text string",
+    )
+    # month 1 closes: persist its signature store
+    store_path = str(tmp_path / "bands")
+    dedup.minhash_band_keys(
+        dedup.minhash_signatures(month1, num_hashes=8), num_hashes=8, bands=4
+    ).write.parquet(store_path)
+
+    # month 2 pipeline: exact cross-snapshot dedup, then fuzzy vs store
+    no_exact = dedup.dedup_against(month2, month1)
+    assert {r.doc_id for r in no_exact.collect()} == {101, 102, 103}
+    survivors = dedup.minhash_dedup_against(
+        no_exact, spark.read.parquet(store_path), num_hashes=8, bands=4)
+    kept = {r.doc_id for r in survivors.collect()}
+    assert kept == {102, 103}  # near-dup of doc 5 dropped via the store
+
+    # survivors split leakage-safely (within-snapshot clusters: none here,
+    # so every survivor is its own unit — one row each, valid labels)
+    pairs = dedup.minhash_lsh_pairs(survivors, num_hashes=8, bands=4,
+                                    max_bucket_size=64)
+    out = sampling.leakage_safe_split(
+        survivors, dedup.duplicate_clusters(pairs) if pairs.take(1)
+        else spark.createDataFrame([], "doc_id long, cluster_id long"))
+    rows = out.collect()
+    assert {r.doc_id for r in rows} == kept
+    assert all(r.split in ("train", "validation", "test") for r in rows)
