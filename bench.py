@@ -96,6 +96,16 @@ R5_ADDITIONS = [
     "q_minhash_dedup_against",
 ]
 
+#: round-6 additions (same rationale): the on-disk band store probe
+#: (write partitioned → read pruned → dedup against it) and the composed
+#: monthly-snapshot chain (exact dedup → store fuzzy dedup →
+#: leakage-safe split). q_mix_pipeline's host-cap + split extension is
+#: priced in place under R3_FAMILIES.
+R6_ADDITIONS = [
+    "q_band_store_pruned_probe",
+    "q_snapshot_pipeline",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -109,7 +119,8 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     all_laps: dict[str, list[float]] = {}
-    for name in HEADLINE + R3_FAMILIES + R4_ADDITIONS + R5_ADDITIONS:
+    for name in (HEADLINE + R3_FAMILIES + R4_ADDITIONS + R5_ADDITIONS
+                 + R6_ADDITIONS):
         fn = registry[name]
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm (JIT+IO cache)
         laps = []
@@ -139,6 +150,9 @@ def main() -> None:
                 ),
                 "r5_additions_total": round(
                     sum(timings[n] for n in R5_ADDITIONS), 3
+                ),
+                "r6_additions_total": round(
+                    sum(timings[n] for n in R6_ADDITIONS), 3
                 ),
             }
         )

@@ -1,0 +1,54 @@
+"""Lineage-truncating materialization with a reliable-checkpoint option.
+
+Iterative operators (duplicate_clusters' label rounds) and multi-action
+pipelines (mix construction, CDC upsert staging, char-LM model reuse)
+must truncate lineage or every downstream action re-evaluates the full
+upstream subtree. Locally, ``localCheckpoint`` is the right tool: blocks
+live in executor storage, zero filesystem round-trip. But executor-LOCAL
+blocks die with their executor — on a real cluster an 8-round clustering
+job over 100 TB of candidate pairs would restart from nothing when one
+node is lost mid-round, because the truncated lineage cannot recompute
+the missing blocks.
+
+``materialize`` therefore takes a ``checkpoint_dir``: when set (directly
+or via the ``MEP_SPARK_CHECKPOINT_DIR`` environment variable), it uses a
+RELIABLE checkpoint (``SparkContext.setCheckpointDir`` + ``.checkpoint``,
+blocks written to the — at scale, fault-tolerant — filesystem), so a lost
+executor re-reads its blocks instead of killing the job. When unset, it
+falls back to ``localCheckpoint``, the correct local-mode default.
+
+The env-var path exists for the registered driver queries, whose
+(spark, sf_dir) signature cannot carry an option: a cluster deployment
+exports MEP_SPARK_CHECKPOINT_DIR=hdfs://.../checkpoints and every
+materialization boundary in every query flips to reliable mode at once.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+#: Environment variable that flips every materialization boundary in the
+#: package to reliable-checkpoint mode (value = the checkpoint directory).
+CHECKPOINT_DIR_ENV = "MEP_SPARK_CHECKPOINT_DIR"
+
+
+def materialize(df: DataFrame, checkpoint_dir: str | None = None,
+                eager: bool = True) -> DataFrame:
+    """Truncate ``df``'s lineage: reliable ``.checkpoint()`` when a
+    directory is given (argument wins over the MEP_SPARK_CHECKPOINT_DIR
+    environment variable), ``localCheckpoint`` otherwise.
+
+    ``eager=False`` defers materialization to the first action — the
+    right mode when the caller may never execute the frame (plan-only
+    tests) or wants the first real action to pay the cost.
+    """
+    target = checkpoint_dir or os.environ.get(CHECKPOINT_DIR_ENV)
+    if target:
+        sc = df.sparkSession.sparkContext
+        # setCheckpointDir is idempotent for a fixed target; re-pointing
+        # between calls is allowed (each checkpoint remembers its own dir)
+        sc.setCheckpointDir(target)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)

@@ -282,6 +282,46 @@ def minhash_dedup_against(new_docs: DataFrame, seen_bands: DataFrame,
     return new_docs.join(hits, id_col, "left_anti")
 
 
+def write_band_store(bands: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Persist a MinHash signature store (:func:`minhash_band_keys`
+    output) as BAND-PARTITIONED parquet: the directory layout is
+    ``band=<b>/part-*.parquet``, each file carrying only (id, key) rows.
+
+    This layout is the monthly-snapshot workflow's cost model made
+    physical: a probe that names a band subset (per-band incremental
+    probing, threshold tuning on one band, a re-banded store migration)
+    prunes to those directories at FILE-LISTING time — the filter arrives
+    as a PartitionFilter, zero rows of other bands are read — and the
+    full (band, key) probe join ships each band's files only to that
+    band's join tasks. At 100 TB the store is the only artifact of last
+    month's corpus the workflow ever touches, so its read cost IS the
+    workflow's cost; q_band_store_pruned_probe asserts the pruning
+    in-plan against this layout.
+
+    ``bands`` partitions are few (the band count), so each output
+    directory holds the writing frame's task count of files; callers
+    re-writing a huge store can repartition("band", "key") first for
+    key-clustered files (row-group min/max on key then prunes WITHIN a
+    band too).
+    """
+    bands.write.mode(mode).partitionBy("band").parquet(path)
+
+
+def read_band_store(spark, path: str,
+                    bands: list[int] | None = None) -> DataFrame:
+    """Read a band store written by :func:`write_band_store`, optionally
+    restricted to a band subset. The ``bands`` filter is a predicate on
+    the PARTITION column, so it prunes directories at file-listing time
+    (PartitionFilters in the scan — other bands' files are never opened).
+    Returns (id, band, key) rows suitable for
+    :func:`minhash_dedup_against`'s ``seen_bands`` side.
+    """
+    store = spark.read.parquet(path)
+    if bands is not None:
+        store = store.filter(F.col("band").isin([int(b) for b in bands]))
+    return store
+
+
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                   shingle_n: int = 3, min_jaccard: float = 0.0) -> DataFrame:
     """n-gram Jaccard similarity for candidate pairs via a shingle inverted
@@ -589,6 +629,7 @@ def drop_boilerplate_lines(df: DataFrame, id_col: str = "doc_id",
 
 def duplicate_clusters(pairs: DataFrame, max_iterations: int = 64,
                        checkpoint: bool = True,
+                       checkpoint_dir: str | None = None,
                        stats: dict | None = None) -> DataFrame:
     """Resolve candidate near-duplicate pairs into TRANSITIVE clusters:
     (doc_id, cluster_id) with cluster_id = the minimum id reachable
@@ -614,15 +655,19 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 64,
 
     Scale: per-round cost is three id-only joins (two on the PAIR graph,
     one label self-join) — orders of magnitude smaller than the corpus.
-    localCheckpoint truncates the growing lineage each round (eager, so
-    the convergence count reuses it); at cluster scale prefer a reliable
-    checkpoint dir via spark.sparkContext.setCheckpointDir +
-    df.checkpoint. The fixpoint is unique, so iteration order never
-    changes the result.
+    Lineage is truncated each round (eager, so the convergence count
+    reuses it): ``localCheckpoint`` by default, or a RELIABLE checkpoint
+    when ``checkpoint_dir`` is set (or MEP_SPARK_CHECKPOINT_DIR is
+    exported) — executor-local blocks die with an executor, and at
+    cluster scale an 8-round job must survive a lost node, so reliable
+    mode is the right default off this machine (see checkpointing.py).
+    The fixpoint is unique, so iteration order never changes the result.
 
     ``stats``, when passed a dict, receives ``{"iterations": n,
     "converged": True}`` for observability/tests.
     """
+    from metadata_enhanced_pretrain_datapipeline_spark.checkpointing import materialize
+
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
@@ -630,7 +675,7 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 64,
         # without this, every round's join re-evaluates the FULL upstream
         # pair lineage (e.g. the whole MinHash-LSH subtree) — the loop is
         # only "joins on the pair graph" if the graph is materialized
-        edges = edges.localCheckpoint(eager=True)
+        edges = materialize(edges, checkpoint_dir)
     labels = (
         edges.select(F.col("src").alias("id")).distinct()
         .withColumn("label", F.col("id"))
@@ -675,7 +720,7 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 64,
             )
         )
         if checkpoint:
-            stepped = stepped.localCheckpoint(eager=True)
+            stepped = materialize(stepped, checkpoint_dir)
         changed = (
             stepped.filter(F.col("label") != F.col("__old")).limit(1).count()
         )

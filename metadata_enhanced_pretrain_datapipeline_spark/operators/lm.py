@@ -61,7 +61,8 @@ def char_lm_model(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def char_lm_score(df: DataFrame, model: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text", round_digits: int = 4) -> DataFrame:
+                  text_col: str = "text", round_digits: int = 4,
+                  checkpoint_dir: str | None = None) -> DataFrame:
     """Score documents by mean bigram log-probability under ``model``
     (higher = more corpus-typical; the boilerplate/garbage tail scores
     low — the CCNet perplexity-bucket signal).
@@ -76,10 +77,14 @@ def char_lm_score(df: DataFrame, model: DataFrame, id_col: str = "doc_id",
     accumulation-order drift between engines can never flip an oracle
     compare.
     """
+    from metadata_enhanced_pretrain_datapipeline_spark.checkpointing import materialize
+
     # materialize the (tiny, alphabet-bounded) model once: it is consumed
     # three times below (vocab count now, firsts + mdl in the final plan)
-    # and each use would otherwise re-run the full corpus aggregation
-    model = model.localCheckpoint(eager=True)
+    # and each use would otherwise re-run the full corpus aggregation;
+    # checkpoint_dir (or MEP_SPARK_CHECKPOINT_DIR) flips to a reliable
+    # checkpoint so a lost executor can't orphan the model blocks mid-job
+    model = materialize(model, checkpoint_dir)
     firsts = model.groupBy("c1").agg(F.sum("c").alias("fc"))
     vocab = model.select("c2").distinct().count()  # alphabet scalar
     doc_bg = df.select(

@@ -21,6 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from metadata_enhanced_pretrain_datapipeline_spark.checkpointing import materialize
 from metadata_enhanced_pretrain_datapipeline_spark.session import tune_for_oracle
 from metadata_enhanced_pretrain_datapipeline_spark.functions.arrays import cosine_similarity
 from metadata_enhanced_pretrain_datapipeline_spark.functions.hashing import (
@@ -1612,64 +1613,109 @@ def q_url_canonical_dedup(spark, sf):
     return kept.select("doc_id", "canonical_url")
 
 
+#: leakage-safe split thresholds — computed ONCE in Python and formatted
+#: into both engines, so the integer literals are bit-identical
+_SPLIT_LO = int(0.9 * (1 << 60))
+_SPLIT_HI = int(0.95 * (1 << 60))
+_SPLIT_H = salted_hash_sql("COALESCE(cl.cluster_id, d.doc_id)", 13)
+
+
 @register(
     "q_mix_pipeline",
-    # the full mix-construction chain, each stage the proven oracle piece:
-    # fuzzy dedup (portable MinHash pairs, min-id survives) → benchmark
-    # decontamination (8-gram broadcast) → length gate → temperature mix
-    # (sqrt-exact rates, salt 7) → per-source 600-token budget (hash
-    # priority) → per-source accounting
-    "WITH pairs AS (" + _minhash_pairs_sql("", 8, 4, 64) + "), "
+    # the full curation chain a real pretraining run executes, each stage
+    # the proven oracle piece: fuzzy dedup (portable MinHash pairs,
+    # min-id survives) → benchmark decontamination (8-gram broadcast) →
+    # length gate → per-host cap (row_number twin of the bucketed
+    # two-phase cap) → temperature mix (sqrt-exact rates, salt 7) →
+    # per-source 600-token budget (hash priority) → leakage-safe split
+    # (recursive-CTE transitive closure over the SAME pair set, integer
+    # hash thresholds) → per-(source, split) accounting
+    "WITH RECURSIVE pairs AS (" + _minhash_pairs_sql("", 8, 4, 64) + "), "
     "d1 AS (SELECT * FROM documents WHERE doc_id NOT IN "
     "  (SELECT DISTINCT id_b FROM pairs)), "
     + _shingle_ctes("", 8) + ", "
     "h AS (SELECT doc_id, " + md5_hash64_sql("shingle") + " AS h FROM sh), "
     "bh AS (SELECT DISTINCT h FROM h WHERE doc_id % 37 = 0), "
     "contam AS (SELECT DISTINCT doc_id FROM h JOIN bh USING (h)), "
-    "d3 AS (SELECT * FROM d1 WHERE doc_id NOT IN "
+    "d3 AS (SELECT *, source || '.' || lang || '.example.com' AS host "
+    "  FROM d1 WHERE doc_id NOT IN "
     "  (SELECT doc_id FROM contam) AND length(text) >= 100), "
-    "c AS (SELECT source, count(*) AS n FROM d3 GROUP BY source), "
+    "hc AS (SELECT * FROM (SELECT d3.*, row_number() OVER ("
+    "  PARTITION BY host ORDER BY " + salted_hash_sql("doc_id")
+    + ", doc_id) AS rn FROM d3) WHERE rn <= 15), "
+    "c AS (SELECT source, count(*) AS n FROM hc GROUP BY source), "
     "m AS (SELECT max(n) AS nmax FROM c), "
     "r AS (SELECT source, least(1.0, 0.7 * sqrt(nmax / n)) AS f FROM c, m), "
-    "d4 AS (SELECT d3.* FROM d3 JOIN r "
-    "  ON d3.source IS NOT DISTINCT FROM r.source "
+    "d4 AS (SELECT hc.* FROM hc JOIN r "
+    "  ON hc.source IS NOT DISTINCT FROM r.source "
     "  WHERE " + salted_hash_sql("doc_id", 7) + " < f * 1152921504606846976.0), "
     "t AS (SELECT doc_id, source, len(list_filter(regexp_split_to_array("
     "  trim(text), '\\s+'), x -> x <> '')) AS n, "
     + salted_hash_sql("doc_id") + " AS hh FROM d4), "
     "cum AS (SELECT doc_id, source, n, sum(n) OVER (PARTITION BY source "
     "  ORDER BY hh, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT "
-    "  ROW) AS c FROM t) "
-    "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+    "  ROW) AS c FROM t), "
+    "bd AS (SELECT doc_id, source, n FROM cum WHERE c <= 600), "
+    "e AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+    "  UNION ALL SELECT id_b, id_a FROM pairs), "
+    "nodes AS (SELECT DISTINCT src AS node FROM e), "
+    "reach AS (SELECT node, node AS lab FROM nodes "
+    "  UNION SELECT e.dst AS node, reach.lab FROM reach "
+    "    JOIN e ON e.src = reach.node), "
+    "cl AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach "
+    "  GROUP BY node), "
+    "sp AS (SELECT d.source, d.n, "
+    f"CASE WHEN {_SPLIT_H} < {_SPLIT_LO} THEN 'train' "
+    f"WHEN {_SPLIT_H} < {_SPLIT_HI} THEN 'validation' ELSE 'test' END "
+    "AS split FROM bd d LEFT JOIN cl USING (doc_id)) "
+    "SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs, "
     "  CAST(sum(n) AS BIGINT) AS total_tokens "
-    "FROM cum WHERE c <= 600 GROUP BY source",
+    "FROM sp GROUP BY source, split",
 )
 def q_mix_pipeline(spark, sf):
     """The engine's reason to exist, end to end: fuzzy dedup →
-    benchmark decontamination → quality gate → temperature source mixing
-    → per-source token budget → mix accounting. Every stage is the real
-    operator (minhash_dedup's pair/drop pieces, decontaminate,
-    temperature_mix, token_budget_cap) and the whole chain is
+    benchmark decontamination → quality gate → per-host cap →
+    temperature source mixing → per-source token budget → leakage-safe
+    train/val/test split → mix accounting per (source, split). Every
+    stage is the real operator (minhash_dedup's pair/drop pieces,
+    decontaminate, per_host_cap, temperature_mix, token_budget_cap,
+    duplicate_clusters + leakage_safe_split — the split reuses the SAME
+    candidate-pair set stage 1 computed, so near-twins that survived the
+    greedy dedup still can't straddle eval/train) and the whole chain is
     hash-checked against one composed DuckDB oracle."""
     d = load(spark, sf, "documents")
     pairs = dedup.minhash_lsh_pairs(d, num_hashes=8, bands=4,
                                     max_bucket_size=64, portable=True)
+    # the pair set is consumed TWICE (greedy drop now, cluster closure
+    # for the split later) — materialize it so the minhash subtree runs
+    # once; lazy, so the first real action pays for it
+    pairs = materialize(pairs, eager=False)
     d1 = dedup.drop_near_duplicates(d, pairs)
     bench = d.filter(F.col("doc_id") % 37 == 0)
     d2 = dedup.decontaminate(d1, bench, shingle_n=8, portable=True)
-    # materialization boundary: the tail is multi-action (token_budget_cap
-    # collects per-bucket offsets, then the final aggregate runs) and each
-    # action would otherwise re-execute the whole minhash+decontamination
-    # subtree. Checkpointing the gated corpus here runs that subtree ONCE
-    # — the same persist point a 100 TB pipeline would write to durable
-    # storage between its dedup and mixing phases.
-    d3 = d2.filter(F.length("text") >= 100).localCheckpoint(eager=False)
-    d4 = sampling.temperature_mix(d3, "source", F.col("doc_id"),
+    # materialization boundary: the tail is multi-action (per_host_cap
+    # and token_budget_cap each collect per-bucket offsets, then the
+    # final aggregate runs) and each action would otherwise re-execute
+    # the whole minhash+decontamination subtree. Checkpointing the gated
+    # corpus here runs that subtree ONCE — the same persist point a
+    # 100 TB pipeline would write to durable storage between its dedup
+    # and mixing phases (reliable mode via MEP_SPARK_CHECKPOINT_DIR).
+    d3 = materialize(
+        d2.filter(F.length("text") >= 100).withColumn(
+            "host",
+            F.concat(F.col("source"), F.lit("."), F.col("lang"),
+                     F.lit(".example.com"))),
+        eager=False)
+    hc = sampling.per_host_cap(d3, "host", 15, F.col("doc_id"))
+    d4 = sampling.temperature_mix(hc, "source", F.col("doc_id"),
                                   base_rate=0.7, salt=7)
     d4 = d4.withColumn("n_tokens", F.size(tokens_ws(F.col("text"))))
     d5 = sampling.token_budget_cap(d4, "source", F.col("n_tokens"), 600,
                                    F.col("doc_id"))
-    return d5.groupBy("source").agg(
+    clusters = dedup.duplicate_clusters(pairs)
+    out = sampling.leakage_safe_split(d5, clusters, boundaries=(0.9, 0.95),
+                                      salt=13)
+    return out.groupBy("source", "split").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
@@ -5252,13 +5298,6 @@ def q_hf_classifier_oracle(spark, sf):
     return annotators.hf_classifier_annotate(d, label_name="quality", n_labels=10)
 
 
-#: leakage-safe split thresholds — computed ONCE in Python and formatted
-#: into both engines, so the integer literals are bit-identical
-_SPLIT_LO = int(0.9 * (1 << 60))
-_SPLIT_HI = int(0.95 * (1 << 60))
-_SPLIT_H = salted_hash_sql("COALESCE(cl.cluster_id, d.doc_id)", 13)
-
-
 @register(
     "q_leakage_safe_split",
     "WITH RECURSIVE pairs AS (" + _minhash_pairs_sql("", 8, 4, 64) + "), "
@@ -5340,3 +5379,131 @@ def q_sketch_stats(spark, sf):
         .join(
             d.groupBy("source").agg(F.count("*").alias("n_docs")), "source")
     )
+
+
+# ===========================================================================
+# round-6 additions: the monthly-snapshot workflow as one driver-checked
+# chain, and the band store proven on disk (VERDICT r5 #1/#3)
+# ===========================================================================
+
+
+@register(
+    "q_band_store_pruned_probe",
+    # the store is the % 5 = 0 slice's band keys RESTRICTED to bands
+    # {1, 3} (the probed subset); collision = sharing any of those keys.
+    # Banding arithmetic is identical on both engines, so the kept set
+    # is hash-checked exactly.
+    "WITH " + _minhash_bands_sql(8, 4) + ", "
+    "coll AS (SELECT DISTINCT n.doc_id FROM bands n "
+    "  JOIN (SELECT DISTINCT band, key FROM bands "
+    "        WHERE doc_id % 5 = 0 AND band IN (1, 3)) s "
+    "  USING (band, key) WHERE n.doc_id % 5 <> 0) "
+    "SELECT doc_id FROM documents WHERE doc_id % 5 <> 0 "
+    "AND doc_id NOT IN (SELECT doc_id FROM coll)",
+)
+def q_band_store_pruned_probe(spark, sf):
+    """The MinHash signature store end to end, PHYSICALLY (VERDICT r5
+    #1): the seen snapshot's band keys are WRITTEN band-partitioned
+    (dedup.write_band_store), read back restricted to bands {1, 3}, and
+    the new snapshot deduped against that on-disk store — the band
+    subset must arrive as a PartitionFilter on the directory layout
+    (asserted in-plan, the q_ivf_pruned_probe pattern), because at
+    100 TB the monthly workflow's economics ARE this pruning: a
+    per-band probe touches one band's files, never last month's corpus
+    or the other bands. The oracle replays banding + the subset
+    collision rule, so the physical layout must not change a value."""
+    d = load(spark, sf, "documents")
+    seen = d.filter(F.col("doc_id") % 5 == 0)
+    new = d.filter(F.col("doc_id") % 5 != 0)
+    store = dedup.minhash_band_keys(
+        dedup.minhash_signatures(seen.select("doc_id", "text"),
+                                 num_hashes=8, portable=True),
+        num_hashes=8, bands=4)
+    path = _scratch_dir(sf, "band_store")
+    dedup.write_band_store(store, path)
+    back = dedup.read_band_store(spark, path, bands=[1, 3])
+    kept = dedup.minhash_dedup_against(new, back, num_hashes=8, bands=4,
+                                       portable=True)
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+    # match INSIDE the brackets: an empty 'PartitionFilters: []' followed
+    # by PushedFilters/ReadSchema mentioning band must NOT pass
+    assert _re.search(r"PartitionFilters: \[[^\]]*band", plan), plan[:500]
+    return kept.select("doc_id")
+
+
+@register(
+    "q_snapshot_pipeline",
+    # the composed monthly-snapshot chain (VERDICT r5 #3), each stage the
+    # proven oracle piece: exact dedup against the old snapshot's
+    # normalized digests (incl. mangled copies that must collide through
+    # normalization) → fuzzy dedup against the old snapshot's band store
+    # → leakage-safe split of the kept set over its own near-dup
+    # clusters (recursive-CTE transitive closure + integer hash
+    # thresholds). One oracle hashes the end-to-end kept+split output.
+    "WITH RECURSIVE "
+    "k AS (SELECT doc_id, md5(lower(trim(regexp_replace("
+    "  text, '\\s+', ' ', 'g')))) AS tk FROM documents), "
+    "k1 AS (SELECT doc_id FROM k WHERE doc_id % 3 <> 0 AND tk NOT IN "
+    "  (SELECT tk FROM k WHERE doc_id % 3 = 0 OR doc_id % 10 = 1)), "
+    + _minhash_bands_sql(8, 4) + ", "
+    "coll AS (SELECT DISTINCT n.doc_id FROM bands n "
+    "  JOIN (SELECT DISTINCT band, key FROM bands WHERE doc_id % 3 = 0) s "
+    "  USING (band, key) "
+    "  WHERE n.doc_id IN (SELECT doc_id FROM k1)), "
+    "k2 AS (SELECT doc_id FROM k1 WHERE doc_id NOT IN "
+    "  (SELECT doc_id FROM coll)), "
+    "pairs AS ("
+    + _minhash_pairs_sql(" WHERE doc_id IN (SELECT doc_id FROM k2)", 8, 4, 64)
+    + "), "
+    "e AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+    "  UNION ALL SELECT id_b, id_a FROM pairs), "
+    "nodes AS (SELECT DISTINCT src AS node FROM e), "
+    "reach AS (SELECT node, node AS lab FROM nodes "
+    "  UNION SELECT e.dst AS node, reach.lab FROM reach "
+    "    JOIN e ON e.src = reach.node), "
+    "cl AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach "
+    "  GROUP BY node) "
+    "SELECT d.doc_id, "
+    "CAST(COALESCE(cl.cluster_id, d.doc_id) AS BIGINT) AS split_key, "
+    f"CASE WHEN {_SPLIT_H} < {_SPLIT_LO} THEN 'train' "
+    f"WHEN {_SPLIT_H} < {_SPLIT_HI} THEN 'validation' ELSE 'test' END "
+    "AS split FROM (SELECT doc_id FROM k2) d LEFT JOIN cl USING (doc_id)",
+)
+def q_snapshot_pipeline(spark, sf):
+    """The monthly-snapshot workflow as ONE driver-checked chain
+    (VERDICT r5 #3, the q_mix_pipeline composition pattern): the new
+    crawl (doc_id % 3 <> 0) is exact-deduped against the old snapshot's
+    normalized digests (the % 3 = 0 slice plus upper-cased padded
+    copies of the % 10 = 1 docs — which must still collide through
+    normalization), then fuzzy-deduped against the old snapshot's
+    MinHash band STORE (the old corpus is only ever touched as its
+    (band, key) keys, never re-shingled), and the kept set is
+    leakage-safe split over its own near-dup clusters. Output =
+    (doc_id, split_key, split) for every surviving new document,
+    hash-checked end to end by one composed oracle."""
+    d = load(spark, sf, "documents")
+    old = d.filter(F.col("doc_id") % 3 == 0)
+    new = d.filter(F.col("doc_id") % 3 != 0)
+    mangled = d.filter(F.col("doc_id") % 10 == 1).select(
+        F.concat(F.upper(F.col("text")), F.lit("   ")).alias("text"))
+    seen_texts = old.select("text").unionByName(mangled)
+    kept1 = dedup.dedup_against(new, seen_texts)
+    store = dedup.minhash_band_keys(
+        dedup.minhash_signatures(old.select("doc_id", "text"),
+                                 num_hashes=8, portable=True),
+        num_hashes=8, bands=4)
+    kept2 = dedup.minhash_dedup_against(kept1, store, num_hashes=8,
+                                        bands=4, portable=True)
+    # the monthly persist point: the deduped snapshot is consumed twice
+    # (pair generation for the cluster map, then the split projection) —
+    # exactly where a production run writes the kept set to durable
+    # storage before split assignment (reliable mode via
+    # MEP_SPARK_CHECKPOINT_DIR, see checkpointing.py)
+    kept2 = materialize(kept2, eager=False)
+    pairs = dedup.minhash_lsh_pairs(kept2, num_hashes=8, bands=4,
+                                    max_bucket_size=64, portable=True)
+    clusters = dedup.duplicate_clusters(pairs)
+    out = sampling.leakage_safe_split(kept2, clusters,
+                                      boundaries=(0.9, 0.95), salt=13)
+    return out.select("doc_id", "split_key", "split")

@@ -262,7 +262,8 @@ def versioned_upsert(base: DataFrame, updates: DataFrame,
 
 def foreach_batch_versioned_upsert(stream_df: DataFrame, out_path: str,
                                    checkpoint: str, key_cols: list[str],
-                                   version_col: str) -> None:
+                                   version_col: str,
+                                   checkpoint_dir: str | None = None) -> None:
     """CDC-style streaming sink: each micro-batch merges into the parquet
     table at ``out_path`` by max-version upsert, drained availableNow.
 
@@ -282,6 +283,8 @@ def foreach_batch_versioned_upsert(stream_df: DataFrame, out_path: str,
     import os
     import shutil
 
+    from metadata_enhanced_pretrain_datapipeline_spark.checkpointing import materialize
+
     spark = stream_df.sparkSession
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
@@ -291,7 +294,12 @@ def foreach_batch_versioned_upsert(stream_df: DataFrame, out_path: str,
             base = spark.createDataFrame([], batch_df.schema)
         merged = versioned_upsert(base, batch_df, key_cols, version_col)
         staging = f"{out_path}__staging"
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(staging)
+        # the merge reads the CURRENT table and the staging write replaces
+        # it — the materialization pins the merged rows BEFORE the table
+        # they came from is deleted (reliable mode via checkpoint_dir /
+        # MEP_SPARK_CHECKPOINT_DIR survives an executor loss inside that
+        # window; see checkpointing.py)
+        materialize(merged, checkpoint_dir).write.mode("overwrite").parquet(staging)
         if os.path.exists(out_path):
             shutil.rmtree(out_path)
         os.rename(staging, out_path)

@@ -493,17 +493,21 @@ def test_monthly_snapshot_workflow_end_to_end(spark, tmp_path):
         ],
         "doc_id long, text string",
     )
-    # month 1 closes: persist its signature store
+    # month 1 closes: persist its signature store, band-partitioned (the
+    # on-disk layout the probe economics rest on)
     store_path = str(tmp_path / "bands")
-    dedup.minhash_band_keys(
-        dedup.minhash_signatures(month1, num_hashes=8), num_hashes=8, bands=4
-    ).write.parquet(store_path)
+    dedup.write_band_store(
+        dedup.minhash_band_keys(
+            dedup.minhash_signatures(month1, num_hashes=8),
+            num_hashes=8, bands=4),
+        store_path)
 
     # month 2 pipeline: exact cross-snapshot dedup, then fuzzy vs store
     no_exact = dedup.dedup_against(month2, month1)
     assert {r.doc_id for r in no_exact.collect()} == {101, 102, 103}
     survivors = dedup.minhash_dedup_against(
-        no_exact, spark.read.parquet(store_path), num_hashes=8, bands=4)
+        no_exact, dedup.read_band_store(spark, store_path),
+        num_hashes=8, bands=4)
     kept = {r.doc_id for r in survivors.collect()}
     assert kept == {102, 103}  # near-dup of doc 5 dropped via the store
 
@@ -517,3 +521,78 @@ def test_monthly_snapshot_workflow_end_to_end(spark, tmp_path):
     rows = out.collect()
     assert {r.doc_id for r in rows} == kept
     assert all(r.split in ("train", "validation", "test") for r in rows)
+
+
+def test_band_store_layout_and_pruned_probe(spark, tmp_path):
+    """write_band_store lays the store out as band=<b>/ directories; a
+    band-subset read arrives as a PartitionFilter (directory pruning,
+    zero rows of other bands read) and returns exactly the in-memory
+    subset — the physical contract docs/incremental_dedup.md promises."""
+    import os
+    import re
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta seed {i} " * 2)
+         for i in range(12)],
+        "doc_id long, text string",
+    )
+    bands = dedup.minhash_band_keys(
+        dedup.minhash_signatures(docs, num_hashes=8), num_hashes=8, bands=4)
+    path = str(tmp_path / "store")
+    dedup.write_band_store(bands, path)
+
+    # physical layout: one hive directory per band
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("band="))
+    assert dirs == ["band=0", "band=1", "band=2", "band=3"]
+
+    back = dedup.read_band_store(spark, path, bands=[2])
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*band", plan), plan[:500]
+
+    expect = {(r.doc_id, r.band, r.key)
+              for r in bands.filter("band = 2").collect()}
+    got = {(r.doc_id, r.band, r.key) for r in back.collect()}
+    assert got == expect and got  # non-empty: every doc emits band 2
+
+
+def test_duplicate_clusters_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir flips the per-round lineage truncation to a
+    RELIABLE checkpoint (VERDICT r5 #4): same fixpoint as the
+    localCheckpoint default, and the checkpoint blocks actually land in
+    the given directory (an executor loss re-reads them from the
+    filesystem instead of killing the iterative job)."""
+    import os
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    ckdir = str(tmp_path / "ck")
+    stats: dict = {}
+    got = {(r.doc_id, r.cluster_id)
+           for r in dedup.duplicate_clusters(
+               pairs, checkpoint_dir=ckdir, stats=stats).collect()}
+    expect = {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10),
+              (20, 20), (21, 20), (22, 20)}
+    assert got == expect
+    assert stats["converged"]
+    # reliable blocks on disk, not executor memory
+    written = [f for _, _, fs in os.walk(ckdir) for f in fs]
+    assert written, "no checkpoint blocks written to checkpoint_dir"
+
+
+def test_materialize_env_var_switch(spark, tmp_path, monkeypatch):
+    """MEP_SPARK_CHECKPOINT_DIR flips every materialize() boundary to
+    reliable mode without touching call sites — the cluster-deployment
+    switch for the registered driver queries."""
+    import os
+
+    from metadata_enhanced_pretrain_datapipeline_spark.checkpointing import materialize
+
+    ckdir = str(tmp_path / "envck")
+    monkeypatch.setenv("MEP_SPARK_CHECKPOINT_DIR", ckdir)
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    out = materialize(df)
+    assert out.count() == 100
+    written = [f for _, _, fs in os.walk(ckdir) for f in fs]
+    assert written, "env-var reliable checkpoint wrote nothing"
