@@ -104,6 +104,8 @@ R5_ADDITIONS = [
 R6_ADDITIONS = [
     "q_band_store_pruned_probe",
     "q_snapshot_pipeline",
+    "q_bucketed_join_noshuffle",
+    "q_dynamic_partition_prune",
 ]
 
 

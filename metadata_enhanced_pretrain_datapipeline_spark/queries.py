@@ -5507,3 +5507,93 @@ def q_snapshot_pipeline(spark, sf):
     out = sampling.leakage_safe_split(kept2, clusters,
                                       boundaries=(0.9, 0.95), salt=13)
     return out.select("doc_id", "split_key", "split")
+
+
+@register(
+    "q_bucketed_join_noshuffle",
+    "SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_orders, "
+    "sum(o_totalprice) AS revenue FROM orders "
+    "JOIN customer ON o_custkey = c_custkey GROUP BY o_custkey",
+)
+def q_bucketed_join_noshuffle(spark, sf):
+    """Bucketing as the co-location lever, proven in-plan: orders and
+    customer are WRITTEN bucketed (sources/writers.write_bucketed, 8
+    buckets on the join key, one file per bucket via a pre-repartition
+    on the bucket hash), then joined AND aggregated on that key with
+    ZERO exchanges — asserted by the plan containing no Exchange node
+    at all. This is the repeated-fact-join strategy at 100 TB: pay the
+    bucketed layout once, then every custkey join/agg over it is
+    shuffle-free (the engine-side substitute for the reference's
+    per-rank file layout). The merge-join hint pins SMJ because the
+    100 TB contract is precisely the neither-side-broadcasts case. The
+    oracle runs the plain logical join: the layout must not change a
+    value."""
+    from metadata_enhanced_pretrain_datapipeline_spark.sources.writers import write_bucketed
+
+    scratch = _scratch_dir(sf, "bucketed_join")
+    tag = scratch.rsplit("_", 1)[-1]  # pid — table names unique per process
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey",
+                                         "o_totalprice")
+    c = load(spark, sf, "customer").select("c_custkey", "c_name")
+    # repartition onto the bucket hash first: one file per bucket, so the
+    # bucketed-sorted read needs no per-partition re-sort either
+    write_bucketed(o.repartition(8, F.col("o_custkey")), f"bt_orders_{tag}",
+                   ["o_custkey"], 8, sort_cols=["o_custkey"],
+                   path=f"{scratch}/orders")
+    write_bucketed(c.repartition(8, F.col("c_custkey")), f"bt_customer_{tag}",
+                   ["c_custkey"], 8, sort_cols=["c_custkey"],
+                   path=f"{scratch}/customer")
+    ob, cb = spark.table(f"bt_orders_{tag}"), spark.table(f"bt_customer_{tag}")
+    out = (
+        ob.hint("merge")
+        .join(cb, ob["o_custkey"] == cb["c_custkey"])
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count("*").alias("n_orders"),
+             F.sum("o_totalprice").alias("revenue"))
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:800]
+    assert "SortMergeJoin" in plan, plan[:800]
+    return out
+
+
+@register(
+    "q_dynamic_partition_prune",
+    "WITH tiers(lang, tier) AS (VALUES ('en', 'curated'), ('zh', 'curated'), "
+    "('de', 'bulk'), ('es', 'bulk'), ('fr', 'bulk')) "
+    "SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(n_chars) AS BIGINT) AS chars FROM documents d "
+    "JOIN tiers t ON d.lang = t.lang WHERE t.tier = 'curated' "
+    "GROUP BY d.lang",
+)
+def q_dynamic_partition_prune(spark, sf):
+    """Dynamic partition pruning, proven in-plan: the corpus is written
+    lang-partitioned, then joined to a tiny tier dimension filtered to
+    tier = 'curated' — the partition filter is NOT known at plan time
+    (it comes from the dim rows), so Catalyst injects a
+    dynamicpruningexpression subquery into the scan's PartitionFilters
+    and the fact scan reads ONLY the curated langs' directories at run
+    time. THE scan lever for star-shaped queries over a 100 TB
+    partitioned corpus: q_partitioned_write_prune proves the static
+    literal case, this proves the join-driven case. Oracle replays the
+    join logically; the pruning must not change a value."""
+    from metadata_enhanced_pretrain_datapipeline_spark.sources.writers import write_parquet
+
+    d = load(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    out_dir = _scratch_dir(sf, "dpp_layout")
+    write_parquet(d, out_dir, partition_by=["lang"])
+    fact = spark.read.parquet(out_dir)
+    tiers = spark.createDataFrame(
+        [("en", "curated"), ("zh", "curated"), ("de", "bulk"),
+         ("es", "bulk"), ("fr", "bulk")],
+        "lang string, tier string",
+    )
+    out = (
+        fact.join(tiers.filter(F.col("tier") == "curated"), "lang")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_chars").cast("long").alias("chars"))
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:800]
+    return out
