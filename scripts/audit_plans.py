@@ -69,9 +69,33 @@ AUDITS = {
     "size-estimates the salt-replicated side pre-explode and would "
     "broadcast it (driver OOM at scale); the hint forces the per-salt "
     "hash build the operator exists for.",
-    "q_mix_pipeline": "Composed dedup→decontaminate→gate→mix→cap: the "
-    "gated corpus localCheckpoints before the multi-action tail so the "
-    "minhash+decontamination subtree executes once, not once per action.",
+    "q_mix_pipeline": "Composed dedup→decontaminate→gate→host-cap→mix→"
+    "budget→split: the gated corpus materializes ONCE before the "
+    "multi-action tail (per_host_cap + token_budget_cap offset collects, "
+    "then the final agg) so the minhash+decontamination subtree executes "
+    "once; the pair set materializes once and feeds both the greedy drop "
+    "and the split's cluster closure; the split joins only the tiny "
+    "cluster map back.",
+    "q_snapshot_pipeline": "Monthly-snapshot chain: exact dedup is a "
+    "digest-only anti-join (seen side reduced to DISTINCT 60-bit "
+    "digests); fuzzy dedup touches the old corpus only as (band,key) "
+    "store rows; the kept set materializes once before the multi-action "
+    "split tail; all iteration lives in the pointer-doubling subtree "
+    "over pair ids.",
+    "q_band_store_pruned_probe": "On-disk store probe: the band-subset "
+    "filter arrives as PartitionFilters on the band=<b>/ directory "
+    "layout (file-listing pruning, asserted in-query); the probe join "
+    "moves only (id, band, key) rows; kept ids return via an ids-only "
+    "anti-join.",
+    "q_bucketed_join_noshuffle": "Bucketed co-located join: both scans "
+    "read the 8-bucket layout, the SMJ and the following agg on the "
+    "bucket key reuse that distribution — the plan contains ZERO "
+    "Exchange nodes (asserted in-query).",
+    "q_dynamic_partition_prune": "Join-driven partition pruning: the "
+    "filtered tier dim broadcasts, and its lang values feed a "
+    "dynamicpruningexpression in the fact scan's PartitionFilters "
+    "(asserted in-query) — only the curated langs' directories are "
+    "listed/read at run time.",
     "q_tpch_q8": "Deepest dim chain in the suite: part, supplier, "
     "customer, nation x2, region ALL broadcast — 7 BroadcastHashJoins "
     "stacked on the lineitem scan, ONE Exchange total (the final 2-group "
@@ -155,7 +179,8 @@ def skeleton(plan: str) -> list[str]:
         s = line.strip()
         if KEEP.search(s):
             lines.append(s)
-        elif "ReadSchema:" in s or "PushedFilters:" in s:
+        elif ("ReadSchema:" in s or "PushedFilters:" in s
+              or "PartitionFilters:" in s):
             lines.append("    " + s[:160])
     return lines
 
