@@ -119,7 +119,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
         )
     sigs = minhash_signatures(df.select(id_col, text_col), text_col, num_hashes,
                               shingle_n, portable)
-    buckets = minhash_band_keys(sigs, id_col, num_hashes, bands)
+    buckets = minhash_band_keys(sigs, id_col, num_hashes, bands, portable)
     # ONE explicit exchange on the bucket key. Everything downstream (the
     # size guard and both sides of the self-join) hangs off this single
     # shuffle of tiny (id, band, key) rows, so the expensive
@@ -185,13 +185,27 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
 
 
 def minhash_band_keys(sigs: DataFrame, id_col: str = "doc_id",
-                      num_hashes: int = 32, bands: int = 8) -> DataFrame:
+                      num_hashes: int = 32, bands: int = 8,
+                      portable: bool = False) -> DataFrame:
     """(id, band, key) LSH band-bucket keys of a signature frame — the
     SIGNATURE-STORE schema for incremental fuzzy dedup: write this to
     parquet (partitioned or bucketed by (band, key)) once per snapshot,
     and later snapshots dedup against the STORE without ever
     re-minhashing the old corpus (at 100 TB, re-shingling last month's
     crawl is the cost that makes naive re-dedup infeasible).
+
+    The key is a 64-BIT HASH of the band's signature components, not
+    their concatenated string (round 6): a (doc, band) store row is then
+    two bigints + a small int instead of an ~70-char string — ~3× fewer
+    store bytes on disk, and every downstream exchange/join on (band,
+    key) moves and compares fixed-width longs instead of strings (the
+    banding exchange is THE shuffle of MinHash-LSH, so its row width is
+    the operator's shuffle cost). A key collision within a band merely
+    adds one spurious candidate pair with probability ~2^-60 — candidate
+    generation is already a recall/precision trade, so this is free.
+    ``portable=True`` uses the engine-portable md5 key hash (DuckDB
+    oracles replay it exactly); the default is xxhash64 over the raw
+    components, JVM-native with no string materialization at all.
 
     Also the banding stage OF :func:`minhash_lsh_pairs` (docs sharing
     ALL rows of any band collide); null-signature docs (fewer tokens
@@ -207,9 +221,11 @@ def minhash_band_keys(sigs: DataFrame, id_col: str = "doc_id",
     band_cols = []
     for b in range(bands):
         members = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.concat_ws("_", *members).alias("key"))
-        )
+        if portable:
+            key = md5_hash64(F.concat_ws("_", *members))
+        else:
+            key = F.xxhash64(*members)
+        band_cols.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
     return sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
@@ -270,10 +286,14 @@ def minhash_dedup_against(new_docs: DataFrame, seen_bands: DataFrame,
     a hot boilerplate bucket must not fan new rows out); flagged ids
     come back as an ids-only anti-join. No broadcast assumption on
     either side.
+
+    ``portable`` must match the flag the STORE was built with: it
+    selects both the shingle hash and the band-key hash, and a store
+    probed with the other keying silently matches nothing.
     """
     sigs = minhash_signatures(new_docs.select(id_col, text_col), text_col,
                               num_hashes, shingle_n, portable)
-    new_bands = minhash_band_keys(sigs, id_col, num_hashes, bands)
+    new_bands = minhash_band_keys(sigs, id_col, num_hashes, bands, portable)
     hits = (
         new_bands
         .join(seen_bands.select("band", "key").distinct(), ["band", "key"])

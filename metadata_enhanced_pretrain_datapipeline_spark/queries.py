@@ -1318,10 +1318,15 @@ def _minhash_bands_sql(num_hashes: int, bands: int, shingle_n: int = 3,
         f"min((h % {_MERSENNE_P} * {a} + {b}) % {_MERSENNE_P}) AS mh_{i}"
         for i, (a, b) in enumerate(_MINHASH_PARAMS[:num_hashes])
     )
+    # key = portable 64-bit hash of the band's components (r6: the store
+    # and every (band, key) exchange move fixed-width longs, not strings)
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, "
-        + " || '_' || ".join(
-            f"CAST(mh_{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+        + md5_hash64_sql(
+            " || '_' || ".join(
+                f"CAST(mh_{b * rows_per_band + r} AS VARCHAR)"
+                for r in range(rows_per_band)
+            )
         )
         + " AS key FROM mh"
         for b in range(bands)
@@ -1459,7 +1464,7 @@ def q_minhash_dedup_against(spark, sf):
     store = dedup.minhash_band_keys(
         dedup.minhash_signatures(seen.select("doc_id", "text"),
                                  num_hashes=8, portable=True),
-        num_hashes=8, bands=4)
+        num_hashes=8, bands=4, portable=True)
     kept = dedup.minhash_dedup_against(new, store, num_hashes=8, bands=4,
                                        portable=True)
     return kept.select("doc_id")
@@ -5418,7 +5423,7 @@ def q_band_store_pruned_probe(spark, sf):
     store = dedup.minhash_band_keys(
         dedup.minhash_signatures(seen.select("doc_id", "text"),
                                  num_hashes=8, portable=True),
-        num_hashes=8, bands=4)
+        num_hashes=8, bands=4, portable=True)
     path = _scratch_dir(sf, "band_store")
     dedup.write_band_store(store, path)
     back = dedup.read_band_store(spark, path, bands=[1, 3])
@@ -5492,7 +5497,7 @@ def q_snapshot_pipeline(spark, sf):
     store = dedup.minhash_band_keys(
         dedup.minhash_signatures(old.select("doc_id", "text"),
                                  num_hashes=8, portable=True),
-        num_hashes=8, bands=4)
+        num_hashes=8, bands=4, portable=True)
     kept2 = dedup.minhash_dedup_against(kept1, store, num_hashes=8,
                                         bands=4, portable=True)
     # the monthly persist point: the deduped snapshot is consumed twice
