@@ -5602,3 +5602,52 @@ def q_dynamic_partition_prune(spark, sf):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:800]
     return out
+
+
+@register("q_stream_store_dedup", _REGISTRY["q_minhash_dedup_against"][1])
+def q_stream_store_dedup(spark, sf):
+    """Streaming ingestion against the persisted band store: documents
+    arrive as a stream and each micro-batch is fuzzy-deduped against the
+    ON-DISK signature store with the SAME batch operator
+    (minhash_dedup_against over read_band_store), then appended to the
+    kept sink — the real-time face of the monthly-snapshot workflow
+    (continuous crawl ingestion dedupes against the corpus-so-far's
+    store without ever touching its text; per-batch stateless, so no
+    streaming state store grows with the corpus). Drained availableNow;
+    the oracle is the batch twin's SQL verbatim — stream and batch must
+    keep the same documents."""
+    import uuid
+
+    d_schema = load(spark, sf, "documents").schema
+    scratch = _scratch_dir(sf, "stream_store_dedup")
+    run = uuid.uuid4().hex[:8]
+    store_path = f"{scratch}/store"
+    out_dir, ck = f"{scratch}/kept_{run}", f"{scratch}/ck_{run}"
+    seen = load(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)
+    dedup.write_band_store(
+        dedup.minhash_band_keys(
+            dedup.minhash_signatures(seen.select("doc_id", "text"),
+                                     num_hashes=8, portable=True),
+            num_hashes=8, bands=4, portable=True),
+        store_path)
+    store = dedup.read_band_store(spark, store_path)
+    stream = (
+        spark.readStream.schema(d_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+        .filter(F.col("doc_id") % 5 != 0)
+    )
+
+    def apply(batch_df, batch_id):
+        dedup.minhash_dedup_against(batch_df, store, num_hashes=8,
+                                    bands=4, portable=True) \
+            .select("doc_id").write.mode("append").parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select("doc_id")
