@@ -596,3 +596,28 @@ def test_materialize_env_var_switch(spark, tmp_path, monkeypatch):
     assert out.count() == 100
     written = [f for _, _, fs in os.walk(ckdir) for f in fs]
     assert written, "env-var reliable checkpoint wrote nothing"
+
+
+def test_snapshot_pipeline_under_reliable_checkpoint(spark, tmp_path, monkeypatch):
+    """MEP_SPARK_CHECKPOINT_DIR through a REAL composed query: the
+    monthly-snapshot driver query (materialization boundary + the
+    iterative cluster subtree inside it) must produce the identical
+    result in reliable-checkpoint mode, with blocks in the directory —
+    the exact switch a cluster deployment flips."""
+    import os
+
+    from metadata_enhanced_pretrain_datapipeline_spark import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        import pytest
+        pytest.skip("driver testdata not present")
+    fn = q.all_queries()["q_snapshot_pipeline"]
+    baseline = {tuple(r) for r in fn(spark, sf).collect()}
+
+    ckdir = str(tmp_path / "ck")
+    monkeypatch.setenv("MEP_SPARK_CHECKPOINT_DIR", ckdir)
+    reliable = {tuple(r) for r in fn(spark, sf).collect()}
+    assert reliable == baseline and baseline
+    written = [f for _, _, fs in os.walk(ckdir) for f in fs]
+    assert written, "no reliable checkpoint blocks written by the query"

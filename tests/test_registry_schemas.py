@@ -14,6 +14,14 @@
    row-at-a-time Python stage (BatchEvalPython) unless the pattern is
    explicitly adjudicated below — the sweep that added this found zero
    unexplained hits, and this pins that state.
+
+3. In-query plan asserts (round 6): the physical-layout queries
+   (q_band_store_pruned_probe, q_bucketed_join_noshuffle,
+   q_dynamic_partition_prune, q_ivf/lsh_pruned_probe,
+   q_partitioned_write_prune) assert their pruning/no-shuffle claims
+   inside the query function, so THIS test's build pass executes them:
+   a layout regression (lost PartitionFilters, a sneaky Exchange, a
+   missing dynamicpruningexpression) surfaces here as a build error.
 """
 
 from __future__ import annotations
