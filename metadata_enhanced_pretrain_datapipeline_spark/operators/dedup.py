@@ -328,15 +328,30 @@ def write_band_store(bands: DataFrame, path: str, mode: str = "overwrite") -> No
 
 
 def read_band_store(spark, path: str,
-                    bands: list[int] | None = None) -> DataFrame:
+                    bands: list[int] | None = None,
+                    empty_schema: str = "doc_id long, band int, key long",
+                    ) -> DataFrame:
     """Read a band store written by :func:`write_band_store`, optionally
     restricted to a band subset. The ``bands`` filter is a predicate on
     the PARTITION column, so it prunes directories at file-listing time
     (PartitionFilters in the scan — other bands' files are never opened).
     Returns (id, band, key) rows suitable for
     :func:`minhash_dedup_against`'s ``seen_bands`` side.
+
+    An EMPTY store is legitimate (a pipeline's first snapshot, or a
+    snapshot where no document was long enough to shingle): a
+    band-partitioned write of zero rows leaves no parquet footers to
+    infer from, so this falls back to ``empty_schema`` (the store
+    schema under default column names — override if the store was built
+    with a different id column) instead of failing the whole monthly
+    run on UNABLE_TO_INFER_SCHEMA.
     """
-    store = spark.read.parquet(path)
+    from pyspark.errors import AnalysisException
+
+    try:
+        store = spark.read.parquet(path)
+    except AnalysisException:
+        store = spark.createDataFrame([], empty_schema)
     if bands is not None:
         store = store.filter(F.col("band").isin([int(b) for b in bands]))
     return store

@@ -621,3 +621,21 @@ def test_snapshot_pipeline_under_reliable_checkpoint(spark, tmp_path, monkeypatc
     assert reliable == baseline and baseline
     written = [f for _, _, fs in os.walk(ckdir) for f in fs]
     assert written, "no reliable checkpoint blocks written by the query"
+
+
+def test_band_store_empty_roundtrip(spark, tmp_path):
+    """A pipeline's FIRST snapshot has an empty store — probing it must
+    keep everything, not crash on schema inference over a data-less
+    partitioned directory (regression: UNABLE_TO_INFER_SCHEMA)."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    bands = dedup.minhash_band_keys(
+        dedup.minhash_signatures(empty, num_hashes=8), num_hashes=8, bands=4)
+    path = str(tmp_path / "empty_store")
+    dedup.write_band_store(bands, path)
+    back = dedup.read_band_store(spark, path, bands=[1, 3])
+    assert back.count() == 0
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string")
+    kept = dedup.minhash_dedup_against(docs, back, num_hashes=8, bands=4)
+    assert [r.doc_id for r in kept.collect()] == [1]
