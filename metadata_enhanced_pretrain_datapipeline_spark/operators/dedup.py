@@ -231,6 +231,59 @@ def minhash_band_keys(sigs: DataFrame, id_col: str = "doc_id",
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
 
+def lsh_collision_probability(jaccard: float, bands: int,
+                              rows_per_band: int) -> float:
+    """P[two docs with Jaccard ``jaccard`` become an LSH candidate pair]
+    under the bands × rows layout: ``1 - (1 - s^r)^b`` — each band
+    collides iff all r of its components match (each with probability s,
+    the defining MinHash property), and any of the b bands colliding
+    makes a candidate. The S-curve every LSH layout is a point on.
+    """
+    return 1.0 - (1.0 - jaccard ** rows_per_band) ** bands
+
+
+def lsh_tune(threshold: float, num_hashes: int,
+             fn_weight: float = 1.0) -> tuple[int, int]:
+    """Pick the (bands, rows_per_band) layout for ``num_hashes``
+    signature components that best separates pairs around a target
+    Jaccard ``threshold``: minimizes the false-positive integral of the
+    S-curve below the threshold plus ``fn_weight`` × the false-negative
+    integral above it (the standard MMDS criterion) over all exact
+    factorizations b × r = num_hashes.
+
+    This is the question every dedup deployment actually asks — "I want
+    ~0.8-near-dups caught; how do I band my 128 hashes?" — answered
+    from the closed form instead of corpus experiments. ``fn_weight``
+    > 1 biases toward recall (missing a near-dup is worse than
+    verifying a spurious candidate — the usual economics, since
+    candidates are cheap to verify via
+    :func:`minhash_estimate_jaccard` but a missed duplicate is
+    training-set contamination).
+
+    Returns (bands, rows_per_band) with bands * rows_per_band ==
+    num_hashes, directly usable as :func:`minhash_lsh_pairs` /
+    :func:`minhash_band_keys` arguments.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    layouts = [(b, num_hashes // b) for b in range(1, num_hashes + 1)
+               if num_hashes % b == 0]
+    steps = 1000
+
+    def cost(b: int, r: int) -> float:
+        fp = fn = 0.0
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            p = lsh_collision_probability(s, b, r)
+            if s < threshold:
+                fp += p / steps
+            else:
+                fn += (1.0 - p) / steps
+        return fp + fn_weight * fn
+
+    return min(layouts, key=lambda br: cost(*br))
+
+
 def minhash_estimate_jaccard(pairs: DataFrame, sigs: DataFrame,
                              id_col: str = "doc_id",
                              num_hashes: int = 32) -> DataFrame:
@@ -904,6 +957,50 @@ def dedup_against(df: DataFrame, seen: DataFrame, text_col: str = "text",
         df.withColumn("__k", normalized_text_key(F.col(text_col)))
         .join(seen_keys, "__k", "left_anti")
         .drop("__k")
+    )
+
+
+def dedup_lines_within_doc(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           sep: str = "\n") -> DataFrame:
+    """WITHIN-document line dedup (the Dolma/CCNet light pass that
+    precedes corpus-level dedup): drop repeated copies of a line inside
+    one document, keeping the first occurrence, and rebuild the text —
+    kills per-page template repetition (nav bars, cookie banners
+    repeated per section) without any cross-document state. Completes
+    the granularity ladder: within-doc lines (this) → corpus-level
+    lines (:func:`segment_dedup`) → substrings
+    (:func:`excise_repeated_ngrams`) → whole docs.
+
+    Blank/whitespace-only lines pass through untouched — they are
+    paragraph STRUCTURE, and collapsing them would merge paragraphs.
+    NULL text is treated as ''. Returns (id, text, n_lines_kept) with
+    n_lines_kept counting non-blank kept lines.
+
+    Scale: one explode, one (id, line) window — the partition key
+    includes the line text, so a hot boilerplate line is bounded by its
+    count WITHIN one document (never corpus-hot), and the per-doc
+    rebuild collect is bounded by document size. No cross-doc shuffle
+    of anything.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), sep))
+        .alias("pos", "line"),
+    )
+    w = Window.partitionBy(id_col, "line").orderBy("pos")
+    blank = F.trim(F.col("line")) == ""
+    kept = lines.withColumn("__rn", F.row_number().over(w)).filter(
+        blank | (F.col("__rn") == 1))
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias(text_col),
+        F.sum(F.when(blank, 0).otherwise(1)).cast("long").alias("n_lines_kept"),
     )
 
 

@@ -5651,3 +5651,37 @@ def q_stream_store_dedup(spark, sf):
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir).select("doc_id")
+
+
+@register(
+    "q_line_dedup_within_doc",
+    # manufacture within-doc repetition: every doc's text twice plus a
+    # unique tail — the second copy of every non-blank line must vanish,
+    # blank lines pass through, and the rebuilt text is hash-checked
+    "WITH d AS (SELECT doc_id, text || chr(10) || text || chr(10) "
+    "  || 'tail ' || doc_id AS t FROM documents), "
+    "l AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line, "
+    "  unnest(range(1, len(string_split(t, chr(10))) + 1)) AS pos FROM d), "
+    "r AS (SELECT doc_id, line, pos, row_number() OVER ("
+    "  PARTITION BY doc_id, line ORDER BY pos) AS rn FROM l), "
+    "k AS (SELECT doc_id, line, pos FROM r WHERE trim(line) = '' OR rn = 1) "
+    "SELECT doc_id, md5(string_agg(line, chr(10) ORDER BY pos)) AS digest, "
+    "CAST(sum(CASE WHEN trim(line) = '' THEN 0 ELSE 1 END) AS BIGINT) "
+    "AS n_lines_kept FROM k GROUP BY doc_id",
+)
+def q_line_dedup_within_doc(spark, sf):
+    """Extension — within-document line dedup
+    (operators/dedup.dedup_lines_within_doc, the Dolma/CCNet light pass
+    killing per-page template repetition with zero cross-document
+    state). The corpus has no natural within-doc duplicate lines, so
+    the query doubles each text (second copy of every line must vanish,
+    blank separators survive) and the oracle replays the
+    explode→first-wins→rebuild chain, hash-checking the full rebuilt
+    text via md5."""
+    d = load(spark, sf, "documents").withColumn(
+        "text",
+        F.concat(F.col("text"), F.lit("\n"), F.col("text"), F.lit("\n"),
+                 F.lit("tail "), F.col("doc_id").cast("string")),
+    )
+    out = dedup.dedup_lines_within_doc(d)
+    return out.select("doc_id", F.md5("text").alias("digest"), "n_lines_kept")

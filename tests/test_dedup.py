@@ -639,3 +639,77 @@ def test_band_store_empty_roundtrip(spark, tmp_path):
         "doc_id long, text string")
     kept = dedup.minhash_dedup_against(docs, back, num_hashes=8, bands=4)
     assert [r.doc_id for r in kept.collect()] == [1]
+
+
+def test_lsh_tune_matches_s_curve_intuition():
+    """lsh_tune picks more rows per band for higher thresholds (stricter
+    collision rule) and the returned layout always factors num_hashes;
+    the collision probability at the threshold stays meaningfully high
+    while far-below-threshold pairs stay improbable."""
+    b_lo, r_lo = dedup.lsh_tune(0.5, 32)
+    b_hi, r_hi = dedup.lsh_tune(0.9, 32)
+    assert b_lo * r_lo == 32 and b_hi * r_hi == 32
+    assert r_hi >= r_lo  # stricter threshold -> more rows per band
+    # at its own threshold the tuned layout catches most pairs...
+    assert dedup.lsh_collision_probability(0.95, b_hi, r_hi) > 0.5
+    # ...and far-below-threshold pairs rarely collide
+    assert dedup.lsh_collision_probability(0.2, b_hi, r_hi) < 0.1
+    # recall bias: weighting false negatives higher never lowers recall
+    b_w, r_w = dedup.lsh_tune(0.8, 32, fn_weight=5.0)
+    assert dedup.lsh_collision_probability(0.8, b_w, r_w) >= \
+        dedup.lsh_collision_probability(0.8, *dedup.lsh_tune(0.8, 32))
+
+
+def test_minhash_recall_on_planted_near_dups(spark):
+    """Empirical recall validation of the flagship dedup family: plant
+    pairs of documents with KNOWN shingle-Jaccard by construction
+    (shared prefix + distinct tails), run the real minhash_lsh_pairs at
+    a 16x4 layout, and check recall against the closed-form S-curve —
+    high-similarity plants must be caught at near-certainty, low-
+    similarity plants must mostly not pair."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(5000)]
+    rows, expected_hi, expected_lo = [], [], []
+    doc_id = 0
+    for k in range(40):
+        base = [rng.choice(vocab) for _ in range(60)]
+        # high-similarity plant: change the last 3 words -> shingle
+        # overlap ~ (58-3)/(58+3+3) well above 0.8
+        near = base[:-3] + [rng.choice(vocab) for _ in range(3)]
+        # low-similarity plant: keep a 10-word prefix only
+        far = base[:10] + [rng.choice(vocab) for _ in range(50)]
+        rows += [(doc_id, " ".join(base)), (doc_id + 1, " ".join(near)),
+                 (doc_id + 2, " ".join(far))]
+        expected_hi.append((doc_id, doc_id + 1))
+        expected_lo.append((doc_id, doc_id + 2))
+        doc_id += 3
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(
+        df, num_hashes=16, bands=4, max_bucket_size=256).collect()}
+    hi_recall = sum(p in got for p in expected_hi) / len(expected_hi)
+    lo_hit = sum(p in got for p in expected_lo) / len(expected_lo)
+    # s ~ 0.85 at 4x4: P = 1-(1-s^4)^4 ~ 0.93; s ~ 0.1: P ~ 0.0004
+    assert hi_recall >= 0.8, f"high-sim recall {hi_recall}"
+    assert lo_hit <= 0.15, f"low-sim false-candidate rate {lo_hit}"
+
+
+def test_dedup_lines_within_doc_semantics(spark):
+    """First copy of each line survives, later copies vanish, blank
+    separators pass through untouched, NULL text becomes '', and other
+    documents are unaffected (no cross-document state)."""
+    docs = spark.createDataFrame(
+        [(1, "nav bar\nreal content\n\nnav bar\nmore text\nnav bar"),
+         (2, "nav bar"),           # same line in ANOTHER doc: untouched
+         (3, None),
+         (4, "a\n\n\na")],         # blank runs survive verbatim
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.text, r.n_lines_kept)
+           for r in dedup.dedup_lines_within_doc(docs).collect()}
+    assert out[1] == ("nav bar\nreal content\n\nmore text", 3)
+    assert out[2] == ("nav bar", 1)
+    assert out[3] == ("", 0)
+    # "a\n\n\na" splits to [a, '', '', a]: dup 'a' dropped, both blanks kept
+    assert out[4] == ("a\n\n", 1)
