@@ -428,3 +428,42 @@ def test_leakage_safe_split_never_separates_connected_docs(spark, edges):
     for a, b in pairs:
         assert out[a] == out[b], f"connected {a},{b} split apart"
         assert find(a) == find(b)
+
+
+# --- cross-engine hash parity (round 6) ---------------------------------
+# Every oracle in the registry rests on md5_hash64/salted_hash producing
+# the SAME 60-bit value in Spark and DuckDB. The fixtures only exercise
+# ASCII-ish corpus text; this pins the primitive on arbitrary unicode
+# (accents, CJK, emoji, control chars, NULLs) drawn by hypothesis.
+
+_hash_strings = st.lists(
+    st.one_of(
+        st.none(),
+        st.text(max_size=40),  # full unicode (minus surrogates)
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@_slow
+@given(strings=_hash_strings, salt=st.integers(0, 999))
+def test_salted_hash_cross_engine_parity(spark, strings, salt):
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from metadata_enhanced_pretrain_datapipeline_spark.functions.hashing import (
+        salted_hash, salted_hash_sql)
+
+    rows = [(i, s) for i, s in enumerate(strings)]
+    df = spark.createDataFrame(rows, "i long, s string")
+    got = {r.i: r.h for r in df.select(
+        "i", salted_hash(F.col("s"), salt).alias("h")).collect()}
+    con = duckdb.connect()
+    expr = salted_hash_sql("s", salt)
+    for i, s in rows:
+        want = con.execute(
+            f"SELECT {expr} FROM (SELECT CAST(? AS VARCHAR) AS s)", [s]
+        ).fetchone()[0]
+        assert got[i] == want, (s, salt, got[i], want)
