@@ -103,9 +103,11 @@ R5_ADDITIONS = [
 #: priced in place under R3_FAMILIES.
 R6_ADDITIONS = [
     "q_band_store_pruned_probe",
+    "q_band_store_colocated_probe",
     "q_snapshot_pipeline",
     "q_bucketed_join_noshuffle",
     "q_dynamic_partition_prune",
+    "q_line_dedup_within_doc",
 ]
 
 

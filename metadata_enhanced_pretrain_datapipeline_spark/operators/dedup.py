@@ -380,6 +380,35 @@ def write_band_store(bands: DataFrame, path: str, mode: str = "overwrite") -> No
     bands.write.mode(mode).partitionBy("band").parquet(path)
 
 
+def write_band_store_bucketed(bands: DataFrame, table: str, path: str,
+                              num_buckets: int = 64,
+                              mode: str = "overwrite") -> None:
+    """Persist a signature store BUCKETED on (band, key) — the layout
+    for the other store access pattern: the FULL probe join.
+
+    Two layouts, two access patterns:
+
+    - :func:`write_band_store` (band-partitioned directories) serves
+      band-SUBSET probes: the subset arrives as a PartitionFilter and
+      other bands' files are never listed.
+    - This (a (band, key)-bucketed table) serves the full (band, key)
+      probe join: the store scan's bucketing already satisfies the
+      join's clustering, so the STORE SIDE JOINS WITH NO EXCHANGE — only
+      the (much smaller) new snapshot's band keys shuffle, into the
+      store's bucket layout. At 100 TB the store is the big side of the
+      monthly probe, and not re-shuffling it every month is the join's
+      dominant cost gone (q_band_store_colocated_probe asserts exactly
+      one hashpartitioning Exchange in-plan — the probe side's).
+
+    ``sortBy`` the bucket keys so in-bucket merge needs no full sort of
+    a bucket at read time. Size ``num_buckets`` to the monthly probe's
+    target parallelism — it is fixed at write time and the probe side
+    coalesces to it.
+    """
+    (bands.write.mode(mode).bucketBy(num_buckets, "band", "key")
+     .sortBy("band", "key").option("path", path).saveAsTable(table))
+
+
 def read_band_store(spark, path: str,
                     bands: list[int] | None = None,
                     empty_schema: str = "doc_id long, band int, key long",

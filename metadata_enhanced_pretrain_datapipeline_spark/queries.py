@@ -5685,3 +5685,53 @@ def q_line_dedup_within_doc(spark, sf):
     )
     out = dedup.dedup_lines_within_doc(d)
     return out.select("doc_id", F.md5("text").alias("digest"), "n_lines_kept")
+
+
+@register(
+    "q_band_store_colocated_probe",
+    # collision AUDIT of the full probe: every (new doc, seen doc) pair
+    # sharing a band key — the multiset both engines must reproduce
+    "WITH " + _minhash_bands_sql(8, 4) + " "
+    "SELECT n.doc_id, s.doc_id AS seen_id, n.band FROM bands n "
+    "JOIN bands s USING (band, key) "
+    "WHERE n.doc_id % 5 <> 0 AND s.doc_id % 5 = 0",
+)
+def q_band_store_colocated_probe(spark, sf):
+    """The OTHER store layout, proven in-plan
+    (dedup.write_band_store_bucketed): the store is bucketed on
+    (band, key), so the full monthly probe join consumes the store's
+    bucketing directly — the plan is asserted to contain exactly ONE
+    hashpartitioning Exchange (the new snapshot's band keys shuffling
+    into the store's layout) and a Bucketed: true store scan. At 100 TB
+    the store is the BIG side of this join; not re-shuffling it every
+    month is the probe's dominant cost gone. Complements
+    q_band_store_pruned_probe (band-partitioned layout for subset
+    probes). Output is the collision audit (new doc, seen doc, band),
+    hash-checked as a multiset against the banding self-join oracle."""
+    scratch = _scratch_dir(sf, "band_store_bucketed")
+    tag = scratch.rsplit("_", 1)[-1]  # pid — table name unique per process
+    d = load(spark, sf, "documents")
+    seen = d.filter(F.col("doc_id") % 5 == 0)
+    new = d.filter(F.col("doc_id") % 5 != 0)
+    store_bands = dedup.minhash_band_keys(
+        dedup.minhash_signatures(seen.select("doc_id", "text"),
+                                 num_hashes=8, portable=True),
+        num_hashes=8, bands=4, portable=True)
+    table = f"bt_band_store_{tag}"
+    dedup.write_band_store_bucketed(store_bands, table, f"{scratch}/store",
+                                    num_buckets=8)
+    store = spark.table(table)
+    probe = dedup.minhash_band_keys(
+        dedup.minhash_signatures(new.select("doc_id", "text"),
+                                 num_hashes=8, portable=True),
+        num_hashes=8, bands=4, portable=True)
+    out = (
+        store.alias("s").hint("merge")
+        .join(probe.alias("n"), ["band", "key"])
+        .select(F.col("n.doc_id").alias("doc_id"),
+                F.col("s.doc_id").alias("seen_id"), F.col("band"))
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:800]
+    assert "Bucketed: true" in plan, plan[:800]
+    return out
