@@ -108,6 +108,7 @@ R6_ADDITIONS = [
     "q_bucketed_join_noshuffle",
     "q_dynamic_partition_prune",
     "q_line_dedup_within_doc",
+    "q_simhash_pairs",
 ]
 
 

@@ -514,6 +514,85 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 16,
     return hashed.withColumn("simhash", fingerprint).drop("__hashes")
 
 
+def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", bits: int = 32,
+                  max_hamming: int = 3, portable: bool = False,
+                  max_bucket_size: int | None = 256) -> DataFrame:
+    """Near-duplicate candidate PAIRS from SimHash fingerprints — the
+    Manku et al. (WWW'07) web-dedup construction that completes
+    :func:`simhash` from a per-doc fingerprint into a pair generator:
+    split the ``bits``-bit fingerprint into ``max_hamming + 1`` chunks;
+    by pigeonhole, two fingerprints within Hamming distance
+    ``max_hamming`` agree EXACTLY on at least one chunk, so bucketing
+    on (chunk_idx, chunk_value) finds every such pair, and
+    ``bit_count(xor)`` verifies the distance exactly within buckets.
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+
+    Complements MinHash-LSH: SimHash candidates approximate COSINE over
+    the shingle-frequency vector (a weighted, occurrence-sensitive
+    signal) where MinHash approximates set Jaccard; production web
+    dedup runs both. Docs with fewer than 3 tokens have no shingles and
+    are excluded (they cannot be shingle near-dups and would otherwise
+    share the all-zero fingerprint).
+
+    Scale shape mirrors :func:`minhash_lsh_pairs`: fingerprints are a
+    narrow codegen projection; ONE exchange on the (chunk, value)
+    bucket key; a shuffle-free window count drops singleton and
+    degenerate buckets (``max_bucket_size`` keeps templated-content
+    buckets from going quadratic); pair expansion is bounded
+    collect_list + array combinations; the xor verification is pure
+    codegen. Nothing text-sized shuffles past the fingerprint stage.
+    """
+    from metadata_enhanced_pretrain_datapipeline_spark.functions.text import tokens_ws
+
+    eligible = df.filter(F.size(tokens_ws(F.col(text_col))) >= 3)
+    fps = simhash(eligible, text_col, bits, portable).select(
+        F.col(id_col).alias("id"), "simhash")
+    chunks = max_hamming + 1
+    base, rem = divmod(bits, chunks)
+    widths = [base + (1 if i < rem else 0) for i in range(chunks)]
+    offsets = [sum(widths[:i]) for i in range(chunks)]
+    chunk_cols = [
+        F.struct(
+            F.lit(i).alias("c"),
+            F.shiftright(F.col("simhash"), offsets[i])
+            .bitwiseAND(F.lit((1 << widths[i]) - 1)).alias("v"),
+        )
+        for i in range(chunks)
+    ]
+    buckets = fps.select(
+        "id", "simhash", F.explode(F.array(*chunk_cols)).alias("ck")
+    ).select("id", "simhash", F.col("ck.c").alias("c"), F.col("ck.v").alias("v"))
+    buckets = buckets.repartition("c", "v")
+    w = Window.partitionBy("c", "v")
+    counted = buckets.withColumn("__n", F.count("*").over(w))
+    upper = (F.col("__n") <= F.lit(max_bucket_size)
+             if max_bucket_size is not None else F.lit(True))
+    buckets = counted.filter((F.col("__n") >= 2) & upper).drop("__n")
+    grouped = buckets.groupBy("c", "v").agg(
+        F.array_sort(F.collect_list(F.struct("id", "simhash"))).alias("ms"))
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms"))),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"), y["id"].alias("id_b"),
+                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"]))
+                    .alias("hamming"),
+                ),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(pair_arr).alias("p"))
+        .filter((F.col("p.id_a") < F.col("p.id_b"))
+                & (F.col("p.hamming") <= F.lit(max_hamming)))
+        .select("p.id_a", "p.id_b", F.col("p.hamming").cast("int").alias("hamming"))
+        .distinct()
+    )
+
+
 def embedding_near_dup(df: DataFrame, id_col: str = "vec_id",
                        vec_col: str = "embedding", threshold: float = 0.95,
                        num_planes: int = 8,

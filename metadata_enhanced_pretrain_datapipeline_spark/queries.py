@@ -1291,13 +1291,13 @@ def q_minhash_lsh_pairs(spark, sf):
 _MERSENNE_P = (1 << 31) - 1
 
 
-def _shingle_ctes(where: str, n: int = 3) -> str:
+def _shingle_ctes(where: str, n: int = 3, src: str = "documents") -> str:
     """tok/sh CTE pair: word_shingles(text, n) parity (functions/text.py) —
     trim → whitespace split → drop empties → n-gram join → DISTINCT."""
     parts = " || ' ' || ".join(f"ws[i + {j}]" for j in range(n))
     return (
         "tok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), "
-        f"'\\s+'), x -> x <> '') AS ws FROM documents{where}), "
+        f"'\\s+'), x -> x <> '') AS ws FROM {src}{where}), "
         f"sh AS (SELECT DISTINCT doc_id, {parts} AS shingle "
         f"FROM (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - {n - 2}, 1))) AS i "
         "FROM tok))"
@@ -1356,23 +1356,24 @@ def _minhash_pairs_sql(where: str, num_hashes: int, bands: int,
 _SIMHASH_BITS = 16
 
 
-def _simhash_sql(where: str = "") -> str:
+def _simhash_sql(where: str = "", bits: int = _SIMHASH_BITS,
+                 src: str = "documents") -> str:
     """DuckDB twin of dedup.simhash(portable=True): per-bit +1/-1 votes over
     the distinct-shingle hash array; docs with no shingles fingerprint 0."""
     votes = ", ".join(
         f"sum(CASE WHEN (h >> {b}) % 2 = 1 THEN 1 ELSE -1 END) AS v{b}"
-        for b in range(_SIMHASH_BITS)
+        for b in range(bits)
     )
     fp = " + ".join(
-        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIMHASH_BITS)
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)
     )
     return (
-        f"WITH {_shingle_ctes(where, 3)}, "
+        f"WITH {_shingle_ctes(where, 3, src)}, "
         f"h AS (SELECT doc_id, {md5_hash64_sql('shingle')} AS h FROM sh), "
         f"v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id), "
         f"fp AS (SELECT doc_id, {fp} AS simhash FROM v) "
         "SELECT d.doc_id, CAST(COALESCE(fp.simhash, 0) AS BIGINT) AS simhash "
-        f"FROM (SELECT doc_id FROM documents{where}) d LEFT JOIN fp USING (doc_id)"
+        f"FROM (SELECT doc_id FROM {src}{where}) d LEFT JOIN fp USING (doc_id)"
     )
 
 
@@ -5735,3 +5736,68 @@ def q_band_store_colocated_probe(spark, sf):
     assert plan.count("Exchange hashpartitioning") == 1, plan[:800]
     assert "Bucketed: true" in plan, plan[:800]
     return out
+
+
+#: simhash_pairs layout shared by the Spark query and its oracle: 32-bit
+#: fingerprints, hamming <= 3 -> 4 chunks of 8 bits (pigeonhole-exact)
+_SHP_BITS, _SHP_HAM, _SHP_CAP = 32, 3, 256
+
+
+def _simhash_pairs_sql() -> str:
+    """DuckDB twin of dedup.simhash_pairs over the mutant-augmented
+    corpus (documents + per-7th-doc clones with appended words): chunk
+    bucketing, the bucket-size guard, and exact xor/bit_count distance
+    verification, all replayed relationally."""
+    chunks = _SHP_HAM + 1
+    base, rem = divmod(_SHP_BITS, chunks)
+    widths = [base + (1 if i < rem else 0) for i in range(chunks)]
+    offsets = [sum(widths[:i]) for i in range(chunks)]
+    chunk_selects = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS c, "
+        f"(simhash >> {offsets[i]}) & {(1 << widths[i]) - 1} AS v FROM fp0"
+        for i in range(chunks)
+    )
+    return (
+        "WITH d0 AS (SELECT doc_id, text FROM documents UNION ALL "
+        "  SELECT doc_id + 100000 AS doc_id, "
+        "  text || ' extra trailing words appended here' AS text "
+        "  FROM documents WHERE doc_id % 7 = 0), "
+        "el AS (SELECT doc_id FROM (SELECT doc_id, "
+        "  list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+        "  x -> x <> '') AS ws FROM d0) WHERE len(ws) >= 3), "
+        "fp0 AS ("
+        + _simhash_sql(" WHERE doc_id IN (SELECT doc_id FROM el)",
+                       _SHP_BITS, "d0")
+        + "), "
+        f"ck AS ({chunk_selects}), "
+        "kept AS (SELECT c, v FROM ck GROUP BY c, v "
+        f"  HAVING count(*) BETWEEN 2 AND {_SHP_CAP}), "
+        "eb AS (SELECT ck.* FROM ck JOIN kept USING (c, v)) "
+        "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming "
+        "FROM eb a JOIN eb b ON a.c = b.c AND a.v = b.v "
+        "AND a.doc_id < b.doc_id "
+        f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SHP_HAM}"
+    )
+
+
+@register("q_simhash_pairs", _simhash_pairs_sql())
+def q_simhash_pairs(spark, sf):
+    """Extension — SimHash near-dup candidate pairs
+    (operators/dedup.simhash_pairs, the Manku et al. WWW'07
+    construction): chunk the 32-bit fingerprint into hamming+1 pieces
+    (pigeonhole-exact bucketing), verify bit_count(xor) within buckets.
+    The corpus has no planted SimHash twins, so every 7th document is
+    cloned with appended words (small vote shift → small hamming) —
+    both engines build the same augmented corpus and the full
+    (id_a, id_b, hamming) pair set is hash-checked."""
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    mut = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"),
+                 F.lit(" extra trailing words appended here")).alias("text"),
+    )
+    corpus = d.unionByName(mut)
+    return dedup.simhash_pairs(corpus, bits=_SHP_BITS,
+                               max_hamming=_SHP_HAM, portable=True,
+                               max_bucket_size=_SHP_CAP)

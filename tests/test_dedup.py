@@ -713,3 +713,24 @@ def test_dedup_lines_within_doc_semantics(spark):
     assert out[3] == ("", 0)
     # "a\n\n\na" splits to [a, '', '', a]: dup 'a' dropped, both blanks kept
     assert out[4] == ("a\n\n", 1)
+
+
+def test_simhash_pairs_finds_clones_and_verifies_distance(spark):
+    """Exact clones pair at hamming 0; a lightly-mutated copy pairs at a
+    small positive distance; unrelated docs never pair; short docs are
+    excluded rather than sharing the zero fingerprint."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base),                       # exact clone
+         (3, base + " with a small tail change"),    # near-dup
+         (4, "completely different words about adaptive query execution"
+             " internals and arrow batches in modern engines"),
+         (5, "xy"),                                  # < 3 tokens: excluded
+         (6, "xy")],
+        "doc_id long, text string",
+    )
+    out = {(r.id_a, r.id_b): r.hamming
+           for r in dedup.simhash_pairs(docs, bits=32, max_hamming=6).collect()}
+    assert out[(1, 2)] == 0
+    assert (1, 3) in out and 0 < out[(1, 3)] <= 6
+    assert all(4 not in p and 5 not in p and 6 not in p for p in out)
