@@ -96,6 +96,19 @@ AUDITS = {
     "dynamicpruningexpression in the fact scan's PartitionFilters "
     "(asserted in-query) — only the curated langs' directories are "
     "listed/read at run time.",
+    "q_band_store_colocated_probe": "Full-probe store layout: the "
+    "(band,key)-bucketed store scan satisfies the join clustering, so "
+    "the BIG side joins with no exchange — exactly one hashpartitioning "
+    "Exchange in the plan, the new snapshot's (asserted in-query).",
+    "q_line_dedup_within_doc": "Within-doc line dedup: one explode, one "
+    "(id, line) window — the partition key is bounded by per-document "
+    "line counts (never corpus-hot) and the rebuild collect is bounded "
+    "by document size; nothing crosses documents.",
+    "q_simhash_pairs": "SimHash pair generation: fingerprints in one "
+    "codegen projection, ONE (chunk, value) exchange, window-count "
+    "degenerate guard, bounded collect_list pair expansion, xor "
+    "distance verify in codegen — the minhash_lsh_pairs shape on the "
+    "hamming metric.",
     "q_tpch_q8": "Deepest dim chain in the suite: part, supplier, "
     "customer, nation x2, region ALL broadcast — 7 BroadcastHashJoins "
     "stacked on the lineitem scan, ONE Exchange total (the final 2-group "
