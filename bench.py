@@ -112,6 +112,21 @@ R6_ADDITIONS = [
 ]
 
 
+def timed_laps(run) -> list[float]:
+    """THE measurement protocol: one warm lap (JIT + IO cache), then two
+    timed laps. Shared by bench.py, scripts/abba_lap.py and
+    scripts/store_economics.py so the A/B adjudication and economics
+    numbers can never desynchronize from the benchmark they mirror.
+    Callers take min(laps) for best-of-2."""
+    run()
+    laps = []
+    for _ in range(2):
+        t0 = time.time()
+        run()
+        laps.append(round(time.time() - t0, 3))
+    return laps
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -127,13 +142,12 @@ def main() -> None:
     for name in (HEADLINE + R3_FAMILIES + R4_ADDITIONS + R5_ADDITIONS
                  + R6_ADDITIONS):
         fn = registry[name]
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm (JIT+IO cache)
-        laps = []
-        for _ in range(2):  # best-of-2: steady-state time, resistant to
-            t0 = time.time()  # transient host noise between rounds
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            laps.append(round(time.time() - t0, 3))
-        timings[name] = min(laps)
+        laps = timed_laps(
+            lambda: fn(spark, sf_dir).write.format("noop")
+            .mode("overwrite").save()
+        )
+        timings[name] = min(laps)  # best-of-2: steady-state, resistant
+        # to transient host noise between rounds
         all_laps[name] = laps  # both laps recorded: lap spread makes noise
         # vs regression decidable from the artifact alone
 

@@ -21,6 +21,16 @@ The env-var path exists for the registered driver queries, whose
 (spark, sf_dir) signature cannot carry an option: a cluster deployment
 exports MEP_SPARK_CHECKPOINT_DIR=hdfs://.../checkpoints and every
 materialization boundary in every query flips to reliable mode at once.
+
+RETENTION: reliable checkpoint files are NOT auto-deleted by default —
+an iterative job leaves one directory per round, and a long-running
+streaming upsert one per batch. Deployments must either set
+``spark.cleaner.referenceTracking.cleanCheckpoints=true`` at session
+BUILD time (Spark then removes a checkpoint's files when its RDD is
+garbage-collected — ``session.get_spark`` sets this) or point
+MEP_SPARK_CHECKPOINT_DIR at a path with a TTL/lifecycle policy. The
+conf is not runtime-settable, so a vanilla driver session using the
+env var needs the lifecycle-policy route.
 """
 
 from __future__ import annotations

@@ -334,6 +334,13 @@ def minhash_dedup_against(new_docs: DataFrame, seen_bands: DataFrame,
     TEXT, which the store does not carry — callers needing verification
     keep a text-addressable sample of the store instead.
 
+    The store's ``key`` must be the 64-bit hashed band key
+    (:func:`minhash_band_keys` as of round 6). A string-keyed store
+    (the pre-round-6 concatenated-component format) would join against
+    the probe's long keys as NULL casts and silently match NOTHING —
+    every duplicate admitted — so a string key column raises here
+    instead; rebuild the store with the current :func:`minhash_band_keys`.
+
     Scale: the new snapshot is shingled/minhashed once; the join is
     keyed on (band, key) against the store (distinct-ed store-side —
     a hot boilerplate bucket must not fan new rows out); flagged ids
@@ -344,6 +351,16 @@ def minhash_dedup_against(new_docs: DataFrame, seen_bands: DataFrame,
     selects both the shingle hash and the band-key hash, and a store
     probed with the other keying silently matches nothing.
     """
+    from pyspark.sql.types import StringType
+
+    if isinstance(seen_bands.schema["key"].dataType, StringType):
+        raise ValueError(
+            "minhash_dedup_against: seen_bands has a STRING key column — "
+            "a pre-round-6 concatenated-component store. Probing it with "
+            "hashed 64-bit keys would silently match nothing (every "
+            "duplicate admitted); rebuild the store with the current "
+            "minhash_band_keys/write_band_store."
+        )
     sigs = minhash_signatures(new_docs.select(id_col, text_col), text_col,
                               num_hashes, shingle_n, portable)
     new_bands = minhash_band_keys(sigs, id_col, num_hashes, bands, portable)
@@ -1091,10 +1108,16 @@ def dedup_lines_within_doc(df: DataFrame, id_col: str = "doc_id",
     rebuild collect is bounded by document size. No cross-doc shuffle
     of anything.
     """
+    import re as _re
+
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), sep))
-        .alias("pos", "line"),
+        # F.split takes a REGEX; the separator is a literal (and is used
+        # literally in the array_join rebuild), so escape it — sep='|'
+        # must not mean empty-alternation char-splitting
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep))
+        ).alias("pos", "line"),
     )
     w = Window.partitionBy(id_col, "line").orderBy("pos")
     blank = F.trim(F.col("line")) == ""

@@ -1517,8 +1517,9 @@ def q_ngram_jaccard_sampled(spark, sf):
     # change the key). Survivors: fresh docs matching no seen digest.
     "WITH k AS (SELECT doc_id, source, md5(lower(trim(regexp_replace("
     "  text, '\\s+', ' ', 'g')))) AS tk FROM documents) "
-    "SELECT doc_id, source FROM k WHERE doc_id % 3 <> 0 AND tk NOT IN "
-    "  (SELECT tk FROM k WHERE doc_id % 3 = 0 OR doc_id % 10 = 1)",
+    "SELECT doc_id, source FROM k WHERE doc_id % 3 <> 0 AND (tk IS NULL "
+    "  OR tk NOT IN (SELECT tk FROM k WHERE (doc_id % 3 = 0 "
+    "  OR doc_id % 10 = 1) AND tk IS NOT NULL))",
 )
 def q_dedup_against_snapshot(spark, sf):
     """Extension — cross-snapshot incremental dedup (operators/dedup.
@@ -2833,6 +2834,16 @@ def q_tokenize_counts(spark, sf):
     return d.select(
         "doc_id", F.size(tokens.tokenize_ws(F.col("text"))).cast("long").alias("n_tokens")
     )
+
+
+def _check_plan(ok: bool, plan: str, claim: str) -> None:
+    """Physical-layout contract check for the in-plan probe queries — an
+    explicit raise, NOT an ``assert`` statement, so a ``python -O``
+    deployment cannot strip the guard and let a layout regression (lost
+    PartitionFilters, a sneaky Exchange, missing dynamic pruning) pass
+    silently."""
+    if not ok:
+        raise AssertionError(f"plan contract violated: {claim}\n{plan[:800]}")
 
 
 def _scratch_dir(sf: str, tag: str) -> str:
@@ -4185,8 +4196,9 @@ def q_segment_dedup(spark, sf):
     "q_bloom_dedup",
     "WITH k AS (SELECT doc_id, source, md5(lower(trim(regexp_replace("
     "  text, '\\s+', ' ', 'g')))) AS tk FROM documents) "
-    "SELECT doc_id, source FROM k WHERE doc_id % 3 <> 0 AND tk NOT IN "
-    "  (SELECT tk FROM k WHERE doc_id % 3 = 0)",
+    "SELECT doc_id, source FROM k WHERE doc_id % 3 <> 0 AND (tk IS NULL "
+    "  OR tk NOT IN (SELECT tk FROM k WHERE doc_id % 3 = 0 "
+    "  AND tk IS NOT NULL))",
 )
 def q_bloom_dedup(spark, sf):
     """Bloom-prefiltered cross-snapshot dedup (dedup.bloom_anti_join): the
@@ -4674,7 +4686,8 @@ def q_partitioned_write_prune(spark, sf):
     import re as _re
     # match INSIDE the brackets: an empty 'PartitionFilters: []' followed
     # by PushedFilters/ReadSchema mentioning lang must NOT pass
-    assert _re.search(r"PartitionFilters: \[[^\]]*lang", plan), plan[:500]
+    _check_plan(bool(_re.search(r"PartitionFilters: \[[^\]]*lang", plan)),
+                plan, "lang partition filter missing from pruned scan")
     return back.groupBy("source").agg(
         F.count("*").alias("n"),
         F.sum("n_chars").cast("long").alias("chars"),
@@ -4933,7 +4946,8 @@ def q_ivf_pruned_probe(spark, sf):
     import re as _re
     # match INSIDE the brackets: an empty 'PartitionFilters: []' followed
     # by PushedFilters/ReadSchema mentioning list_id must NOT pass
-    assert _re.search(r"PartitionFilters: \[[^\]]*list_id", plan), plan[:500]
+    _check_plan(bool(_re.search(r"PartitionFilters: \[[^\]]*list_id", plan)),
+                plan, "nprobe list_id filter missing from IVF layout scan")
     return out
 
 
@@ -4973,7 +4987,8 @@ def q_lsh_pruned_probe(spark, sf):
     import re as _re
     # match INSIDE the brackets: an empty 'PartitionFilters: []' followed
     # by PushedFilters/ReadSchema mentioning bucket must NOT pass
-    assert _re.search(r"PartitionFilters: \[[^\]]*bucket", plan), plan[:500]
+    _check_plan(bool(_re.search(r"PartitionFilters: \[[^\]]*bucket", plan)),
+                plan, "bucket filter missing from LSH layout scan")
     return out
 
 
@@ -5434,7 +5449,8 @@ def q_band_store_pruned_probe(spark, sf):
     import re as _re
     # match INSIDE the brackets: an empty 'PartitionFilters: []' followed
     # by PushedFilters/ReadSchema mentioning band must NOT pass
-    assert _re.search(r"PartitionFilters: \[[^\]]*band", plan), plan[:500]
+    _check_plan(bool(_re.search(r"PartitionFilters: \[[^\]]*band", plan)),
+                plan, "band subset filter missing from store scan")
     return kept.select("doc_id")
 
 
@@ -5450,8 +5466,12 @@ def q_band_store_pruned_probe(spark, sf):
     "WITH RECURSIVE "
     "k AS (SELECT doc_id, md5(lower(trim(regexp_replace("
     "  text, '\\s+', ' ', 'g')))) AS tk FROM documents), "
-    "k1 AS (SELECT doc_id FROM k WHERE doc_id % 3 <> 0 AND tk NOT IN "
-    "  (SELECT tk FROM k WHERE doc_id % 3 = 0 OR doc_id % 10 = 1)), "
+    # NULL-digest guard: one NULL-text seen doc would poison NOT IN via
+    # three-valued logic (empty k1), and a NULL-digest NEW doc must be
+    # KEPT (Spark's left_anti never matches on NULL keys)
+    "k1 AS (SELECT doc_id FROM k WHERE doc_id % 3 <> 0 AND (tk IS NULL "
+    "  OR tk NOT IN (SELECT tk FROM k WHERE (doc_id % 3 = 0 "
+    "  OR doc_id % 10 = 1) AND tk IS NOT NULL))), "
     + _minhash_bands_sql(8, 4) + ", "
     "coll AS (SELECT DISTINCT n.doc_id FROM bands n "
     "  JOIN (SELECT DISTINCT band, key FROM bands WHERE doc_id % 3 = 0) s "
@@ -5558,8 +5578,10 @@ def q_bucketed_join_noshuffle(spark, sf):
              F.sum("o_totalprice").alias("revenue"))
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan, plan[:800]
-    assert "SortMergeJoin" in plan, plan[:800]
+    _check_plan("Exchange" not in plan, plan,
+                "bucketed join/agg planned a shuffle")
+    _check_plan("SortMergeJoin" in plan, plan,
+                "bucketed join lost its SMJ strategy")
     return out
 
 
@@ -5601,7 +5623,8 @@ def q_dynamic_partition_prune(spark, sf):
              F.sum("n_chars").cast("long").alias("chars"))
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "dynamicpruning" in plan.lower(), plan[:800]
+    _check_plan("dynamicpruning" in plan.lower(), plan,
+                "no dynamicpruningexpression in the fact scan")
     return out
 
 
@@ -5659,8 +5682,9 @@ def q_stream_store_dedup(spark, sf):
     # manufacture within-doc repetition: every doc's text twice plus a
     # unique tail — the second copy of every non-blank line must vanish,
     # blank lines pass through, and the rebuilt text is hash-checked
-    "WITH d AS (SELECT doc_id, text || chr(10) || text || chr(10) "
-    "  || 'tail ' || doc_id AS t FROM documents), "
+    "WITH d AS (SELECT doc_id, coalesce(text, '') || chr(10) || "
+    "  coalesce(text, '') || chr(10) || 'tail ' || doc_id AS t "
+    "  FROM documents), "
     "l AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line, "
     "  unnest(range(1, len(string_split(t, chr(10))) + 1)) AS pos FROM d), "
     "r AS (SELECT doc_id, line, pos, row_number() OVER ("
@@ -5681,7 +5705,11 @@ def q_line_dedup_within_doc(spark, sf):
     text via md5."""
     d = load(spark, sf, "documents").withColumn(
         "text",
-        F.concat(F.col("text"), F.lit("\n"), F.col("text"), F.lit("\n"),
+        # coalesce BEFORE concat: concat(NULL, ...) is NULL, which would
+        # collapse a NULL-text doc's tail too — both engines coalesce
+        # first so the manufactured text agrees rowwise
+        F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit("\n"),
+                 F.coalesce(F.col("text"), F.lit("")), F.lit("\n"),
                  F.lit("tail "), F.col("doc_id").cast("string")),
     )
     out = dedup.dedup_lines_within_doc(d)
@@ -5733,8 +5761,10 @@ def q_band_store_colocated_probe(spark, sf):
                 F.col("s.doc_id").alias("seen_id"), F.col("band"))
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange hashpartitioning") == 1, plan[:800]
-    assert "Bucketed: true" in plan, plan[:800]
+    _check_plan(plan.count("Exchange hashpartitioning") == 1, plan,
+                "co-located probe planned more than the probe-side exchange")
+    _check_plan("Bucketed: true" in plan, plan,
+                "store scan is not reading its bucketed layout")
     return out
 
 
@@ -5759,7 +5789,7 @@ def _simhash_pairs_sql() -> str:
     )
     return (
         "WITH d0 AS (SELECT doc_id, text FROM documents UNION ALL "
-        "  SELECT doc_id + 100000 AS doc_id, "
+        "  SELECT doc_id + 1000000000000 AS doc_id, "
         "  text || ' extra trailing words appended here' AS text "
         "  FROM documents WHERE doc_id % 7 = 0), "
         "el AS (SELECT doc_id FROM (SELECT doc_id, "
@@ -5793,7 +5823,7 @@ def q_simhash_pairs(spark, sf):
     (id_a, id_b, hamming) pair set is hash-checked."""
     d = load(spark, sf, "documents").select("doc_id", "text")
     mut = d.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+        (F.col("doc_id") + 1000000000000).alias("doc_id"),
         F.concat(F.col("text"),
                  F.lit(" extra trailing words appended here")).alias("text"),
     )

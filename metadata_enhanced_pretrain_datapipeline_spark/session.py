@@ -84,6 +84,11 @@ def get_spark(app_name: str = "metadata-enhanced-pretrain-datapipeline-spark",
         .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
                 str(4 * shuffle))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # reliable-checkpoint retention (checkpointing.py): without this,
+        # every round of an iterative job leaves its checkpoint files on
+        # the cluster FS forever; with it, Spark deletes them when the
+        # checkpointed RDD is GC'd. Build-time-only conf.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
     )

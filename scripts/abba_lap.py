@@ -14,13 +14,13 @@ from __future__ import annotations
 
 import json
 import sys
-import time
 
 
 def main() -> None:
     root, sf_dir, names = sys.argv[1], sys.argv[2], sys.argv[3:]
     sys.path.insert(0, root)
 
+    from bench import timed_laps  # the ONE lap protocol (bench.py)
     from metadata_enhanced_pretrain_datapipeline_spark import queries as q
     from metadata_enhanced_pretrain_datapipeline_spark.session import get_spark
 
@@ -30,13 +30,10 @@ def main() -> None:
     out: dict[str, list[float]] = {}
     for name in names:
         fn = registry[name]
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        laps = []
-        for _ in range(2):
-            t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            laps.append(round(time.time() - t0, 3))
-        out[name] = laps
+        out[name] = timed_laps(
+            lambda: fn(spark, sf_dir).write.format("noop")
+            .mode("overwrite").save()
+        )
     print(json.dumps({"root": root, "sf_dir": sf_dir, "laps": out}))
 
 

@@ -15,7 +15,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -28,13 +27,9 @@ NUM_HASHES, BANDS = 32, 8
 
 
 def timed(fn) -> float:
-    fn()  # warm
-    laps = []
-    for _ in range(2):
-        t0 = time.time()
-        fn()
-        laps.append(time.time() - t0)
-    return round(min(laps), 3)
+    from bench import timed_laps  # the ONE lap protocol (bench.py)
+
+    return min(timed_laps(fn))
 
 
 def main() -> None:

@@ -734,3 +734,25 @@ def test_simhash_pairs_finds_clones_and_verifies_distance(spark):
     assert out[(1, 2)] == 0
     assert (1, 3) in out and 0 < out[(1, 3)] <= 6
     assert all(4 not in p and 5 not in p and 6 not in p for p in out)
+
+
+def test_minhash_dedup_against_rejects_string_key_store(spark):
+    """A pre-round-6 store (concatenated-string band keys) must raise a
+    clear error, not silently match nothing and admit every duplicate."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string")
+    legacy = spark.createDataFrame(
+        [(9, 0, "12_34")], "doc_id long, band int, key string")
+    with pytest.raises(ValueError, match="STRING key"):
+        dedup.minhash_dedup_against(docs, legacy, num_hashes=8, bands=4)
+
+
+def test_dedup_lines_within_doc_literal_separator(spark):
+    """sep is a LITERAL, not a regex: '|' must split on pipes, not on
+    the empty alternation (which would shatter the text per character)."""
+    docs = spark.createDataFrame(
+        [(1, "nav|content|nav|more")], "doc_id long, text string")
+    out = dedup.dedup_lines_within_doc(docs, sep="|").collect()[0]
+    assert out.text == "nav|content|more" and out.n_lines_kept == 3
