@@ -72,7 +72,8 @@ def asof_join(left: DataFrame, right: DataFrame, left_key: str, right_key: str,
 
 
 def salted_join(left: DataFrame, right: DataFrame, on: str, how: str = "inner",
-                salt_buckets: int = 8) -> DataFrame:
+                salt_buckets: int = 8,
+                strategy: str = "shuffle_hash") -> DataFrame:
     """Skew-salted equi-join: spread a hot key over ``salt_buckets``
     sub-keys by salting the BIG side with a per-row hash and replicating
     the small side once per salt value (explode(sequence) — no shuffle to
@@ -86,15 +87,27 @@ def salted_join(left: DataFrame, right: DataFrame, on: str, how: str = "inner",
     right/full joins the replicated right side would emit its unmatched
     rows once per salt.
 
-    The join is pinned SHUFFLE_HASH: Catalyst size-estimates the right
-    side BEFORE the explode (Generate doesn't scale stats), so it happily
-    broadcasts the salt_buckets×-replicated relation — measured 6.7×
-    slower at 10× data, and a driver OOM at real scale. A salted join's
-    contract is precisely the can't-broadcast case (a broadcastable right
-    side needs no salt: broadcast joins have no skew), so the per-salt
-    hash build is the shape this operator exists for."""
+    The join is pinned SHUFFLE_HASH by default: Catalyst size-estimates
+    the right side BEFORE the explode (Generate doesn't scale stats), so
+    it happily broadcasts the salt_buckets×-replicated relation —
+    measured 6.7× slower at 10× data, and a driver OOM at real scale. A
+    salted join's contract is precisely the can't-broadcast case (a
+    broadcastable right side needs no salt: broadcast joins have no
+    skew), so the per-salt hash build is the shape this operator exists
+    for.
+
+    ``strategy="merge"`` is the escape hatch when the PER-PARTITION
+    hash build itself outgrows task memory (SCALE.md's sf10 probe: the
+    SHJ build OOMs at 250 MB/core while sort-merge, which spills,
+    completes) — same never-broadcast contract, spill-safe build, at
+    the cost of the sort. Pick merge when the replicated side per salt
+    bucket is unbounded or per-core memory is tight."""
     if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
         raise ValueError(f"salted_join supports left-oriented joins only, got {how!r}")
+    if strategy not in ("shuffle_hash", "merge"):
+        raise ValueError(
+            f"strategy must be 'shuffle_hash' or 'merge', got {strategy!r} "
+            "(broadcast is exactly what a salted join must never do)")
     if salt_buckets < 1:
         # % 0 throws under ANSI / yields NULL otherwise, and sequence(0,-1)
         # DESCENDS — either way the join silently degenerates
@@ -105,7 +118,7 @@ def salted_join(left: DataFrame, right: DataFrame, on: str, how: str = "inner",
     rsalted = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     ).withColumn("__salt", F.col("__salt").cast("int"))
-    return lsalted.join(rsalted.hint("shuffle_hash"), [on, "__salt"], how).drop("__salt")
+    return lsalted.join(rsalted.hint(strategy), [on, "__salt"], how).drop("__salt")
 
 
 def range_join(points: DataFrame, pt_col: str, intervals: DataFrame,

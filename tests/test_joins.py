@@ -188,3 +188,26 @@ def test_merge_upsert_overrides_and_passthrough(spark):
         [(2, "B2"), (4, "d")], "id long, v string")
     out = {r.id: r.v for r in joins.merge_upsert(base, updates, ["id"]).collect()}
     assert out == {1: "a", 2: "B2", 3: "c", 4: "d"}
+
+
+def test_salted_join_merge_strategy_same_result_spillable_plan(spark):
+    """strategy='merge' keeps the never-broadcast contract with a
+    spill-safe sort-merge build (the sf10 memory-floor escape hatch,
+    SCALE.md): identical rows to the default shuffled-hash form, and
+    the plan shows SMJ — never a BroadcastHashJoin of the replicated
+    side. Invalid strategies (incl. broadcast) are rejected."""
+    import pytest
+
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import joins
+
+    left = spark.createDataFrame(
+        [(i, i % 3) for i in range(60)], "id long, k long")
+    right = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "k long, v string")
+    base = {(r.id, r.v) for r in joins.salted_join(left, right, "k").collect()}
+    merged_df = joins.salted_join(left, right, "k", strategy="merge")
+    merged = {(r.id, r.v) for r in merged_df.collect()}
+    assert merged == base and len(base) == 60
+    plan = merged_df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan and "BroadcastHashJoin" not in plan
+    with pytest.raises(ValueError, match="shuffle_hash"):
+        joins.salted_join(left, right, "k", strategy="broadcast")
