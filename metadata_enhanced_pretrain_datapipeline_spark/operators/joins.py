@@ -73,7 +73,7 @@ def asof_join(left: DataFrame, right: DataFrame, left_key: str, right_key: str,
 
 def salted_join(left: DataFrame, right: DataFrame, on: str, how: str = "inner",
                 salt_buckets: int = 8,
-                strategy: str = "shuffle_hash") -> DataFrame:
+                strategy: str = "merge") -> DataFrame:
     """Skew-salted equi-join: spread a hot key over ``salt_buckets``
     sub-keys by salting the BIG side with a per-row hash and replicating
     the small side once per salt value (explode(sequence) — no shuffle to
@@ -87,21 +87,22 @@ def salted_join(left: DataFrame, right: DataFrame, on: str, how: str = "inner",
     right/full joins the replicated right side would emit its unmatched
     rows once per salt.
 
-    The join is pinned SHUFFLE_HASH by default: Catalyst size-estimates
-    the right side BEFORE the explode (Generate doesn't scale stats), so
-    it happily broadcasts the salt_buckets×-replicated relation —
-    measured 6.7× slower at 10× data, and a driver OOM at real scale. A
-    salted join's contract is precisely the can't-broadcast case (a
-    broadcastable right side needs no salt: broadcast joins have no
-    skew), so the per-salt hash build is the shape this operator exists
-    for.
+    The join strategy is PINNED — never left to Catalyst: it
+    size-estimates the right side BEFORE the explode (Generate doesn't
+    scale stats), so it happily broadcasts the salt_buckets×-replicated
+    relation — measured 6.7× slower at 10× data, and a driver OOM at
+    real scale. A salted join's contract is precisely the
+    can't-broadcast case (a broadcastable right side needs no salt:
+    broadcast joins have no skew).
 
-    ``strategy="merge"`` is the escape hatch when the PER-PARTITION
-    hash build itself outgrows task memory (SCALE.md's sf10 probe: the
-    SHJ build OOMs at 250 MB/core while sort-merge, which spills,
-    completes) — same never-broadcast contract, spill-safe build, at
-    the cost of the sort. Pick merge when the replicated side per salt
-    bucket is unbounded or per-core memory is tight."""
+    The default pin is ``merge`` (sort-merge): its build SPILLS, so it
+    survives any build-size-to-task-memory ratio, and it measured
+    equal-at-small / 3.1×-faster-at-large than the shuffled-hash pin
+    (SCALE.md sf10 probe: SHJ 42s — and an outright OOM at 250 MB/core
+    — vs SMJ 13.5s on the same 60M⋈15M salted join; within noise at
+    sf1.0). ``strategy="shuffle_hash"`` remains for the narrow case —
+    a small, BOUNDED per-salt build with plentiful per-core memory,
+    where skipping the sort wins."""
     if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
         raise ValueError(f"salted_join supports left-oriented joins only, got {how!r}")
     if strategy not in ("shuffle_hash", "merge"):

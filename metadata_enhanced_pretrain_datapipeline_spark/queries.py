@@ -3324,10 +3324,11 @@ def q_count_distinct_skew(spark, sf):
 @register(
     "q_salted_join",
     # exact, accumulation-order-independent measures: the salted join's
-    # ShuffledHashJoin orders partial sums differently than DuckDB's plain
-    # join, and an unrounded double revenue sum drifted past the 12-sig-
-    # digit canon (~1.6e-12 relative on a 6e8 sum). qty is integral in
-    # doubles (exact to 2^53) and max is order-free, so both are stable.
+    # pinned physical join (SMJ by default, r6) orders partial sums
+    # differently than DuckDB's plain join, and an unrounded double
+    # revenue sum drifted past the 12-sig-digit canon (~1.6e-12 relative
+    # on a 6e8 sum). qty is integral in doubles (exact to 2^53) and max
+    # is order-free, so both are stable.
     "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items, "
     "CAST(sum(l_quantity) AS BIGINT) AS qty_sum, "
     "max(l_extendedprice) AS max_price "

@@ -65,10 +65,12 @@ AUDITS = {
     "and re-aggregates keyed by id — no other shuffle.",
     "q_url_canonical_dedup": "URL dedup: canonicalization is pure "
     "codegen; one Exchange on the canonical key for the first-id window.",
-    "q_salted_join": "Skew-salted join pinned ShuffledHashJoin: Catalyst "
-    "size-estimates the salt-replicated side pre-explode and would "
-    "broadcast it (driver OOM at scale); the hint forces the per-salt "
-    "hash build the operator exists for.",
+    "q_salted_join": "Skew-salted join with a PINNED strategy (merge by "
+    "default, r6): Catalyst size-estimates the salt-replicated side "
+    "pre-explode and would broadcast it (driver OOM at scale); the "
+    "sort-merge pin keeps the never-broadcast contract with a SPILLABLE "
+    "build — the sf10 probe measured SHJ OOM at 250 MB/core and 3.1x "
+    "slower at 48 GB, so the spill-safe form is the scale default.",
     "q_mix_pipeline": "Composed dedup→decontaminate→gate→host-cap→mix→"
     "budget→split: the gated corpus materializes ONCE before the "
     "multi-action tail (per_host_cap + token_budget_cap offset collects, "

@@ -190,12 +190,13 @@ def test_merge_upsert_overrides_and_passthrough(spark):
     assert out == {1: "a", 2: "B2", 3: "c", 4: "d"}
 
 
-def test_salted_join_merge_strategy_same_result_spillable_plan(spark):
-    """strategy='merge' keeps the never-broadcast contract with a
-    spill-safe sort-merge build (the sf10 memory-floor escape hatch,
-    SCALE.md): identical rows to the default shuffled-hash form, and
-    the plan shows SMJ — never a BroadcastHashJoin of the replicated
-    side. Invalid strategies (incl. broadcast) are rejected."""
+def test_salted_join_strategies_agree_and_pin_their_plans(spark):
+    """Both pinned strategies keep the never-broadcast contract and
+    agree row-for-row: the DEFAULT is the spill-safe sort-merge build
+    (the sf10 probe's memory-floor finding, SCALE.md — SHJ OOMs at
+    250 MB/core and runs 3.1x slower at 48 GB); shuffle_hash remains
+    the bounded-build opt-in. Invalid strategies (incl. broadcast)
+    are rejected."""
     import pytest
 
     from metadata_enhanced_pretrain_datapipeline_spark.operators import joins
@@ -203,11 +204,14 @@ def test_salted_join_merge_strategy_same_result_spillable_plan(spark):
     left = spark.createDataFrame(
         [(i, i % 3) for i in range(60)], "id long, k long")
     right = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "k long, v string")
-    base = {(r.id, r.v) for r in joins.salted_join(left, right, "k").collect()}
-    merged_df = joins.salted_join(left, right, "k", strategy="merge")
-    merged = {(r.id, r.v) for r in merged_df.collect()}
-    assert merged == base and len(base) == 60
-    plan = merged_df._jdf.queryExecution().executedPlan().toString()
-    assert "SortMergeJoin" in plan and "BroadcastHashJoin" not in plan
+    default_df = joins.salted_join(left, right, "k")
+    shj_df = joins.salted_join(left, right, "k", strategy="shuffle_hash")
+    default_rows = {(r.id, r.v) for r in default_df.collect()}
+    shj_rows = {(r.id, r.v) for r in shj_df.collect()}
+    assert default_rows == shj_rows and len(default_rows) == 60
+    dplan = default_df._jdf.queryExecution().executedPlan().toString()
+    splan = shj_df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in dplan and "BroadcastHashJoin" not in dplan
+    assert "ShuffledHashJoin" in splan and "BroadcastHashJoin" not in splan
     with pytest.raises(ValueError, match="shuffle_hash"):
         joins.salted_join(left, right, "k", strategy="broadcast")
