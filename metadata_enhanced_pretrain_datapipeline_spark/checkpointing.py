@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
 #: Environment variable that flips every materialization boundary in the
@@ -60,5 +61,22 @@ def materialize(df: DataFrame, checkpoint_dir: str | None = None,
         # setCheckpointDir is idempotent for a fixed target; re-pointing
         # between calls is allowed (each checkpoint remembers its own dir)
         sc.setCheckpointDir(target)
-        return df.checkpoint(eager=eager)
+        if eager:
+            # .checkpoint() without a persist evaluates the plan TWICE
+            # (once for the action that triggers it, once to write the
+            # checkpoint files — known Spark behavior), so every
+            # duplicate_clusters round and materialize boundary would pay
+            # ~2x compute under MEP_SPARK_CHECKPOINT_DIR. Persist first so
+            # the checkpoint write re-reads cached blocks, then unpersist:
+            # the reliable files now carry the data and the cached blocks
+            # are dead weight.
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            out = df.checkpoint(eager=True)
+            df.unpersist()
+            return out
+        # lazy mode: the first action computes + writes in one pass only
+        # if the caller persisted; we cannot persist here because nothing
+        # may ever materialize it (plan-only tests) and the cached blocks
+        # would pin executor storage with no unpersist point.
+        return df.checkpoint(eager=False)
     return df.localCheckpoint(eager=eager)

@@ -24,6 +24,20 @@ from metadata_enhanced_pretrain_datapipeline_spark.functions.hashing import md5_
 from metadata_enhanced_pretrain_datapipeline_spark.functions.text import word_shingles
 
 
+#: Column-metadata key stamped on a band store's ``key`` column by
+#: :func:`minhash_band_keys` recording which keying built it
+#: ("portable" = md5-based, "native" = xxhash64). Spark persists column
+#: metadata in the parquet footer / catalog schema, so the mode travels
+#: WITH the store and :func:`minhash_dedup_against` can refuse a
+#: mismatched probe (which would silently match nothing — every
+#: duplicate admitted) instead of producing a wrong-but-plausible result.
+KEYING_METADATA_KEY = "mep_keying"
+
+
+def _keying_name(portable: bool) -> str:
+    return "portable" if portable else "native"
+
+
 def _shingle_hash(s, portable: bool = False):
     """Internal shingle hash for near-dup ops: xxhash64 (JVM-native, ~2x
     faster than the md5+conv portable hash — measured at sf0.1).
@@ -228,7 +242,16 @@ def minhash_band_keys(sigs: DataFrame, id_col: str = "doc_id",
         band_cols.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
     return sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select(
+        id_col,
+        F.col("bk.band").alias("band"),
+        # stamp the keying mode as column metadata: parquet footers and
+        # catalog schemas persist it, so a store written from this frame
+        # carries its own keying and a mismatched probe is detectable
+        # (see minhash_dedup_against) instead of silently matching nothing
+        F.col("bk.key").alias(
+            "key", metadata={KEYING_METADATA_KEY: _keying_name(portable)}),
+    )
 
 
 def lsh_collision_probability(jaccard: float, bands: int,
@@ -361,6 +384,26 @@ def minhash_dedup_against(new_docs: DataFrame, seen_bands: DataFrame,
             "duplicate admitted); rebuild the store with the current "
             "minhash_band_keys/write_band_store."
         )
+    # keying-mode guard: both keyings produce long keys, so a
+    # portable-store/native-probe mismatch is NOT detectable from the
+    # schema type — it would silently match nothing (every duplicate
+    # admitted). The store's key column carries its keying as column
+    # metadata (stamped by minhash_band_keys, persisted through parquet
+    # footers and catalog schemas); when present it must match this
+    # probe's ``portable`` flag. Absent metadata (a store written by an
+    # older build, or a frame reshaped through an operation that drops
+    # metadata) stays permissive — the guard catches the recorded case.
+    stored = (seen_bands.schema["key"].metadata or {}).get(KEYING_METADATA_KEY)
+    if stored is not None and stored != _keying_name(portable):
+        raise ValueError(
+            f"minhash_dedup_against: seen_bands was keyed "
+            f"'{stored}' but this probe uses "
+            f"'{_keying_name(portable)}' (portable={portable}) — the two "
+            "hash families never collide, so the probe would silently "
+            "match nothing and admit every duplicate. Pass "
+            f"portable={stored == 'portable'} to match the store, or "
+            "rebuild the store with the probe's keying."
+        )
     sigs = minhash_signatures(new_docs.select(id_col, text_col), text_col,
                               num_hashes, shingle_n, portable)
     new_bands = minhash_band_keys(sigs, id_col, num_hashes, bands, portable)
@@ -443,13 +486,35 @@ def read_band_store(spark, path: str,
     infer from, so this falls back to ``empty_schema`` (the store
     schema under default column names — override if the store was built
     with a different id column) instead of failing the whole monthly
-    run on UNABLE_TO_INFER_SCHEMA.
+    run on UNABLE_TO_INFER_SCHEMA. The fallback is NARROW by design:
+    only the schema-inference failure of an existing-but-footerless
+    directory is treated as "first snapshot". A missing path, bad
+    mount, or typo'd month (PATH_NOT_FOUND and every other
+    AnalysisException) RE-RAISES — substituting an empty store there
+    would make the monthly probe silently keep every duplicate, the
+    exact failure class the string-key and keying-mode guards exist
+    to prevent.
     """
     from pyspark.errors import AnalysisException
 
     try:
         store = spark.read.parquet(path)
-    except AnalysisException:
+    except AnalysisException as e:
+        # pyspark 4 names the accessor getCondition (getErrorClass is the
+        # deprecated alias); fall back through both, then to the message
+        cond = None
+        for acc in ("getCondition", "getErrorClass"):
+            fn = getattr(e, acc, None)
+            if fn is not None:
+                try:
+                    cond = fn()
+                except Exception:
+                    cond = None
+                if cond:
+                    break
+        if cond != "UNABLE_TO_INFER_SCHEMA" and (
+                cond is not None or "UNABLE_TO_INFER_SCHEMA" not in str(e)):
+            raise
         store = spark.createDataFrame([], empty_schema)
     if bands is not None:
         store = store.filter(F.col("band").isin([int(b) for b in bands]))

@@ -38,10 +38,18 @@ MEDIA_SCHEMA = (
 
 def _fake_pixels(content: bytes, width: int, height: int) -> np.ndarray:
     """Deterministic fake decode: pixels derived from the content digest —
-    stable across executors/retries, no codec needed."""
-    seed = int.from_bytes(hashlib.md5(content).digest()[:4], "little")
-    rng = np.random.default_rng(seed)
-    return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+    stable across executors/retries, no codec needed. DIGEST-TWIN form
+    (round 7, the A6/A7 oracle pattern): pixel k (row-major,
+    channel-minor) is ``(md5(content)[k % 16] + k) % 256`` — closed-form
+    arithmetic over the digest bytes, so a DuckDB oracle can replay the
+    whole decode → pool → feature chain from
+    ``('0x' || substr(md5(...), i, 2))`` and hash-check the mapInPandas
+    plumbing despite no codec (q_multimodal_image_features,
+    q_multimodal_frame_sample)."""
+    digest = np.frombuffer(hashlib.md5(content).digest(), np.uint8)
+    k = np.arange(width * height * 3, dtype=np.int64)
+    return ((digest[k % 16].astype(np.int64) + k) % 256).astype(
+        np.uint8).reshape(height, width, 3)
 
 
 def decode_bmp(content: bytes) -> np.ndarray:
@@ -146,12 +154,185 @@ def decode_netpbm(content: bytes) -> np.ndarray:
     return px.reshape(height, width, 3).copy()
 
 
+#: PNG file signature (8 bytes, public spec).
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (left, up, up-left) — spec §9, Filtering."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_chunks(content: bytes):
+    """Yield (type, data) for each PNG chunk, CRC-verified."""
+    import struct
+    import zlib
+
+    pos = len(_PNG_SIG)
+    while pos + 8 <= len(content):
+        length, ctype = struct.unpack_from(">I4s", content, pos)
+        data = content[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(content):
+            raise ValueError("truncated PNG chunk")
+        crc = struct.unpack_from(">I", content, pos + 8 + length)[0]
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        yield ctype, data
+        pos += 12 + length
+        if ctype == b"IEND":
+            return
+    raise ValueError("PNG missing IEND")
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """REAL PNG decode, pure stdlib (zlib inflate + per-scanline
+    unfilter) — PNG is the one compressed image format whose codec is
+    feasible without an image library, because its compression IS zlib
+    and its only other moving part is the 5-filter scanline predictor.
+    Supports the common web subset: 8-bit depth, color types 0 (gray),
+    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced.
+    Returns HxWx3 uint8 RGB (alpha dropped, gray replicated) — the one
+    shape contract every decoder in this module shares.
+
+    The unfilter loop is per-byte Python for the sequential filters
+    (Sub/Average/Paeth depend on the just-reconstructed left pixel);
+    None/Up vectorize. Fine for the feature-extraction path's pooled
+    thumbnails; a deployment decoding full-resolution corpora plugs a
+    real codec via ``codec_factory`` (docs/model_plugins.md).
+    """
+    import struct
+    import zlib
+
+    if not content.startswith(_PNG_SIG):
+        raise ValueError("not a PNG blob")
+    width = height = None
+    palette = None
+    idat = bytearray()
+    for ctype, data in _png_chunks(content):
+        if ctype == b"IHDR":
+            width, height, depth, ctype_code, comp, filt, interlace = \
+                struct.unpack(">IIBBBBB", data)
+            if depth != 8 or comp != 0 or filt != 0:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, comp={comp})")
+            if interlace != 0:
+                raise ValueError("interlaced (Adam7) PNG unsupported")
+            color_type = ctype_code
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError(
+            f"PNG data length {len(raw)} != {(stride + 1) * height}")
+    bpp = channels
+    out = np.zeros((height, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    pos = 0
+    for y in range(height):
+        f = raw[pos]
+        line = np.frombuffer(raw, np.uint8, stride, pos + 1).astype(np.int32)
+        pos += stride + 1
+        if f == 0:  # None
+            cur = line
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: left-sequential
+            cur = line.copy()
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                if f == 1:
+                    cur[i] = (cur[i] + left) & 0xFF
+                elif f == 3:
+                    cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+                else:
+                    ul = prev[i - bpp] if i >= bpp else 0
+                    cur[i] = (cur[i] + _paeth(left, int(prev[i]), int(ul))) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f} on row {y}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    px = out.reshape(height, width, channels)
+    if color_type == 2:
+        return px.copy()
+    if color_type == 6:
+        return px[:, :, :3].copy()
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        return palette[px[:, :, 0]]
+    # gray / gray+alpha: replicate luminance
+    return np.repeat(px[:, :, :1], 3, axis=2).copy()
+
+
+def encode_png(pixels: "np.ndarray", filter_mode: str = "cycle") -> bytes:
+    """REAL PNG encoder (8-bit RGB, color type 2, non-interlaced) — the
+    inverse of decode_png, giving the compressed-image path a true
+    round-trip oracle. ``filter_mode="cycle"`` filters row y with type
+    y % 5, so one encoded image exercises EVERY unfilter branch of the
+    decoder (None/Sub/Up/Average/Paeth); "none" emits filter 0 rows.
+    Input HxWx3 uint8 RGB."""
+    import struct
+    import zlib
+
+    h, w, c = pixels.shape
+    if c != 3 or pixels.dtype != np.uint8:
+        raise ValueError("encode_png wants HxWx3 uint8 RGB")
+    bpp = 3
+    stride = w * bpp
+    flat = pixels.reshape(h, stride).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        cur = flat[y]
+        f = y % 5 if filter_mode == "cycle" else 0
+        raw.append(f)
+        if f == 0:
+            enc = cur
+        elif f == 1:  # Sub
+            left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            enc = (cur - left) & 0xFF
+        elif f == 2:  # Up
+            enc = (cur - prev) & 0xFF
+        elif f == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            enc = (cur - ((left + prev) >> 1)) & 0xFF
+        else:  # Paeth
+            enc = cur.copy()
+            for i in range(stride):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                ul = int(prev[i - bpp]) if i >= bpp else 0
+                enc[i] = (cur[i] - _paeth(left, int(prev[i]), ul)) & 0xFF
+        raw += enc.astype(np.uint8).tobytes()
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
 def decode_image(content: bytes, stub: bool = False) -> np.ndarray:
-    """Decode an image blob to HxWx3 uint8. Uncompressed 24-bit BMP
-    and binary netpbm (P5/P6) decode FOR REAL (struct-defined formats,
-    no codec lib needed); other
-    formats need a real codec (PIL/cv2, not in this container) — STUB:
-    deterministic fake pixels when stub=True.
+    """Decode an image blob to HxWx3 uint8. Uncompressed 24-bit BMP,
+    binary netpbm (P5/P6), and 8-bit non-interlaced PNG decode FOR REAL
+    (struct-defined grids / stdlib-zlib compression — no codec lib
+    needed); other formats need a real codec (PIL/cv2, not in this
+    container) — STUB: deterministic fake pixels when stub=True.
 
     stub=True GUARANTEES non-raising: a blob that merely starts with
     'BM' but is not a valid BMP (e.g. text beginning 'BMW …') falls back
@@ -168,10 +349,16 @@ def decode_image(content: bytes, stub: bool = False) -> np.ndarray:
         except ValueError:
             if not stub:
                 raise
+    if content.startswith(_PNG_SIG):
+        try:
+            return decode_png(content)
+        except Exception:  # ValueError, zlib.error
+            if not stub:
+                raise
     if not stub:
         raise NotImplementedError(
-            "only BMP and binary netpbm (PGM/PPM) decode without a codec "
-            "lib in this environment"
+            "only BMP, binary netpbm (PGM/PPM), and 8-bit PNG decode "
+            "without a codec lib in this environment"
         )
     return _fake_pixels(content, 16, 16)
 
@@ -272,12 +459,19 @@ def audio_features(df: DataFrame, stub: bool = True,
 
 
 def sample_video_frames(df: DataFrame, every_ms: int = 1000, stub: bool = True,
-                        codec_factory=None, cache_key: str | None = None) -> DataFrame:
+                        codec_factory=None, cache_key: str | None = None,
+                        hex_digest: bool = False) -> DataFrame:
     """Frame-sample: one output row per sampled frame (1→n fan-out inside
     mapInPandas — the UDTF shape). Frame pixels stay executor-side; the
     output carries frame index + timestamp + a per-frame content digest.
     ``codec_factory() -> extract(bytes, ts_ms) -> HxWx3 uint8 frame``
-    plugs in a real demuxer (pyav/ffmpeg), built once per worker."""
+    plugs in a real demuxer (pyav/ffmpeg), built once per worker.
+
+    ``hex_digest=True`` fingerprints the frame as md5 of the HEX of its
+    bytes (instead of the raw bytes) — same identity semantics, but
+    replayable by a DuckDB oracle (whose md5 only takes VARCHAR); the
+    stub seed is likewise ``content + ascii(ts)`` so the seed stays
+    valid UTF-8 for the SQL twin."""
     schema = "media_id string, frame_idx int, ts_ms int, frame_digest string"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -286,7 +480,8 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000, stub: bool = True,
         if codec_factory is not None:
             extract = executor_singleton(codec_factory, cache_key)
         elif stub:
-            extract = lambda b, ts: _fake_pixels(b + ts.to_bytes(4, "little"), 8, 8)
+            extract = lambda b, ts: _fake_pixels(
+                b + str(ts).encode("ascii"), 8, 8)
         else:
             raise NotImplementedError(
                 "no video codec in this environment — pass codec_factory "
@@ -303,7 +498,9 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000, stub: bool = True,
                 content = bytes(content)
                 for i, ts in enumerate(range(0, max(duration, 1), every_ms)):
                     frame = extract(content, ts)
-                    digest = hashlib.md5(frame.tobytes()).hexdigest()
+                    payload = (frame.tobytes().hex().encode("ascii")
+                               if hex_digest else frame.tobytes())
+                    digest = hashlib.md5(payload).hexdigest()
                     out.append((mid, i, ts, digest))
             yield pd.DataFrame(
                 out, columns=["media_id", "frame_idx", "ts_ms", "frame_digest"]

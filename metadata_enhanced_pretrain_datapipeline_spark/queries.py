@@ -2517,27 +2517,84 @@ def q_robots_filter(spark, sf):
     )
 
 
-@register("q_multimodal_image_features")
+@register(
+    "q_multimodal_image_features",
+    # digest-twin (r7, the A6/A7 pattern): the stub decoder's pixel k of
+    # a 16x16x3 fake image is (md5(content)[k % 16] + k) % 256, and the
+    # 8x8 mean-pool + channel-mean collapse to the per-channel average
+    # over k ≡ c (mod 3) — all exact integer-sum/256 arithmetic, so the
+    # replay is an equality, not a tolerance
+    "WITH dg AS (SELECT CAST(doc_id AS VARCHAR) AS media_id, "
+    "  CASE WHEN text IS NULL THEN NULL ELSE md5(substr(text, 1, 64)) END "
+    "  AS hx FROM documents), "
+    "b AS (SELECT media_id, t.g AS bi, "
+    "  CAST(('0x' || substr(hx, 1 + 2 * t.g, 2)) AS INT) AS bv "
+    "  FROM dg, generate_series(0, 15) t(g) WHERE hx IS NOT NULL), "
+    "px AS (SELECT media_id, t.g AS k, (bv + t.g) % 256 AS v "
+    "  FROM b JOIN generate_series(0, 767) t(g) ON b.bi = t.g % 16), "
+    "a AS (SELECT media_id, "
+    "  avg(CASE WHEN k % 3 = 0 THEN v END) AS mean_r, "
+    "  avg(CASE WHEN k % 3 = 1 THEN v END) AS mean_g, "
+    "  avg(CASE WHEN k % 3 = 2 THEN v END) AS mean_b "
+    "  FROM px GROUP BY media_id) "
+    "SELECT d.media_id, "
+    "CASE WHEN a.media_id IS NULL THEN NULL ELSE CAST(8 AS INT) END "
+    "  AS out_width, "
+    "CASE WHEN a.media_id IS NULL THEN NULL ELSE CAST(8 AS INT) END "
+    "  AS out_height, "
+    "a.mean_r, a.mean_g, a.mean_b FROM dg d LEFT JOIN a USING (media_id)",
+)
 def q_multimodal_image_features(spark, sf):
-    """† Multimodal — binary media column through the stubbed decode →
-    mean-pool resize → channel-mean features (operators/multimodal.py)."""
+    """Multimodal — binary media column through the stubbed decode →
+    mean-pool resize → channel-mean features (operators/multimodal.py).
+    Hash-checked as of r7 (VERDICT r6 #4): the stub decode is the
+    digest-twin form ((md5[k%16] + k) % 256 pixels), so the DuckDB
+    oracle replays decode → 8x8 mean-pool → channel means exactly —
+    the full mapInPandas Arrow path is value-verified despite no codec
+    runtime. A NULL-text doc ships a NULL blob and must come back as a
+    NULL-feature row (the missing-blob contract), replayed by the
+    oracle's left join."""
     from metadata_enhanced_pretrain_datapipeline_spark.operators.multimodal import image_features
 
     media = load(spark, sf, "documents").select(
         F.col("doc_id").cast("string").alias("media_id"),
         F.encode(F.substring("text", 1, 64), "utf-8").alias("content"),
     )
-    out = image_features(media, stub=True)
-    return out.select(
-        "media_id", "out_width", "out_height",
-        F.round("mean_r", 4).alias("mean_r"), F.round("mean_g", 4).alias("mean_g"),
-        F.round("mean_b", 4).alias("mean_b"),
-    )
+    return image_features(media, stub=True)
 
 
-@register("q_multimodal_frame_sample")
+@register(
+    "q_multimodal_frame_sample",
+    # digest-twin (r7): the stub frame at ts is the fake-pixel grid
+    # seeded by content || ascii(ts); its 192 bytes are
+    # (md5(seed)[k % 16] + k) % 256, and the row's fingerprint is md5 of
+    # their lowercase hex — fully replayable VARCHAR-side in DuckDB
+    "WITH m AS (SELECT CAST(doc_id AS VARCHAR) AS media_id, "
+    "  substr(text, 1, 32) AS ct, ((doc_id % 5) + 1) AS nf "
+    "  FROM documents WHERE doc_id % 20 = 0 AND text IS NOT NULL), "
+    "f AS (SELECT media_id, ct, "
+    "  unnest(generate_series(0, nf - 1)) AS fi FROM m), "
+    "dg AS (SELECT media_id, fi, "
+    "  md5(ct || CAST(fi * 1000 AS VARCHAR)) AS hx FROM f), "
+    "b AS (SELECT media_id, fi, t.g AS bi, "
+    "  CAST(('0x' || substr(hx, 1 + 2 * t.g, 2)) AS INT) AS bv "
+    "  FROM dg, generate_series(0, 15) t(g)), "
+    "fh AS (SELECT media_id, fi, "
+    "  string_agg(printf('%02x', (bv + t.g) % 256), '' ORDER BY t.g) "
+    "  AS hexpx FROM b JOIN generate_series(0, 191) t(g) "
+    "  ON b.bi = t.g % 16 GROUP BY media_id, fi) "
+    "SELECT media_id, CAST(fi AS INT) AS frame_idx, "
+    "CAST(fi * 1000 AS INT) AS ts_ms, md5(hexpx) AS frame_digest FROM fh",
+)
 def q_multimodal_frame_sample(spark, sf):
-    """† Multimodal — video frame-sampling fan-out (1→n inside mapInPandas)."""
+    """Multimodal — video frame-sampling fan-out (1→n inside
+    mapInPandas). Hash-checked as of r7 (VERDICT r6 #4): each stubbed
+    frame is the digest-twin pixel grid over md5(content || ascii(ts)),
+    fingerprinted as md5-of-hex (hex_digest=True — DuckDB's md5 is
+    VARCHAR-only), so the oracle rebuilds every frame's 192 bytes and
+    its digest relationally; the fan-out count, timestamps, AND the
+    per-frame pixel bytes are all value-verified. NULL-text docs ship
+    NULL blobs and must emit no frames."""
     from metadata_enhanced_pretrain_datapipeline_spark.operators.multimodal import (
         sample_video_frames,
     )
@@ -2547,7 +2604,8 @@ def q_multimodal_frame_sample(spark, sf):
         F.encode(F.substring("text", 1, 32), "utf-8").alias("content"),
         ((F.col("doc_id") % 5 + 1) * 1000).cast("int").alias("duration_ms"),
     )
-    return sample_video_frames(media, every_ms=1000, stub=True)
+    return sample_video_frames(media, every_ms=1000, stub=True,
+                               hex_digest=True)
 
 
 @register("q_embed_documents")
@@ -2862,6 +2920,21 @@ def _scratch_dir(sf: str, tag: str) -> str:
     path = f"{tempfile.gettempdir()}/mep_spark_{tag}_{digest}_{os.getpid()}"
     atexit.register(shutil.rmtree, path, ignore_errors=True)
     return path
+
+
+def _drop_prefixed_tables(spark, *prefixes: str) -> None:
+    """Drop every session-catalog table whose name starts with one of
+    ``prefixes``. The bucketed-layout queries register per-pid external
+    tables (bt_*_<pid>); their FILES live in atexit-cleaned scratch dirs,
+    but the embedded-metastore CATALOG entries survive the process — so
+    repeated driver/bench runs would accumulate dead entries pointing at
+    deleted /tmp paths. Dropping is safe immediately after the consuming
+    DataFrame is built: its analyzed plan already holds the resolved
+    relation (files + bucketing spec), and DROP on an external table
+    leaves the files untouched."""
+    for t in spark.catalog.listTables():
+        if any(t.name.startswith(p) for p in prefixes):
+            spark.sql(f"DROP TABLE IF EXISTS `{t.name}`")
 
 
 @register(
@@ -5076,6 +5149,54 @@ def q_bmp_roundtrip(spark, sf):
 
 
 @register(
+    "q_png_roundtrip",
+    # closed-form pixel grid over a 8x5 image: value at (i,j,c) is
+    # (doc_id*37 + i*11 + j*5 + c*3) % 256 — 8 rows so the cycling
+    # encoder emits every PNG filter type (None/Sub/Up/Average/Paeth)
+    "WITH px AS (SELECT doc_id, (doc_id * 37 + i.g * 11 + j.g * 5 + c.g * 3) "
+    "  % 256 AS v FROM (SELECT doc_id FROM documents WHERE doc_id % 20 = 1) d, "
+    "  generate_series(0, 7) i(g), generate_series(0, 4) j(g), "
+    "  generate_series(0, 2) c(g)) "
+    "SELECT doc_id, CAST(sum(v) AS BIGINT) AS pixel_sum, "
+    "CAST(count(*) AS BIGINT) AS n_px FROM px GROUP BY doc_id",
+)
+def q_png_roundtrip(spark, sf):
+    """Compressed-image twin of q_bmp_roundtrip (VERDICT r6 #3): per
+    doc, synthesize deterministic 8x5 RGB pixels, ENCODE a real PNG
+    (multimodal.encode_png — zlib deflate, filter type cycling y % 5 so
+    ONE blob exercises every unfilter branch), ship the binary through
+    Arrow, DECODE with the pure-stdlib parser (decode_png: chunk walk +
+    CRC verify + inflate + per-scanline unfilter), and aggregate the
+    pixel sum. The oracle computes the same sum from the closed-form
+    grid — any chunk/CRC/filter/stride bug in either codec path breaks
+    the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.multimodal import (
+        decode_png, encode_png)
+
+    d = load(spark, sf, "documents").filter(F.col("doc_id") % 20 == 1).select("doc_id")
+
+    def roundtrip(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            sums, counts = [], []
+            for did in ids:
+                i = np.arange(8).reshape(8, 1, 1)
+                j = np.arange(5).reshape(1, 5, 1)
+                c = np.arange(3).reshape(1, 1, 3)
+                px = ((did * 37 + i * 11 + j * 5 + c * 3) % 256).astype(np.uint8)
+                back = decode_png(encode_png(px))
+                sums.append(int(back.astype(np.int64).sum()))
+                counts.append(int(back.size))
+            yield pd.DataFrame(
+                {"doc_id": ids, "pixel_sum": sums, "n_px": counts})
+
+    return d.mapInPandas(roundtrip, "doc_id long, pixel_sum long, n_px long")
+
+
+@register(
     "q_wav_roundtrip",
     # decoded samples are ((doc_id*7 + t*13) % 65536 - 32768) / 32768 —
     # dyadic rationals, exact in both float32 storage and the float64
@@ -5583,6 +5704,10 @@ def q_bucketed_join_noshuffle(spark, sf):
                 "bucketed join/agg planned a shuffle")
     _check_plan("SortMergeJoin" in plan, plan,
                 "bucketed join lost its SMJ strategy")
+    # drop the catalog entries now (this run's AND any stale dead-pid
+    # ones): out's analyzed plan keeps the resolved bucketed relation,
+    # and the external files live in the atexit-cleaned scratch dir
+    _drop_prefixed_tables(spark, "bt_orders_", "bt_customer_")
     return out
 
 
@@ -5641,13 +5766,20 @@ def q_stream_store_dedup(spark, sf):
     streaming state store grows with the corpus). Drained availableNow;
     the oracle is the batch twin's SQL verbatim — stream and batch must
     keep the same documents."""
-    import uuid
+    import shutil
 
     d_schema = load(spark, sf, "documents").schema
     scratch = _scratch_dir(sf, "stream_store_dedup")
-    run = uuid.uuid4().hex[:8]
     store_path = f"{scratch}/store"
-    out_dir, ck = f"{scratch}/kept_{run}", f"{scratch}/ck_{run}"
+    # fixed names + pre-run removal instead of per-run uuid suffixes:
+    # repeated in-process runs must neither append to a previous run's
+    # sink nor resume its exhausted checkpoint (availableNow would then
+    # see every input file as already processed and emit nothing), and
+    # uuid-suffixed dirs would accumulate inside the scratch dir for the
+    # life of the process
+    out_dir, ck = f"{scratch}/kept", f"{scratch}/ck"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
     seen = load(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)
     dedup.write_band_store(
         dedup.minhash_band_keys(
@@ -5766,6 +5898,9 @@ def q_band_store_colocated_probe(spark, sf):
                 "co-located probe planned more than the probe-side exchange")
     _check_plan("Bucketed: true" in plan, plan,
                 "store scan is not reading its bucketed layout")
+    # catalog hygiene: drop this run's table (and stale dead-pid ones) —
+    # out's analyzed plan keeps the resolved bucketed relation
+    _drop_prefixed_tables(spark, "bt_band_store_")
     return out
 
 

@@ -756,3 +756,56 @@ def test_dedup_lines_within_doc_literal_separator(spark):
         [(1, "nav|content|nav|more")], "doc_id long, text string")
     out = dedup.dedup_lines_within_doc(docs, sep="|").collect()[0]
     assert out.text == "nav|content|more" and out.n_lines_kept == 3
+
+
+def test_minhash_dedup_against_rejects_keying_mismatch(spark, tmp_path):
+    """Both keyings produce LONG keys, so a portable-store/native-probe
+    mismatch is invisible to the schema type — it would silently match
+    nothing (every duplicate admitted). The keying mode travels as
+    column metadata stamped by minhash_band_keys and PERSISTED through
+    the parquet store, and minhash_dedup_against raises on mismatch."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta seed {i} " * 2)
+         for i in range(4)],
+        "doc_id long, text string")
+    store = dedup.minhash_band_keys(
+        dedup.minhash_signatures(docs, num_hashes=8, portable=True),
+        num_hashes=8, bands=4, portable=True)
+    # in-memory frame carries the stamp
+    with pytest.raises(ValueError, match="keyed 'portable'"):
+        dedup.minhash_dedup_against(docs, store, num_hashes=8, bands=4,
+                                    portable=False)
+    # ...and the stamp survives the on-disk store round-trip
+    path = str(tmp_path / "portable_store")
+    dedup.write_band_store(store, path)
+    back = dedup.read_band_store(spark, path)
+    assert (back.schema["key"].metadata or {}).get(
+        dedup.KEYING_METADATA_KEY) == "portable"
+    with pytest.raises(ValueError, match="keyed 'portable'"):
+        dedup.minhash_dedup_against(docs, back, num_hashes=8, bands=4,
+                                    portable=False)
+    # matching keying still works end to end
+    kept = dedup.minhash_dedup_against(docs, back, num_hashes=8, bands=4,
+                                       portable=True)
+    assert kept.count() == 0  # every doc is its own store twin
+    # a store without the stamp (older build / reshaped frame) stays
+    # permissive — the guard only fires on a RECORDED mismatch
+    unstamped = back.select(
+        "doc_id", "band", F.col("key").cast("long").alias("key"))
+    assert unstamped.schema["key"].metadata in (None, {})
+    dedup.minhash_dedup_against(docs, unstamped, num_hashes=8, bands=4,
+                                portable=False).count()
+
+
+def test_read_band_store_missing_path_raises(spark, tmp_path):
+    """A typo'd month / bad mount must FAIL the monthly run, not read as
+    a legitimate first-snapshot empty store (which would keep every
+    duplicate). Only the footerless-directory schema-inference failure
+    falls back to the empty schema."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        dedup.read_band_store(spark, str(tmp_path / "no_such_month"))

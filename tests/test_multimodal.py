@@ -222,3 +222,126 @@ def test_decode_bmp_rejects_non_and_unsupported_bmp():
     info = struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 8, 0, 4, 0, 0, 0, 0)
     with pytest.raises(ValueError, match="24-bit"):
         decode_bmp(header + info + b"\x00\x00\x00\x00")
+
+
+def test_png_encode_decode_roundtrip_all_filters():
+    """encode_png(filter_mode='cycle') filters row y with type y % 5, so
+    ONE image exercises every unfilter branch (None/Sub/Up/Average/
+    Paeth); the decode must be bit-exact. 7 rows guarantees at least two
+    cycles' worth of filter transitions; odd width exercises the
+    left-pixel stride at a non-multiple-of-4 row length."""
+    import numpy as np
+
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.multimodal import (
+        decode_image, decode_png, encode_png)
+
+    rng = np.random.default_rng(7).integers(0, 256, (7, 5, 3), np.uint8)
+    blob = encode_png(rng)
+    assert (decode_png(blob) == rng).all()
+    assert (decode_image(blob) == rng).all()  # dispatch by signature
+    # filter_mode='none' path too
+    assert (decode_png(encode_png(rng, filter_mode="none")) == rng).all()
+
+
+def test_png_color_types_gray_palette_alpha():
+    """The decoder's non-RGB color types normalize to HxWx3: gray (0)
+    and gray+alpha (4) replicate luminance, palette (3) looks up PLTE,
+    RGBA (6) drops alpha. Blobs are hand-built per the public spec."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.multimodal import (
+        _PNG_SIG, decode_png)
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    def png(color_type, channels, extra=b""):
+        # 2x2 image, filter 0 rows, sample value = 10*idx + channel
+        h, w = 2, 2
+        raw = bytearray()
+        v = 0
+        for y in range(h):
+            raw.append(0)
+            for x in range(w):
+                for c in range(channels):
+                    raw.append((10 * (y * w + x) + c) & 0xFF)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        return (_PNG_SIG + chunk(b"IHDR", ihdr) + extra
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+
+    gray = decode_png(png(0, 1))
+    assert gray.shape == (2, 2, 3)
+    assert (gray[0, 1] == [10, 10, 10]).all()  # replicated luminance
+
+    ga = decode_png(png(4, 2))
+    assert (ga[1, 1] == [30, 30, 30]).all()  # alpha dropped
+
+    rgba = decode_png(png(6, 4))
+    assert (rgba[1, 0] == [20, 21, 22]).all()
+
+    plte = chunk(b"PLTE", bytes([255, 0, 0] * 10 + [0, 255, 0] * 10
+                                + [0, 0, 255] * 12))
+    pal = decode_png(png(3, 1, extra=plte))
+    assert (pal[0, 0] == [255, 0, 0]).all()   # index 0
+    assert (pal[0, 1] == [0, 255, 0]).all()   # index 10
+    assert (pal[1, 0] == [0, 0, 255]).all()   # index 20
+
+
+def test_png_rejects_corrupt_and_unsupported():
+    """CRC damage, truncation, interlace, and 16-bit depth must raise
+    (never silently misdecode); stub=True falls back to fake pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.multimodal import (
+        _PNG_SIG, decode_image, decode_png, encode_png)
+
+    rng = np.random.default_rng(3).integers(0, 256, (4, 4, 3), np.uint8)
+    blob = bytearray(encode_png(rng))
+    blob[30] ^= 0xFF  # damage inside IHDR -> CRC mismatch
+    with pytest.raises(ValueError):
+        decode_png(bytes(blob))
+    assert decode_image(bytes(blob), stub=True).shape == (16, 16, 3)
+
+    with pytest.raises(ValueError):
+        decode_png(encode_png(rng)[:20])  # truncated
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    interlaced = (_PNG_SIG
+                  + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+                  + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_png(interlaced)
+    deep = (_PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+            + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="depth"):
+        decode_png(deep)
+
+
+def test_image_features_on_real_png(spark):
+    """The mapInPandas feature path over an actual PNG blob: constant
+    color survives pooling exactly."""
+    import numpy as np
+
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA, encode_png, image_features)
+
+    px = np.full((8, 8, 3), 0, np.uint8)
+    px[:, :, 0], px[:, :, 1], px[:, :, 2] = 200, 100, 50
+    media = spark.createDataFrame(
+        [("m1", "image", bytearray(encode_png(px)), "image/png", 8, 8, None)],
+        MEDIA_SCHEMA)
+    row = image_features(media, stub=False).collect()[0]
+    assert (row.mean_r, row.mean_g, row.mean_b) == (200.0, 100.0, 50.0)
