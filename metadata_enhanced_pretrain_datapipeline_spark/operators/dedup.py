@@ -521,6 +521,82 @@ def read_band_store(spark, path: str,
     return store
 
 
+def compact_band_store(spark, monthly_paths: list[str], out_path: str,
+                       id_col: str = "doc_id",
+                       bucketed_table: str | None = None,
+                       num_buckets: int = 64) -> None:
+    """Band-store LIFECYCLE: compact N monthly snapshot stores into one
+    (round 7 — without this the store only ever grows by appended
+    snapshots). Union the monthly stores, ``distinct`` on
+    (id, band, key) — a document re-crawled in several months carries
+    identical band keys in each, so compaction is where that
+    cross-month redundancy is reclaimed — and rewrite in the
+    band-partitioned probe layout (:func:`write_band_store`), with
+    ``repartition("band", "key")`` first so each band directory's files
+    are key-clustered (row-group min/max then prunes WITHIN a band too).
+    Pass ``bucketed_table`` to ALSO emit the (band, key)-bucketed layout
+    for full-probe joins (:func:`write_band_store_bucketed`).
+
+    Scale: the compaction is one shuffle of (id, band, key) longs —
+    never any text — and at 100 TB it is the store-side analogue of
+    parquet small-file compaction: M monthly stores × T tasks of files
+    collapse to one directory tree per band, so the monthly probe lists
+    N× fewer files and reads each surviving (band, key) row once
+    instead of once per month it appeared in.
+
+    RETENTION: the input monthly directories are left in place — the
+    caller deletes them once the compacted store is durable (the usual
+    write-then-swap discipline); ``out_path`` must not be one of
+    ``monthly_paths`` (the overwrite would destroy an input mid-read;
+    raises).
+
+    Keying safety: monthly stores carry their keying mode as column
+    metadata (see :data:`KEYING_METADATA_KEY`); mixing portable- and
+    native-keyed stores would produce a store that silently half-matches
+    every probe, so a recorded mixture raises. The surviving mode is
+    re-stamped on the output so the compacted store stays
+    probe-validatable.
+    """
+    from functools import reduce
+
+    if out_path in monthly_paths:
+        raise ValueError(
+            "compact_band_store: out_path is one of monthly_paths — "
+            "overwriting an input store mid-read would destroy it; "
+            "write to a fresh path, then swap and delete the months."
+        )
+    stores = [read_band_store(spark, p,
+                              empty_schema=f"{id_col} long, band int, key long")
+              for p in monthly_paths]
+    modes = {(s.schema["key"].metadata or {}).get(KEYING_METADATA_KEY)
+             for s in stores} - {None}
+    if len(modes) > 1:
+        raise ValueError(
+            f"compact_band_store: monthly stores mix keyings {sorted(modes)} "
+            "— their keys never collide, so the merged store would "
+            "silently half-match every probe. Rebuild the odd months "
+            "with one keying first."
+        )
+    merged = (
+        reduce(lambda a, b: a.unionByName(b), stores)
+        .select(id_col, "band", "key").distinct()
+        .repartition("band", "key")
+    )
+    if modes:
+        # re-stamp: union/distinct keep the first input's metadata, but an
+        # unstamped FIRST month would drop a later month's recorded mode
+        merged = merged.select(
+            id_col, "band",
+            F.col("key").alias("key",
+                               metadata={KEYING_METADATA_KEY: modes.pop()}))
+    write_band_store(merged, out_path)
+    if bucketed_table is not None:
+        write_band_store_bucketed(
+            spark.read.parquet(out_path).select(id_col, "band", "key"),
+            bucketed_table, out_path.rstrip("/") + "_bucketed",
+            num_buckets=num_buckets)
+
+
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                   shingle_n: int = 3, min_jaccard: float = 0.0) -> DataFrame:
     """n-gram Jaccard similarity for candidate pairs via a shingle inverted

@@ -5577,6 +5577,66 @@ def q_band_store_pruned_probe(spark, sf):
 
 
 @register(
+    "q_band_store_compact",
+    # two monthly stores (% 5 = 0 and % 7 = 0 slices — overlapping at
+    # % 35) compacted into one; collision vs the COMPACTED store
+    # restricted to bands {1, 3}. Union-distinct of identical banding
+    # arithmetic, so the kept set is hash-checked exactly.
+    "WITH " + _minhash_bands_sql(8, 4) + ", "
+    "coll AS (SELECT DISTINCT n.doc_id FROM bands n "
+    "  JOIN (SELECT DISTINCT band, key FROM bands "
+    "        WHERE (doc_id % 5 = 0 OR doc_id % 7 = 0) AND band IN (1, 3)) s "
+    "  USING (band, key) WHERE n.doc_id % 5 <> 0 AND n.doc_id % 7 <> 0) "
+    "SELECT doc_id FROM documents WHERE doc_id % 5 <> 0 AND doc_id % 7 <> 0 "
+    "AND doc_id NOT IN (SELECT doc_id FROM coll)",
+)
+def q_band_store_compact(spark, sf):
+    """Band-store lifecycle end to end (VERDICT r6 #5): two monthly
+    snapshot stores are written band-partitioned, COMPACTED
+    (dedup.compact_band_store — union, distinct (id, band, key),
+    key-clustered band-partitioned rewrite), and the new snapshot is
+    deduped against the COMPACTED store restricted to bands {1, 3} —
+    which must still arrive as a PartitionFilter on the compacted
+    layout (the q_band_store_pruned_probe assert, re-used verbatim: a
+    compaction that broke the directory layout would break the monthly
+    economics). Also asserts the compaction actually reclaimed the
+    cross-month overlap: the compacted store holds exactly the DISTINCT
+    union of the two months' rows."""
+    d = load(spark, sf, "documents")
+    scratch = _scratch_dir(sf, "band_store_compact")
+    m1 = d.filter(F.col("doc_id") % 5 == 0)
+    m2 = d.filter(F.col("doc_id") % 7 == 0)
+    new = d.filter((F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 7 != 0))
+
+    def month_bands(docs):
+        return dedup.minhash_band_keys(
+            dedup.minhash_signatures(docs.select("doc_id", "text"),
+                                     num_hashes=8, portable=True),
+            num_hashes=8, bands=4, portable=True)
+
+    b1, b2 = month_bands(m1), month_bands(m2)
+    dedup.write_band_store(b1, f"{scratch}/m1")
+    dedup.write_band_store(b2, f"{scratch}/m2")
+    dedup.compact_band_store(spark, [f"{scratch}/m1", f"{scratch}/m2"],
+                             f"{scratch}/compacted")
+    compacted = dedup.read_band_store(spark, f"{scratch}/compacted")
+    # the reclaim contract: compacted rows == distinct union of months
+    n_compacted = compacted.count()
+    n_expect = b1.unionByName(b2).distinct().count()
+    _check_plan(n_compacted == n_expect, f"{n_compacted} != {n_expect}",
+                "compaction did not reclaim cross-month duplicate rows")
+    probe_store = dedup.read_band_store(spark, f"{scratch}/compacted",
+                                        bands=[1, 3])
+    kept = dedup.minhash_dedup_against(new, probe_store, num_hashes=8,
+                                       bands=4, portable=True)
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+    _check_plan(bool(_re.search(r"PartitionFilters: \[[^\]]*band", plan)),
+                plan, "band subset filter missing from compacted-store scan")
+    return kept.select("doc_id")
+
+
+@register(
     "q_snapshot_pipeline",
     # the composed monthly-snapshot chain (VERDICT r5 #3), each stage the
     # proven oracle piece: exact dedup against the old snapshot's

@@ -809,3 +809,81 @@ def test_read_band_store_missing_path_raises(spark, tmp_path):
 
     with pytest.raises(AnalysisException):
         dedup.read_band_store(spark, str(tmp_path / "no_such_month"))
+
+
+def test_compact_band_store_lifecycle(spark, tmp_path):
+    """Monthly compaction: union-distinct of N monthly stores, rewritten
+    in the probe layout — cross-month re-crawls collapse to one row, the
+    band-partitioned directory structure survives, keying metadata is
+    re-stamped, and guard rails (in-place overwrite, mixed keyings)
+    raise."""
+    import os
+
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta seed {i} " * 2)
+         for i in range(10)],
+        "doc_id long, text string")
+
+    def bands_of(pred, portable=True):
+        return dedup.minhash_band_keys(
+            dedup.minhash_signatures(docs.filter(pred), num_hashes=8,
+                                     portable=portable),
+            num_hashes=8, bands=4, portable=portable)
+
+    b1 = bands_of("doc_id % 2 = 0")   # 0 2 4 6 8
+    b2 = bands_of("doc_id % 3 = 0")   # 0 3 6 9  (overlap: 0, 6)
+    p1, p2 = str(tmp_path / "m1"), str(tmp_path / "m2")
+    out = str(tmp_path / "compacted")
+    dedup.write_band_store(b1, p1)
+    dedup.write_band_store(b2, p2)
+    dedup.compact_band_store(spark, [p1, p2], out, bucketed_table=None)
+
+    back = dedup.read_band_store(spark, out)
+    expect = {(r.doc_id, r.band, r.key)
+              for r in b1.unionByName(b2).distinct().collect()}
+    assert {(r.doc_id, r.band, r.key) for r in back.collect()} == expect
+    # overlap docs appear once per (band, key), not once per month
+    assert back.count() == len(expect) < b1.count() + b2.count()
+    # layout survives: band directories + keying metadata re-stamped
+    assert sorted(d for d in os.listdir(out) if d.startswith("band=")) == \
+        [f"band={b}" for b in range(4)]
+    assert (back.schema["key"].metadata or {}).get(
+        dedup.KEYING_METADATA_KEY) == "portable"
+
+    # guard: in-place compaction would destroy an input
+    with pytest.raises(ValueError, match="out_path"):
+        dedup.compact_band_store(spark, [p1, p2], p1)
+    # guard: mixed keyings never merge
+    p3 = str(tmp_path / "m3_native")
+    dedup.write_band_store(bands_of("doc_id % 5 = 0", portable=False), p3)
+    with pytest.raises(ValueError, match="mix"):
+        dedup.compact_band_store(spark, [p1, p3], str(tmp_path / "bad"))
+
+
+def test_compact_band_store_bucketed_output(spark, tmp_path):
+    """bucketed_table also emits the (band, key)-bucketed full-probe
+    layout alongside the partitioned one."""
+    import os
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta seed {i} " * 2)
+         for i in range(6)],
+        "doc_id long, text string")
+    bands = dedup.minhash_band_keys(
+        dedup.minhash_signatures(docs, num_hashes=8), num_hashes=8, bands=4)
+    p1 = str(tmp_path / "m1")
+    out = str(tmp_path / "compacted")
+    dedup.write_band_store(bands, p1)
+    table = f"bt_compact_test_{os.getpid()}"
+    try:
+        dedup.compact_band_store(spark, [p1], out, bucketed_table=table,
+                                 num_buckets=4)
+        bucketed = spark.table(table)
+        assert bucketed.count() == bands.distinct().count()
+        plan = bucketed.groupBy("band", "key").count() \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS `{table}`")
