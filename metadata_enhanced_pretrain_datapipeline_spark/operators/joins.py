@@ -79,13 +79,25 @@ def salted_join(left: DataFrame, right: DataFrame, on: str, how: str = "inner",
     the small side once per salt value (explode(sequence) — no shuffle to
     replicate).
 
-    AQE's skew-join split (enabled in session.py) handles most skew at
-    runtime; this explicit form is for the cases AQE cannot re-plan —
-    skewed keys feeding windows/stateful downstream, or when the skew is
-    known up front and the replicated side is small. Result is identical
-    to a plain join (tested). Only left-oriented joins are valid: for
-    right/full joins the replicated right side would emit its unmatched
-    rows once per salt.
+    WHEN TO USE (A/B-measured, SCALE.md "AQE skew-join vs salted_join",
+    sf10 = 42M hot rows): prefer the plain join + AQE skew split FIRST —
+    when the split fires it beats this operator (7.9s vs 29.5s at sf10:
+    AQE duplicates only the hot key's other-side rows, salting
+    replicates the WHOLE small side salt_buckets×). Reach for the
+    explicit salt when:
+
+    - the skewed shuffle is row-heavy but BYTE-light: AQE's detection
+      thresholds on compressed map-output bytes, so a narrow hot
+      partition (constant key + small ints after column pruning —
+      count/sum shapes, key-only probes) never trips it even at 42M
+      rows in one partition; there the salt measured 10.6s vs
+      16.9-20.2s un-split;
+    - the skew feeds windows/stateful operators AQE cannot re-plan;
+    - the plan must be deterministic (no runtime re-plan).
+
+    Result is identical to a plain join (tested). Only left-oriented
+    joins are valid: for right/full joins the replicated right side
+    would emit its unmatched rows once per salt.
 
     The join strategy is PINNED — never left to Catalyst: it
     size-estimates the right side BEFORE the explode (Generate doesn't

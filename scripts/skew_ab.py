@@ -70,7 +70,11 @@ def main() -> None:
             .write.format("noop").mode("overwrite").save()
 
     def final_plan(df):
-        df.write.format("noop").mode("overwrite").save()
+        # collect() (5 result rows), NOT a noop write: the write wraps the
+        # plan in its own query execution, so the frame's own QE would
+        # still show the UNEXECUTED initial plan (isFinalPlan=false) and
+        # any skew-split marker would be invisible
+        df.collect()
         return df._jdf.queryExecution().executedPlan().toString()
 
     results = {}
@@ -84,6 +88,17 @@ def main() -> None:
     plan = final_plan(agg(li.join(o, "k")))
     results["plain_aqeskew"]["skew_split_in_plan"] = "skew=true" in plan
 
+    # the byte-blind case: a count-only aggregate lets Catalyst prune
+    # every payload column, so the hot partition is 42M ROWS but (being
+    # one constant long, lz4'd) almost no BYTES — AQE's skew detection
+    # thresholds on compressed bytes and never fires, though the
+    # single-task sort cost is just as real. Exactly the shape where the
+    # explicit salt stays necessary.
+    count_only = (li.join(o, "k").groupBy("o_orderpriority")
+                  .agg(F.count("*").alias("n")))
+    results["aqeskew_fires_count_only"] = \
+        "skew=true" in final_plan(count_only)
+
     results["salted"] = {"laps": timed_laps(run_salted)}
 
     # second ABBA leg: re-measure the first variant so window drift is
@@ -92,7 +107,8 @@ def main() -> None:
     results["plain_noskew_again"] = {"laps": timed_laps(run_plain)}
 
     for name, r in results.items():
-        r["best"] = min(r["laps"])
+        if isinstance(r, dict) and "laps" in r:
+            r["best"] = min(r["laps"])
     hot = li.filter(F.col("k") == 42).count()
     total = li.count()
     print(json.dumps({"sf_dir": sf_dir, "hot_rows": hot,
