@@ -152,6 +152,146 @@ def top_k(df: DataFrame, order: list[Column], k: int) -> DataFrame:
     return df.orderBy(*order).limit(k)
 
 
+def _order_surrogate(df: DataFrame, primary: Column) -> Column:
+    """Monotone DOUBLE surrogate of an ascending order column — the
+    range-splitting key for the two-phase rank operators. Numerics cast
+    monotonically; strings use their first 7 bytes (Spark compares
+    strings bytewise, so the fixed-width prefix is order-consistent;
+    rounding collisions merely share a range and are split exactly by
+    the in-range window); dates/timestamps via their epoch integers."""
+    primary_type = df.select(primary.alias("__k")).schema[0].dataType.simpleString()
+    if primary_type == "string":
+        return F.conv(
+            F.hex(F.substring(
+                F.concat(F.encode(primary, "UTF-8"), F.lit(bytes(7))), 1, 7)),
+            16, 10,
+        ).cast("double")
+    if primary_type == "date":
+        return F.unix_date(primary).cast("double")
+    if primary_type.startswith("timestamp"):
+        return F.unix_micros(primary.cast("timestamp")).cast("double")
+    if primary_type in ("tinyint", "smallint", "int", "bigint", "float",
+                        "double", "boolean") or primary_type.startswith("decimal"):
+        return primary.cast("double")
+    raise ValueError(
+        f"rank operators need a primary order column with a monotone "
+        f"double surrogate; got {primary_type!r} — cast it or order by "
+        f"a numeric/string/date/timestamp expression first"
+    )
+
+
+def keyed_rank(df: DataFrame, keys: list[str], order: list[Column],
+               rank_col: str = "pos",
+               num_ranges: int | None = None,
+               max_offset_entries: int = 100_000) -> DataFrame:
+    """Scalable ``row_number() OVER (PARTITION BY keys ORDER BY order)``
+    for LOW-CARDINALITY keys with huge partitions — the shape the sf10
+    probe caught super-linear (SCALE.md "Adjudication: q_window_suite"):
+    ranking 10M events within 5 event_types runs the window sort in 5
+    tasks on a 32-core box, because a window's parallelism IS its
+    partition count. At 100 TB a per-language or per-source rank would
+    serialize a terabyte per task the same way.
+
+    Construction (the :func:`global_rank` three-phase form with a key
+    prefix): (1) approx-quantile the primary order column ONCE globally
+    and bake the boundaries as plan literals, (2) one count per
+    (key, range) — a BOUNDED offset map, collected like global_rank's
+    (``max_offset_entries`` guards the collect: keys x num_ranges
+    entries; a guard trip means the keys are not low-cardinality and a
+    plain window or per-key global_rank is the right tool) and baked
+    back as a literal map lookup — and (3) row_number within
+    (key, range) + offset. Every key's rows now sort in ``num_ranges``
+    tasks instead of one. Results identical to the naive window
+    (tested), deterministic under re-execution (literal boundaries).
+    Key columns must be string/integral/date (the map key renders them
+    as strings on both sides).
+
+    Global boundaries subdivide every key evenly when the order column's
+    distribution is similar across keys (time-ordered events are); a key
+    concentrated in one range degrades toward the naive window for that
+    key but stays CORRECT. NULLs in the primary order column sort first
+    (Spark's ASC NULLS FIRST), surrogate-mapped to -inf so they land in
+    range 0 with their window peers. The input is scanned three times —
+    persist upstream if it is expensive to recompute rather than a
+    pruned file scan.
+    """
+    spark = df.sparkSession
+    num_ranges = num_ranges or spark.sparkContext.defaultParallelism
+    key = F.coalesce(_order_surrogate(df, order[0]), F.lit(float("-inf")))
+    qs = [i / num_ranges for i in range(1, num_ranges)]
+    bounds = sorted(set(
+        df.select(key.alias("__k")).approxQuantile("__k", qs, 0.001)
+    )) if qs else []
+    keyed = df.withColumn("__key", key)
+    bounds_arr = F.array(*[F.lit(b) for b in bounds])
+    pid = (F.size(F.filter(bounds_arr, lambda b: F.col("__key") >= b))
+           if bounds else F.lit(0))
+    with_pid = keyed.withColumn("__pid", pid).drop("__key")
+    counts = with_pid.groupBy(*keys, "__pid").agg(F.count("*").alias("__cnt"))
+    # bounded offset-map collect (the global_rank / per_host_cap pattern:
+    # keys x num_ranges scalar rows, limit-guarded), delivered back as a
+    # LITERAL map lookup rather than a broadcast join: a join keyed on
+    # the expression-defined __pid makes InferFiltersFromConstraints
+    # inline __pid's definition (which references the order column) into
+    # the build side as an unresolvable !Filter — runtime
+    # ATTRIBUTE_NOT_FOUND (hit in development). element_at over a plan
+    # literal has no join, hence nothing to infer.
+    rows = counts.limit(max_offset_entries + 1).collect()
+    if len(rows) > max_offset_entries:
+        raise ValueError(
+            f"keyed_rank: more than {max_offset_entries} (key, range) "
+            "offset entries — the keys are not low-cardinality; use a "
+            "plain window (many small partitions need no range split) "
+            "or raise max_offset_entries."
+        )
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(tuple(r[k] for k in keys), []).append(
+            (r["__pid"], r["__cnt"]))
+    # two-level O(1)-per-row lookup: a TINY key -> index literal map
+    # (n_keys entries — literal-map element_at scans linearly, so only
+    # the small level may be a map) and a flat constant-folded long
+    # array indexed key_idx * num_ranges + pid. A single flat
+    # (key, pid) -> offset map measured 25s vs the naive window's 3.5s
+    # at sf10 — the per-row scan of keys x ranges entries ate the win.
+    sep, nulltok = "\x1f", "\x00\x00"
+    # string-side key must render IDENTICALLY in Python str() and a
+    # Spark string cast — true for string/integral/date key columns;
+    # floats/booleans/timestamps render differently and are refused
+    for f in df.select(*keys).schema.fields:
+        t = f.dataType.simpleString()
+        if t not in ("string", "tinyint", "smallint", "int", "bigint",
+                     "date"):
+            raise ValueError(
+                f"keyed_rank key {f.name!r} has type {t} — keys must be "
+                "string/integral/date (their str() and Spark string cast "
+                "agree); cast the key first")
+    kidx = {kv: i for i, kv in enumerate(by_key)}
+    flat = [0] * (len(kidx) * num_ranges)
+    for kv, pcs in by_key.items():
+        acc = 0
+        for p, c in sorted(pcs):
+            flat[kidx[kv] * num_ranges + p] = acc
+            acc += c
+    kmap = F.create_map(*[
+        x for kv, i in kidx.items()
+        for x in (F.lit(sep.join(nulltok if v is None else str(v)
+                                 for v in kv)), F.lit(i))])
+    karr = F.array(*[F.lit(v) for v in flat])
+    keystr = F.concat_ws(sep, *[
+        F.coalesce(F.col(k).cast("string"), F.lit(nulltok)) for k in keys])
+    off = F.element_at(
+        karr, F.element_at(kmap, keystr) * num_ranges + F.col("__pid") + 1)
+    w = Window.partitionBy(*keys, "__pid").orderBy(*order)
+    return (
+        with_pid
+        .withColumn(rank_col,
+                    (F.row_number().over(w) + F.coalesce(off, F.lit(0)))
+                    .cast("long"))
+        .drop("__pid")
+    )
+
+
 def global_rank(df: DataFrame, order: list[Column], rank_col: str = "pos",
                 num_ranges: int | None = None, with_total: bool = False):
     """Scalable global ranking: 1..N positions under a total order WITHOUT
@@ -179,38 +319,7 @@ def global_rank(df: DataFrame, order: list[Column], rank_col: str = "pos",
     """
     spark = df.sparkSession
     num_ranges = num_ranges or spark.sparkContext.defaultParallelism
-    primary_type = df.select(order[0].alias("__k")).schema[0].dataType.simpleString()
-    if primary_type == "string":
-        # order-preserving numeric surrogate: first 7 BYTES of the UTF-8
-        # encoding, zero-padded to fixed width. 56 bits exceeds a double's
-        # 53-bit mantissa, so the low ~3 bits round — but rounding a
-        # monotone map is still monotone, and keys that collide after
-        # rounding just share a range and are split exactly by the
-        # in-range window over the full `order`. Fixed width matters:
-        # variable-length prefixes compare as integers by magnitude, not
-        # bytewise ('alphaz' > 'alpho' would misorder). Spark compares
-        # strings bytewise, so this mirrors it.
-        key = F.conv(
-            F.hex(F.substring(
-                F.concat(F.encode(order[0], "UTF-8"), F.lit(bytes(7))), 1, 7)),
-            16, 10,
-        ).cast("double")
-    elif primary_type == "date":
-        key = F.unix_date(order[0]).cast("double")
-    elif primary_type.startswith("timestamp"):
-        # unix_micros is monotone in the timestamp; |micros| < 2^63 but
-        # realistic epochs fit a double's 53-bit mantissa to ~microsecond;
-        # rounding collisions fall back to the in-range window like strings
-        key = F.unix_micros(order[0].cast("timestamp")).cast("double")
-    elif primary_type in ("tinyint", "smallint", "int", "bigint", "float",
-                          "double", "boolean") or primary_type.startswith("decimal"):
-        key = order[0].cast("double")
-    else:
-        raise ValueError(
-            f"global_rank needs a primary order column with a monotone "
-            f"double surrogate; got {primary_type!r} — cast it or order by "
-            f"a numeric/string/date/timestamp expression first"
-        )
+    key = _order_surrogate(df, order[0])
     qs = [i / num_ranges for i in range(1, num_ranges)]
     bounds = sorted(set(
         df.select(key.alias("__k")).approxQuantile("__k", qs, 0.001)

@@ -4190,6 +4190,27 @@ def q_window_suite(spark, sf):
 
 
 @register(
+    "q_keyed_rank",
+    "SELECT event_id, CAST(row_number() OVER (PARTITION BY event_type "
+    "ORDER BY ts, event_id) AS BIGINT) AS rn FROM events",
+)
+def q_keyed_rank(spark, sf):
+    """Extension — scalable within-key ranking
+    (operators/sampling.keyed_rank): the q_window_suite shape (rank 10M
+    events inside 5 event_types) WITHOUT the 5-task parallelism cap the
+    sf10 probe adjudicated (SCALE.md r7). Three phases: global literal
+    range boundaries on ts, per-(key, range) counts → broadcast running
+    offsets, in-range row_number + offset — every key's sort now spreads
+    over num_ranges tasks. The oracle is the naive window: the
+    construction must be value-identical to it."""
+    e = load_events(spark, sf)
+    out = sampling.keyed_rank(e, ["event_type"],
+                              [F.col("ts"), F.col("event_id")],
+                              rank_col="rn")
+    return out.select("event_id", "rn")
+
+
+@register(
     "q_range_frame_agg",
     "SELECT event_id, CAST(count(*) OVER w AS BIGINT) AS n_5min, "
     "sum(value) OVER w AS sum_5min FROM ("

@@ -362,3 +362,50 @@ def test_compression_ratio_orders_repetitive_below_prose(spark):
     # deterministic across invocations
     again = {r.doc_id: r.ratio for r in ann.compression_ratio(df).collect()}
     assert again[1] == got[1][1] and again[2] == got[2][1]
+
+
+def test_keyed_rank_matches_naive_window(spark):
+    """keyed_rank == row_number() OVER (PARTITION BY key ORDER BY ...)
+    exactly, across range boundaries, for every key — including a key
+    concentrated in one range and NULLs in the primary order column
+    (ASC NULLS FIRST semantics)."""
+    import random
+
+    from pyspark.sql import Window
+
+    rng = random.Random(11)
+    rows = [(i, ["a", "b", "c"][i % 3],
+             None if i % 17 == 0 else rng.randrange(0, 1000))
+            for i in range(300)]
+    # key 'z' concentrated in a narrow value band: still correct
+    rows += [(1000 + i, "z", 500 + (i % 3)) for i in range(30)]
+    df = spark.createDataFrame(rows, "rid long, k string, v long")
+    order = [F.col("v"), F.col("rid")]
+    naive = {(r.rid, r.pos) for r in df.withColumn(
+        "pos", F.row_number().over(
+            Window.partitionBy("k").orderBy(*order)).cast("long")).collect()}
+    got = {(r.rid, r.pos)
+           for r in sampling.keyed_rank(df, ["k"], order, num_ranges=6)
+           .select("rid", "pos").collect()}
+    assert got == naive
+    # determinism: a second evaluation assigns identical positions
+    again = {(r.rid, r.pos)
+             for r in sampling.keyed_rank(df, ["k"], order, num_ranges=6)
+             .select("rid", "pos").collect()}
+    assert again == naive
+
+
+def test_keyed_rank_parallelism_shape(spark):
+    """The construction's point: the in-range window partitions by
+    (key, __pid), so the plan's Window sort runs over num_ranges x keys
+    partitions, not one per key — assert the window spec includes the
+    range id alongside the key."""
+    df = spark.createDataFrame(
+        [(i, "only_key", i * 7 % 100) for i in range(100)],
+        "rid long, k string, v long")
+    out = sampling.keyed_rank(df, ["k"], [F.col("v"), F.col("rid")],
+                              num_ranges=4)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "__pid" in plan  # the range id reaches the window partitioning
+    got = [r.pos for r in out.orderBy("pos").collect()]
+    assert got == list(range(1, 101))
