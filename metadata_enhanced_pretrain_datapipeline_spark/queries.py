@@ -5835,6 +5835,56 @@ def q_dynamic_partition_prune(spark, sf):
     return out
 
 
+@register(
+    "q_runtime_bloom_filter",
+    "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, "
+    "sum(l_extendedprice * (1 - l_discount)) AS rev "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "WHERE o_totalprice > 400000 GROUP BY o_orderpriority",
+)
+def q_runtime_bloom_filter(spark, sf):
+    """Runtime bloom-filter join pushdown, proven in-plan: a selective
+    dimension filter (high-value orders) joined to the big fact side
+    makes Catalyst inject might_contain(bloom_filter_agg(keys)) into
+    the FACT SCAN's filter — rows whose key cannot be in the filtered
+    dim side are dropped AT THE SCAN, before the join's shuffle. THE
+    third scan lever for 100 TB star joins alongside static partition
+    pruning (q_partitioned_write_prune) and DPP
+    (q_dynamic_partition_prune): it needs no physical layout at all.
+    Local data sits under the 10 GB application-side default, so the
+    query lowers the threshold for the demonstration (set/restore);
+    broadcast is disabled because the can't-broadcast shuffle join is
+    the case the filter exists for. The oracle runs the plain join —
+    the injected filter must not change a value."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load(spark, sf, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount")
+        o = load(spark, sf, "orders").filter(
+            F.col("o_totalprice") > 400000).select(
+            "o_orderkey", "o_orderpriority")
+        out = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("l_extendedprice")
+                       * (1 - F.col("l_discount"))).alias("rev"))
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        _check_plan("might_contain" in plan, plan,
+                    "no runtime bloom filter injected into the fact scan")
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    return out
+
+
 @register("q_stream_store_dedup", _REGISTRY["q_minhash_dedup_against"][1])
 def q_stream_store_dedup(spark, sf):
     """Streaming ingestion against the persisted band store: documents
