@@ -111,6 +111,18 @@ R6_ADDITIONS = [
     "q_simhash_pairs",
 ]
 
+#: round-7 additions (same rationale): the PNG codec roundtrip, the
+#: band-store compaction lifecycle, the scalable within-key rank and
+#: full window suite (the q_window_suite parallelism-cap mitigations),
+#: and the runtime bloom-filter join pushdown probe.
+R7_ADDITIONS = [
+    "q_png_roundtrip",
+    "q_band_store_compact",
+    "q_keyed_rank",
+    "q_keyed_window_suite",
+    "q_runtime_bloom_filter",
+]
+
 
 def timed_laps(run) -> list[float]:
     """THE measurement protocol: one warm lap (JIT + IO cache), then two
@@ -140,7 +152,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     all_laps: dict[str, list[float]] = {}
     for name in (HEADLINE + R3_FAMILIES + R4_ADDITIONS + R5_ADDITIONS
-                 + R6_ADDITIONS):
+                 + R6_ADDITIONS + R7_ADDITIONS):
         fn = registry[name]
         laps = timed_laps(
             lambda: fn(spark, sf_dir).write.format("noop")
@@ -172,6 +184,9 @@ def main() -> None:
                 ),
                 "r6_additions_total": round(
                     sum(timings[n] for n in R6_ADDITIONS), 3
+                ),
+                "r7_additions_total": round(
+                    sum(timings[n] for n in R7_ADDITIONS), 3
                 ),
             }
         )

@@ -183,7 +183,8 @@ def _order_surrogate(df: DataFrame, primary: Column) -> Column:
 def keyed_rank(df: DataFrame, keys: list[str], order: list[Column],
                rank_col: str = "pos",
                num_ranges: int | None = None,
-               max_offset_entries: int = 100_000) -> DataFrame:
+               max_offset_entries: int = 100_000,
+               keep_range_col: str | None = None) -> DataFrame:
     """Scalable ``row_number() OVER (PARTITION BY keys ORDER BY order)``
     for LOW-CARDINALITY keys with huge partitions — the shape the sf10
     probe caught super-linear (SCALE.md "Adjudication: q_window_suite"):
@@ -283,12 +284,168 @@ def keyed_rank(df: DataFrame, keys: list[str], order: list[Column],
     off = F.element_at(
         karr, F.element_at(kmap, keystr) * num_ranges + F.col("__pid") + 1)
     w = Window.partitionBy(*keys, "__pid").orderBy(*order)
+    out = with_pid.withColumn(
+        rank_col,
+        (F.row_number().over(w) + F.coalesce(off, F.lit(0))).cast("long"))
+    if keep_range_col is not None:
+        # expose the range id (keyed_window_suite reuses the same
+        # (key, range) clustering for its frame functions)
+        return out.withColumnRenamed("__pid", keep_range_col)
+    return out.drop("__pid")
+
+
+def keyed_window_suite(df: DataFrame, keys: list[str], order: list[Column],
+                       value_col: str, lead_col: str, n_tiles: int = 4,
+                       num_ranges: int | None = None,
+                       max_offset_entries: int = 100_000) -> DataFrame:
+    """The full ranking/navigation window family — row_number, ntile,
+    percent_rank, lead, and a 2-preceding rows-frame moving sum — over a
+    LOW-CARDINALITY partition key WITHOUT the per-key single-task sort
+    (the q_window_suite shape whose sf10 ratio the round-7 probe
+    adjudicated to its 5-task parallelism cap).
+
+    Construction on top of :func:`keyed_rank`:
+
+    - ``rn`` comes from keyed_rank (each key's sort spread over
+      num_ranges tasks), and the (key, range) clustering is REUSED for
+      every frame function — one exchange + sort serves the suite.
+    - ``ntile`` and ``percent_rank`` are closed forms of (rn, N): both
+      need only the per-key total N, a bounded literal map.
+    - ``lead`` and the moving sum are computed WITHIN each (key, range)
+      window; only BOUNDARY rows (first 2 / last 2 of each range) see a
+      wrong frame, and every value a boundary fix needs is itself a
+      boundary row — so the fixes are computed driver-side from one
+      bounded collect (≤ 4 x keys x num_ranges rows, the
+      ``max_offset_entries`` guard) and delivered as literal lookups.
+
+    CONTRACT: ``order`` must be a TOTAL order (include a unique
+    tiebreaker) — rn/ntile/percent_rank are derived from row_number, so
+    with duplicate sort keys they would differ from the tie-aware SQL
+    functions. Key columns follow keyed_rank's string/integral/date
+    rendering contract. Output adds columns
+    (rn long, quartile int, pct_rank double, next_<lead_col>,
+    moving_sum) to ``df``'s columns.
+    """
+    spark = df.sparkSession
+    num_ranges = num_ranges or spark.sparkContext.defaultParallelism
+    sep, nulltok = "\x1f", "\x00\x00"
+
+    def kstr_py(vals):
+        return sep.join(nulltok if v is None else str(v) for v in vals)
+
+    def kstr_expr(cols):
+        return F.concat_ws(sep, *[
+            F.coalesce(c.cast("string"), F.lit(nulltok)) for c in cols])
+
+    # per-key totals (bounded literal map) for the closed-form functions
+    trows = (df.groupBy(*keys).agg(F.count("*").alias("__n"))
+             .limit(max_offset_entries + 1).collect())
+    if len(trows) > max_offset_entries:
+        raise ValueError(
+            f"keyed_window_suite: more than {max_offset_entries} keys — "
+            "not a low-cardinality partition key; use plain windows")
+    tmap = F.create_map(*[
+        x for r in trows
+        for x in (F.lit(kstr_py([r[k] for k in keys])), F.lit(int(r["__n"])))
+    ]) if trows else None
+    ranked = keyed_rank(df, keys, order, "rn", num_ranges,
+                        max_offset_entries, keep_range_col="__pid")
+
+    w_pid = Window.partitionBy(*keys, "__pid").orderBy("rn")
+    aug = (
+        ranked
+        .withColumn("__pos", F.row_number().over(w_pid))
+        .withColumn("__cnt", F.count("*").over(
+            Window.partitionBy(*keys, "__pid")))
+        .withColumn("__lead", F.lead(F.col(lead_col)).over(w_pid))
+        .withColumn("__msum", F.sum(value_col).over(
+            w_pid.rowsBetween(-2, Window.currentRow)))
+    )
+
+    # boundary rows: first 2 / last 2 of each (key, range). Every value a
+    # fix needs (rn+1 for a last-row lead; rn-1, rn-2 for a first-2
+    # moving sum) is itself first-2 or last-2 of SOME range, so this
+    # collect is closed under the fixes it feeds.
+    brows = (aug.filter((F.col("__pos") <= 2)
+                        | (F.col("__pos") >= F.col("__cnt") - 1))
+             .select(*keys, "rn", "__pos", "__cnt",
+                     F.col(value_col).alias("__v"),
+                     F.col(lead_col).alias("__l"))
+             .limit(max_offset_entries + 1).collect())
+    if len(brows) > max_offset_entries:
+        raise ValueError(
+            f"keyed_window_suite: more than {max_offset_entries} boundary "
+            "rows (keys x num_ranges too large); lower num_ranges or use "
+            "plain windows")
+    by_key: dict = {}
+    for r in brows:
+        by_key.setdefault(kstr_py([r[k] for k in keys]), {})[r["rn"]] = r
+    lead_fix, msum_fix = [], []
+    for ks, rows_ in by_key.items():
+        for rn, r in rows_.items():
+            mk = ks + sep + str(rn)
+            if r["__pos"] == r["__cnt"]:  # last of range: in-pid lead NULL
+                nxt = rows_.get(rn + 1)
+                lead_fix.append((mk, nxt["__l"] if nxt is not None else None))
+            if r["__pos"] <= 2:  # first 2 of range: frame crosses ranges
+                acc = None
+                for rr in (rn - 2, rn - 1, rn):
+                    prev = rows_.get(rr)
+                    if prev is not None and prev["__v"] is not None:
+                        acc = prev["__v"] if acc is None else acc + prev["__v"]
+                msum_fix.append((mk, acc))
+    lead_type = df.select(lead_col).schema[0].dataType
+    val_type = df.select(value_col).schema[0].dataType
+
+    def lit_map(entries, dtype):
+        if not entries:
+            return None
+        return F.create_map(*[
+            x for k, v in entries
+            for x in (F.lit(k), F.lit(v).cast(dtype))])
+
+    lmap, mmap = lit_map(lead_fix, lead_type), lit_map(msum_fix, val_type)
+    fix_key = F.concat(kstr_expr([F.col(k) for k in keys]),
+                       F.lit(sep), F.col("rn").cast("string"))
+    # wait-free lookups: literal maps here are small (<= 3 x keys x
+    # num_ranges entries) and only consulted on boundary rows
+    lead_out = F.when(
+        F.col("__pos") == F.col("__cnt"),
+        F.element_at(lmap, fix_key) if lmap is not None
+        else F.lit(None).cast(lead_type)).otherwise(F.col("__lead"))
+    msum_out = F.when(
+        F.col("__pos") <= 2,
+        F.element_at(mmap, fix_key) if mmap is not None
+        else F.lit(None).cast(val_type)).otherwise(F.col("__msum"))
+    n = (F.element_at(tmap, kstr_expr([F.col(k) for k in keys]))
+         if tmap is not None else F.lit(None).cast("long"))
+    pct = F.when(n > 1, (F.col("rn") - 1).cast("double") / (n - 1)
+                 ).otherwise(F.lit(0.0))
+
+    def idiv(a, b):
+        # exact integer division through doubles: subtract the remainder
+        # first so the quotient is exactly representable (a bare
+        # cast((a/b) as long) can truncate a just-under-integer rounding)
+        return ((a - (a % b)) / b).cast("long")
+
+    # ntile(n_tiles) closed form: q = N div n, r = N mod n; the first r
+    # buckets take q+1 rows (greatest() guards the q=0 division — that
+    # branch is unreachable then, every rn <= cutoff)
+    q = idiv(n, F.lit(n_tiles))
+    rmod = n % n_tiles
+    cutoff = rmod * (q + 1)
+    tile = F.when(
+        F.col("rn") <= cutoff,
+        idiv(F.col("rn") - 1, q + 1) + 1
+    ).otherwise(
+        rmod + idiv(F.col("rn") - 1 - cutoff, F.greatest(q, F.lit(1))) + 1)
     return (
-        with_pid
-        .withColumn(rank_col,
-                    (F.row_number().over(w) + F.coalesce(off, F.lit(0)))
-                    .cast("long"))
-        .drop("__pid")
+        aug
+        .withColumn("quartile", tile.cast("int"))
+        .withColumn("pct_rank", pct)
+        .withColumn(f"next_{lead_col}", lead_out)
+        .withColumn("moving_sum", msum_out)
+        .drop("__pid", "__pos", "__cnt", "__lead", "__msum")
     )
 
 

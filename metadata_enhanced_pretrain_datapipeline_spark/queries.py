@@ -4190,6 +4190,36 @@ def q_window_suite(spark, sf):
 
 
 @register(
+    "q_keyed_window_suite",
+    "SELECT event_id, "
+    "CAST(row_number() OVER w AS INT) AS rn, "
+    "CAST(ntile(4) OVER w AS INT) AS quartile, "
+    "percent_rank() OVER w AS pct_rank, "
+    "lead(event_id) OVER w AS next_event, "
+    "sum(value) OVER (PARTITION BY event_type ORDER BY ts, event_id "
+    "  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_sum "
+    "FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)",
+)
+def q_keyed_window_suite(spark, sf):
+    """Extension — the FULL five-function window suite without the
+    per-key single-task sort (operators/sampling.keyed_window_suite,
+    round 7): rn from keyed_rank's range construction, ntile +
+    percent_rank as closed forms of (rn, per-key total), lead and the
+    2-preceding moving sum computed within (key, range) windows with
+    driver-side boundary fixes from one bounded collect. The oracle is
+    q_window_suite's naive SQL verbatim — the scalable construction
+    must be value-identical to the five window functions it replaces."""
+    e = load_events(spark, sf)
+    out = sampling.keyed_window_suite(
+        e, ["event_type"], [F.col("ts"), F.col("event_id")],
+        value_col="value", lead_col="event_id", n_tiles=4)
+    return out.select(
+        "event_id", F.col("rn").cast("int").alias("rn"), "quartile",
+        "pct_rank", F.col("next_event_id").alias("next_event"),
+        "moving_sum")
+
+
+@register(
     "q_keyed_rank",
     "SELECT event_id, CAST(row_number() OVER (PARTITION BY event_type "
     "ORDER BY ts, event_id) AS BIGINT) AS rn FROM events",

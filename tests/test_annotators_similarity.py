@@ -409,3 +409,42 @@ def test_keyed_rank_parallelism_shape(spark):
     assert "__pid" in plan  # the range id reaches the window partitioning
     got = [r.pos for r in out.orderBy("pos").collect()]
     assert got == list(range(1, 101))
+
+
+def test_keyed_window_suite_matches_naive(spark):
+    """keyed_window_suite == the five naive window functions exactly —
+    across range boundaries, for every key, including keys smaller than
+    the tile count, a key concentrated in one range, and NULLs in the
+    value column (sum-ignores-nulls frame semantics)."""
+    import random
+
+    from pyspark.sql import Window
+
+    rng = random.Random(23)
+    rows = [(i, ["a", "b", "c"][i % 3],
+             None if i % 13 == 0 else float(rng.randrange(0, 100)))
+            for i in range(400)]
+    rows += [(2000 + i, "tiny", float(i)) for i in range(3)]   # n < n_tiles
+    rows += [(3000 + i, "z", 500.0 + (i % 2)) for i in range(40)]  # dense key
+    df = spark.createDataFrame(rows, "rid long, k string, v double")
+    order = [F.col("v"), F.col("rid")]  # plain asc columns (NULLS FIRST
+    # is Spark's default; SortOrder wrappers are not valid rank inputs)
+    w = Window.partitionBy("k").orderBy(*order)
+    wf = w.rowsBetween(-2, Window.currentRow)
+    naive = df.select(
+        "rid",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.lead("rid").over(w).alias("next_rid"),
+        F.sum("v").over(wf).alias("moving_sum"),
+    )
+    got = sampling.keyed_window_suite(
+        df, ["k"], order, value_col="v", lead_col="rid", n_tiles=4,
+        num_ranges=7,
+    ).select("rid", "rn", "quartile", "pct_rank", "next_rid", "moving_sum")
+    nd = {r.rid: tuple(r)[1:] for r in naive.collect()}
+    gd = {r.rid: tuple(r)[1:] for r in got.collect()}
+    assert set(nd) == set(gd)
+    for rid in nd:
+        assert gd[rid] == nd[rid], (rid, gd[rid], nd[rid])
