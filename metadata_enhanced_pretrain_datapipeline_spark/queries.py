@@ -2314,6 +2314,80 @@ def _changed_queries() -> set[str]:
         old_fns = {}
         if qfile in changed_files:
             old_fns = fn_sources(git("show", f"{base}:{qfile}"))
+
+        # FUNCTION-level granularity for changed package MODULES (round
+        # 7): flagging every query that references a changed FILE floods
+        # the tier past the driver's 50-row window whenever a widely-used
+        # module gains one new operator (sampling.py's keyed_rank flagged
+        # every leakage-split/host-cap/mix query). A module's "changed
+        # names" = top-level functions and simple assignments whose
+        # source differs from the baseline, closed transitively over
+        # in-module references (a function whose body uses a changed
+        # helper/constant is itself behavior-changed); a query is flagged
+        # only if its body references one. Any OTHER top-level difference
+        # (imports, classes, bare statements, module docstring) degrades
+        # to whole-module flagging, as does any parse/git failure.
+        mod_changed_cache: dict = {}
+
+        def module_changed_names(rel: str):
+            if rel in mod_changed_cache:
+                return mod_changed_cache[rel]
+            result = None
+            try:
+                old_src = git("show", f"{base}:{rel}")
+                with open(_os.path.join(root, rel)) as fh:
+                    new_src = fh.read()
+
+                def parts(msrc: str):
+                    tree = ast.parse(msrc)
+                    lines = msrc.splitlines(keepends=True)
+                    funcs, assigns, residue = {}, {}, []
+                    for node in tree.body:
+                        if isinstance(node, (ast.FunctionDef,
+                                             ast.AsyncFunctionDef)):
+                            start = min([node.lineno]
+                                        + [d.lineno
+                                           for d in node.decorator_list])
+                            funcs[node.name] = "".join(
+                                lines[start - 1:node.end_lineno])
+                            continue
+                        targets = None
+                        if isinstance(node, ast.Assign):
+                            targets = node.targets
+                        elif isinstance(node, ast.AnnAssign):
+                            targets = [node.target]
+                        if targets and all(isinstance(t, ast.Name)
+                                           for t in targets):
+                            seg = "".join(
+                                lines[node.lineno - 1:node.end_lineno])
+                            for t in targets:
+                                assigns[t.id] = seg
+                        else:
+                            residue.append("".join(
+                                lines[node.lineno - 1:node.end_lineno]))
+                    return funcs, assigns, residue
+
+                of, oa, ores = parts(old_src)
+                nf, na, nres = parts(new_src)
+                if ores == nres:
+                    names = {n for n in set(of) | set(nf)
+                             if of.get(n) != nf.get(n)}
+                    names |= {n for n in set(oa) | set(na)
+                              if oa.get(n) != na.get(n)}
+                    ftoks = {n: set(_re.findall(r"\b([A-Za-z_]\w*)\b", s))
+                             for n, s in nf.items()}
+                    while True:
+                        grew = {n for n, ts in ftoks.items()
+                                if n not in names and ts & names}
+                        if not grew:
+                            break
+                        names |= grew
+                    result = names
+            except Exception:
+                result = None
+            mod_changed_cache[rel] = result
+            return result
+
         changed: set[str] = set()
         for name, (fn, _oracle) in _REGISTRY.items():
             raw = inspect.unwrap(getattr(fn, "__wrapped__", fn))
@@ -2336,7 +2410,8 @@ def _changed_queries() -> set[str]:
             # churn.
             mods = set()
             helper_changed = False
-            for tok in set(_re.findall(r"\b([A-Za-z_]\w*)\b", src)):
+            qtoks = set(_re.findall(r"\b([A-Za-z_]\w*)\b", src))
+            for tok in qtoks:
                 if tok == "register":
                     # every query's decorator references the registration
                     # machinery; a register() edit is uniform across the
@@ -2382,8 +2457,11 @@ def _changed_queries() -> set[str]:
                             (base_mod + "." + words[0]).replace(".", "/")
                             + ".py"
                         )
-            if mods & changed_files:
-                changed.add(name)
+            for rel in mods & changed_files:
+                cn = module_changed_names(rel)
+                if cn is None or (qtoks & cn):
+                    changed.add(name)
+                    break
         return changed
     except Exception:
         return set()
