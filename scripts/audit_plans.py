@@ -176,6 +176,24 @@ AUDITS = {
     "q_zorder_stats": "Morton key is a pure shift/add codegen chain; "
     "the layout op is repartitionByRange + sortWithinPartitions on it — "
     "one range shuffle, every output file a bounded (x, y) rectangle.",
+    "q_keyed_rank": "Scalable within-key rank: pruned 3-column scan, "
+    "range-id as a literal-array size/filter expression in the scan "
+    "project, ONE Exchange on (key, range) — num_ranges x keys window "
+    "partitions instead of one per key; offsets are an O(1) two-level "
+    "literal lookup in the final project (no join, no second scan).",
+    "q_keyed_window_suite": "Full window family on the keyed_rank "
+    "clustering: all (key, range) windows share one Exchange + Sort; "
+    "ntile/percent_rank are closed-form projections of (rn, total-map); "
+    "lead/moving-sum boundary fixes are literal-map lookups guarded to "
+    "boundary rows only.",
+    "q_runtime_bloom_filter": "Runtime bloom filter: "
+    "might_contain(scalar-subquery(bloom_filter_agg)) injected into the "
+    "FACT scan's filter — selective-dim semi-filtering with zero "
+    "physical layout; rows drop before the join shuffle.",
+    "q_band_store_compact": "Store compaction: union of monthly stores "
+    "-> distinct on (id, band, key) longs (one narrow Exchange), "
+    "repartition(band, key) clustered rewrite; the probe against the "
+    "compacted store keeps its PartitionFilters.",
     "q_histogram": "Equi-width histogram: 1-row min-max broadcast, "
     "binning projection in codegen, one count shuffle.",
 }
