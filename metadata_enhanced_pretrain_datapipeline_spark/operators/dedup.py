@@ -825,6 +825,36 @@ def minhash_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return drop_near_duplicates(df, pairs, id_col)
 
 
+def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding", threshold: float = 0.95,
+                   num_planes: int = 8,
+                   max_bucket_size: int | None = 1024) -> DataFrame:
+    """End-to-end semantic dedup over an embedding column (the SemDeDup
+    recipe, Abbas et al. 2023, arXiv:2303.09540): bucket embeddings,
+    flag within-bucket pairs with cosine ≥ ``threshold``, keep one
+    representative per near-duplicate pair.
+
+    SemDeDup clusters with k-means and keeps the member farthest from
+    the centroid; here the bucketing is the hyperplane LSH already used
+    for ANN (deterministic, single-pass — no iterative float
+    convergence, so the whole operator stays oracle-checkable) and the
+    resolution is the same greedy smaller-id-wins every other dedup
+    family in this package uses (drop_near_duplicates). The semantics
+    that matter — "semantically near-identical docs collapse to one" —
+    are identical; which member survives differs from the paper's
+    centroid-distance choice.
+
+    Scale: pair generation shuffles only (id, vec, bucket) under ONE
+    bucket exchange with the degenerate-bucket window guard; the drop
+    set is distinct ids (no vectors); the corpus comes back via one
+    left-anti join. Old-vs-new incremental runs can feed the pair set
+    from a persisted bucket store exactly like the minhash band store.
+    """
+    pairs = embedding_near_dup(df, id_col, vec_col, threshold,
+                               num_planes, max_bucket_size)
+    return drop_near_duplicates(df, pairs, id_col)
+
+
 def contamination_hits(docs: DataFrame, benchmark: DataFrame,
                        id_col: str = "doc_id", text_col: str = "text",
                        shingle_n: int = 8, min_hits: int = 1,

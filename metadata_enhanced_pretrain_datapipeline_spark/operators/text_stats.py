@@ -139,3 +139,68 @@ def term_distribution_drift(df: DataFrame, slice_col: Column,
         )
         .withColumn("kl_term", F.col("p") * F.log(F.col("p") / F.col("q")))
     )
+
+
+def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
+              id_col: str = "doc_id", text_col: str = "text",
+              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Okapi BM25 retrieval: score every document against a bag-of-words
+    query, return the top-k as (id, score, rank).
+
+    ``idf = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))`` (the Lucene
+    formulation — non-negative even for terms in more than half the
+    corpus) and ``score = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1 − b +
+    b·dl/avgdl))`` over the query terms a doc contains.
+
+    Shape at 100 TB: the term filter is a literal InSet applied to the
+    exploded token stream BEFORE any aggregation, so only query-term
+    postings ever shuffle — the corpus-sized token stream dies in the
+    scan stage. Doc length rides the explode as a projected column
+    (``size()`` of the token array, no second scan and no corpus-keyed
+    join); (N, avgdl) is a one-row broadcast; per-term df is a
+    ≤|query|-row broadcast; the final top-k is TakeOrderedAndProject
+    (per-partition partial top-k, single merge — no global sort).
+
+    Ordering ranks on the score ROUNDED to 9dp, tie-broken by id: the
+    per-doc sum over query terms accumulates in nondeterministic order,
+    so two docs with identical (tf vector, dl) can differ in the last
+    ulp run-to-run — ranking on the rounded value keeps rank order and
+    top-k membership deterministic (and engine-portable) while the
+    emitted score stays unrounded (the q10 rule: value canon absorbs
+    accumulation-order noise, a rounding grid in the OUTPUT could flip
+    on a .5 boundary).
+    """
+    toks = df.select(F.col(id_col).alias("id"),
+                     tokens_ws(F.col(text_col)).alias("__toks"))
+    exploded = toks.select(
+        "id", F.size("__toks").alias("dl"), F.explode("__toks").alias("term"))
+    pairs = (
+        exploded.filter(F.col("term").isin(list(query_terms)))
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
+    )
+    stats = toks.agg(F.count("*").alias("n_docs"),
+                     F.avg(F.size("__toks")).alias("avgdl"))
+    # df_t as a window count over the already-tiny postings relation: a
+    # groupBy+join formulation forks `pairs` and Spark recomputes the
+    # whole corpus explode for the second consumer — a third full scan
+    # at 100 TB. The window costs one extra exchange of (id, term, tf)
+    # tuples instead.
+    df_t = F.count("*").over(Window.partitionBy("term"))
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df_t") + 0.5)
+                / (F.col("df_t") + 0.5))
+    tf_norm = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    scored = (
+        pairs.withColumn("df_t", df_t)
+        .join(F.broadcast(stats))
+        .groupBy("id")
+        .agg(F.sum(idf * tf_norm).alias("score"))
+    )
+    score_r = F.round(F.col("score"), 9)
+    w = Window.orderBy(score_r.desc(), F.asc("id"))
+    return (
+        scored.orderBy(score_r.desc(), F.asc("id")).limit(k)
+        .withColumn("rank", F.row_number().over(w))
+        .select(F.col("id").alias(id_col), "score", "rank")
+    )

@@ -6206,3 +6206,69 @@ def q_simhash_pairs(spark, sf):
     return dedup.simhash_pairs(corpus, bits=_SHP_BITS,
                                max_hamming=_SHP_HAM, portable=True,
                                max_bucket_size=_SHP_CAP)
+
+
+# ===========================================================================
+# round-7 late additions: BM25 retrieval + semantic dedup application
+# ===========================================================================
+
+_BM25_TERMS = ("vector", "merge", "filter")
+
+
+@register(
+    "q_bm25_topk",
+    "WITH t AS (SELECT doc_id, " + _TOK_SQL + " AS l FROM documents), "
+    "tok AS (SELECT doc_id, len(l) AS dl, unnest(l) AS term FROM t), "
+    "p AS (SELECT doc_id, term, count(*)::BIGINT AS tf, max(dl) AS dl "
+    "  FROM tok WHERE term IN ('vector', 'merge', 'filter') GROUP BY 1, 2), "
+    "dft AS (SELECT term, count(*) AS df_t FROM p GROUP BY 1), "
+    "st AS (SELECT count(*) AS n_docs, avg(len(l)) AS avgdl FROM t), "
+    "sc AS (SELECT p.doc_id, "
+    "  sum(ln(1 + (st.n_docs - dft.df_t + 0.5) / (dft.df_t + 0.5)) "
+    "      * (p.tf * 2.2) / (p.tf + 1.2 * (1 - 0.75 + 0.75 * p.dl / st.avgdl))"
+    "  ) AS score FROM p JOIN dft USING (term) CROSS JOIN st GROUP BY 1), "
+    "r AS (SELECT doc_id, score, row_number() OVER "
+    "  (ORDER BY round(score, 9) DESC, doc_id) AS rank FROM sc) "
+    "SELECT doc_id, score, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10",
+)
+def q_bm25_topk(spark, sf):
+    """Okapi BM25 top-k retrieval (text_stats.bm25_topk): the query-time
+    consumer of the inverted-index family — scores every doc against a
+    3-term bag-of-words query under the Lucene idf, returns the top 10.
+    Only query-term postings ever shuffle (InSet filter on the exploded
+    stream); (N, avgdl) and per-term df are broadcasts; the top-k is
+    TakeOrderedAndProject. Rank order is pinned cross-engine by the
+    9dp-rounded score + id tie-break; the emitted score stays unrounded
+    under the q10 float-canon rule."""
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import text_stats
+
+    return text_stats.bm25_topk(
+        load(spark, sf, "documents"), list(_BM25_TERMS), k=10)
+
+
+@register(
+    "q_semantic_dedup",
+    f"WITH bk AS ({_NEAR_DUP_BUCKET6}), "
+    "be AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, bk.bucket "
+    "  FROM embeddings e JOIN bk USING (vec_id)), "
+    "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+    "  list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * "
+    "  sqrt(list_dot_product(b.v, b.v))) AS c "
+    "  FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) "
+    "SELECT vec_id, label FROM embeddings WHERE vec_id NOT IN "
+    "(SELECT id_b FROM p WHERE c >= 0.3)",
+)
+def q_semantic_dedup(spark, sf):
+    """End-to-end semantic dedup (dedup.semantic_dedup — the SemDeDup
+    recipe with LSH buckets standing in for k-means clusters and greedy
+    smaller-id-wins resolution): near-dup pair generation is the
+    oracle-twinned q_embedding_near_dup plan, the kept corpus is one
+    ids-only anti-join. Threshold 0.3 as in q_embedding_near_dup (the
+    synthetic embeddings are near-orthogonal; a production 0.95 returns
+    the identity). The pair/resolution invariant (kept = all minus
+    distinct id_b) is what the oracle checks."""
+    e = load(spark, sf, "embeddings")
+    kept = dedup.semantic_dedup(
+        e, id_col="vec_id", vec_col="embedding", threshold=0.3,
+        num_planes=6, max_bucket_size=None)
+    return kept.select("vec_id", "label")

@@ -196,6 +196,17 @@ AUDITS = {
     "compacted store keeps its PartitionFilters.",
     "q_histogram": "Equi-width histogram: 1-row min-max broadcast, "
     "binning projection in codegen, one count shuffle.",
+    "q_bm25_topk": "BM25 retrieval: the query-term InSet filter sits "
+    "between the explode and the first aggregation, so the corpus-sized "
+    "token stream dies in the scan stage and only query-term postings "
+    "ever shuffle; df_t is a window count over that tiny postings "
+    "relation (no corpus re-scan for the fork); (N, avgdl) is a 1-row "
+    "broadcast; the top-k is TakeOrderedAndProject.",
+    "q_semantic_dedup": "SemDeDup: pair generation reuses the "
+    "embedding_near_dup shape (bucket key in codegen under ONE bucket "
+    "Exchange, window-count degenerate-bucket guard); the drop set is "
+    "distinct ids only and the corpus comes back through one ids-only "
+    "anti-join — vectors never shuffle twice, text never shuffles at all.",
 }
 
 KEEP = re.compile(

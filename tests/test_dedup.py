@@ -887,3 +887,14 @@ def test_compact_band_store_bucketed_output(spark, tmp_path):
         assert "Bucketed: true" in plan
     finally:
         spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+
+
+def test_semantic_dedup_collapses_identical_embeddings(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0]), (3, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    kept = sorted(r.vec_id for r in dedup.semantic_dedup(
+        df, threshold=0.95, num_planes=4).collect())
+    # ids 1/2 are byte-identical vectors (same LSH bucket by construction,
+    # cosine exactly 1) -> greedy smaller-id-wins keeps 1; 3 is orthogonal
+    assert kept == [1, 3]

@@ -90,3 +90,31 @@ def test_sketch_accuracy_vs_exact(spark):
     lens = {r[0] for r in toks.select(F.length("term")).distinct().collect()}
     p50 = toks.agg(F.percentile_approx(F.length("term"), 0.5).alias("p")).collect()[0].p
     assert p50 in lens
+
+
+def test_bm25_topk_hand_computed(spark):
+    """BM25 scores match the Lucene formulation computed by hand, rank
+    order follows score desc, and docs with no query term never appear."""
+    out = {r.doc_id: (r.score, r.rank)
+           for r in text_stats.bm25_topk(
+               _docs(spark).drop("slice"), ["apple", "date"], k=5).collect()}
+    n, avgdl = 3, 3.0
+    idf_apple = math.log(1 + (n - 2 + 0.5) / (2 + 0.5))
+    idf_date = math.log(1 + (n - 1 + 0.5) / (1 + 0.5))
+
+    def tfn(tf, dl):
+        return tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+
+    assert set(out) == {1, 3}  # doc2 has neither term
+    assert abs(out[1][0] - idf_apple * tfn(2, 3)) < 1e-12
+    assert abs(out[3][0] - (idf_apple * tfn(1, 4) + idf_date * tfn(1, 4))) < 1e-12
+    assert out[3][1] == 1 and out[1][1] == 2  # doc3's rare 'date' wins
+
+
+def test_bm25_topk_k_truncates_and_ties_break_by_id(spark):
+    df = spark.createDataFrame(
+        [(i, "same text here") for i in range(1, 5)], "doc_id long, text string")
+    rows = text_stats.bm25_topk(df, ["same"], k=2).collect()
+    # identical scores everywhere -> smallest ids win, ranks dense from 1
+    assert [(r.doc_id, r.rank) for r in sorted(rows, key=lambda r: r.rank)] \
+        == [(1, 1), (2, 2)]
