@@ -114,13 +114,18 @@ R6_ADDITIONS = [
 #: round-7 additions (same rationale): the PNG codec roundtrip, the
 #: band-store compaction lifecycle, the scalable within-key rank and
 #: full window suite (the q_window_suite parallelism-cap mitigations),
-#: and the runtime bloom-filter join pushdown probe.
+#: the runtime bloom-filter join pushdown probe, BM25 retrieval, and
+#: embedding-space semantic dedup.
 R7_ADDITIONS = [
     "q_png_roundtrip",
     "q_band_store_compact",
     "q_keyed_rank",
     "q_keyed_window_suite",
     "q_runtime_bloom_filter",
+    "q_bm25_topk",
+    "q_semantic_dedup",
+    "q_simhash_dedup",
+    "q_dedup_keep_best",
 ]
 
 

@@ -855,6 +855,64 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
     return drop_near_duplicates(df, pairs, id_col)
 
 
+def simhash_dedup(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", bits: int = 32,
+                  max_hamming: int = 3, portable: bool = False,
+                  max_bucket_size: int | None = 256) -> DataFrame:
+    """End-to-end SimHash dedup: Manku-style candidate pairs
+    (:func:`simhash_pairs`) → greedy smaller-id-wins resolution → kept
+    corpus. The cosine-signal twin of :func:`minhash_dedup` (Jaccard)
+    and :func:`semantic_dedup` (embedding space) — production web dedup
+    runs the fingerprint families side by side.
+
+    Scale: inherits simhash_pairs' shape (one (chunk,value) exchange,
+    window size guard, bounded pair expansion); the drop set is distinct
+    ids, the corpus returns through one anti-join.
+    """
+    pairs = simhash_pairs(df, id_col, text_col, bits, max_hamming,
+                          portable, max_bucket_size)
+    return drop_near_duplicates(df, pairs, id_col)
+
+
+def dedup_keep_best(df: DataFrame, pairs: DataFrame, quality_col: str,
+                    id_col: str = "doc_id", max_iterations: int = 64,
+                    checkpoint_dir: str | None = None) -> DataFrame:
+    """Quality-aware duplicate resolution: group candidate pairs into
+    TRANSITIVE clusters and keep the highest-``quality_col`` member of
+    each cluster (ties break to the smaller id), instead of
+    :func:`drop_near_duplicates`'s positional smaller-id-wins rule.
+
+    This is the resolution production pipelines actually want when docs
+    carry a quality signal (reference analogue: the quality_threshold +
+    dedup composition, pipelines/quality_filtering.py applied per
+    duplicate group): a near-dup cluster should surrender its
+    low-quality mirror copies, not whichever happened to get the larger
+    id. Transitive closure matters — with pairwise-only resolution a
+    chain a-b-c can keep both endpoints.
+
+    Scale: the cluster map is pair-graph-sized (pointer doubling,
+    O(log n) rounds — :func:`duplicate_clusters`); quality values join
+    onto cluster MEMBERS only (ids + one scalar, never text); the
+    per-cluster argmax is one window over cluster_id whose partitions
+    are duplicate-cluster-sized; losers return as an ids-only anti-join.
+    """
+    clusters = duplicate_clusters(
+        pairs, max_iterations, checkpoint_dir=checkpoint_dir
+    ).withColumnRenamed("doc_id", id_col)
+    member_q = (
+        df.select(F.col(id_col), F.col(quality_col).alias("__q"))
+        .join(clusters, id_col)
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("__q"), F.asc(id_col))
+    losers = (
+        member_q.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .select(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def contamination_hits(docs: DataFrame, benchmark: DataFrame,
                        id_col: str = "doc_id", text_col: str = "text",
                        shingle_n: int = 8, min_hits: int = 1,

@@ -6272,3 +6272,65 @@ def q_semantic_dedup(spark, sf):
         e, id_col="vec_id", vec_col="embedding", threshold=0.3,
         num_planes=6, max_bucket_size=None)
     return kept.select("vec_id", "label")
+
+
+@register(
+    "q_simhash_dedup",
+    "WITH p AS (" + _simhash_pairs_sql() + "), "
+    "c0 AS (SELECT doc_id FROM documents UNION ALL "
+    "  SELECT doc_id + 1000000000000 FROM documents WHERE doc_id % 7 = 0) "
+    "SELECT doc_id FROM c0 WHERE doc_id NOT IN (SELECT id_b FROM p)",
+)
+def q_simhash_dedup(spark, sf):
+    """End-to-end SimHash dedup (dedup.simhash_dedup): the cosine-signal
+    member of the dedup family (minhash_dedup = Jaccard, semantic_dedup =
+    embedding space) run to a kept corpus over the same mutant-augmented
+    fixture as q_simhash_pairs — every 7th doc cloned with appended
+    words so real near-dup pairs exist. The oracle replays the full
+    chunk-bucket pair set and checks kept = corpus minus distinct
+    larger-pair-ids."""
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    mut = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000000000).alias("doc_id"),
+        F.concat(F.col("text"),
+                 F.lit(" extra trailing words appended here")).alias("text"),
+    )
+    corpus = d.unionByName(mut)
+    kept = dedup.simhash_dedup(corpus, bits=_SHP_BITS,
+                               max_hamming=_SHP_HAM, portable=True,
+                               max_bucket_size=_SHP_CAP)
+    return kept.select("doc_id")
+
+
+@register(
+    "q_dedup_keep_best",
+    "WITH RECURSIVE pairs AS (" + _minhash_pairs_sql("", 8, 4, 64) + "), "
+    "e AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+    "  UNION ALL SELECT id_b, id_a FROM pairs), "
+    "n AS (SELECT DISTINCT src AS node FROM e), "
+    "reach AS (SELECT node, node AS lab FROM n "
+    "  UNION SELECT e.dst AS node, reach.lab FROM reach "
+    "    JOIN e ON e.src = reach.node), "
+    "cl AS (SELECT node AS doc_id, min(lab) AS cluster_id "
+    "  FROM reach GROUP BY node), "
+    "sel AS (SELECT cl.doc_id, row_number() OVER (PARTITION BY cl.cluster_id "
+    "  ORDER BY d.n_chars DESC, cl.doc_id) AS rn "
+    "  FROM cl JOIN documents d USING (doc_id)), "
+    "losers AS (SELECT doc_id FROM sel WHERE rn > 1) "
+    "SELECT doc_id, n_chars FROM documents "
+    "WHERE doc_id NOT IN (SELECT doc_id FROM losers)",
+)
+def q_dedup_keep_best(spark, sf):
+    """Quality-aware duplicate resolution (dedup.dedup_keep_best): the
+    portable MinHash-LSH pair set resolves into TRANSITIVE clusters
+    (pointer doubling) and each cluster keeps its highest-n_chars member
+    (tie -> smaller id) instead of smallest-id-wins — the resolution a
+    quality-scored production pipeline wants. The oracle recomputes the
+    exact closure with a recursive CTE and replays the per-cluster
+    argmax, so both the clustering AND the winner choice are
+    hash-checked."""
+    d = load(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, num_hashes=8, bands=4,
+                                    max_bucket_size=64, portable=True)
+    kept = dedup.dedup_keep_best(d, pairs, quality_col="n_chars")
+    return kept.select("doc_id", "n_chars")

@@ -207,6 +207,11 @@ AUDITS = {
     "Exchange, window-count degenerate-bucket guard); the drop set is "
     "distinct ids only and the corpus comes back through one ids-only "
     "anti-join — vectors never shuffle twice, text never shuffles at all.",
+    "q_dedup_keep_best": "Quality-aware resolution: all iteration lives "
+    "in the pointer-doubling cluster subtree (pair ids only); quality "
+    "joins onto cluster MEMBERS (id + one scalar — never text); the "
+    "per-cluster argmax window partitions by cluster_id (duplicate-"
+    "cluster-sized groups); losers return via one ids-only anti-join.",
 }
 
 KEEP = re.compile(

@@ -898,3 +898,29 @@ def test_semantic_dedup_collapses_identical_embeddings(spark):
     # ids 1/2 are byte-identical vectors (same LSH bucket by construction,
     # cosine exactly 1) -> greedy smaller-id-wins keeps 1; 3 is orthogonal
     assert kept == [1, 3]
+
+
+def test_simhash_dedup_drops_clone_keeps_distinct(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "completely different words "
+          "about oceans tides currents and marine life everywhere")],
+        "doc_id long, text string")
+    kept = sorted(r.doc_id for r in dedup.simhash_dedup(
+        df, bits=32, max_hamming=3).collect())
+    assert kept == [1, 3]  # 2 is the near-clone (larger id) of 1
+
+
+def test_dedup_keep_best_transitive_argmax_and_ties(spark):
+    # chain 1-2-3 is ONE cluster; quality argmax is doc 2 (middle of the
+    # chain — pairwise smaller-id-wins would instead keep endpoint 1);
+    # 4-5 tie on quality -> smaller id 4 wins; 6 untouched.
+    df = spark.createDataFrame(
+        [(i, q) for i, q in [(1, 10), (2, 99), (3, 50),
+                             (4, 7), (5, 7), (6, 1)]],
+        "doc_id long, quality long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long")
+    kept = sorted(r.doc_id for r in dedup.dedup_keep_best(
+        df, pairs, quality_col="quality").collect())
+    assert kept == [2, 4, 6]
