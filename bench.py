@@ -126,6 +126,7 @@ R7_ADDITIONS = [
     "q_semantic_dedup",
     "q_simhash_dedup",
     "q_dedup_keep_best",
+    "q_quantized_topk",
 ]
 
 

@@ -16,7 +16,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from metadata_enhanced_pretrain_datapipeline_spark.functions.arrays import cosine_similarity, positional_dot
+from metadata_enhanced_pretrain_datapipeline_spark.functions.arrays import (
+    cosine_similarity,
+    dot_product,
+    positional_dot,
+)
 
 #: deterministic pseudo-hyperplane weight for plane p at position i:
 #: ((i·A[p] + B[p]) mod 11) − 5, small ints in [-5, 5] — a public trick
@@ -213,3 +217,87 @@ def write_bucketed_embeddings(df: DataFrame, path: str, vec_col: str = "embeddin
         .partitionBy("bucket")
         .parquet(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization — the BYTES lever next to the two pruning levers (LSH
+# partition dirs, IVF lists). A float32 embedding column dominates scan and
+# shuffle bytes of every ANN stage; symmetric per-vector int8 cuts the
+# vector payload 4x (tinyint elements + one float scale), which at 100 TB
+# is the difference between a 25 TB and a 100 TB ANN scan. Quantization is
+# pure exact-rounded arithmetic (abs/max/div/floor), so scores are
+# bit-identical across engines and the whole path stays oracle-checkable —
+# unlike learned codebooks (PQ/OPQ), which would land in the same
+# rows-only bucket as the k-means fit.
+# ---------------------------------------------------------------------------
+
+
+def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
+                        out_col: str = "qvec",
+                        scale_col: str = "qscale") -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|x| / 127``,
+    ``q_i = floor(x_i / scale + 0.5)`` (half-toward-+inf), emitted as
+    ``array<tinyint>`` plus the float scale — the storable 4x-smaller
+    layout. An all-zero (or empty) vector gets scale 0 and an all-zero
+    code. Dequantization is ``q_i * scale``; cosine between quantized
+    vectors needs NO scale at all (per-vector scales cancel), which is
+    what :func:`quantized_topk` exploits.
+
+    Every step (abs, max, one divide, one floor) is a correctly-rounded
+    IEEE op on doubles, so any engine replaying the formula produces the
+    same codes — the property the q_quantized_topk oracle checks.
+    """
+    x = F.col(vec_col).cast("array<double>")
+    amax = F.array_max(F.transform(x, lambda a: F.abs(a)))
+    sc = amax / F.lit(127.0)
+    qx = F.when(
+        sc > 0,
+        F.transform(x, lambda a: F.floor(a / sc + F.lit(0.5)).cast("tinyint")),
+    ).otherwise(F.transform(x, lambda a: F.lit(0).cast("tinyint")))
+    return df.withColumn(scale_col, sc.cast("float")).withColumn(out_col, qx)
+
+
+def quantized_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Approximate cosine top-k over int8-quantized vectors: the corpus
+    and the query are quantized with :func:`quantize_embeddings`'s
+    formula, scores are integer dot products rescaled by the integer
+    norms (scales cancel out of cosine), and the top-k is the same
+    TakeOrderedAndProject as :func:`brute_force_topk`.
+
+    All dot products are sums of products of ints ≤ 127², exactly
+    representable in doubles regardless of accumulation order — so
+    unlike float cosine, the scores carry ZERO accumulation noise and
+    rank order is engine-exact without any rounding grid. Zero-norm
+    corpus vectors are excluded (their cosine is undefined).
+
+    At 100 TB this scan reads a quarter of the float32 bytes; compose
+    with the LSH/IVF layouts (quantize, then partition by bucket/list)
+    to cut bytes AND files in the same probe.
+    """
+    import math
+
+    xs = [float(v) for v in query_vec]
+    amax = max((abs(v) for v in xs), default=0.0)
+    qsc = amax / 127.0
+    qq = [float(math.floor(v / qsc + 0.5)) if qsc > 0 else 0.0 for v in xs]
+    qn = math.sqrt(sum(v * v for v in qq))  # exact int sum, rounded sqrt
+    if qn == 0.0:
+        raise ValueError("quantized_topk: query vector has zero norm")
+    qlit = F.array(*[F.lit(v) for v in qq])
+    qx = F.col("qvec").cast("array<double>")
+    scored = (
+        quantize_embeddings(df, vec_col)
+        .select(
+            F.col(id_col),
+            dot_product(qx, qlit).alias("__dp"),
+            dot_product(qx, qx).alias("__aa"),
+        )
+        .filter(F.col("__aa") > 0)
+        .select(
+            id_col,
+            (F.col("__dp") / (F.sqrt(F.col("__aa")) * F.lit(qn))).alias("qcos"),
+        )
+    )
+    return scored.orderBy(F.desc("qcos"), F.col(id_col)).limit(k)

@@ -6334,3 +6334,37 @@ def q_dedup_keep_best(spark, sf):
                                     max_bucket_size=64, portable=True)
     kept = dedup.dedup_keep_best(d, pairs, quality_col="n_chars")
     return kept.select("doc_id", "n_chars")
+
+
+@register(
+    "q_quantized_topk",
+    "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x "
+    "  FROM embeddings), "
+    "s AS (SELECT vec_id, x, "
+    "  list_max(list_transform(x, a -> abs(a))) / 127.0 AS sc FROM v), "
+    "qz AS (SELECT vec_id, CASE WHEN sc > 0 THEN "
+    "  list_transform(x, a -> floor(a / sc + 0.5)) "
+    "  ELSE list_transform(x, a -> 0.0) END AS qx FROM s), "
+    "qv AS (SELECT qx AS qq, sqrt(list_dot_product(qx, qx)) AS qn "
+    "  FROM qz WHERE vec_id = 0), "
+    "sc2 AS (SELECT z.vec_id, list_dot_product(z.qx, qv.qq) AS dp, "
+    "  list_dot_product(z.qx, z.qx) AS aa, qv.qn FROM qz z CROSS JOIN qv "
+    "  WHERE z.vec_id <> 0) "
+    "SELECT vec_id, dp / (sqrt(aa) * qn) AS qcos FROM sc2 WHERE aa > 0 "
+    "ORDER BY qcos DESC, vec_id LIMIT 10",
+)
+def q_quantized_topk(spark, sf):
+    """int8-quantized ANN top-k (similarity.quantized_topk): the BYTES
+    lever of the ANN family — symmetric per-vector quantization to
+    array<tinyint> (4x smaller scan/shuffle payload), integer dot
+    products rescaled by integer norms (per-vector scales cancel out of
+    cosine). Every quantization step is a correctly-rounded IEEE op and
+    every dot product is an exact integer sum, so scores are
+    BIT-IDENTICAL across engines — the oracle replays the whole formula
+    unrounded. Query = vec 0's embedding (tiny driver-side scalar, the
+    lsh_topk precedent)."""
+    e = load(spark, sf, "embeddings")
+    qvec = [float(v) for v in
+            e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return similarity.quantized_topk(
+        e.filter(F.col("vec_id") != 0), qvec, k=10)

@@ -212,6 +212,10 @@ AUDITS = {
     "joins onto cluster MEMBERS (id + one scalar — never text); the "
     "per-cluster argmax window partitions by cluster_id (duplicate-"
     "cluster-sized groups); losers return via one ids-only anti-join.",
+    "q_quantized_topk": "int8 ANN: quantization + integer dot products "
+    "are one codegen projection over the scan (no shuffle of vectors), "
+    "top-k is TakeOrderedAndProject; the stored form (array<tinyint> + "
+    "scale) reads a quarter of the float32 bytes at 100 TB.",
 }
 
 KEEP = re.compile(

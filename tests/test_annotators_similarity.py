@@ -448,3 +448,47 @@ def test_keyed_window_suite_matches_naive(spark):
     assert set(nd) == set(gd)
     for rid in nd:
         assert gd[rid] == nd[rid], (rid, gd[rid], nd[rid])
+
+
+def test_quantize_embeddings_codes_scale_and_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0]), (3, [2.54, 0.0, -2.54])],
+        "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in similarity.quantize_embeddings(df).collect()}
+    # schema: tinyint codes (the 4x-smaller storable layout)
+    qf = [f for f in similarity.quantize_embeddings(df).schema.fields
+          if f.name == "qvec"][0]
+    assert "tinyint" in qf.dataType.simpleString()
+    # max-magnitude element always codes to +-127; scale = max|x|/127
+    assert list(out[1].qvec) == [64, -127, 32]  # 0.5/(1/127)=63.5 -> 64
+    assert abs(out[1].qscale - 1.0 / 127) < 1e-9
+    assert list(out[3].qvec) == [127, 0, -127]
+    # zero vector: scale 0, zero codes (not NULL, not a crash)
+    assert list(out[2].qvec) == [0, 0, 0] and out[2].qscale == 0.0
+    # dequantization error bound: |x - q*scale| <= scale/2
+    for vid, vec in ((1, [0.5, -1.0, 0.25]), (3, [2.54, 0.0, -2.54])):
+        sc = out[vid].qscale
+        for x, qc in zip(vec, out[vid].qvec):
+            assert abs(x - qc * sc) <= sc / 2 + 1e-9
+
+
+def test_quantized_topk_tracks_float_topk(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [float(v) for v in
+            e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    corpus = e.filter(F.col("vec_id") != 0)
+    qt = similarity.quantized_topk(corpus, qvec, k=10).collect()
+    bf = similarity.brute_force_topk(corpus, qvec, k=10).collect()
+    overlap = len({r.vec_id for r in qt} & {r.vec_id for r in bf})
+    assert overlap >= 8  # measured 10/10; int8 error is ~2e-3 on cosine
+    # quantized score stays within 1% of the exact cosine corpus-wide
+    qlit = F.array(*[F.lit(v) for v in qvec])
+    exact = corpus.select("vec_id",
+                          cosine_similarity(F.col("embedding"), qlit).alias("c"))
+    # NOT a huge sentinel k: TakeOrderedAndProject's bounded queue
+    # preallocates k slots, so k=1e9 is a multi-GB allocation
+    allq = similarity.quantized_topk(corpus, qvec, k=int(corpus.count()))
+    merr = (allq.join(exact, "vec_id")
+            .agg(F.max(F.abs(F.col("qcos") - F.col("c"))).alias("m"))
+            .collect()[0].m)
+    assert merr <= 0.01
