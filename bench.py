@@ -127,6 +127,7 @@ R7_ADDITIONS = [
     "q_simhash_dedup",
     "q_dedup_keep_best",
     "q_quantized_topk",
+    "q_dsir_top_n",
 ]
 
 

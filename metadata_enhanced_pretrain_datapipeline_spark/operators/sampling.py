@@ -675,3 +675,112 @@ def per_host_cap(df: DataFrame, host_col: str, k: int, key: Column,
     """
     return token_budget_cap(df, host_col, F.lit(1), k, key,
                             num_buckets=num_buckets)
+
+
+def dsir_weights(raw: DataFrame, target: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", num_buckets: int = 2048,
+                 alpha: float = 1.0,
+                 checkpoint_dir: str | None = None) -> DataFrame:
+    """Per-document DSIR importance weights (Xie et al. 2023,
+    'Data Selection for Language Models via Importance Resampling',
+    arXiv:2302.03169): hashed unigram+bigram bag-of-words features, and
+    ``weight(d) = Σ_b c_db · (ln p̂_target(b) − ln p̂_raw(b))`` with
+    add-``alpha``-smoothed bucket unigram models — the log-likelihood
+    ratio of the doc under the target vs the raw feature distribution.
+    Returns (id_col, weight). Feature hashing uses the portable md5
+    path so weights are engine-reproducible.
+
+    Scale shape: the raw corpus is read ONCE — its text dies at the
+    feature-explode stage and per-(doc, bucket) counts (three longs per
+    row) are the only thing materialized (one materialize() boundary,
+    reliable under MEP_SPARK_CHECKPOINT_DIR); the raw bucket marginals,
+    the total-count scalar, and the per-doc weight sum all read that
+    narrow relation instead of re-exploding text. The target model is
+    ≤ num_buckets rows and broadcasts; per-bucket log-ratios attach to
+    the counts with one broadcast join.
+    """
+    from metadata_enhanced_pretrain_datapipeline_spark.checkpointing import materialize
+    from metadata_enhanced_pretrain_datapipeline_spark.functions.hashing import md5_hash64
+    from metadata_enhanced_pretrain_datapipeline_spark.functions.text import tokens_ws
+
+    def _bucket_counts(df: DataFrame) -> DataFrame:
+        # ONE feature array (unigrams ++ bigrams) exploded once — a
+        # uni/bi UNION would fork the plan and scan the text twice. The
+        # transform-over-1-element-array binds the token split once
+        # (word_shingles' trick: no CSE inside a projection).
+        def _feats(ws):
+            bi = F.when(
+                F.size(ws) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ws) - F.lit(1)),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(ws, i),
+                        F.element_at(ws, i + F.lit(1))),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+            return F.concat(ws, bi)
+
+        feats_arr = F.transform(
+            F.array(tokens_ws(F.col(text_col))), _feats)[0]
+        feats = df.select(F.col(id_col).alias("id"),
+                          F.explode(feats_arr).alias("f"))
+        return (
+            feats.select("id", F.pmod(md5_hash64(F.col("f")),
+                                      F.lit(num_buckets)).alias("bucket"))
+            .groupBy("id", "bucket").agg(F.count("*").alias("c"))
+        )
+
+    B = float(num_buckets)
+    # tb feeds BOTH the total and the ratio join; <= num_buckets rows,
+    # so materializing it is cheap and saves a full target re-scan
+    tb = materialize(
+        _bucket_counts(target).groupBy("bucket").agg(F.sum("c").alias("t_b")),
+        checkpoint_dir,
+    )
+    # coalesce: an EMPTY target/raw side sums to NULL, and a raw bucket
+    # unseen in the target must still smooth against the full T
+    t_total = tb.agg(F.coalesce(F.sum("t_b"), F.lit(0)).alias("T"))
+
+    rc = materialize(_bucket_counts(raw), checkpoint_dir)
+    rb = rc.groupBy("bucket").agg(F.sum("c").alias("r_b"))
+    r_total = rc.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("R"))
+    ratios = (
+        rb.crossJoin(F.broadcast(r_total))
+        .crossJoin(F.broadcast(t_total))
+        .join(F.broadcast(tb), "bucket", "left")
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce(F.col("t_b"), F.lit(0)) + F.lit(alpha))
+                      / (F.col("T") + F.lit(alpha * B)))
+                - F.log((F.col("r_b") + F.lit(alpha))
+                        / (F.col("R") + F.lit(alpha * B)))
+            ).alias("llr"),
+        )
+    )
+    return (
+        rc.join(F.broadcast(ratios), "bucket")
+        .groupBy("id")
+        .agg(F.sum(F.col("c") * F.col("llr")).alias("weight"))
+        .select(F.col("id").alias(id_col), "weight")
+    )
+
+
+def dsir_top_n(raw: DataFrame, target: DataFrame, n: int,
+               id_col: str = "doc_id", text_col: str = "text",
+               num_buckets: int = 2048, alpha: float = 1.0,
+               checkpoint_dir: str | None = None) -> DataFrame:
+    """DSIR data selection: keep the ``n`` raw docs whose hashed-n-gram
+    likelihood ratio most favors the target distribution. Deterministic
+    top-n on the weight (the paper resamples with Gumbel noise; a seeded
+    hash-Gumbel variant drops in by adding a per-id hash term to the
+    ordering — top-n is the reproducible, oracle-checkable core).
+    Ordering ranks on the 9dp-rounded weight tie-broken by id (the
+    bm25_topk rule: the sum over a doc's buckets accumulates in
+    nondeterministic order, so ranking uses a noise-absorbing grid while
+    the emitted weight stays unrounded); the top-n is
+    TakeOrderedAndProject — no global sort."""
+    w = dsir_weights(raw, target, id_col, text_col, num_buckets, alpha,
+                     checkpoint_dir)
+    wr = F.round(F.col("weight"), 9)
+    return w.orderBy(wr.desc(), F.asc(id_col)).limit(n)

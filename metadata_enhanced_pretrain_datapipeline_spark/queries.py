@@ -6368,3 +6368,65 @@ def q_quantized_topk(spark, sf):
             e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
     return similarity.quantized_topk(
         e.filter(F.col("vec_id") != 0), qvec, k=10)
+
+
+_DSIR_B = 2048
+_DSIR_TARGET = ("src0", "src1")
+
+
+def _dsir_counts_sql(name: str, src_cte: str) -> str:
+    """Per-(doc, bucket) hashed unigram+bigram counts — the DuckDB twin
+    of sampling.dsir_weights._bucket_counts."""
+    return (
+        f"{name}_tok AS (SELECT doc_id, list_filter("
+        "regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS ws "
+        f"FROM {src_cte}), "
+        f"{name}_f AS (SELECT doc_id, unnest(ws) AS f FROM {name}_tok "
+        "  UNION ALL SELECT doc_id, ws[i] || ' ' || ws[i+1] AS f FROM "
+        f"  (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i "
+        f"   FROM {name}_tok)), "
+        f"{name}_c AS (SELECT doc_id, "
+        + md5_hash64_sql("f")
+        + f" % {_DSIR_B} AS bucket, count(*)::BIGINT AS c "
+        f"FROM {name}_f GROUP BY 1, 2)"
+    )
+
+
+@register(
+    "q_dsir_top_n",
+    "WITH tgt0 AS (SELECT doc_id, text FROM documents "
+    f"  WHERE source IN {_DSIR_TARGET!r}".replace("'", "'").replace('"', "'")
+    + "), "
+    "raw0 AS (SELECT doc_id, text FROM documents "
+    f"  WHERE source NOT IN {_DSIR_TARGET!r}".replace('"', "'")
+    + "), "
+    + _dsir_counts_sql("tgt", "tgt0") + ", "
+    + _dsir_counts_sql("raw", "raw0") + ", "
+    "tb AS (SELECT bucket, sum(c) AS t_b FROM tgt_c GROUP BY 1), "
+    "tt AS (SELECT COALESCE(sum(t_b), 0) AS t FROM tb), "
+    "rb AS (SELECT bucket, sum(c) AS r_b FROM raw_c GROUP BY 1), "
+    "rt AS (SELECT COALESCE(sum(c), 0) AS r FROM raw_c), "
+    "ratios AS (SELECT rb.bucket, "
+    f"  ln((COALESCE(tb.t_b, 0) + 1.0) / (tt.t + {1.0 * _DSIR_B})) "
+    f"  - ln((rb.r_b + 1.0) / (rt.r + {1.0 * _DSIR_B})) AS llr "
+    "  FROM rb CROSS JOIN rt CROSS JOIN tt LEFT JOIN tb USING (bucket)), "
+    "w AS (SELECT c.doc_id, sum(c.c * r.llr) AS weight "
+    "  FROM raw_c c JOIN ratios r USING (bucket) GROUP BY 1), "
+    "rk AS (SELECT doc_id, weight, row_number() OVER "
+    "  (ORDER BY round(weight, 9) DESC, doc_id) AS rn FROM w) "
+    "SELECT doc_id, weight FROM rk WHERE rn <= 50",
+)
+def q_dsir_top_n(spark, sf):
+    """DSIR data selection (sampling.dsir_top_n, Xie et al. 2023):
+    hashed unigram+bigram importance weights — the log-likelihood ratio
+    of each raw doc under the target vs raw smoothed bucket models —
+    with sources src0/src1 standing in as the target distribution and
+    the rest of the corpus as raw. Raw text is read once (counts
+    materialized as three-long rows); the target model and per-bucket
+    log-ratios broadcast; the top-50 is TakeOrderedAndProject on the
+    9dp-rounded weight (bm25 ordering rule). The oracle replays hashing,
+    smoothing, and the ratio arithmetic end to end."""
+    d = load(spark, sf, "documents")
+    tgt = d.filter(F.col("source").isin(*_DSIR_TARGET))
+    raw = d.filter(~F.col("source").isin(*_DSIR_TARGET))
+    return sampling.dsir_top_n(raw, tgt, n=50, num_buckets=_DSIR_B)

@@ -216,6 +216,12 @@ AUDITS = {
     "are one codegen projection over the scan (no shuffle of vectors), "
     "top-k is TakeOrderedAndProject; the stored form (array<tinyint> + "
     "scale) reads a quarter of the float32 bytes at 100 TB.",
+    "q_dsir_top_n": "DSIR selection: raw and target text are each read "
+    "ONCE (single concatenated uni+bigram feature array, one explode; "
+    "counts materialized as (id,bucket,c) longs at the checkpoint "
+    "boundary); bucket models and log-ratios are broadcasts; the final "
+    "plan is aggregations over the narrow counts relation + "
+    "TakeOrderedAndProject.",
 }
 
 KEEP = re.compile(

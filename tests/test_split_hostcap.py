@@ -86,3 +86,33 @@ def test_leakage_split_query_prunes_scan_to_doc_id(spark):
     # the corpus branch scans only the id; the pair subtree needs text
     # (shingling) but the split projection itself must not
     assert "struct<doc_id:bigint>" in plan
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma alpha beta") for i in range(4)],
+        "doc_id long, text string")
+    raw = spark.createDataFrame(
+        [(1, "alpha beta alpha gamma"),      # target-like
+         (2, "zulu yankee xray whiskey"),    # nothing in common
+         (3, "alpha zulu beta yankee")],     # mixed
+        "doc_id long, text string")
+    w = {r.doc_id: r.weight for r in
+         sampling.dsir_weights(raw, target, num_buckets=64).collect()}
+    assert w[1] > w[3] > w[2]
+    top = sampling.dsir_top_n(raw, target, n=2, num_buckets=64).collect()
+    assert [r.doc_id for r in top] == [1, 3]  # weight-desc order
+
+
+def test_dsir_weights_survive_disjoint_and_empty_target(spark):
+    raw = spark.createDataFrame(
+        [(1, "foo bar baz"), (2, "qux quux corge")], "doc_id long, text string")
+    # disjoint target: every raw bucket unseen -> smoothed, finite, no crash
+    target = spark.createDataFrame(
+        [(9, "totally different words here")], "doc_id long, text string")
+    w = sampling.dsir_weights(raw, target, num_buckets=64).collect()
+    assert len(w) == 2 and all(r.weight is not None for r in w)
+    # empty target: T = 0, uniform target model -> still finite
+    empty = target.filter(F.col("doc_id") < 0)
+    w0 = sampling.dsir_weights(raw, empty, num_buckets=64).collect()
+    assert len(w0) == 2 and all(r.weight is not None for r in w0)
