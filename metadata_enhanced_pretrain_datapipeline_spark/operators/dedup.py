@@ -810,8 +810,21 @@ def drop_near_duplicates(df: DataFrame, pairs: DataFrame,
     scales with the corpus and a forced broadcast would hit the driver
     collect limits; AQE converts the anti-join to broadcast at runtime
     whenever the set actually is small.
+
+    The drop set's LINEAGE is truncated (lazy materialize) before the
+    anti-join: Catalyst pushes LeftAnti through a Union, so a unioned
+    corpus (monthly snapshots, the mutant fixtures) would otherwise
+    re-evaluate the ENTIRE pair pipeline once per union branch — the
+    sf10 probe measured q_simhash_dedup paying the whole
+    fingerprint+bucket subtree twice for its two-branch corpus. Lazy
+    (not eager) so plan-building passes over the registry stay free;
+    the first real action computes the ids once and every branch reuses
+    them.
     """
-    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    from metadata_enhanced_pretrain_datapipeline_spark.checkpointing import materialize
+
+    drop = materialize(pairs.select(F.col("id_b").alias(id_col)).distinct(),
+                       eager=False)
     return df.join(drop, id_col, "left_anti")
 
 

@@ -258,8 +258,8 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
 
 
 def quantized_topk(df: DataFrame, query_vec: list[float], k: int = 10,
-                   id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   prequantized: bool = False) -> DataFrame:
     """Approximate cosine top-k over int8-quantized vectors: the corpus
     and the query are quantized with :func:`quantize_embeddings`'s
     formula, scores are integer dot products rescaled by the integer
@@ -275,6 +275,14 @@ def quantized_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     At 100 TB this scan reads a quarter of the float32 bytes; compose
     with the LSH/IVF layouts (quantize, then partition by bucket/list)
     to cut bytes AND files in the same probe.
+
+    ``prequantized=True`` treats ``vec_col`` as ALREADY-stored int8
+    codes (the output of :func:`quantize_embeddings` written at layout
+    time) and skips the in-flight quantization — the production shape:
+    quantize once at write, probe the tinyint column. The default
+    re-quantizes per query, which pays ~4 extra array passes per row
+    (abs/max/divide/floor) and exists for ad-hoc use over a float
+    corpus; at scale, store the codes.
     """
     import math
 
@@ -286,9 +294,13 @@ def quantized_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     if qn == 0.0:
         raise ValueError("quantized_topk: query vector has zero norm")
     qlit = F.array(*[F.lit(v) for v in qq])
+    if prequantized:
+        quantized = df.withColumn("qvec", F.col(vec_col))
+    else:
+        quantized = quantize_embeddings(df, vec_col)
     qx = F.col("qvec").cast("array<double>")
     scored = (
-        quantize_embeddings(df, vec_col)
+        quantized
         .select(
             F.col(id_col),
             dot_product(qx, qlit).alias("__dp"),

@@ -50,6 +50,8 @@ ALLOWED_SCALAR_BNLJ = {
     "q_tpch_q11",            # sum(value)*fraction scalar
     "q_tpch_q22",            # avg(acctbal) scalar
     "q_leakage_safe_split",  # via the shared minhash/cluster subtree
+    "q_bm25_topk",           # (n_docs, avgdl) 1-row corpus-stats broadcast
+    "q_dsir_top_n",          # R / T 1-row model-total broadcasts
 }
 
 #: q_udtf_excerpt_windows is the deliberate Python-UDTF API surface demo
