@@ -128,6 +128,8 @@ R7_ADDITIONS = [
     "q_dedup_keep_best",
     "q_quantized_topk",
     "q_dsir_top_n",
+    "q_dsir_sample",
+    "q_quantized_store_probe",
 ]
 
 

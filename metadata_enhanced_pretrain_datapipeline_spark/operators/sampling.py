@@ -784,3 +784,40 @@ def dsir_top_n(raw: DataFrame, target: DataFrame, n: int,
                      checkpoint_dir)
     wr = F.round(F.col("weight"), 9)
     return w.orderBy(wr.desc(), F.asc(id_col)).limit(n)
+
+
+def dsir_sample(raw: DataFrame, target: DataFrame, n: int,
+                id_col: str = "doc_id", text_col: str = "text",
+                num_buckets: int = 2048, alpha: float = 1.0,
+                temperature: float = 1.0, salt: int = 7,
+                checkpoint_dir: str | None = None) -> DataFrame:
+    """DSIR's actual selection rule — Gumbel-top-n importance
+    RESAMPLING: keep the n docs maximizing ``weight/temperature + g_i``
+    where ``g_i = −ln(−ln(u_i))`` is standard Gumbel noise. Equivalent
+    to sampling n docs without replacement with probability ∝
+    ``exp(weight/temperature)`` (the Gumbel-top-k trick), which is what
+    the paper does instead of the deterministic :func:`dsir_top_n`.
+
+    ``u_i`` comes from the portable hash of (id, salt) —
+    ``(md5_hash64(id:salt) mod 2^52 + 0.5) / 2^52`` — so the "noise" is
+    a pure function of the document id: rerun-stable, engine-replayable
+    (every step exact or correctly rounded; 2^52 keeps the modulus
+    exactly representable and u strictly inside (0,1), so neither ln
+    can hit 0), and re-saltable for independent draws. Higher
+    ``temperature`` flattens selection toward uniform; →0 recovers
+    dsir_top_n. Ordering ranks on the 9dp-rounded key (bm25 rule).
+    """
+    from metadata_enhanced_pretrain_datapipeline_spark.functions.hashing import md5_hash64
+
+    w = dsir_weights(raw, target, id_col, text_col, num_buckets, alpha,
+                     checkpoint_dir)
+    two52 = float(1 << 52)
+    u = (
+        F.pmod(md5_hash64(F.concat(F.col(id_col).cast("string"),
+                                   F.lit(f":{salt}"))),
+               F.lit(1 << 52)) + F.lit(0.5)
+    ) / F.lit(two52)
+    key = F.col("weight") / F.lit(float(temperature)) + (-F.log(-F.log(u)))
+    keyed = w.withColumn("__k", F.round(key, 9))
+    return (keyed.orderBy(F.desc("__k"), F.asc(id_col)).limit(n)
+            .select(id_col, "weight"))

@@ -6392,10 +6392,11 @@ def _dsir_counts_sql(name: str, src_cte: str) -> str:
     )
 
 
-@register(
-    "q_dsir_top_n",
-    "WITH tgt0 AS (SELECT doc_id, text FROM documents "
-    f"  WHERE source IN {_DSIR_TARGET!r}".replace("'", "'").replace('"', "'")
+#: shared DuckDB chain ending in w(doc_id, weight) — the twin of
+#: sampling.dsir_weights; q_dsir_top_n and q_dsir_sample both build on it
+_DSIR_W_SQL = (
+    "tgt0 AS (SELECT doc_id, text FROM documents "
+    f"  WHERE source IN {_DSIR_TARGET!r}".replace('"', "'")
     + "), "
     "raw0 AS (SELECT doc_id, text FROM documents "
     f"  WHERE source NOT IN {_DSIR_TARGET!r}".replace('"', "'")
@@ -6411,7 +6412,13 @@ def _dsir_counts_sql(name: str, src_cte: str) -> str:
     f"  - ln((rb.r_b + 1.0) / (rt.r + {1.0 * _DSIR_B})) AS llr "
     "  FROM rb CROSS JOIN rt CROSS JOIN tt LEFT JOIN tb USING (bucket)), "
     "w AS (SELECT c.doc_id, sum(c.c * r.llr) AS weight "
-    "  FROM raw_c c JOIN ratios r USING (bucket) GROUP BY 1), "
+    "  FROM raw_c c JOIN ratios r USING (bucket) GROUP BY 1)"
+)
+
+
+@register(
+    "q_dsir_top_n",
+    f"WITH {_DSIR_W_SQL}, "
     "rk AS (SELECT doc_id, weight, row_number() OVER "
     "  (ORDER BY round(weight, 9) DESC, doc_id) AS rn FROM w) "
     "SELECT doc_id, weight FROM rk WHERE rn <= 50",
@@ -6430,3 +6437,89 @@ def q_dsir_top_n(spark, sf):
     tgt = d.filter(F.col("source").isin(*_DSIR_TARGET))
     raw = d.filter(~F.col("source").isin(*_DSIR_TARGET))
     return sampling.dsir_top_n(raw, tgt, n=50, num_buckets=_DSIR_B)
+
+
+_QSTORE_QUANT_SQL = (
+    "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x "
+    "  FROM embeddings), "
+    "s AS (SELECT vec_id, x, "
+    "  list_max(list_transform(x, a -> abs(a))) / 127.0 AS sc FROM v), "
+    "qz AS (SELECT vec_id, CASE WHEN sc > 0 THEN "
+    "  list_transform(x, a -> floor(a / sc + 0.5)) "
+    "  ELSE list_transform(x, a -> 0.0) END AS qx FROM s), "
+    "qv AS (SELECT qx AS qq, sqrt(list_dot_product(qx, qx)) AS qn "
+    "  FROM qz WHERE vec_id = 0)"
+)
+
+
+@register(
+    "q_quantized_store_probe",
+    f"WITH b AS ({_LSH_BUCKET_SQL}), "
+    "qb AS (SELECT bucket FROM b WHERE vec_id = 0), "
+    f"{_QSTORE_QUANT_SQL}, "
+    "sc2 AS (SELECT z.vec_id, list_dot_product(z.qx, qv.qq) AS dp, "
+    "  list_dot_product(z.qx, z.qx) AS aa, qv.qn FROM qz z "
+    "  JOIN b ON b.vec_id = z.vec_id JOIN qb ON b.bucket = qb.bucket "
+    "  CROSS JOIN qv WHERE z.vec_id <> 0) "
+    "SELECT vec_id, dp / (sqrt(aa) * qn) AS qcos FROM sc2 WHERE aa > 0 "
+    "ORDER BY qcos DESC, vec_id LIMIT 10",
+)
+def q_quantized_store_probe(spark, sf):
+    """The PRODUCTION ANN layout end to end, physically: int8 codes AND
+    the LSH bucket are computed once at WRITE time
+    (quantize_embeddings + lsh_bucket → partitionBy(bucket)), so the
+    probe composes BOTH scale levers — the bucket equality arrives as a
+    PartitionFilter (asserted in-plan: one bucket's files are read) and
+    the scan reads tinyint codes (~3.7x fewer bytes, measured in
+    scripts/quantized_store_ab.py) scored via the exact-integer
+    prequantized path. The oracle recomputes bucket assignment and
+    quantization logically — the physical layout must not change a
+    value."""
+    e = load(spark, sf, "embeddings")
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    path = _scratch_dir(sf, "qstore_layout")
+    (
+        similarity.quantize_embeddings(e)
+        .withColumn("bucket", similarity.lsh_bucket(F.col("embedding"), 8))
+        .select("vec_id", "qvec", "qscale", "bucket")
+        .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    )
+    back = spark.read.parquet(path)
+    qb = (spark.range(1)
+          .select(similarity.lsh_bucket(
+              F.array(*[F.lit(v) for v in qvec]), 8).alias("qb"))
+          .collect()[0]["qb"])  # tiny driver-side scalar (lsh_topk precedent)
+    probe = back.filter((F.col("bucket") == F.lit(qb))
+                        & (F.col("vec_id") != 0))
+    out = similarity.quantized_topk(probe, qvec, k=10, vec_col="qvec",
+                                    prequantized=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+    _check_plan(bool(_re.search(r"PartitionFilters: \[[^\]]*bucket", plan)),
+                plan, "bucket filter missing from quantized store scan")
+    return out
+
+
+@register(
+    "q_dsir_sample",
+    f"WITH {_DSIR_W_SQL}, "
+    "g AS (SELECT doc_id, weight, weight / 1.0 + (-ln(-ln(("
+    + md5_hash64_sql("CAST(doc_id AS VARCHAR) || ':7'")
+    + " % 4503599627370496 + 0.5) / 4503599627370496.0))) AS k FROM w), "
+    "rk AS (SELECT doc_id, weight, row_number() OVER "
+    "  (ORDER BY round(k, 9) DESC, doc_id) AS rn FROM g) "
+    "SELECT doc_id, weight FROM rk WHERE rn <= 50",
+)
+def q_dsir_sample(spark, sf):
+    """DSIR Gumbel-top-n resampling (sampling.dsir_sample) — the
+    paper's sampled selection, with hash-seeded Gumbel noise so the
+    draw is deterministic and the oracle can replay weight, noise and
+    ranking exactly. Same target/raw split and weight chain as
+    q_dsir_top_n; the selected set differs where the noise outvotes the
+    weight margin, which is the operator's point."""
+    d = load(spark, sf, "documents")
+    tgt = d.filter(F.col("source").isin(*_DSIR_TARGET))
+    raw = d.filter(~F.col("source").isin(*_DSIR_TARGET))
+    return sampling.dsir_sample(raw, tgt, n=50, num_buckets=_DSIR_B,
+                                temperature=1.0, salt=7)

@@ -222,6 +222,11 @@ AUDITS = {
     "boundary); bucket models and log-ratios are broadcasts; the final "
     "plan is aggregations over the narrow counts relation + "
     "TakeOrderedAndProject.",
+    "q_quantized_store_probe": "The production ANN layout: bucket "
+    "equality arrives as a PartitionFilter on the stored layout (one "
+    "bucket's files read) and the scan reads array<tinyint> codes "
+    "(3.7x fewer bytes); scoring is the exact-integer prequantized "
+    "path, top-k is TakeOrderedAndProject.",
 }
 
 KEEP = re.compile(

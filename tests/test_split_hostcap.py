@@ -116,3 +116,27 @@ def test_dsir_weights_survive_disjoint_and_empty_target(spark):
     empty = target.filter(F.col("doc_id") < 0)
     w0 = sampling.dsir_weights(raw, empty, num_buckets=64).collect()
     assert len(w0) == 2 and all(r.weight is not None for r in w0)
+
+
+def test_dsir_sample_cold_limit_and_salt_determinism(spark):
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma alpha beta") for i in range(4)],
+        "doc_id long, text string")
+    raw = spark.createDataFrame(
+        [(1, "alpha beta alpha gamma"),
+         (2, "zulu yankee xray whiskey"),
+         (3, "alpha zulu beta yankee")],
+        "doc_id long, text string")
+    # temperature -> 0: the weight term dominates the Gumbel noise and
+    # the sampled set collapses to the deterministic top-n
+    top = {r.doc_id for r in
+           sampling.dsir_top_n(raw, target, n=2, num_buckets=64).collect()}
+    cold = {r.doc_id for r in sampling.dsir_sample(
+        raw, target, n=2, num_buckets=64, temperature=1e-9).collect()}
+    assert cold == top
+    # hash-seeded noise: same salt -> identical draw, rerun-stable
+    a = sorted((r.doc_id, round(r.weight, 9)) for r in sampling.dsir_sample(
+        raw, target, n=2, num_buckets=64, salt=7).collect())
+    b = sorted((r.doc_id, round(r.weight, 9)) for r in sampling.dsir_sample(
+        raw, target, n=2, num_buckets=64, salt=7).collect())
+    assert a == b
