@@ -754,22 +754,42 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
 def embedding_near_dup(df: DataFrame, id_col: str = "vec_id",
                        vec_col: str = "embedding", threshold: float = 0.95,
                        num_planes: int = 8,
-                       max_bucket_size: int | None = 1024) -> DataFrame:
-    """Embedding-cosine near-dup: LSH-bucket by hyperplane signs (see
-    similarity.lsh_bucket), exact cosine only within buckets, keep pairs
-    with cosine ≥ threshold.
+                       max_bucket_size: int | None = 1024,
+                       centroids: list[list[float]] | None = None) -> DataFrame:
+    """Embedding-cosine near-dup: bucket embeddings, exact cosine only
+    within buckets, keep pairs with cosine ≥ threshold.
+
+    Bucketing has two modes:
+
+    - default — hyperplane-sign LSH (similarity.lsh_bucket), single-pass
+      and deterministic, capped at 2**15 buckets by the 15-plane limit;
+    - ``centroids=[...]`` — nearest-centroid (IVF) assignment against a
+      broadcast codebook (similarity._nearest_centroid_col, the same
+      argmax the ANN store uses). This is the SemDeDup paper's own
+      clustering shape and the LARGE-CORPUS branch: past ~2**15 buckets
+      the plane cap binds, while a codebook scales to any k (the
+      centroid list is k×dim doubles driver-side; assignment stays a
+      narrow projection, no join). With a deterministic codebook (e.g.
+      first-k vectors, or a persisted k-means fit) the whole operator
+      remains oracle-checkable.
 
     ``max_bucket_size`` is the same degenerate-bucket guard as
     minhash_lsh_pairs: near-duplicate-heavy corpora (exactly where this
     operator runs) produce skewed buckets whose within-bucket self-join
     goes quadratic at 100 TB. Buckets above the cap are dropped from the
-    pair stage — raise ``num_planes`` (finer buckets) rather than the cap
-    when recall matters.
+    pair stage — raise ``num_planes`` / the codebook k (finer buckets)
+    rather than the cap when recall matters.
     """
-    from metadata_enhanced_pretrain_datapipeline_spark.operators.similarity import lsh_bucket
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.similarity import (
+        _nearest_centroid_col,
+        lsh_bucket,
+    )
     from metadata_enhanced_pretrain_datapipeline_spark.functions.arrays import cosine_similarity
 
-    b = lsh_bucket(F.col(vec_col), num_planes)
+    if centroids is not None:
+        b = _nearest_centroid_col(F.col(vec_col), centroids)
+    else:
+        b = lsh_bucket(F.col(vec_col), num_planes)
     keyed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), b.alias("bucket"))
     # One exchange on the bucket key (same reasoning as minhash_lsh_pairs:
     # a fork below the shuffle recomputes the bucket projection per
@@ -841,21 +861,31 @@ def minhash_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
                    vec_col: str = "embedding", threshold: float = 0.95,
                    num_planes: int = 8,
-                   max_bucket_size: int | None = 1024) -> DataFrame:
+                   max_bucket_size: int | None = 1024,
+                   centroids: list[list[float]] | None = None) -> DataFrame:
     """End-to-end semantic dedup over an embedding column (the SemDeDup
     recipe, Abbas et al. 2023, arXiv:2303.09540): bucket embeddings,
     flag within-bucket pairs with cosine ≥ ``threshold``, keep one
     representative per near-duplicate pair.
 
     SemDeDup clusters with k-means and keeps the member farthest from
-    the centroid; here the bucketing is the hyperplane LSH already used
-    for ANN (deterministic, single-pass — no iterative float
-    convergence, so the whole operator stays oracle-checkable) and the
-    resolution is the same greedy smaller-id-wins every other dedup
+    the centroid; here the default bucketing is the hyperplane LSH
+    already used for ANN (deterministic, single-pass — no iterative
+    float convergence, so the whole operator stays oracle-checkable) and
+    the resolution is the same greedy smaller-id-wins every other dedup
     family in this package uses (drop_near_duplicates). The semantics
     that matter — "semantically near-identical docs collapse to one" —
     are identical; which member survives differs from the paper's
     centroid-distance choice.
+
+    Pass ``centroids=[...]`` to bucket by nearest-centroid assignment
+    instead — the paper's own k-means clustering and the LARGE-CORPUS
+    branch: hyperplane LSH caps at 2**15 buckets (15 planes), while a
+    codebook (similarity.kmeans_fit, or any deterministic/persisted
+    one) scales bucket count to the cluster fan-out SemDeDup actually
+    uses (the paper runs 11k clusters over LAION). Assignment stays a
+    narrow projection against the broadcast codebook — the one bucket
+    exchange below is unchanged.
 
     Scale: pair generation shuffles only (id, vec, bucket) under ONE
     bucket exchange with the degenerate-bucket window guard; the drop
@@ -864,7 +894,7 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
     from a persisted bucket store exactly like the minhash band store.
     """
     pairs = embedding_near_dup(df, id_col, vec_col, threshold,
-                               num_planes, max_bucket_size)
+                               num_planes, max_bucket_size, centroids)
     return drop_near_duplicates(df, pairs, id_col)
 
 

@@ -904,15 +904,15 @@ _PAIRDOT_SQL = (
 )
 
 
-@register(
-    "q_ivf_static_topk",
-    # IVF probe with a STATIC codebook (vec_id < 4's embeddings): the
-    # training loop stays † on q_ivf_topk, but the production-shaped
-    # probe (pretrained codebook, argmax assignment, nprobe=2, exact
-    # cosine inside probed lists) is fully relational. Assignment uses
-    # s = dot(v,c) − |c|²/2 with ties to the smaller centroid id —
-    # identical to operators/similarity._nearest_centroid_col.
-    "WITH cb AS (SELECT vec_id AS cid, embedding FROM embeddings "
+# IVF static-codebook assignment chain (vec_id < 4's embeddings as the
+# codebook): argmax of s = dot(v,c) − |c|²/2 with ties to the smaller
+# centroid id — identical to operators/similarity._nearest_centroid_col.
+# Shared by q_ivf_static_topk / q_ivf_pruned_probe's SQL and
+# q_ivf_quantized_probe (one edit point; a drifted copy would silently
+# probe different lists). Yields assign(vec_id, list_id) and the
+# nprobe=2 probe(cid) set for query vector 0.
+_IVF_ASSIGN_SQL = (
+    "cb AS (SELECT vec_id AS cid, embedding FROM embeddings "
     "  WHERE vec_id < 4), "
     "ce AS (SELECT cid, unnest(embedding) AS v, "
     "  generate_subscripts(embedding, 1) AS i FROM cb), "
@@ -930,7 +930,17 @@ _PAIRDOT_SQL = (
     "    ORDER BY s DESC, cid) AS rn FROM sc) WHERE rn = 1), "
     "probe AS (SELECT cid FROM (SELECT cid, row_number() OVER ("
     "  ORDER BY s DESC, cid) AS rn FROM sc WHERE vec_id = 0) "
-    "  WHERE rn <= 2), "
+    "  WHERE rn <= 2)"
+)
+
+
+@register(
+    "q_ivf_static_topk",
+    # IVF probe with a STATIC codebook: the training loop stays † on
+    # q_ivf_topk, but the production-shaped probe (pretrained codebook,
+    # argmax assignment, nprobe=2, exact cosine inside probed lists) is
+    # fully relational.
+    f"WITH {_IVF_ASSIGN_SQL}, "
     f"n AS ({_NORM_SQL}), d AS ({_PAIRDOT_SQL}), "
     "q AS (SELECT nrm AS qn FROM n WHERE vec_id = 0) "
     "SELECT d.vec_id, round(d.dp / (n.nrm * q.qn), 6) AS cosine "
@@ -6523,3 +6533,80 @@ def q_dsir_sample(spark, sf):
     raw = d.filter(~F.col("source").isin(*_DSIR_TARGET))
     return sampling.dsir_sample(raw, tgt, n=50, num_buckets=_DSIR_B,
                                 temperature=1.0, salt=7)
+
+
+@register(
+    "q_ivf_quantized_probe",
+    f"WITH {_IVF_ASSIGN_SQL}, "
+    f"{_QSTORE_QUANT_SQL}, "
+    "sc2 AS (SELECT z.vec_id, list_dot_product(z.qx, qv.qq) AS dp, "
+    "  list_dot_product(z.qx, z.qx) AS aa, qv.qn FROM qz z "
+    "  JOIN assign ON assign.vec_id = z.vec_id "
+    "  JOIN probe ON probe.cid = assign.list_id "
+    "  CROSS JOIN qv WHERE z.vec_id <> 0) "
+    "SELECT vec_id, dp / (sqrt(aa) * qn) AS qcos FROM sc2 WHERE aa > 0 "
+    "ORDER BY qcos DESC, vec_id LIMIT 10",
+)
+def q_ivf_quantized_probe(spark, sf):
+    """The FULL production ANN store, physically: one layout composing
+    both scale levers — IVF list-partitioned directories
+    (similarity.write_ivf_quantized_store assigns against the static
+    codebook on the FLOAT vectors, so recall matches the float index)
+    whose files hold int8 codes instead of floats. The probe
+    (similarity.ivf_quantized_topk) reads nprobe/nlists directories —
+    the literal isin arrives as a PartitionFilter, asserted in-plan —
+    and each directory's scan reads array<tinyint> codes (~3.7x fewer
+    bytes, asserted via ReadSchema; qscale is column-pruned away since
+    per-vector scales cancel out of cosine). At 100 TB of float32
+    embeddings this probe touches (nprobe/nlists) x ~0.27 of the bytes.
+    The oracle replays list assignment, quantization and the
+    exact-integer scoring logically — the physical layout must not
+    change a value. A/B vs float brute force: scripts/ivfq_store_ab.py
+    (SCALE.md)."""
+    e = load(spark, sf, "embeddings")
+    cents = _static_codebook(e)
+    path = _scratch_dir(sf, "ivfq_layout")
+    similarity.write_ivf_quantized_store(e, path, cents)
+    back = spark.read.parquet(path)
+    out = similarity.ivf_quantized_topk(
+        back.filter(F.col("vec_id") != 0), cents, cents[0], k=10, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+    _check_plan(bool(_re.search(r"PartitionFilters: \[[^\]]*list_id", plan)),
+                plan, "nprobe list_id filter missing from IVF-quantized scan")
+    _check_plan("tinyint" in plan and "qscale" not in plan.split("ReadSchema")[-1],
+                plan, "store scan must read tinyint codes and prune qscale")
+    return out
+
+
+@register(
+    "q_semantic_dedup_ivf",
+    f"WITH {_IVF_ASSIGN_SQL}, "
+    "be AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, "
+    "  a.list_id AS bucket FROM embeddings e "
+    "  JOIN assign a ON a.vec_id = e.vec_id), "
+    "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+    "  list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * "
+    "  sqrt(list_dot_product(b.v, b.v))) AS c "
+    "  FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) "
+    "SELECT vec_id, label FROM embeddings WHERE vec_id NOT IN "
+    "(SELECT id_b FROM p WHERE c >= 0.3)",
+)
+def q_semantic_dedup_ivf(spark, sf):
+    """semantic_dedup's LARGE-CORPUS bucketing branch (SCALE.md's
+    documented handoff past the 2**15-bucket plane cap, now a real code
+    path): buckets come from nearest-centroid assignment against the
+    static codebook — the SemDeDup paper's own k-means clustering shape
+    — instead of hyperplane LSH; pair generation and smaller-id-wins
+    resolution are unchanged. The codebook is deterministic (first-4
+    vectors, the q_ivf_static_topk convention), so unlike the float
+    k-means FIT the whole dedup is oracle-replayable: the SQL reruns
+    argmax assignment, within-bucket cosine and the NOT IN resolution.
+    Same threshold 0.3 as q_semantic_dedup (near-orthogonal synthetic
+    embeddings)."""
+    e = load(spark, sf, "embeddings")
+    cents = _static_codebook(e)
+    kept = dedup.semantic_dedup(
+        e, id_col="vec_id", vec_col="embedding", threshold=0.3,
+        max_bucket_size=None, centroids=cents)
+    return kept.select("vec_id", "label")

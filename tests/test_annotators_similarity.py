@@ -144,6 +144,38 @@ def test_ivf_clusters_and_topk(spark):
     assert all(v % 3 == 0 for v in near)
 
 
+def test_ivf_quantized_store_probe(spark, tmp_path):
+    """The composed production store: IVF directories of int8 codes.
+    With all lists probed the result matches the full quantized scan;
+    with nprobe=1 only the query's cluster is read (and the scan plan
+    prunes to that directory and reads tinyint codes)."""
+    import random
+
+    random.seed(11)
+    centers = [[5.0, 0.0, 0.0], [0.0, 5.0, 0.0], [0.0, 0.0, 5.0]]
+    rows = [(i, [x + random.uniform(-0.3, 0.3) for x in centers[i % 3]])
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [[5.0, 0.0, 0.0], [0.0, 5.0, 0.0], [0.0, 0.0, 5.0]]
+    path = str(tmp_path / "ivfq")
+    similarity.write_ivf_quantized_store(df, path, cents)
+    back = spark.read.parquet(path)
+    query = [5.0, 0.1, 0.0]
+
+    full = [r.vec_id for r in
+            similarity.quantized_topk(df, query, k=5).collect()]
+    probed = [r.vec_id for r in similarity.ivf_quantized_topk(
+        back, cents, query, k=5, nprobe=3).collect()]
+    assert probed == full
+
+    one = similarity.ivf_quantized_topk(back, cents, query, k=5, nprobe=1)
+    assert all(r.vec_id % 3 == 0 for r in one.collect())
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    import re
+    assert re.search(r"PartitionFilters: \[[^\]]*list_id", plan)
+    assert "tinyint" in plan
+
+
 def test_global_rank_matches_naive_window(spark, docs):
     from pyspark.sql import Window
 

@@ -900,6 +900,26 @@ def test_semantic_dedup_collapses_identical_embeddings(spark):
     assert kept == [1, 3]
 
 
+def test_semantic_dedup_ivf_bucketing_branch(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0]), (3, [0.0, 1.0, 0.0]),
+         (4, [0.0, 0.98, 0.01])],
+        "vec_id long, embedding array<double>")
+    # nearest-centroid bucketing (the large-corpus branch): 1/2 land in
+    # the x-axis cluster (cosine 1 -> 2 dropped), 3/4 in the y-axis
+    # cluster (cosine ~0.9999 -> 4 dropped); cross-cluster pairs are
+    # never compared
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    kept = sorted(r.vec_id for r in dedup.semantic_dedup(
+        df, threshold=0.95, centroids=cents).collect())
+    assert kept == [1, 3]
+    # a doc orthogonal to its own bucket-mates survives even in a
+    # 1-centroid (degenerate, everything-one-bucket) codebook
+    kept1 = sorted(r.vec_id for r in dedup.semantic_dedup(
+        df, threshold=0.95, centroids=[[1.0, 0.0, 0.0]]).collect())
+    assert kept1 == [1, 3]
+
+
 def test_simhash_dedup_drops_clone_keeps_distinct(spark):
     base = "the quick brown fox jumps over the lazy dog again and again"
     df = spark.createDataFrame(
