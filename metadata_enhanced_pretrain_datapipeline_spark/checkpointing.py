@@ -54,6 +54,21 @@ def materialize(df: DataFrame, checkpoint_dir: str | None = None,
     ``eager=False`` defers materialization to the first action — the
     right mode when the caller may never execute the frame (plan-only
     tests) or wants the first real action to pay the cost.
+
+    FAULT TOLERANCE: with no reliable directory, ``eager=False`` uses
+    ``persist(MEMORY_AND_DISK)`` rather than a lazy ``localCheckpoint``.
+    Both compute the subtree once and stop Catalyst re-evaluating it per
+    consumer (the LeftAnti-through-Union duplication this mode exists
+    for: cache substitution happens BEFORE the optimizer, so every union
+    branch scans the same InMemoryRelation) — but localCheckpoint
+    TRUNCATES lineage into executor-local blocks that are NOT
+    recomputable: one lost/decommissioned executor after materialization
+    fails the whole job on a real cluster. Persist keeps the lineage, so
+    a lost block recomputes. The trade: cached blocks accumulate until
+    the frame is garbage-collected or ``spark.catalog.clearCache()`` —
+    same accumulation localCheckpoint had, now evictable/recomputable.
+    Callers that need true lineage truncation (iterative plan growth)
+    use ``eager=True``, which keeps localCheckpoint locally.
     """
     target = checkpoint_dir or os.environ.get(CHECKPOINT_DIR_ENV)
     if target:
@@ -79,4 +94,9 @@ def materialize(df: DataFrame, checkpoint_dir: str | None = None,
         # may ever materialize it (plan-only tests) and the cached blocks
         # would pin executor storage with no unpersist point.
         return df.checkpoint(eager=False)
+    if not eager:
+        # see docstring: recomputable (lineage kept) where a lazy
+        # localCheckpoint would strand non-recomputable executor-local
+        # blocks; still computes the subtree once across all consumers
+        return df.persist(StorageLevel.MEMORY_AND_DISK)
     return df.localCheckpoint(eager=eager)

@@ -831,7 +831,7 @@ def drop_near_duplicates(df: DataFrame, pairs: DataFrame,
     collect limits; AQE converts the anti-join to broadcast at runtime
     whenever the set actually is small.
 
-    The drop set's LINEAGE is truncated (lazy materialize) before the
+    The drop set is materialized once (lazy materialize) before the
     anti-join: Catalyst pushes LeftAnti through a Union, so a unioned
     corpus (monthly snapshots, the mutant fixtures) would otherwise
     re-evaluate the ENTIRE pair pipeline once per union branch — the
@@ -839,7 +839,10 @@ def drop_near_duplicates(df: DataFrame, pairs: DataFrame,
     fingerprint+bucket subtree twice for its two-branch corpus. Lazy
     (not eager) so plan-building passes over the registry stay free;
     the first real action computes the ids once and every branch reuses
-    them.
+    them. Under MEP_SPARK_CHECKPOINT_DIR this is a reliable (lazy)
+    checkpoint; otherwise a MEMORY_AND_DISK persist — lineage KEPT, so
+    an executor lost after materialization recomputes its blocks
+    instead of failing the job (see checkpointing.materialize).
     """
     from metadata_enhanced_pretrain_datapipeline_spark.checkpointing import materialize
 

@@ -692,12 +692,17 @@ def dsir_weights(raw: DataFrame, target: DataFrame, id_col: str = "doc_id",
 
     Scale shape: the raw corpus is read ONCE — its text dies at the
     feature-explode stage and per-(doc, bucket) counts (three longs per
-    row) are the only thing materialized (one materialize() boundary,
+    row) are the only thing materialized (ONE materialize() boundary,
     reliable under MEP_SPARK_CHECKPOINT_DIR); the raw bucket marginals,
     the total-count scalar, and the per-doc weight sum all read that
     narrow relation instead of re-exploding text. The target model is
-    ≤ num_buckets rows and broadcasts; per-bucket log-ratios attach to
-    the counts with one broadcast join.
+    PROVABLY ≤ num_buckets rows (grouped by a pmod-num_buckets key), so
+    it is collected driver-side in one pass — the J4 scalar pattern, no
+    second materialize boundary, no second target scan for its total —
+    and re-enters the plan as a tiny local relation broadcast onto the
+    raw marginals (the sf1.0 probe measured the old two-boundary shape
+    overhead-dominated: 0.84x decade ratio, fixed costs ~half the
+    wall).
     """
     from metadata_enhanced_pretrain_datapipeline_spark.checkpointing import materialize
     from metadata_enhanced_pretrain_datapipeline_spark.functions.hashing import md5_hash64
@@ -731,28 +736,35 @@ def dsir_weights(raw: DataFrame, target: DataFrame, id_col: str = "doc_id",
         )
 
     B = float(num_buckets)
-    # tb feeds BOTH the total and the ratio join; <= num_buckets rows,
-    # so materializing it is cheap and saves a full target re-scan
-    tb = materialize(
-        _bucket_counts(target).groupBy("bucket").agg(F.sum("c").alias("t_b")),
-        checkpoint_dir,
+    # target model: grouped by pmod(hash, num_buckets) so the result is
+    # PROVABLY <= num_buckets rows — collect it driver-side (one target
+    # scan total: the old shape materialized tb AND re-read it for the
+    # total, a second checkpoint boundary that dominated small-corpus
+    # wall). T is an exact integer sum (< 2^53, so the float literal is
+    # exact); the model re-enters the plan as a local relation.
+    tb_rows = (
+        _bucket_counts(target).groupBy("bucket")
+        .agg(F.sum("c").alias("t_b")).collect()
     )
-    # coalesce: an EMPTY target/raw side sums to NULL, and a raw bucket
-    # unseen in the target must still smooth against the full T
-    t_total = tb.agg(F.coalesce(F.sum("t_b"), F.lit(0)).alias("T"))
+    t_total = float(sum(r["t_b"] for r in tb_rows))
+    spark = raw.sparkSession
+    tb = spark.createDataFrame(
+        [(int(r["bucket"]), int(r["t_b"])) for r in tb_rows],
+        "bucket bigint, t_b bigint",
+    )
 
     rc = materialize(_bucket_counts(raw), checkpoint_dir)
     rb = rc.groupBy("bucket").agg(F.sum("c").alias("r_b"))
+    # coalesce: an EMPTY raw side sums to NULL
     r_total = rc.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("R"))
     ratios = (
         rb.crossJoin(F.broadcast(r_total))
-        .crossJoin(F.broadcast(t_total))
         .join(F.broadcast(tb), "bucket", "left")
         .select(
             "bucket",
             (
                 F.log((F.coalesce(F.col("t_b"), F.lit(0)) + F.lit(alpha))
-                      / (F.col("T") + F.lit(alpha * B)))
+                      / F.lit(t_total + alpha * B))
                 - F.log((F.col("r_b") + F.lit(alpha))
                         / (F.col("R") + F.lit(alpha * B)))
             ).alias("llr"),
