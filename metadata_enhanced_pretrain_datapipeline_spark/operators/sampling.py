@@ -283,10 +283,20 @@ def keyed_rank(df: DataFrame, keys: list[str], order: list[Column],
         F.coalesce(F.col(k).cast("string"), F.lit(nulltok)) for k in keys])
     off = F.element_at(
         karr, F.element_at(kmap, keystr) * num_ranges + F.col("__pid") + 1)
+    # fail LOUDLY on a key absent from the collected offset map: the
+    # literal maps assume the input is deterministic between the counts
+    # collect and the final action (a re-read source / sampled upstream
+    # that grows a new key would otherwise get a silently-wrong rank
+    # with offset 0). karr indexing itself can't miss (flat array covers
+    # kidx x num_ranges), so a NULL off IS an unknown key.
+    off = F.when(off.isNotNull(), off).otherwise(F.raise_error(F.concat(
+        F.lit("keyed_rank: key absent from collected offsets "
+              "(nondeterministic input between count and rank?): "),
+        keystr)))
     w = Window.partitionBy(*keys, "__pid").orderBy(*order)
     out = with_pid.withColumn(
         rank_col,
-        (F.row_number().over(w) + F.coalesce(off, F.lit(0))).cast("long"))
+        (F.row_number().over(w) + off).cast("long"))
     if keep_range_col is not None:
         # expose the range id (keyed_window_suite reuses the same
         # (key, range) clustering for its frame functions)
@@ -407,18 +417,38 @@ def keyed_window_suite(df: DataFrame, keys: list[str], order: list[Column],
     lmap, mmap = lit_map(lead_fix, lead_type), lit_map(msum_fix, val_type)
     fix_key = F.concat(kstr_expr([F.col(k) for k in keys]),
                        F.lit(sep), F.col("rn").cast("string"))
+
+    def checked(m, dtype, what):
+        # NULL is a legitimate map VALUE here (a last-of-key lead, an
+        # all-NULL moving-sum frame), so missing-entry detection uses
+        # map_contains_key, not the lookup result: a boundary row whose
+        # fix entry is absent means the input changed between the
+        # boundary collect and the action — fail loudly (ADVICE r7),
+        # never emit a silently-wrong frame value.
+        if m is None:
+            return F.lit(None).cast(dtype)
+        return F.when(F.map_contains_key(m, fix_key),
+                      F.element_at(m, fix_key)).otherwise(
+            F.raise_error(F.concat(
+                F.lit(f"keyed_window_suite: boundary {what} entry missing "
+                      "(nondeterministic input between collect and "
+                      "action?): "), fix_key)).cast(dtype))
+
     # wait-free lookups: literal maps here are small (<= 3 x keys x
     # num_ranges entries) and only consulted on boundary rows
     lead_out = F.when(
         F.col("__pos") == F.col("__cnt"),
-        F.element_at(lmap, fix_key) if lmap is not None
-        else F.lit(None).cast(lead_type)).otherwise(F.col("__lead"))
+        checked(lmap, lead_type, "lead")).otherwise(F.col("__lead"))
     msum_out = F.when(
         F.col("__pos") <= 2,
-        F.element_at(mmap, fix_key) if mmap is not None
-        else F.lit(None).cast(val_type)).otherwise(F.col("__msum"))
-    n = (F.element_at(tmap, kstr_expr([F.col(k) for k in keys]))
-         if tmap is not None else F.lit(None).cast("long"))
+        checked(mmap, val_type, "moving-sum")).otherwise(F.col("__msum"))
+    keystr_full = kstr_expr([F.col(k) for k in keys])
+    n_raw = (F.element_at(tmap, keystr_full)
+             if tmap is not None else F.lit(None).cast("long"))
+    n = (F.when(n_raw.isNotNull(), n_raw).otherwise(F.raise_error(F.concat(
+        F.lit("keyed_window_suite: key absent from collected totals "
+              "(nondeterministic input between collect and action?): "),
+        keystr_full))) if tmap is not None else n_raw)
     pct = F.when(n > 1, (F.col("rn") - 1).cast("double") / (n - 1)
                  ).otherwise(F.lit(0.0))
 

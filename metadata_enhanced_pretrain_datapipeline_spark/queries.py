@@ -2384,8 +2384,14 @@ def _changed_queries() -> set[str]:
                              if of.get(n) != nf.get(n)}
                     names |= {n for n in set(oa) | set(na)
                               if oa.get(n) != na.get(n)}
+                    # closure over functions AND assignments: an assign
+                    # whose TEXT is unchanged but whose VALUE references a
+                    # changed function (CONST = helper(...)) is itself
+                    # behavior-changed (ADVICE r7) — without it a query
+                    # referencing only CONST escapes re-verification
                     ftoks = {n: set(_re.findall(r"\b([A-Za-z_]\w*)\b", s))
-                             for n, s in nf.items()}
+                             for src_map in (nf, na)
+                             for n, s in src_map.items()}
                     while True:
                         grew = {n for n, ts in ftoks.items()
                                 if n not in names and ts & names}
@@ -3019,10 +3025,35 @@ def _drop_prefixed_tables(spark, *prefixes: str) -> None:
     deleted /tmp paths. Dropping is safe immediately after the consuming
     DataFrame is built: its analyzed plan already holds the resolved
     relation (files + bucketing spec), and DROP on an external table
-    leaves the files untouched."""
+    leaves the files untouched.
+
+    Scope: only THIS process's ``<prefix><pid>`` table is dropped
+    unconditionally; a foreign-pid entry is removed only when its pid is
+    verifiably dead (ADVICE r7 — under a SHARED metastore a concurrent
+    driver's live bucketed relation must not lose its catalog entry
+    mid-run; the embedded-Derby lock usually forbids sharing, but a Hive
+    metastore config would race). Dead-pid sweeping keeps the original
+    purpose: no unbounded accumulation across repeated runs."""
+    import os
+
+    def _pid_dead(name: str, prefix: str) -> bool:
+        suffix = name[len(prefix):]
+        if not suffix.isdigit():
+            return False  # not ours to judge — leave unknown shapes alone
+        try:
+            os.kill(int(suffix), 0)
+            return False  # alive (or EPERM -> raises, handled below)
+        except ProcessLookupError:
+            return True
+        except PermissionError:
+            return False  # exists under another uid: alive
+    me = str(os.getpid())
     for t in spark.catalog.listTables():
-        if any(t.name.startswith(p) for p in prefixes):
-            spark.sql(f"DROP TABLE IF EXISTS `{t.name}`")
+        for p in prefixes:
+            if t.name.startswith(p) and (
+                    t.name == p + me or _pid_dead(t.name, p)):
+                spark.sql(f"DROP TABLE IF EXISTS `{t.name}`")
+                break
 
 
 @register(
