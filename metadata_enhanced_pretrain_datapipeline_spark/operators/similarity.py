@@ -262,6 +262,24 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
     return df.withColumn(scale_col, sc.cast("float")).withColumn(out_col, qx)
 
 
+#: column-metadata key stamping the codebook digest on a stored `qvec`
+#: column — the ANN analogue of the band store's keying-mode stamp: a
+#: store probed (or compacted) with a DIFFERENT codebook has its rows
+#: assigned in another keyspace and silently probes the wrong lists.
+CODEBOOK_METADATA_KEY = "mep_spark.ivf_codebook"
+
+
+def codebook_digest(centroids: list[list[float]]) -> str:
+    """Deterministic digest of a codebook (md5 over the repr of float
+    values — exact, not rounded: two codebooks that differ in any bit
+    assign differently)."""
+    import hashlib
+
+    payload = ";".join(",".join(repr(float(x)) for x in c)
+                       for c in centroids)
+    return hashlib.md5(payload.encode()).hexdigest()[:16]
+
+
 def write_ivf_quantized_store(df: DataFrame, path: str,
                               centroids: list[list[float]],
                               id_col: str = "vec_id",
@@ -279,10 +297,21 @@ def write_ivf_quantized_store(df: DataFrame, path: str,
 
     The float vectors are deliberately NOT stored: the store is
     probe-only. Keep the source table for exact re-ranking flows.
+
+    The codebook's digest is stamped as ``qvec`` column metadata
+    (:data:`CODEBOOK_METADATA_KEY` — a data column: partition-column
+    metadata does not survive the directory encoding), so probes and
+    compaction can verify they carry the SAME codebook the rows were
+    assigned under.
     """
     assigned = ivf_assign(quantize_embeddings(df, vec_col), centroids, vec_col)
     (
-        assigned.select(id_col, "qvec", "qscale", "list_id")
+        assigned.select(
+            id_col,
+            F.col("qvec").alias(
+                "qvec",
+                metadata={CODEBOOK_METADATA_KEY: codebook_digest(centroids)}),
+            "qscale", "list_id")
         .write.mode("overwrite")
         .partitionBy("list_id")
         .parquet(path)
@@ -298,15 +327,123 @@ def ivf_quantized_topk(store: DataFrame, centroids: list[list[float]],
     PartitionFilters on the directory layout, and score the tinyint
     codes with :func:`quantized_topk`'s exact-integer prequantized path
     (per-vector scales cancel out of cosine, so the stored ``qscale`` is
-    not even read — column pruning drops it from the scan)."""
+    not even read — column pruning drops it from the scan).
+
+    If the store carries a codebook stamp (every
+    :func:`write_ivf_quantized_store` output does), a probe with a
+    DIFFERENT codebook raises: nprobe lists picked in another keyspace
+    silently return far-from-nearest results, never an error."""
     import numpy as np
 
+    stamped = (store.schema["qvec"].metadata or {}).get(
+        CODEBOOK_METADATA_KEY) if "qvec" in store.columns else None
+    if stamped is not None and stamped != codebook_digest(centroids):
+        raise ValueError(
+            "ivf_quantized_topk: store was written under codebook "
+            f"{stamped}, probed with {codebook_digest(centroids)} — "
+            "list ids are in different keyspaces; probe with the "
+            "writing codebook or rebuild the store.")
     q = np.asarray(query_vec, dtype=float)
     dists = [float(((np.asarray(c) - q) ** 2).sum()) for c in centroids]
     probe = sorted(range(len(centroids)), key=lambda i: dists[i])[:nprobe]
     probed = store.filter(F.col("list_id").isin(probe))
     return quantized_topk(probed, query_vec, k=k, id_col=id_col,
                           vec_col="qvec", prequantized=True)
+
+
+def compact_ivf_quantized_store(spark, monthly_paths: list[str],
+                                out_path: str,
+                                id_col: str = "vec_id") -> None:
+    """IVF-quantized store LIFECYCLE (the ANN analogue of
+    compact_band_store): merge N monthly stores into one probe layout.
+    Resolution is LATEST-WINS — ``monthly_paths`` in chronological
+    order; a vector re-embedded in a later month (re-crawled doc, model
+    refresh of one shard) replaces its older codes — which is the
+    correct semantics for embeddings, where re-ingestion can CHANGE the
+    vector (the band store's ``distinct`` is right for band keys, which
+    are identical across months by construction).
+
+    Scale: one window over id (rows are (id, codes, scale, list) —
+    narrow; the window partitions are per-id, never skewed) and one
+    ``repartition(list_id)`` so each list directory writes one file per
+    shuffle partition. Input directories are left in place
+    (write-then-swap discipline; ``out_path`` must not be an input).
+
+    Codebook safety: stores stamped under DIFFERENT codebooks raise —
+    their list ids are in different keyspaces and the merged store
+    would probe garbage. The surviving stamp is re-applied to the
+    output (union keeps the first input's metadata; an unstamped first
+    month would silently drop it).
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    if out_path in monthly_paths:
+        raise ValueError(
+            "compact_ivf_quantized_store: out_path is one of "
+            "monthly_paths — overwriting an input store mid-read would "
+            "destroy it; write to a fresh path, then swap.")
+    stores = [spark.read.parquet(p) for p in monthly_paths]
+    stamps = {(s.schema["qvec"].metadata or {}).get(CODEBOOK_METADATA_KEY)
+              for s in stores} - {None}
+    if len(stamps) > 1:
+        raise ValueError(
+            f"compact_ivf_quantized_store: stores mix codebooks "
+            f"{sorted(stamps)} — their list ids never agree; rebuild "
+            "the odd months under one codebook first.")
+    tagged = [
+        s.select(id_col, "qvec", "qscale", "list_id",
+                 F.lit(i).alias("__month"))
+        for i, s in enumerate(stores)
+    ]
+    merged = reduce(lambda a, b: a.unionByName(b), tagged)
+    w = Window.partitionBy(id_col).orderBy(F.desc("__month"))
+    latest = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "qvec", "qscale", "list_id")
+        .repartition("list_id")
+    )
+    if stamps:
+        latest = latest.select(
+            id_col,
+            F.col("qvec").alias(
+                "qvec", metadata={CODEBOOK_METADATA_KEY: stamps.pop()}),
+            "qscale", "list_id")
+    latest.write.mode("overwrite").partitionBy("list_id").parquet(out_path)
+
+
+def ivf_quantized_rerank_topk(store: DataFrame, corpus: DataFrame,
+                              centroids: list[list[float]],
+                              query_vec: list[float], k: int = 10,
+                              nprobe: int = 2, overfetch: int = 4,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """Two-stage retrieval, the production ANN composition: stage 1
+    probes the :func:`write_ivf_quantized_store` layout for
+    ``k × overfetch`` candidates on int8 scores (reads nprobe/nlists
+    directories of tinyint bytes); stage 2 joins the candidate IDS —
+    never the vectors — back to the float corpus and re-ranks the
+    survivors by exact cosine. The int8 rank error (≤ ~2e-3 on cosine,
+    measured in tests) only matters at the candidate CUTOFF, so
+    overfetching a small factor recovers exact-top-k recall while the
+    expensive float scan touches ``k × overfetch`` rows instead of the
+    corpus.
+
+    Scale: the candidate set is ≤ k × overfetch rows → broadcast
+    semi-join against the corpus (AQE turns it into a broadcast join at
+    runtime; the explicit hint keeps it one even without AQE). At
+    100 TB: stage 1 reads (nprobe/nlists) × ~0.29 of the bytes, stage 2
+    reads k × overfetch rows by id — if the corpus is id-bucketed, no
+    shuffle at all.
+    """
+    cand = ivf_quantized_topk(store, centroids, query_vec,
+                              k=k * overfetch, nprobe=nprobe,
+                              id_col=id_col).select(id_col)
+    return brute_force_topk(
+        corpus.join(F.broadcast(cand), id_col, "left_semi"),
+        query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
 def quantized_topk(df: DataFrame, query_vec: list[float], k: int = 10,

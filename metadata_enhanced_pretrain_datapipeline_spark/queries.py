@@ -904,34 +904,40 @@ _PAIRDOT_SQL = (
 )
 
 
-# IVF static-codebook assignment chain (vec_id < 4's embeddings as the
-# codebook): argmax of s = dot(v,c) − |c|²/2 with ties to the smaller
-# centroid id — identical to operators/similarity._nearest_centroid_col.
-# Shared by q_ivf_static_topk / q_ivf_pruned_probe's SQL and
-# q_ivf_quantized_probe (one edit point; a drifted copy would silently
-# probe different lists). Yields assign(vec_id, list_id) and the
-# nprobe=2 probe(cid) set for query vector 0.
-_IVF_ASSIGN_SQL = (
-    "cb AS (SELECT vec_id AS cid, embedding FROM embeddings "
-    "  WHERE vec_id < 4), "
-    "ce AS (SELECT cid, unnest(embedding) AS v, "
-    "  generate_subscripts(embedding, 1) AS i FROM cb), "
-    "cn AS (SELECT cid, sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS n2 "
-    "  FROM ce GROUP BY cid), "
-    "ae AS (SELECT vec_id, unnest(embedding) AS v, "
-    "  generate_subscripts(embedding, 1) AS i FROM embeddings), "
-    "rd AS (SELECT a.vec_id, c.cid, "
-    "  sum(CAST(a.v AS DOUBLE) * CAST(c.v AS DOUBLE)) AS dp "
-    "  FROM ae a JOIN ce c ON a.i = c.i GROUP BY a.vec_id, c.cid), "
-    "sc AS (SELECT rd.vec_id, rd.cid, rd.dp - cn.n2 / 2 AS s "
-    "  FROM rd JOIN cn USING (cid)), "
-    "assign AS (SELECT vec_id, cid AS list_id FROM ("
-    "  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id "
-    "    ORDER BY s DESC, cid) AS rn FROM sc) WHERE rn = 1), "
-    "probe AS (SELECT cid FROM (SELECT cid, row_number() OVER ("
-    "  ORDER BY s DESC, cid) AS rn FROM sc WHERE vec_id = 0) "
-    "  WHERE rn <= 2)"
-)
+# IVF static-codebook assignment chain (vec_id < 4's ORIGINAL embeddings
+# as the codebook): argmax of s = dot(v,c) − |c|²/2 with ties to the
+# smaller centroid id — identical to
+# operators/similarity._nearest_centroid_col. Shared by
+# q_ivf_static_topk / q_ivf_pruned_probe / q_ivf_quantized_probe /
+# q_ivf_quantized_rerank / q_ivf_store_compact (one edit point; a
+# drifted copy would silently probe different lists). Yields
+# assign(vec_id, list_id) over ``src`` and the nprobe=2 probe(cid) set
+# for query vector 0.
+def _ivf_assign_sql(src: str = "embeddings") -> str:
+    return (
+        "cb AS (SELECT vec_id AS cid, embedding FROM embeddings "
+        "  WHERE vec_id < 4), "
+        "ce AS (SELECT cid, unnest(embedding) AS v, "
+        "  generate_subscripts(embedding, 1) AS i FROM cb), "
+        "cn AS (SELECT cid, sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS n2 "
+        "  FROM ce GROUP BY cid), "
+        "ae AS (SELECT vec_id, unnest(embedding) AS v, "
+        f"  generate_subscripts(embedding, 1) AS i FROM {src}), "
+        "rd AS (SELECT a.vec_id, c.cid, "
+        "  sum(CAST(a.v AS DOUBLE) * CAST(c.v AS DOUBLE)) AS dp "
+        "  FROM ae a JOIN ce c ON a.i = c.i GROUP BY a.vec_id, c.cid), "
+        "sc AS (SELECT rd.vec_id, rd.cid, rd.dp - cn.n2 / 2 AS s "
+        "  FROM rd JOIN cn USING (cid)), "
+        "assign AS (SELECT vec_id, cid AS list_id FROM ("
+        "  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id "
+        "    ORDER BY s DESC, cid) AS rn FROM sc) WHERE rn = 1), "
+        "probe AS (SELECT cid FROM (SELECT cid, row_number() OVER ("
+        "  ORDER BY s DESC, cid) AS rn FROM sc WHERE vec_id = 0) "
+        "  WHERE rn <= 2)"
+    )
+
+
+_IVF_ASSIGN_SQL = _ivf_assign_sql()
 
 
 @register(
@@ -6480,17 +6486,24 @@ def q_dsir_top_n(spark, sf):
     return sampling.dsir_top_n(raw, tgt, n=50, num_buckets=_DSIR_B)
 
 
-_QSTORE_QUANT_SQL = (
-    "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x "
-    "  FROM embeddings), "
-    "s AS (SELECT vec_id, x, "
-    "  list_max(list_transform(x, a -> abs(a))) / 127.0 AS sc FROM v), "
-    "qz AS (SELECT vec_id, CASE WHEN sc > 0 THEN "
-    "  list_transform(x, a -> floor(a / sc + 0.5)) "
-    "  ELSE list_transform(x, a -> 0.0) END AS qx FROM s), "
-    "qv AS (SELECT qx AS qq, sqrt(list_dot_product(qx, qx)) AS qn "
-    "  FROM qz WHERE vec_id = 0)"
-)
+def _qstore_quant_sql(src: str = "embeddings") -> str:
+    # symmetric-int8 quantization twin of similarity.quantize_embeddings
+    # over ``src`` (must expose vec_id, embedding), plus the quantized
+    # query vector qv taken from vec_id 0
+    return (
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x "
+        f"  FROM {src}), "
+        "s AS (SELECT vec_id, x, "
+        "  list_max(list_transform(x, a -> abs(a))) / 127.0 AS sc FROM v), "
+        "qz AS (SELECT vec_id, CASE WHEN sc > 0 THEN "
+        "  list_transform(x, a -> floor(a / sc + 0.5)) "
+        "  ELSE list_transform(x, a -> 0.0) END AS qx FROM s), "
+        "qv AS (SELECT qx AS qq, sqrt(list_dot_product(qx, qx)) AS qn "
+        "  FROM qz WHERE vec_id = 0)"
+    )
+
+
+_QSTORE_QUANT_SQL = _qstore_quant_sql()
 
 
 @register(
@@ -6607,6 +6620,102 @@ def q_ivf_quantized_probe(spark, sf):
                 plan, "nprobe list_id filter missing from IVF-quantized scan")
     _check_plan("tinyint" in plan and "qscale" not in plan.split("ReadSchema")[-1],
                 plan, "store scan must read tinyint codes and prune qscale")
+    return out
+
+
+@register(
+    "q_ivf_quantized_rerank",
+    f"WITH {_IVF_ASSIGN_SQL}, "
+    f"{_QSTORE_QUANT_SQL}, "
+    "sc2 AS (SELECT z.vec_id, list_dot_product(z.qx, qv.qq) AS dp, "
+    "  list_dot_product(z.qx, z.qx) AS aa, qv.qn FROM qz z "
+    "  JOIN assign ON assign.vec_id = z.vec_id "
+    "  JOIN probe ON probe.cid = assign.list_id "
+    "  CROSS JOIN qv WHERE z.vec_id <> 0), "
+    "cand AS (SELECT vec_id FROM sc2 WHERE aa > 0 "
+    "  ORDER BY dp / (sqrt(aa) * qn) DESC, vec_id LIMIT 40), "
+    f"n AS ({_NORM_SQL}), d AS ({_PAIRDOT_SQL}), "
+    "q2 AS (SELECT nrm AS qn2 FROM n WHERE vec_id = 0) "
+    "SELECT d.vec_id, round(d.dp / (n.nrm * q2.qn2), 6) AS cosine "
+    "FROM d JOIN n ON n.vec_id = d.vec_id "
+    "JOIN cand ON cand.vec_id = d.vec_id CROSS JOIN q2 "
+    "ORDER BY cosine DESC, d.vec_id LIMIT 10",
+)
+def q_ivf_quantized_rerank(spark, sf):
+    """Two-stage production retrieval
+    (similarity.ivf_quantized_rerank_topk): int8 candidates out of the
+    IVF-partitioned code store (k x overfetch = 40, reading
+    nprobe/nlists directories of tinyint bytes — PartitionFilters
+    asserted in-plan), then an ids-only broadcast semi-join back to the
+    float corpus and an exact-cosine re-rank of the 40 survivors. The
+    oracle replays both stages: quantized candidate selection is
+    engine-exact (integer dot products), so the candidate SET matches,
+    and the float re-rank is the q_embedding_topk arithmetic over it."""
+    e = load(spark, sf, "embeddings")
+    cents = _static_codebook(e)
+    path = _scratch_dir(sf, "ivfq_layout")
+    similarity.write_ivf_quantized_store(e, path, cents)
+    back = spark.read.parquet(path).filter(F.col("vec_id") != 0)
+    out = similarity.ivf_quantized_rerank_topk(
+        back, e.filter(F.col("vec_id") != 0), cents, cents[0],
+        k=10, nprobe=2, overfetch=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+    _check_plan(bool(_re.search(r"PartitionFilters: \[[^\]]*list_id", plan)),
+                plan, "nprobe list_id filter missing from rerank stage-1 scan")
+    return out
+
+
+@register(
+    "q_ivf_store_compact",
+    # mixed corpus after latest-wins compaction: month 2 re-embedded
+    # every 5th vector (deterministically: reversed array) and wins over
+    # month 1's copy; everything else keeps month 1's codes. vec 0 stays
+    # original so the probe query/codebook are unchanged.
+    "WITH mx AS (SELECT vec_id, CASE WHEN vec_id % 5 = 0 AND vec_id <> 0 "
+    "  THEN list_reverse(embedding) ELSE embedding END AS embedding "
+    "  FROM embeddings), "
+    f"{_ivf_assign_sql('mx')}, "
+    f"{_qstore_quant_sql('mx')}, "
+    "sc2 AS (SELECT z.vec_id, list_dot_product(z.qx, qv.qq) AS dp, "
+    "  list_dot_product(z.qx, z.qx) AS aa, qv.qn FROM qz z "
+    "  JOIN assign ON assign.vec_id = z.vec_id "
+    "  JOIN probe ON probe.cid = assign.list_id "
+    "  CROSS JOIN qv WHERE z.vec_id <> 0) "
+    "SELECT vec_id, dp / (sqrt(aa) * qn) AS qcos FROM sc2 WHERE aa > 0 "
+    "ORDER BY qcos DESC, vec_id LIMIT 10",
+)
+def q_ivf_store_compact(spark, sf):
+    """IVF-quantized store lifecycle end to end
+    (similarity.compact_ivf_quantized_store): month 1 stores the whole
+    corpus, month 2 re-embeds every 5th vector (deterministic mutation:
+    reversed array — a re-crawl/model-refresh stand-in), compaction
+    merges LATEST-WINS into one probe layout (codebook stamps verified,
+    re-applied), and the compacted store answers the standard quantized
+    probe — whose plan must still prune to nprobe list directories
+    (asserted). The oracle replays assignment + quantization over the
+    post-compaction corpus: month-2 codes must have REPLACED month-1's
+    for the re-embedded ids (a distinct-based merge would keep both and
+    fail the hash)."""
+    e = load(spark, sf, "embeddings")
+    cents = _static_codebook(e)
+    m1 = _scratch_dir(sf, "ivfq_m1")
+    m2 = _scratch_dir(sf, "ivfq_m2")
+    out_path = _scratch_dir(sf, "ivfq_compacted")
+    similarity.write_ivf_quantized_store(e, m1, cents)
+    re_embedded = (
+        e.filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") != 0))
+        .withColumn("embedding", F.reverse(F.col("embedding")))
+    )
+    similarity.write_ivf_quantized_store(re_embedded, m2, cents)
+    similarity.compact_ivf_quantized_store(spark, [m1, m2], out_path)
+    back = spark.read.parquet(out_path).filter(F.col("vec_id") != 0)
+    out = similarity.ivf_quantized_topk(back, cents, cents[0], k=10,
+                                        nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+    _check_plan(bool(_re.search(r"PartitionFilters: \[[^\]]*list_id", plan)),
+                plan, "compacted store probe must prune list directories")
     return out
 
 

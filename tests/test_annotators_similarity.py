@@ -176,6 +176,60 @@ def test_ivf_quantized_store_probe(spark, tmp_path):
     assert "tinyint" in plan
 
 
+def test_ivf_store_compact_latest_wins_and_codebook_guard(spark, tmp_path):
+    import pytest as _pytest
+
+    df1 = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    # month 2 re-embeds vector 2 (flipped direction)
+    df2 = spark.createDataFrame(
+        [(2, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    m1, m2, out = (str(tmp_path / p) for p in ("m1", "m2", "out"))
+    similarity.write_ivf_quantized_store(df1, m1, cents)
+    similarity.write_ivf_quantized_store(df2, m2, cents)
+    similarity.compact_ivf_quantized_store(spark, [m1, m2], out)
+    back = spark.read.parquet(out)
+    rows = {r.vec_id: r for r in back.collect()}
+    # latest wins: vector 2 carries month-2's codes/list (x-axis now)
+    assert len(rows) == 3 and rows[2].list_id == 0
+    assert list(rows[2].qvec) == [127, 0]
+    # codebook stamp survives compaction; a wrong-codebook probe raises
+    assert (back.schema["qvec"].metadata or {})[
+        similarity.CODEBOOK_METADATA_KEY] == similarity.codebook_digest(cents)
+    with _pytest.raises(ValueError, match="codebook"):
+        similarity.ivf_quantized_topk(back, [[1.0, 1.0], [0.0, 1.0]],
+                                      [1.0, 0.0])
+    # mixing codebooks across months raises at compaction
+    m3 = str(tmp_path / "m3")
+    similarity.write_ivf_quantized_store(df2, m3, [[0.5, 0.5], [0.0, 1.0]])
+    with _pytest.raises(ValueError, match="mix codebooks"):
+        similarity.compact_ivf_quantized_store(
+            spark, [m1, m3], str(tmp_path / "out2"))
+    # out_path aliasing an input is refused
+    with _pytest.raises(ValueError, match="out_path"):
+        similarity.compact_ivf_quantized_store(spark, [m1, m2], m1)
+
+
+def test_ivf_quantized_rerank_recovers_exact_topk(spark, tmp_path):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = [[float(x) for x in r.embedding] for r in
+             e.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()]
+    qvec = cents[0]
+    path = str(tmp_path / "store")
+    similarity.write_ivf_quantized_store(e, path, cents)
+    back = spark.read.parquet(path).filter(F.col("vec_id") != 0)
+    corpus = e.filter(F.col("vec_id") != 0)
+    got = similarity.ivf_quantized_rerank_topk(
+        back, corpus, cents, qvec, k=5, nprobe=4, overfetch=4).collect()
+    # with ALL lists probed, the re-rank must equal exact brute force
+    # (overfetch absorbs int8 rank error at the cutoff)
+    want = similarity.brute_force_topk(corpus, qvec, k=5).collect()
+    assert [r.vec_id for r in got] == [r.vec_id for r in want]
+    assert [r.cosine for r in got] == [r.cosine for r in want]
+
+
 def test_global_rank_matches_naive_window(spark, docs):
     from pyspark.sql import Window
 
