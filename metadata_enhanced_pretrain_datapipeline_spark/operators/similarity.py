@@ -502,3 +502,72 @@ def quantized_topk(df: DataFrame, query_vec: list[float], k: int = 10,
         )
     )
     return scored.orderBy(F.desc("qcos"), F.col(id_col)).limit(k)
+
+
+def rrf_fuse(ranked: list[DataFrame], k: int = 10, c: float = 60.0,
+             id_col: str = "doc_id") -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of N ranked
+    retrieval lists: ``rrf = Σ_legs 1 / (c + rank)`` summed over the
+    legs that returned the id, descending — the standard way to fuse a
+    lexical (BM25) and a semantic (ANN) leg into one hybrid retrieval
+    result without score calibration (ranks, not raw scores, are what
+    cross the legs, so BM25's unbounded scores and cosine's [-1, 1]
+    never need to be commensurable).
+
+    Each input frame must carry ``id_col`` and an integer ``rank``
+    column (1-based) — the shape :func:`bm25_topk` emits; an ANN leg
+    adds rank with a ≤k-row window. c=60 is the paper's constant.
+
+    Scale: the LEGS are the expensive part (each already top-k's its
+    corpus with TakeOrderedAndProject / partition-pruned probes); this
+    fusion sees at most Σ k_leg rows — driver-trivial at any corpus
+    size, so a plain union + groupBy is the right plan (no broadcast
+    gymnastics needed for an input bounded by the legs' k).
+
+    Ordering is pinned by the 9dp-rounded fused score with id
+    tie-break (the bm25_topk rule: two ids hit by the same leg-set at
+    equal ranks fuse to bit-identical sums, but cross-engine float
+    display drift is absorbed by ranking on the rounded value while
+    emitting the unrounded one).
+    """
+    if not ranked:
+        raise ValueError("rrf_fuse: at least one ranked leg required")
+    contribs = [
+        df.select(F.col(id_col).alias("id"),
+                  (1.0 / (F.lit(float(c)) + F.col("rank").cast("double"))
+                   ).alias("contrib"))
+        for df in ranked
+    ]
+    merged = contribs[0]
+    for nxt in contribs[1:]:
+        merged = merged.unionByName(nxt)
+    fused = merged.groupBy("id").agg(F.sum("contrib").alias("rrf_score"))
+    return (
+        fused.orderBy(F.round(F.col("rrf_score"), 9).desc(), F.asc("id"))
+        .limit(k)
+        .select(F.col("id").alias(id_col), "rrf_score")
+    )
+
+
+def cluster_balanced_sample(df: DataFrame, centroids: list[list[float]],
+                            cap: int, id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Cluster-balanced sampling: assign every vector to its nearest
+    centroid (:func:`ivf_assign` — the SemDeDup/DoReMi-style k-means
+    clustering of the corpus) and keep at most ``cap`` rows per cluster
+    by deterministic hash priority — a uniform within-cluster sample.
+    This is the diversity-preserving downsample of a pretraining mix:
+    a crawl where one semantic cluster (boilerplate, listings) is 100×
+    over-represented contributes at most ``cap`` examples, same as the
+    rarest cluster.
+
+    Scale: inherits :func:`per_host_cap`'s bucketed two-phase cap — the
+    per-cluster selection never sorts a whole mega-cluster in a single
+    task (exactly where a naive per-cluster row_number window dies at
+    100 TB), and the assignment is the O(k)-expression argmax with no
+    shuffle of the vectors.
+    """
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.sampling import per_host_cap
+
+    assigned = ivf_assign(df, centroids, vec_col)
+    return per_host_cap(assigned, "list_id", cap, F.col(id_col))

@@ -1851,9 +1851,13 @@ def q_perplexity_buckets(spark, sf):
     d = load(spark, sf, "documents")
     # global_rank scans its input 3x (quantiles, counts, ranking) — per
     # its docstring, persist an expensive upstream first: the scoring
-    # chain explodes the corpus to bigrams, the checkpoint is (id, score)
-    scores = lm.char_lm_score(d, lm.char_lm_model(d)).filter(
-        F.col("n_bigrams") > 0).localCheckpoint(eager=False)
+    # chain explodes the corpus to bigrams, the boundary is (id, score).
+    # materialize(eager=False) persists recomputable blocks (a lazy
+    # localCheckpoint here would strand executor-local blocks a lost
+    # node cannot recompute) and upgrades to a reliable checkpoint
+    # under MEP_SPARK_CHECKPOINT_DIR.
+    scores = materialize(lm.char_lm_score(d, lm.char_lm_model(d)).filter(
+        F.col("n_bigrams") > 0), eager=False)
     ranked, total = sampling.global_rank(
         scores, [F.col("avg_logp"), F.col("doc_id")], with_total=True)
     bucket = F.floor(((F.col("pos") - 1) * 3) / F.lit(total)).cast("int")
@@ -6262,21 +6266,34 @@ def q_simhash_pairs(spark, sf):
 _BM25_TERMS = ("vector", "merge", "filter")
 
 
+def _bm25_rank_sql(limit: int) -> str:
+    # DuckDB twin of text_stats.bm25_topk over documents with the
+    # _BM25_TERMS query — factored so q_bm25_topk and the RRF fusion
+    # oracle score from ONE chain (a drifted copy would silently fuse a
+    # different lexical leg). Yields bm(doc_id, score, rank <= limit).
+    return (
+        "t AS (SELECT doc_id, " + _TOK_SQL + " AS l FROM documents), "
+        "tok AS (SELECT doc_id, len(l) AS dl, unnest(l) AS term FROM t), "
+        "p AS (SELECT doc_id, term, count(*)::BIGINT AS tf, max(dl) AS dl "
+        "  FROM tok WHERE term IN ('vector', 'merge', 'filter') "
+        "  GROUP BY 1, 2), "
+        "dft AS (SELECT term, count(*) AS df_t FROM p GROUP BY 1), "
+        "st AS (SELECT count(*) AS n_docs, avg(len(l)) AS avgdl FROM t), "
+        "sc AS (SELECT p.doc_id, "
+        "  sum(ln(1 + (st.n_docs - dft.df_t + 0.5) / (dft.df_t + 0.5)) "
+        "      * (p.tf * 2.2) / (p.tf + 1.2 * (1 - 0.75 + 0.75 * p.dl "
+        "      / st.avgdl))) AS score "
+        "  FROM p JOIN dft USING (term) CROSS JOIN st GROUP BY 1), "
+        "bmr AS (SELECT doc_id, score, row_number() OVER "
+        "  (ORDER BY round(score, 9) DESC, doc_id) AS rank FROM sc), "
+        f"bm AS (SELECT doc_id, score, rank FROM bmr WHERE rank <= {limit})"
+    )
+
+
 @register(
     "q_bm25_topk",
-    "WITH t AS (SELECT doc_id, " + _TOK_SQL + " AS l FROM documents), "
-    "tok AS (SELECT doc_id, len(l) AS dl, unnest(l) AS term FROM t), "
-    "p AS (SELECT doc_id, term, count(*)::BIGINT AS tf, max(dl) AS dl "
-    "  FROM tok WHERE term IN ('vector', 'merge', 'filter') GROUP BY 1, 2), "
-    "dft AS (SELECT term, count(*) AS df_t FROM p GROUP BY 1), "
-    "st AS (SELECT count(*) AS n_docs, avg(len(l)) AS avgdl FROM t), "
-    "sc AS (SELECT p.doc_id, "
-    "  sum(ln(1 + (st.n_docs - dft.df_t + 0.5) / (dft.df_t + 0.5)) "
-    "      * (p.tf * 2.2) / (p.tf + 1.2 * (1 - 0.75 + 0.75 * p.dl / st.avgdl))"
-    "  ) AS score FROM p JOIN dft USING (term) CROSS JOIN st GROUP BY 1), "
-    "r AS (SELECT doc_id, score, row_number() OVER "
-    "  (ORDER BY round(score, 9) DESC, doc_id) AS rank FROM sc) "
-    "SELECT doc_id, score, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10",
+    f"WITH {_bm25_rank_sql(10)} "
+    "SELECT doc_id, score, CAST(rank AS INT) AS rank FROM bm",
 )
 def q_bm25_topk(spark, sf):
     """Okapi BM25 top-k retrieval (text_stats.bm25_topk): the query-time
@@ -6750,3 +6767,73 @@ def q_semantic_dedup_ivf(spark, sf):
         e, id_col="vec_id", vec_col="embedding", threshold=0.3,
         max_bucket_size=None, centroids=cents)
     return kept.select("vec_id", "label")
+
+
+@register(
+    "q_hybrid_rrf",
+    f"WITH {_bm25_rank_sql(20)}, "
+    f"n AS ({_NORM_SQL}), d AS ({_PAIRDOT_SQL}), "
+    "q AS (SELECT nrm AS qn FROM n WHERE vec_id = 0), "
+    "ac AS (SELECT d.vec_id AS doc_id, "
+    "  round(d.dp / (n.nrm * q.qn), 6) AS cosine "
+    "  FROM d JOIN n ON d.vec_id = n.vec_id, q WHERE d.vec_id != 0), "
+    "ar AS (SELECT doc_id, row_number() OVER "
+    "  (ORDER BY cosine DESC, doc_id) AS rank FROM ac), "
+    "u AS (SELECT doc_id, 1.0::DOUBLE / (60 + rank) AS contrib FROM bm "
+    "  UNION ALL SELECT doc_id, 1.0::DOUBLE / (60 + rank) FROM ar "
+    "  WHERE rank <= 20), "
+    "f AS (SELECT doc_id, sum(contrib) AS rrf_score FROM u GROUP BY 1) "
+    "SELECT doc_id, rrf_score FROM f "
+    "ORDER BY round(rrf_score, 9) DESC, doc_id LIMIT 10",
+)
+def q_hybrid_rrf(spark, sf):
+    """Hybrid retrieval via reciprocal-rank fusion
+    (similarity.rrf_fuse, Cormack et al. SIGIR'09): a lexical leg
+    (text_stats.bm25_topk, the q_bm25_topk chain at k=20) and a
+    semantic leg (brute-force cosine vs vec 0, the q_embedding_topk
+    arithmetic at k=20, vec_id read as the doc's id) fuse on rank —
+    rrf = Σ 1/(60+rank) — so BM25's unbounded scores and cosine's
+    [-1,1] never need calibration. Each leg is already scale-shaped
+    (InSet postings / TakeOrdered); the fusion input is bounded by the
+    legs' k, a driver-trivial union+groupBy at any corpus size. The
+    oracle replays both legs from their factored twin chains and the
+    fusion arithmetic."""
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import text_stats
+
+    d = load(spark, sf, "documents")
+    e = load(spark, sf, "embeddings")
+    lex = text_stats.bm25_topk(d, list(_BM25_TERMS), k=20)
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 0).head().embedding]
+    sem = similarity.brute_force_topk(
+        e.filter(F.col("vec_id") != 0), qvec, k=20)
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    sem_ranked = sem.withColumn("rank", F.row_number().over(w)).select(
+        F.col("vec_id").alias("doc_id"), "rank")
+    return similarity.rrf_fuse(
+        [lex.select("doc_id", "rank"), sem_ranked], k=10)
+
+
+@register(
+    "q_cluster_balanced_sample",
+    f"WITH {_IVF_ASSIGN_SQL}, "
+    "h AS (SELECT vec_id, list_id, " + salted_hash_sql("vec_id")
+    + " AS h FROM assign), "
+    "r AS (SELECT vec_id, list_id, row_number() OVER "
+    "  (PARTITION BY list_id ORDER BY h, vec_id) AS rn FROM h) "
+    "SELECT vec_id, CAST(list_id AS INT) AS list_id FROM r WHERE rn <= 40",
+)
+def q_cluster_balanced_sample(spark, sf):
+    """Cluster-balanced downsample (similarity.cluster_balanced_sample):
+    nearest-centroid assignment against the static codebook (the
+    SemDeDup/DoReMi clustering shape) then at most 40 vectors per
+    cluster by deterministic hash priority — the diversity-preserving
+    mix pass where an over-crawled semantic cluster contributes no more
+    than the rarest one. Spark runs ivf_assign's O(k) argmax plus
+    per_host_cap's bucketed two-phase cap (no single-task mega-cluster
+    sort); the oracle is the naive per-cluster row_number window over
+    the same salted hash, proving the decomposition exact."""
+    e = load(spark, sf, "embeddings")
+    cents = _static_codebook(e)
+    return similarity.cluster_balanced_sample(
+        e, cents, cap=40).select("vec_id", "list_id")

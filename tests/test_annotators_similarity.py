@@ -212,6 +212,47 @@ def test_ivf_store_compact_latest_wins_and_codebook_guard(spark, tmp_path):
         similarity.compact_ivf_quantized_store(spark, [m1, m2], m1)
 
 
+def test_rrf_fuse_known_ranks(spark):
+    import pytest as _pytest
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)],
+                              "doc_id long, rank int")
+    b = spark.createDataFrame([(3, 1), (1, 2), (4, 3)],
+                              "doc_id long, rank int")
+    got = {r.doc_id: r.rrf_score
+           for r in similarity.rrf_fuse([a, b], k=10).collect()}
+    # hand-computed: doc 1 hit at ranks (1, 2), doc 3 at (3, 1),
+    # docs 2/4 single-leg
+    assert got[1] == _pytest.approx(1 / 61 + 1 / 62)
+    assert got[3] == _pytest.approx(1 / 63 + 1 / 61)
+    assert got[2] == _pytest.approx(1 / 62)
+    assert got[4] == _pytest.approx(1 / 63)
+    # ordering: fused hits beat single-leg hits; k truncates
+    order = [r.doc_id for r in similarity.rrf_fuse([a, b], k=2).collect()]
+    assert order == [1, 3]
+    with _pytest.raises(ValueError, match="at least one"):
+        similarity.rrf_fuse([])
+
+
+def test_cluster_balanced_sample_caps_every_cluster(spark):
+    # 30 vectors on the x-axis, 3 on the y-axis: cap 5 must keep all 3
+    # y-cluster rows and exactly 5 of the x-cluster
+    rows = [(i, [1.0 + i * 0.001, 0.0]) for i in range(30)]
+    rows += [(100 + i, [0.0, 1.0]) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    got = similarity.cluster_balanced_sample(df, cents, cap=5).collect()
+    by_list = {}
+    for r in got:
+        by_list.setdefault(r.list_id, []).append(r.vec_id)
+    assert len(by_list[0]) == 5 and len(by_list[1]) == 3
+    assert all(v >= 100 for v in by_list[1])
+    # deterministic: same selection on a second run
+    again = similarity.cluster_balanced_sample(df, cents, cap=5).collect()
+    assert sorted((r.vec_id, r.list_id) for r in got) == \
+        sorted((r.vec_id, r.list_id) for r in again)
+
+
 def test_ivf_quantized_rerank_recovers_exact_topk(spark, tmp_path):
     e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     cents = [[float(x) for x in r.embedding] for r in

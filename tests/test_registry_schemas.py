@@ -51,6 +51,7 @@ ALLOWED_SCALAR_BNLJ = {
     "q_tpch_q22",            # avg(acctbal) scalar
     "q_leakage_safe_split",  # via the shared minhash/cluster subtree
     "q_bm25_topk",           # (n_docs, avgdl) 1-row corpus-stats broadcast
+    "q_hybrid_rrf",          # same bm25 stats scalar via its lexical leg
     "q_dsir_top_n",          # R / T 1-row model-total broadcasts
     "q_dsir_sample",         # same dsir_weights R/T scalar broadcasts
 }
