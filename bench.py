@@ -132,6 +132,23 @@ R7_ADDITIONS = [
     "q_quantized_store_probe",
 ]
 
+#: round-8 additions (same rationale): the composed production ANN
+#: store (IVF directories of int8 codes — write, probe, two-stage
+#: re-rank, latest-wins compaction), semantic dedup's large-corpus
+#: nearest-centroid bucketing branch, hybrid BM25+ANN RRF retrieval,
+#: and the cluster-balanced mix downsample.
+R8_ADDITIONS = [
+    "q_ivf_quantized_probe",
+    "q_ivf_quantized_rerank",
+    "q_ivf_store_compact",
+    "q_semantic_dedup_ivf",
+    "q_hybrid_rrf",
+    "q_cluster_balanced_sample",
+    "q_unimax_sample",
+    "q_stream_ivf_append",
+    "q_hard_negative_mine",
+]
+
 
 def timed_laps(run) -> list[float]:
     """THE measurement protocol: one warm lap (JIT + IO cache), then two
@@ -161,7 +178,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     all_laps: dict[str, list[float]] = {}
     for name in (HEADLINE + R3_FAMILIES + R4_ADDITIONS + R5_ADDITIONS
-                 + R6_ADDITIONS + R7_ADDITIONS):
+                 + R6_ADDITIONS + R7_ADDITIONS + R8_ADDITIONS):
         fn = registry[name]
         laps = timed_laps(
             lambda: fn(spark, sf_dir).write.format("noop")
@@ -196,6 +213,9 @@ def main() -> None:
                 ),
                 "r7_additions_total": round(
                     sum(timings[n] for n in R7_ADDITIONS), 3
+                ),
+                "r8_additions_total": round(
+                    sum(timings[n] for n in R8_ADDITIONS), 3
                 ),
             }
         )

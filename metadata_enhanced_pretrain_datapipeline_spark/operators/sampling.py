@@ -578,11 +578,18 @@ def temperature_mix(df: DataFrame, source_col: str, key: Column,
 def token_budget_cap(df: DataFrame, group_col: str, tokens_col: Column,
                      budget: int, key: Column,
                      num_buckets: int | None = None,
-                     max_map_entries: int = 65536) -> DataFrame:
+                     max_map_entries: int = 65536,
+                     budgets: dict | None = None) -> DataFrame:
     """Per-group token budget: keep rows in (salted_hash(key), key)
     priority order while the group's running INCLUSIVE token sum stays
     <= ``budget`` — the per-domain/per-language token-cap pass of a
     pretraining mix.
+
+    ``budgets`` (group value → numeric budget) overrides the flat
+    ``budget`` with a PER-GROUP allocation — the :func:`unimax_sample`
+    path, where every language carries its own computed budget; groups
+    absent from the map keep nothing. The map must be driver-small
+    (it rides the same broadcast as the bucket offsets).
 
     Scale shape mirrors :func:`balanced_sample`: the hash space is
     range-split into monotone buckets, one (group, bucket) token-sum agg
@@ -592,7 +599,8 @@ def token_budget_cap(df: DataFrame, group_col: str, tokens_col: Column,
     the naive per-group running-sum window (oracle-checked) without ever
     sorting a whole group in one task.
     """
-    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+    from pyspark.sql.types import (DoubleType, IntegerType, LongType,
+                                   StructField, StructType)
 
     spark = df.sparkSession
     nb = int(num_buckets or spark.sparkContext.defaultParallelism)
@@ -606,23 +614,40 @@ def token_budget_cap(df: DataFrame, group_col: str, tokens_col: Column,
     )
     if not cnt_rows:
         return df.filter(F.lit(False))
+
+    def _bud(grp) -> float:
+        return float(budgets.get(grp, 0)) if budgets is not None \
+            else float(budget)
+
     if len(cnt_rows) > max_map_entries:
         w = (Window.partitionBy(group_col).orderBy("__h", key)
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
         cum = keyed.withColumn("__cum", F.sum("__t").over(w))
-        return cum.filter(F.col("__cum") <= F.lit(budget)).drop(
-            "__t", "__h", "__b", "__cum")
+        if budgets is None:
+            return cum.filter(F.col("__cum") <= F.lit(budget)).drop(
+                "__t", "__h", "__b", "__cum")
+        bud_schema = StructType([df.schema[group_col],
+                                 StructField("__budget", DoubleType())])
+        bud_df = spark.createDataFrame(
+            [(g, float(v)) for g, v in budgets.items()], bud_schema
+        ).withColumnRenamed(df.schema[group_col].name, "__grp")
+        cum = cum.join(F.broadcast(bud_df),
+                       F.col(group_col).eqNullSafe(F.col("__grp")),
+                       "inner").drop("__grp")
+        return cum.filter(F.col("__cum") <= F.col("__budget")).drop(
+            "__t", "__h", "__b", "__cum", "__budget")
     per: dict = {}
     for r in cnt_rows:
         per.setdefault(r[0], {})[r["__b"]] = r["__s"]
     entries = []
     for grp, bs in per.items():
         acc = 0
+        bud = _bud(grp)
         for b in sorted(bs):
             # offset > budget can't contribute (token counts are >= 0;
             # == budget still admits zero-token rows)
-            if acc <= budget:
-                entries.append((grp, b, acc))
+            if acc <= bud:
+                entries.append((grp, b, acc, bud))
             # sum() over an all-NULL bucket (every row's token expr NULL)
             # collects as None — treat as contributing nothing
             acc += bs[b] or 0
@@ -630,9 +655,10 @@ def token_budget_cap(df: DataFrame, group_col: str, tokens_col: Column,
         df.schema[group_col],
         StructField("__b", IntegerType()),
         StructField("__off", LongType()),
+        StructField("__budget", DoubleType()),
     ])
     offsets = spark.createDataFrame(
-        [(g, b, off) for g, b, off in entries], off_schema
+        [(g, b, off, bud) for g, b, off, bud in entries], off_schema
     ).withColumnRenamed(df.schema[group_col].name, "__grp")
     live = keyed.join(
         F.broadcast(offsets),
@@ -641,8 +667,8 @@ def token_budget_cap(df: DataFrame, group_col: str, tokens_col: Column,
     w = (Window.partitionBy(group_col, "__b").orderBy("__h", key)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = live.withColumn("__cum", F.sum("__t").over(w) + F.col("__off"))
-    return cum.filter(F.col("__cum") <= F.lit(budget)).drop(
-        "__t", "__h", "__b", "__off", "__cum")
+    return cum.filter(F.col("__cum") <= F.col("__budget")).drop(
+        "__t", "__h", "__b", "__off", "__cum", "__budget")
 
 
 def leakage_safe_split(df: DataFrame, clusters: DataFrame,
@@ -863,3 +889,66 @@ def dsir_sample(raw: DataFrame, target: DataFrame, n: int,
     keyed = w.withColumn("__k", F.round(key, 9))
     return (keyed.orderBy(F.desc("__k"), F.asc(id_col)).limit(n)
             .select(id_col, "weight"))
+
+
+def unimax_allocation(counts: list[tuple], budget: float,
+                      max_epochs: float) -> dict:
+    """UniMax budget allocation (Chung et al. 2023, 'UniMax: Fairer and
+    More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining'): given per-language token counts, walk languages from
+    SMALLEST to largest, giving each ``min(count · max_epochs,
+    remaining / languages_left)`` — small languages get their full
+    epoch-capped corpus, the surplus is shared uniformly among the rest.
+    Ties in count break on the language value so the walk (and the
+    float subtraction chain) is deterministic and engine-replayable.
+
+    Pure driver arithmetic over one row per language; returns
+    {language: budget_tokens (float)}.
+    """
+    ordered = sorted(counts, key=lambda t: (t[1], str(t[0])))
+    remaining = float(budget)
+    alloc: dict = {}
+    for i, (grp, c) in enumerate(ordered):
+        a = min(float(c) * float(max_epochs),
+                remaining / (len(ordered) - i))
+        alloc[grp] = a
+        remaining -= a
+    return alloc
+
+
+def unimax_sample(df: DataFrame, group_col: str, tokens_col: Column,
+                  budget: float, max_epochs: float, key: Column,
+                  max_groups: int = 10000,
+                  num_buckets: int | None = None) -> DataFrame:
+    """UniMax language sampling end to end: compute the per-language
+    allocation (:func:`unimax_allocation` over one bounded
+    count-per-language collect) and keep documents per language in
+    salted-hash priority while the running inclusive token sum fits the
+    language's budget (:func:`token_budget_cap` with per-group
+    ``budgets`` — the bucketed two-phase cap, no single-task
+    mega-language sort).
+
+    Epoch semantics at token granularity: ``max_epochs`` > 1 cannot
+    repeat documents here (this operator SELECTS, replication is
+    :func:`replicate_weighted`'s job) — it raises a language's cap above
+    its corpus size so the whole corpus stays eligible, exactly the
+    UniMax boundary behavior.
+
+    Scale: one (language, token-sum) aggregation (tiny — bounded by
+    ``max_groups``, raise on overflow), driver allocation over that row
+    set, then the two-phase cap. The corpus text shuffles zero times.
+    """
+    cnt_rows = (
+        df.groupBy(group_col).agg(
+            F.sum(tokens_col.cast("long")).alias("__c"))
+        .limit(max_groups + 1).collect()
+    )
+    if len(cnt_rows) > max_groups:
+        raise ValueError(
+            f"unimax_sample: more than {max_groups} distinct "
+            f"{group_col} values — raise max_groups if the group "
+            "cardinality is genuinely driver-safe.")
+    alloc = unimax_allocation(
+        [(r[0], r["__c"] or 0) for r in cnt_rows], budget, max_epochs)
+    return token_budget_cap(df, group_col, tokens_col, 0, key,
+                            num_buckets=num_buckets, budgets=alloc)

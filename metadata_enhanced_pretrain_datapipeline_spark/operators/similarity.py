@@ -280,6 +280,26 @@ def codebook_digest(centroids: list[list[float]]) -> str:
     return hashlib.md5(payload.encode()).hexdigest()[:16]
 
 
+def ivf_quantized_codes(df: DataFrame, centroids: list[list[float]],
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """The store-row projection shared by the batch writer
+    (:func:`write_ivf_quantized_store`) and the streaming sink
+    (:func:`stream_append_ivf_quantized_store`): quantize, assign
+    against the broadcast codebook, stamp the codebook digest on the
+    ``qvec`` column — one edit point, so batch-built and
+    stream-appended rows can never diverge in codes, assignment, or
+    stamp. Pure codegen projection: stateless, so the streaming path
+    needs no state store."""
+    assigned = ivf_assign(quantize_embeddings(df, vec_col), centroids, vec_col)
+    return assigned.select(
+        id_col,
+        F.col("qvec").alias(
+            "qvec",
+            metadata={CODEBOOK_METADATA_KEY: codebook_digest(centroids)}),
+        "qscale", "list_id")
+
+
 def write_ivf_quantized_store(df: DataFrame, path: str,
                               centroids: list[list[float]],
                               id_col: str = "vec_id",
@@ -304,14 +324,8 @@ def write_ivf_quantized_store(df: DataFrame, path: str,
     compaction can verify they carry the SAME codebook the rows were
     assigned under.
     """
-    assigned = ivf_assign(quantize_embeddings(df, vec_col), centroids, vec_col)
     (
-        assigned.select(
-            id_col,
-            F.col("qvec").alias(
-                "qvec",
-                metadata={CODEBOOK_METADATA_KEY: codebook_digest(centroids)}),
-            "qscale", "list_id")
+        ivf_quantized_codes(df, centroids, id_col, vec_col)
         .write.mode("overwrite")
         .partitionBy("list_id")
         .parquet(path)
@@ -571,3 +585,76 @@ def cluster_balanced_sample(df: DataFrame, centroids: list[list[float]],
 
     assigned = ivf_assign(df, centroids, vec_col)
     return per_host_cap(assigned, "list_id", cap, F.col(id_col))
+
+
+def mine_hard_negatives(df: DataFrame, query_ids: list[int],
+                        pos_k: int = 1, neg_start: int = 4,
+                        neg_end: int = 6, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        max_queries: int = 4096) -> DataFrame:
+    """Hard-negative mining for embedding/retrieval training data: for
+    each query document, the top-``pos_k`` nearest neighbors (excluding
+    itself) become positives and ranks ``neg_start..neg_end`` become
+    hard negatives — near the query but not nearest, the pairs a
+    contrastive loss learns most from (the in-batch-random-negative
+    alternative is too easy; rank-banded mining is the standard
+    curriculum). Returns (query_id, cand_id, cosine, rank, role).
+
+    Scale shape: the ≤``max_queries`` query vectors broadcast and
+    fan the corpus out ONCE (one scan, no corpus shuffle); per-query
+    ranking is a two-phase partial top-k — per input partition each
+    query keeps only its ``neg_end`` best candidates (bounded
+    collect_list inside one partition-group), then the per-partition
+    winners merge per query (≤ neg_end × partitions rows per query;
+    at extreme partition counts insert another merge level) — never a
+    full per-query corpus sort in one task (the q_window_suite
+    parallelism-cap lesson). Ranking is on the 6dp-rounded cosine with
+    id tie-break, so rank bands are deterministic and engine-portable.
+    """
+    if len(query_ids) > max_queries:
+        raise ValueError(
+            f"mine_hard_negatives: {len(query_ids)} query ids exceed "
+            f"max_queries={max_queries} — the query side must stay "
+            "broadcast-small; batch the mining over query chunks.")
+    qset = [int(q) for q in query_ids]
+    qvecs = (
+        df.filter(F.col(id_col).isin(qset))
+        .select(F.col(id_col).alias("__qid"), F.col(vec_col).alias("__qv"))
+    )
+    scored = (
+        df.crossJoin(F.broadcast(qvecs))
+        .filter(F.col(id_col) != F.col("__qid"))
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col(id_col).alias("cand_id"),
+            F.round(cosine_similarity(F.col(vec_col), F.col("__qv")), 6)
+            .alias("cosine"),
+        )
+    )
+    k = int(neg_end)
+    ent = F.struct((-F.col("cosine")).alias("nc"),
+                   F.col("cand_id").alias("i"),
+                   F.col("cosine").alias("c"))
+    partial = (
+        scored.groupBy("query_id", F.spark_partition_id().alias("__p"))
+        .agg(F.slice(F.array_sort(F.collect_list(ent)), 1, k).alias("__top"))
+    )
+    merged = (
+        partial.select("query_id", F.explode("__top").alias("e"))
+        .groupBy("query_id")
+        .agg(F.slice(F.array_sort(F.collect_list("e")), 1, k).alias("__top"))
+    )
+    ranked = merged.select(
+        "query_id", F.posexplode("__top").alias("__pos", "e")
+    ).select(
+        "query_id",
+        F.col("e.i").alias("cand_id"),
+        F.col("e.c").alias("cosine"),
+        (F.col("__pos") + 1).cast("int").alias("rank"),
+    )
+    return ranked.filter(
+        (F.col("rank") <= pos_k)
+        | ((F.col("rank") >= neg_start) & (F.col("rank") <= neg_end))
+    ).withColumn(
+        "role", F.when(F.col("rank") <= pos_k, "pos").otherwise("neg")
+    )

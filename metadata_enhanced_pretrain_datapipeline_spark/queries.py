@@ -6837,3 +6837,139 @@ def q_cluster_balanced_sample(spark, sf):
     cents = _static_codebook(e)
     return similarity.cluster_balanced_sample(
         e, cents, cap=40).select("vec_id", "list_id")
+
+
+@register(
+    "q_unimax_sample",
+    # WITH RECURSIVE replays the UniMax allocation walk (smallest
+    # language first, a_l = min(c*E, rem/langs_left)) — the same
+    # sequential-fold oracle pattern as q_pack_with_metadata. All float
+    # steps are explicit DOUBLEs so the subtraction chain is
+    # bit-identical to the driver-side Python walk.
+    "WITH RECURSIVE "
+    "t AS (SELECT doc_id, lang, "
+    "  len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+    "      x -> x <> '')) AS n, "
+    + salted_hash_sql("doc_id") + " AS h FROM documents), "
+    "cn AS (SELECT lang, CAST(sum(n) AS BIGINT) AS c FROM t GROUP BY 1), "
+    "tot AS (SELECT CAST(sum(c) AS DOUBLE) AS tc, count(*) AS nl FROM cn), "
+    "L AS (SELECT lang, c, row_number() OVER (ORDER BY c, lang) AS i "
+    "  FROM cn), "
+    "alloc AS ("
+    "  SELECT 0 AS i, CAST(tot.tc * 0.25::DOUBLE AS DOUBLE) AS rem, "
+    "    CAST(NULL AS VARCHAR) AS lang, CAST(0.0 AS DOUBLE) AS a, "
+    "    tot.nl AS nl FROM tot "
+    "  UNION ALL "
+    "  SELECT L.i, alloc.rem - least(CAST(L.c AS DOUBLE) * 2.0::DOUBLE, "
+    "      alloc.rem / (alloc.nl - alloc.i)), L.lang, "
+    "    least(CAST(L.c AS DOUBLE) * 2.0::DOUBLE, "
+    "      alloc.rem / (alloc.nl - alloc.i)), alloc.nl "
+    "  FROM alloc JOIN L ON L.i = alloc.i + 1), "
+    "cum AS (SELECT doc_id, lang, sum(n) OVER (PARTITION BY lang "
+    "  ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+    "  CURRENT ROW) AS cum FROM t) "
+    "SELECT c.doc_id, c.lang FROM cum c JOIN alloc ON alloc.lang = c.lang "
+    "WHERE c.cum <= alloc.a",
+)
+def q_unimax_sample(spark, sf):
+    """UniMax language sampling (sampling.unimax_sample — Chung et al.
+    2023): budget = 25% of corpus tokens, epoch cap 2. The allocation
+    walks languages smallest-first, giving each min(count·epochs,
+    remaining/langs_left) — small languages keep their whole corpus,
+    the surplus spreads uniformly; each language then keeps documents
+    in salted-hash priority while its running token sum fits its
+    budget (token_budget_cap's bucketed two-phase shape with per-group
+    budgets — no single-task mega-language sort). The oracle replays
+    the allocation as a recursive CTE and the cap as the naive
+    per-language window, proving both the walk and the decomposition
+    exact. At scale the budget is a known constant; the fixture derives
+    it from the corpus (one tiny agg) so the query is scale-free."""
+    d = load(spark, sf, "documents")
+    ntok = F.size(tokens_ws(F.col("text")))
+    total = d.agg(F.sum(ntok.cast("long")).alias("t")).head().t
+    out = sampling.unimax_sample(
+        d, "lang", ntok, budget=float(total) * 0.25, max_epochs=2.0,
+        key=F.col("doc_id"))
+    return out.select("doc_id", "lang")
+
+
+@register("q_stream_ivf_append", _REGISTRY["q_ivf_quantized_probe"][1])
+def q_stream_ivf_append(spark, sf):
+    """Continuous ANN-store ingestion
+    (streaming.events.stream_append_ivf_quantized_store): embeddings
+    arrive as a 2-batch stream (the corpus pre-split into two files,
+    maxFilesPerTrigger=1) and every micro-batch appends quantized,
+    list-assigned rows into the SAME IVF-partitioned int8 layout the
+    batch writer builds — both paths run the shared
+    ivf_quantized_codes projection, so the stream-built store answers
+    the standard pruned probe identically (this oracle IS
+    q_ivf_quantized_probe's SQL verbatim, and the same
+    PartitionFilters + tinyint-ReadSchema asserts run against the
+    stream-built layout). Stateless per batch: no watermark, no state
+    store, nothing grows with the corpus."""
+    import re as _re
+    import shutil
+
+    from metadata_enhanced_pretrain_datapipeline_spark.streaming import events as se
+
+    e = load(spark, sf, "embeddings")
+    cents = _static_codebook(e)
+    scratch = _scratch_dir(sf, "stream_ivfq")
+    src, store, ck = f"{scratch}/src", f"{scratch}/store", f"{scratch}/ck"
+    for p in (src, store, ck):
+        shutil.rmtree(p, ignore_errors=True)
+    # two input files -> two micro-batches under maxFilesPerTrigger=1
+    e.filter(F.col("vec_id") % 2 == 0).write.parquet(f"{src}/part_a")
+    e.filter(F.col("vec_id") % 2 == 1).write.parquet(f"{src}/part_b")
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    se.stream_append_ivf_quantized_store(stream, store, cents, ck)
+    back = spark.read.parquet(store).filter(F.col("vec_id") != 0)
+    out = similarity.ivf_quantized_topk(back, cents, cents[0], k=10,
+                                        nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    _check_plan(bool(_re.search(r"PartitionFilters: \[[^\]]*list_id", plan)),
+                plan, "stream-built store probe must prune list dirs")
+    _check_plan("tinyint" in plan
+                and "qscale" not in plan.split("ReadSchema")[-1],
+                plan, "stream-built store must read tinyint codes only")
+    return out
+
+
+@register(
+    "q_hard_negative_mine",
+    "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x "
+    "  FROM embeddings), "
+    "q AS (SELECT vec_id AS qid, x AS qx FROM v WHERE vec_id % 211 = 3), "
+    "sc AS (SELECT q.qid AS query_id, v.vec_id AS cand_id, "
+    "  round(list_dot_product(v.x, q.qx) / (sqrt(list_dot_product(v.x, "
+    "  v.x)) * sqrt(list_dot_product(q.qx, q.qx))), 6) AS cosine "
+    "  FROM v JOIN q ON v.vec_id <> q.qid), "
+    "r AS (SELECT query_id, cand_id, cosine, CAST(row_number() OVER "
+    "  (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT) "
+    "  AS rank FROM sc) "
+    "SELECT query_id, cand_id, cosine, rank, "
+    "  CASE WHEN rank <= 1 THEN 'pos' ELSE 'neg' END AS role "
+    "FROM r WHERE rank <= 1 OR rank BETWEEN 4 AND 6",
+)
+def q_hard_negative_mine(spark, sf):
+    """Hard-negative mining for retrieval/embedding training data
+    (similarity.mine_hard_negatives): for each sampled query document
+    the nearest neighbor becomes the positive and ranks 4-6 the hard
+    negatives — near-but-not-nearest, the rank band a contrastive loss
+    learns most from. The bounded query set broadcasts and fans the
+    corpus out ONCE; ranking is the two-phase partial top-k (per input
+    partition each query keeps its neg_end best, then a bounded
+    per-query merge) — never a full per-query corpus sort in one task.
+    The oracle is the naive per-query rank window over all pairwise
+    cosines, proving the two-phase decomposition exact."""
+    e = load(spark, sf, "embeddings")
+    qids = [r.vec_id for r in
+            e.filter(F.col("vec_id") % 211 == 3).select("vec_id")
+            .limit(4097).collect()]
+    return similarity.mine_hard_negatives(
+        e, qids, pos_k=1, neg_start=4, neg_end=6)

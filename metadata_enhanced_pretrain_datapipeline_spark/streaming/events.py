@@ -311,3 +311,46 @@ def foreach_batch_versioned_upsert(stream_df: DataFrame, out_path: str,
         .start()
     )
     q.awaitTermination()
+
+
+def stream_append_ivf_quantized_store(stream_df: DataFrame, path: str,
+                                      centroids: list[list[float]],
+                                      checkpoint: str,
+                                      id_col: str = "vec_id",
+                                      vec_col: str = "embedding") -> None:
+    """Continuous ANN-store ingestion: embeddings arrive as a stream and
+    every micro-batch is quantized, list-assigned and APPENDED into the
+    same IVF-partitioned int8 layout the batch writer builds
+    (:func:`~metadata_enhanced_pretrain_datapipeline_spark.operators.similarity.write_ivf_quantized_store`
+    — both run the shared ``ivf_quantized_codes`` projection, so
+    stream-appended and batch-built rows are byte-compatible: same
+    codes, same directories, same codebook stamp, and the standard
+    ``ivf_quantized_topk`` probe prunes the combined store exactly the
+    same way). Drained availableNow here; a production run uses a
+    processing-time trigger.
+
+    The transformation is a stateless codegen projection (no watermark,
+    no state store — nothing grows with the corpus), so the sink is a
+    plain per-batch partitioned append: each batch adds files under the
+    ``list_id=`` directories it touches. Compaction of the accumulating
+    small files is the existing lifecycle operator
+    (``compact_ivf_quantized_store`` — latest-wins also heals a vector
+    re-embedded across batches).
+    """
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.similarity import (
+        ivf_quantized_codes,
+    )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            ivf_quantized_codes(batch_df, centroids, id_col, vec_col)
+            .write.mode("append").partitionBy("list_id").parquet(path)
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -227,6 +227,24 @@ AUDITS = {
     "bucket's files read) and the scan reads array<tinyint> codes "
     "(3.7x fewer bytes); scoring is the exact-integer prequantized "
     "path, top-k is TakeOrderedAndProject.",
+    "q_ivf_quantized_probe": "The COMPOSED production ANN store: "
+    "list_id IN (nprobe lists) arrives as PartitionFilters on the "
+    "IVF directory layout AND the scan's ReadSchema is array<tinyint> "
+    "codes with qscale pruned away — both scale levers (directory "
+    "pruning x 3.4x fewer bytes) in one machine-asserted plan.",
+    "q_ivf_quantized_rerank": "Two-stage retrieval: stage 1 is the "
+    "pruned int8 store probe above (k x overfetch candidates); stage 2 "
+    "broadcasts the candidate IDS into a left_semi against the float "
+    "corpus and re-ranks the survivors with exact cosine — the "
+    "expensive float column is only ever read for k x overfetch rows.",
+    "q_hybrid_rrf": "Hybrid retrieval: each leg is its own top-k "
+    "(InSet postings / TakeOrdered); the fusion sees at most sum(k) "
+    "rows, so union + one tiny groupBy is the whole added plan.",
+    "q_cluster_balanced_sample": "Cluster-balanced downsample: "
+    "ivf_assign's O(k) argmax is a codegen projection (vectors never "
+    "shuffle); the per-cluster cap runs per_host_cap's bucketed "
+    "two-phase shape — counts agg, driver offsets, pruned in-bucket "
+    "window — never a single-task mega-cluster sort.",
 }
 
 KEEP = re.compile(

@@ -619,3 +619,34 @@ def test_quantized_topk_tracks_float_topk(spark):
             .agg(F.max(F.abs(F.col("qcos") - F.col("c"))).alias("m"))
             .collect()[0].m)
     assert merr <= 0.01
+
+
+def test_mine_hard_negatives_matches_naive_window(spark):
+    import pytest as _pytest
+
+    from pyspark.sql import Window as W
+
+    rows = [(i, [float((i * 7) % 13), float((i * 3) % 5), 1.0])
+            for i in range(1, 40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qids = [5, 17]
+    got = sorted(
+        (r.query_id, r.cand_id, r.rank, r.role) for r in
+        similarity.mine_hard_negatives(df, qids, pos_k=1, neg_start=3,
+                                       neg_end=5).collect())
+    # naive twin: full per-query rank window
+    from metadata_enhanced_pretrain_datapipeline_spark.functions.arrays import cosine_similarity
+    q = df.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    sc = (df.crossJoin(q).filter(F.col("vec_id") != F.col("qid"))
+          .select("qid", "vec_id",
+                  F.round(cosine_similarity(F.col("embedding"),
+                                            F.col("qv")), 6).alias("c")))
+    w = W.partitionBy("qid").orderBy(F.desc("c"), F.asc("vec_id"))
+    naive = sc.withColumn("rk", F.row_number().over(w)).filter(
+        "rk <= 1 or rk between 3 and 5").collect()
+    want = sorted((r.qid, r.vec_id, r.rk, "pos" if r.rk <= 1 else "neg")
+                  for r in naive)
+    assert got == want
+    with _pytest.raises(ValueError, match="max_queries"):
+        similarity.mine_hard_negatives(df, list(range(10)), max_queries=5)

@@ -52,6 +52,11 @@ ALLOWED_SCALAR_BNLJ = {
     "q_leakage_safe_split",  # via the shared minhash/cluster subtree
     "q_bm25_topk",           # (n_docs, avgdl) 1-row corpus-stats broadcast
     "q_hybrid_rrf",          # same bm25 stats scalar via its lexical leg
+    "q_hard_negative_mine",  # bounded (<=max_queries) query-vector
+                             # broadcast fanning the corpus out in ONE
+                             # scan — the deliberate multi-query ANN
+                             # shape, guarded by a raise at 4096
+
     "q_dsir_top_n",          # R / T 1-row model-total broadcasts
     "q_dsir_sample",         # same dsir_weights R/T scalar broadcasts
 }

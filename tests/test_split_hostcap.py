@@ -140,3 +140,47 @@ def test_dsir_sample_cold_limit_and_salt_determinism(spark):
     b = sorted((r.doc_id, round(r.weight, 9)) for r in sampling.dsir_sample(
         raw, target, n=2, num_buckets=64, salt=7).collect())
     assert a == b
+
+
+def test_unimax_allocation_walk():
+    import pytest as _pytest
+
+    # 3 langs, budget 100, E=1: smallest (10) takes min(10, 33.3..)=10,
+    # mid (40) takes min(40, 45)=40, largest takes min(200, 50)=50
+    alloc = sampling.unimax_allocation(
+        [("big", 200), ("small", 10), ("mid", 40)], budget=100,
+        max_epochs=1.0)
+    assert alloc["small"] == 10.0
+    assert alloc["mid"] == 40.0
+    assert alloc["big"] == _pytest.approx(50.0)
+    # epoch cap binds: E=2 doubles small/mid caps
+    alloc2 = sampling.unimax_allocation(
+        [("big", 200), ("small", 10), ("mid", 40)], budget=100,
+        max_epochs=2.0)
+    assert alloc2["small"] == 20.0
+    # count ties break on the group value (deterministic walk)
+    a = sampling.unimax_allocation([("b", 5), ("a", 5)], 8, 1.0)
+    b = sampling.unimax_allocation([("a", 5), ("b", 5)], 8, 1.0)
+    assert a == b
+
+
+def test_unimax_sample_matches_naive_window(spark):
+    from pyspark.sql import Window as W
+
+    from metadata_enhanced_pretrain_datapipeline_spark.functions.hashing import salted_hash
+
+    rows = [(i, "aa" if i % 3 else "bb", 1 + i % 5) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n int")
+    got = sorted(r.doc_id for r in sampling.unimax_sample(
+        df, "lang", F.col("n"), budget=40.0, max_epochs=1.0,
+        key=F.col("doc_id")).collect())
+    # naive twin: allocation in python + per-lang running-sum window
+    counts = {r.lang: r.c for r in
+              df.groupBy("lang").agg(F.sum("n").alias("c")).collect()}
+    alloc = sampling.unimax_allocation(list(counts.items()), 40.0, 1.0)
+    w = (W.partitionBy("lang").orderBy(salted_hash(F.col("doc_id")),
+                                       "doc_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    cum = df.withColumn("cum", F.sum("n").over(w)).collect()
+    want = sorted(r.doc_id for r in cum if r.cum <= alloc[r.lang])
+    assert got == want

@@ -169,3 +169,30 @@ def test_upsert_sink_first_batch_self_reduces_and_survives(spark, tmp_path):
     foreach_batch_versioned_upsert(stream, out, ck, ["k"], "version")
     got = {r.k: (r.version, r.v) for r in spark.read.parquet(out).collect()}
     assert got == {1: (2, "new"), 2: (1, "b")}
+
+
+def test_stream_ivf_append_matches_batch_store(spark, tmp_path):
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import similarity
+
+    rows = [(i, [float(i % 3), float((i + 1) % 2)]) for i in range(1, 20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [[1.0, 0.0], [0.0, 1.0], [2.0, 1.0]]
+    batch_path = str(tmp_path / "batch")
+    similarity.write_ivf_quantized_store(df, batch_path, cents)
+    # stream the same rows in two files/batches
+    src = str(tmp_path / "src")
+    df.filter(F.col("vec_id") < 10).write.parquet(src + "/a")
+    df.filter(F.col("vec_id") >= 10).write.parquet(src + "/b")
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("recursiveFileLookup", "true").parquet(src))
+    stream_path, ck = str(tmp_path / "stream"), str(tmp_path / "ck")
+    stream_events.stream_append_ivf_quantized_store(
+        stream, stream_path, cents, ck)
+    b = spark.read.parquet(batch_path)
+    s = spark.read.parquet(stream_path)
+    key = lambda r: (r.vec_id, list(r.qvec), r.qscale, r.list_id)
+    assert sorted(map(key, b.collect())) == sorted(map(key, s.collect()))
+    # codebook stamp survives the streaming append path too
+    assert (s.schema["qvec"].metadata or {})[
+        similarity.CODEBOOK_METADATA_KEY] == similarity.codebook_digest(cents)
