@@ -245,6 +245,19 @@ AUDITS = {
     "shuffle); the per-cluster cap runs per_host_cap's bucketed "
     "two-phase shape — counts agg, driver offsets, pruned in-bucket "
     "window — never a single-task mega-cluster sort.",
+    "q_unimax_sample": "UniMax sampling: one tiny (lang, token-sum) "
+    "agg feeds the driver-side allocation walk; the per-language cap "
+    "is token_budget_cap's bucketed two-phase shape with the budgets "
+    "riding the offsets broadcast — the corpus text never shuffles.",
+    "q_stream_ivf_append": "Stream-built ANN store: the probe plan "
+    "over the appended layout is IDENTICAL to the batch store's — "
+    "PartitionFilters on list_id, tinyint ReadSchema — because both "
+    "paths run the shared ivf_quantized_codes projection.",
+    "q_hard_negative_mine": "Multi-query ANN mining: the bounded "
+    "query set broadcasts (one BroadcastNestedLoopJoin fan-out, "
+    "corpus scanned once); per-query top-k is two HashAggregates "
+    "(per-partition truncated arrays, bounded merge) — no per-query "
+    "Window sort over the corpus.",
 }
 
 KEEP = re.compile(
