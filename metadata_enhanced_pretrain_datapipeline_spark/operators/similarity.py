@@ -587,6 +587,45 @@ def cluster_balanced_sample(df: DataFrame, centroids: list[list[float]],
     return per_host_cap(assigned, "list_id", cap, F.col(id_col))
 
 
+def _rank_bands(scored: DataFrame, pos_k: int, neg_start: int,
+                neg_end: int) -> DataFrame:
+    """Shared two-phase partial top-k + rank-band selection of the two
+    hard-negative miners over a (query_id, cand_id, cosine) relation:
+    per input partition each query keeps its ``neg_end`` best (bounded
+    collect inside one partition-group), per-partition winners merge
+    per query (<= neg_end x partitions rows each; insert another merge
+    level at extreme partition counts) — never a full per-query sort in
+    one task. Ranks on (rounded cosine desc, id) via the ascending
+    struct sort of (-cosine, id)."""
+    k = int(neg_end)
+    ent = F.struct((-F.col("cosine")).alias("nc"),
+                   F.col("cand_id").alias("i"),
+                   F.col("cosine").alias("c"))
+    partial = (
+        scored.groupBy("query_id", F.spark_partition_id().alias("__p"))
+        .agg(F.slice(F.array_sort(F.collect_list(ent)), 1, k).alias("__top"))
+    )
+    merged = (
+        partial.select("query_id", F.explode("__top").alias("e"))
+        .groupBy("query_id")
+        .agg(F.slice(F.array_sort(F.collect_list("e")), 1, k).alias("__top"))
+    )
+    ranked = merged.select(
+        "query_id", F.posexplode("__top").alias("__pos", "e")
+    ).select(
+        "query_id",
+        F.col("e.i").alias("cand_id"),
+        F.col("e.c").alias("cosine"),
+        (F.col("__pos") + 1).cast("int").alias("rank"),
+    )
+    return ranked.filter(
+        (F.col("rank") <= pos_k)
+        | ((F.col("rank") >= neg_start) & (F.col("rank") <= neg_end))
+    ).withColumn(
+        "role", F.when(F.col("rank") <= pos_k, "pos").otherwise("neg")
+    )
+
+
 def mine_hard_negatives(df: DataFrame, query_ids: list[int],
                         pos_k: int = 1, neg_start: int = 4,
                         neg_end: int = 6, id_col: str = "vec_id",
@@ -631,30 +670,49 @@ def mine_hard_negatives(df: DataFrame, query_ids: list[int],
             .alias("cosine"),
         )
     )
-    k = int(neg_end)
-    ent = F.struct((-F.col("cosine")).alias("nc"),
-                   F.col("cand_id").alias("i"),
-                   F.col("cosine").alias("c"))
-    partial = (
-        scored.groupBy("query_id", F.spark_partition_id().alias("__p"))
-        .agg(F.slice(F.array_sort(F.collect_list(ent)), 1, k).alias("__top"))
+    return _rank_bands(scored, pos_k, neg_start, neg_end)
+
+
+def mine_hard_negatives_bucketed(df: DataFrame, query_ids: list[int],
+                                 centroids: list[list[float]],
+                                 pos_k: int = 1, neg_start: int = 4,
+                                 neg_end: int = 6, id_col: str = "vec_id",
+                                 vec_col: str = "embedding",
+                                 max_queries: int = 4096) -> DataFrame:
+    """:func:`mine_hard_negatives` at corpus scale: instead of scoring
+    every query against the WHOLE corpus (|corpus| × |Q| work — the
+    exact shape the flat miner's scale fixture shows going superlinear
+    when |Q| grows with the corpus), both sides are assigned to their
+    IVF list and each query ranks only candidates in ITS OWN list —
+    an equi-join on ``list_id`` (BroadcastHashJoin while Q is small,
+    plain shuffle join when it is not; never a nested-loop fan-out), so
+    work drops to ~|corpus| × |Q| / nlists and the nlists codebook is a
+    direct scale lever. The within-cluster restriction is also the
+    SEMANTICS you want: candidates outside the query's cluster are easy
+    negatives by construction, and SemDeDup-style mining ranks inside
+    the cluster anyway. Same rank bands, same two-phase partial top-k,
+    same output schema as the flat miner.
+    """
+    if len(query_ids) > max_queries:
+        raise ValueError(
+            f"mine_hard_negatives_bucketed: {len(query_ids)} query ids "
+            f"exceed max_queries={max_queries} — drop the broadcast "
+            "hint expectation and batch, or raise the guard knowingly.")
+    qset = [int(q) for q in query_ids]
+    assigned = ivf_assign(df, centroids, vec_col)
+    qvecs = (
+        assigned.filter(F.col(id_col).isin(qset))
+        .select(F.col(id_col).alias("__qid"), F.col(vec_col).alias("__qv"),
+                "list_id")
     )
-    merged = (
-        partial.select("query_id", F.explode("__top").alias("e"))
-        .groupBy("query_id")
-        .agg(F.slice(F.array_sort(F.collect_list("e")), 1, k).alias("__top"))
+    scored = (
+        assigned.join(F.broadcast(qvecs), "list_id")
+        .filter(F.col(id_col) != F.col("__qid"))
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col(id_col).alias("cand_id"),
+            F.round(cosine_similarity(F.col(vec_col), F.col("__qv")), 6)
+            .alias("cosine"),
+        )
     )
-    ranked = merged.select(
-        "query_id", F.posexplode("__top").alias("__pos", "e")
-    ).select(
-        "query_id",
-        F.col("e.i").alias("cand_id"),
-        F.col("e.c").alias("cosine"),
-        (F.col("__pos") + 1).cast("int").alias("rank"),
-    )
-    return ranked.filter(
-        (F.col("rank") <= pos_k)
-        | ((F.col("rank") >= neg_start) & (F.col("rank") <= neg_end))
-    ).withColumn(
-        "role", F.when(F.col("rank") <= pos_k, "pos").otherwise("neg")
-    )
+    return _rank_bands(scored, pos_k, neg_start, neg_end)

@@ -6973,3 +6973,43 @@ def q_hard_negative_mine(spark, sf):
             .limit(4097).collect()]
     return similarity.mine_hard_negatives(
         e, qids, pos_k=1, neg_start=4, neg_end=6)
+
+
+@register(
+    "q_hard_negative_mine_bucketed",
+    f"WITH {_IVF_ASSIGN_SQL}, "
+    "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x "
+    "  FROM embeddings), "
+    "c AS (SELECT v.vec_id, v.x, a.list_id FROM v "
+    "  JOIN assign a ON a.vec_id = v.vec_id), "
+    "q AS (SELECT vec_id AS qid, x AS qx, list_id FROM c "
+    "  WHERE vec_id % 211 = 3), "
+    "hs AS (SELECT q.qid AS query_id, c.vec_id AS cand_id, "
+    "  round(list_dot_product(c.x, q.qx) / (sqrt(list_dot_product(c.x, "
+    "  c.x)) * sqrt(list_dot_product(q.qx, q.qx))), 6) AS cosine "
+    "  FROM c JOIN q ON c.list_id = q.list_id AND c.vec_id <> q.qid), "
+    "r AS (SELECT query_id, cand_id, cosine, CAST(row_number() OVER "
+    "  (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT) "
+    "  AS rank FROM hs) "
+    "SELECT query_id, cand_id, cosine, rank, "
+    "  CASE WHEN rank <= 1 THEN 'pos' ELSE 'neg' END AS role "
+    "FROM r WHERE rank <= 1 OR rank BETWEEN 4 AND 6",
+)
+def q_hard_negative_mine_bucketed(spark, sf):
+    """Hard-negative mining AT CORPUS SCALE
+    (similarity.mine_hard_negatives_bucketed): queries and candidates
+    are IVF-assigned and each query ranks only ITS OWN cluster — an
+    equi-join on list_id instead of the flat miner's corpus-wide
+    fan-out, cutting work to ~|corpus|x|Q|/nlists (the flat fixture's
+    sf10 superlinearity is exactly the |Q|-grows-with-corpus regime
+    this variant exists for — SCALE.md r8). Within-cluster candidates
+    are also the semantically-hard ones; cross-cluster pairs are easy
+    negatives by construction. Oracle replays assignment + within-list
+    ranks naively."""
+    e = load(spark, sf, "embeddings")
+    cents = _static_codebook(e)
+    qids = [r.vec_id for r in
+            e.filter(F.col("vec_id") % 211 == 3).select("vec_id")
+            .limit(4097).collect()]
+    return similarity.mine_hard_negatives_bucketed(
+        e, qids, cents, pos_k=1, neg_start=4, neg_end=6)

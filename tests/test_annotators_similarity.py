@@ -650,3 +650,30 @@ def test_mine_hard_negatives_matches_naive_window(spark):
     assert got == want
     with _pytest.raises(ValueError, match="max_queries"):
         similarity.mine_hard_negatives(df, list(range(10)), max_queries=5)
+
+
+def test_mine_hard_negatives_bucketed_within_cluster(spark):
+    # two tight clusters; queries rank only their own cluster
+    rows = [(i, [1.0 + i * 0.01, 0.0]) for i in range(1, 10)]
+    rows += [(100 + i, [0.0, 1.0 + i * 0.01]) for i in range(1, 10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    got = similarity.mine_hard_negatives_bucketed(
+        df, [5, 103], cents, pos_k=1, neg_start=2, neg_end=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    # every candidate stays inside the query's cluster
+    assert all(r.cand_id < 100 for r in by_q[5])
+    assert all(r.cand_id >= 100 for r in by_q[103])
+    # rank bands: one pos (rank 1) + negs at ranks 2..3
+    for q in (5, 103):
+        ranks = sorted(r.rank for r in by_q[q])
+        assert ranks == [1, 2, 3]
+        roles = {r.rank: r.role for r in by_q[q]}
+        assert roles[1] == "pos" and roles[2] == roles[3] == "neg"
+    # plan: equi-join on list_id, never a nested-loop fan-out
+    plan = similarity.mine_hard_negatives_bucketed(
+        df, [5], cents)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
