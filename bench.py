@@ -147,6 +147,7 @@ R8_ADDITIONS = [
     "q_unimax_sample",
     "q_stream_ivf_append",
     "q_hard_negative_mine",
+    "q_hard_negative_mine_bucketed",
 ]
 
 
