@@ -150,6 +150,15 @@ R8_ADDITIONS = [
     "q_hard_negative_mine_bucketed",
 ]
 
+#: round-9 additions (same rationale): perceptual-hash visual near-dup
+#: (real codec decode → dHash → Manku hamming pairs) and the composed
+#: corpus lifecycle (band-store dedup months + compaction feeding the
+#: streamed+compacted IVF retrieval store, probed end to end).
+R9_ADDITIONS = [
+    "q_image_near_dup",
+    "q_corpus_lifecycle",
+]
+
 
 def timed_laps(run) -> list[float]:
     """THE measurement protocol: one warm lap (JIT + IO cache), then two
@@ -179,7 +188,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     all_laps: dict[str, list[float]] = {}
     for name in (HEADLINE + R3_FAMILIES + R4_ADDITIONS + R5_ADDITIONS
-                 + R6_ADDITIONS + R7_ADDITIONS + R8_ADDITIONS):
+                 + R6_ADDITIONS + R7_ADDITIONS + R8_ADDITIONS
+                 + R9_ADDITIONS):
         fn = registry[name]
         laps = timed_laps(
             lambda: fn(spark, sf_dir).write.format("noop")
@@ -217,6 +227,9 @@ def main() -> None:
                 ),
                 "r8_additions_total": round(
                     sum(timings[n] for n in R8_ADDITIONS), 3
+                ),
+                "r9_additions_total": round(
+                    sum(timings[n] for n in R9_ADDITIONS), 3
                 ),
             }
         )

@@ -97,6 +97,15 @@ def materialize(df: DataFrame, checkpoint_dir: str | None = None,
     if not eager:
         # see docstring: recomputable (lineage kept) where a lazy
         # localCheckpoint would strand non-recomputable executor-local
-        # blocks; still computes the subtree once across all consumers
-        return df.persist(StorageLevel.MEMORY_AND_DISK)
+        # blocks; still computes the subtree once across all consumers.
+        # Two tuning levers make persist bench at parity with the lazy
+        # localCheckpoint it replaced (r9 ABBA, SCALE.md round-9
+        # adjudication of the r8 drift): DESER — the DataFrame .cache()
+        # default — instead of the serialized level, and the
+        # session-level canChangeCachedPlanOutputPartitioning=true
+        # (session.py), without which every shuffle compiled under an
+        # InMemoryRelation runs at the full AQE initialPartitionNum
+        # uncoalesced — THAT, not serialization, was the measured 1.65x
+        # on q_perplexity_buckets.
+        return df.persist(StorageLevel.MEMORY_AND_DISK_DESER)
     return df.localCheckpoint(eager=eager)

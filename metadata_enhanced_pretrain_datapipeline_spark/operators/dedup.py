@@ -557,9 +557,14 @@ def compact_band_store(spark, monthly_paths: list[str], out_path: str,
     re-stamped on the output so the compacted store stays
     probe-validatable.
     """
+    import os as _os
     from functools import reduce
 
-    if out_path in monthly_paths:
+    # realpath-normalized like compact_ivf_quantized_store's guard: a
+    # trailing slash / relative spelling / symlink alias must not slip
+    # an input past the overwrite check
+    if _os.path.realpath(out_path) in {_os.path.realpath(p)
+                                       for p in monthly_paths}:
         raise ValueError(
             "compact_band_store: out_path is one of monthly_paths — "
             "overwriting an input store mid-read would destroy it; "
@@ -706,6 +711,39 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     eligible = df.filter(F.size(tokens_ws(F.col(text_col))) >= 3)
     fps = simhash(eligible, text_col, bits, portable).select(
         F.col(id_col).alias("id"), "simhash")
+    return hamming_pairs_from_fingerprints(
+        fps, "id", "simhash", bits, max_hamming, max_bucket_size)
+
+
+def hamming_pairs_from_fingerprints(fps: DataFrame, id_col: str,
+                                    fp_col: str, bits: int,
+                                    max_hamming: int,
+                                    max_bucket_size: int | None = 256,
+                                    ) -> DataFrame:
+    """The Manku chunk-bucket pair generator over ANY ``bits``-wide
+    integer fingerprint column — the shared tail of :func:`simhash_pairs`
+    (text fingerprints) and
+    :func:`~metadata_enhanced_pretrain_datapipeline_spark.operators.multimodal.image_near_dup_pairs`
+    (perceptual image hashes): split into ``max_hamming + 1`` chunks, by
+    pigeonhole any two fingerprints within Hamming distance
+    ``max_hamming`` agree exactly on some chunk, bucket on
+    (chunk_idx, chunk_value), verify with ``bit_count(xor)``. Returns
+    (id_a, id_b, hamming) with id_a < id_b. With
+    ``max_bucket_size=None`` the candidate set is provably COMPLETE
+    (every qualifying pair is emitted — the mode the image oracle
+    replays); a cap trades that guarantee for protection against
+    degenerate buckets (templated content, monochrome thumbnails).
+
+    For ``bits=64`` the fingerprint occupies the full signed long
+    (two's complement); chunk extraction stays exact because
+    ``shiftright`` sign-fill bits are masked off (offset + width <= 64
+    for every chunk), and xor/bit_count act on the raw 64-bit pattern.
+
+    Scale shape: see :func:`simhash_pairs` — one (chunk, value)
+    exchange, shuffle-free window count for the bucket guards, bounded
+    collect_list + array-combination pair expansion, codegen xor.
+    """
+    fps = fps.select(F.col(id_col).alias("id"), F.col(fp_col).alias("__fp"))
     chunks = max_hamming + 1
     base, rem = divmod(bits, chunks)
     widths = [base + (1 if i < rem else 0) for i in range(chunks)]
@@ -713,14 +751,14 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     chunk_cols = [
         F.struct(
             F.lit(i).alias("c"),
-            F.shiftright(F.col("simhash"), offsets[i])
+            F.shiftright(F.col("__fp"), offsets[i])
             .bitwiseAND(F.lit((1 << widths[i]) - 1)).alias("v"),
         )
         for i in range(chunks)
     ]
     buckets = fps.select(
-        "id", "simhash", F.explode(F.array(*chunk_cols)).alias("ck")
-    ).select("id", "simhash", F.col("ck.c").alias("c"), F.col("ck.v").alias("v"))
+        "id", "__fp", F.explode(F.array(*chunk_cols)).alias("ck")
+    ).select("id", "__fp", F.col("ck.c").alias("c"), F.col("ck.v").alias("v"))
     buckets = buckets.repartition("c", "v")
     w = Window.partitionBy("c", "v")
     counted = buckets.withColumn("__n", F.count("*").over(w))
@@ -728,7 +766,7 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
              if max_bucket_size is not None else F.lit(True))
     buckets = counted.filter((F.col("__n") >= 2) & upper).drop("__n")
     grouped = buckets.groupBy("c", "v").agg(
-        F.array_sort(F.collect_list(F.struct("id", "simhash"))).alias("ms"))
+        F.array_sort(F.collect_list(F.struct("id", "__fp"))).alias("ms"))
     pair_arr = F.flatten(
         F.transform(
             F.col("ms"),
@@ -736,7 +774,7 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                 F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms"))),
                 lambda y: F.struct(
                     x["id"].alias("id_a"), y["id"].alias("id_b"),
-                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"]))
+                    F.bit_count(x["__fp"].bitwiseXOR(y["__fp"]))
                     .alias("hamming"),
                 ),
             ),

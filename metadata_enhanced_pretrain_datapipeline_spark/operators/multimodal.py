@@ -535,3 +535,123 @@ def encode_bmp(pixels: "np.ndarray") -> bytes:
     rows = np.zeros((h, row_bytes), dtype=np.uint8)
     rows[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
     return header + info + rows.tobytes()
+
+
+def dhash_pixels(pixels: "np.ndarray", hash_w: int = 8,
+                 hash_h: int = 8) -> int | None:
+    """Difference hash (dHash) of one decoded image — the standard
+    perceptual fingerprint for visual near-dup (Krawetz's public
+    row-gradient construction): channel-SUM luminance, mean-pool to a
+    ``hash_h x (hash_w + 1)`` grid, bit (i, j) set iff cell (i, j+1) is
+    strictly brighter than cell (i, j). Survives recompression
+    (BMP→PNG, JPEG quality changes), uniform brightness shifts, and
+    small resizes — the edits that defeat byte-digest dedup — while a
+    content edit flips the bits whose local gradients it crosses.
+
+    Exactness contract (what the q_image_near_dup oracle replays):
+    luminance is the integer channel sum (no float luma weights), the
+    image is cropped to cell-size multiples, and cells compare by
+    integer SUM — equal cell areas make sum-compare equivalent to
+    mean-compare with zero float arithmetic anywhere, so the 64-bit
+    hash is closed-form integer arithmetic over the pixel grid.
+
+    Returns a SIGNED 64-bit value for ``hash_w*hash_h = 64`` (bit 63 in
+    two's complement — xor/bit_count Hamming arithmetic acts on the raw
+    pattern), or None for images smaller than the cell grid (no crash
+    on thumbnails; callers drop NULL fingerprints)."""
+    cw = hash_w + 1
+    gray = pixels.astype(np.int64).sum(axis=2)
+    h, w = gray.shape
+    if h < hash_h or w < cw:
+        return None
+    gray = gray[: h - h % hash_h, : w - w % cw]
+    ch, cwid = gray.shape[0] // hash_h, gray.shape[1] // cw
+    cells = gray.reshape(hash_h, ch, cw, cwid).sum(axis=(1, 3))
+    bits = cells[:, 1:] > cells[:, :-1]
+    v = 0
+    for i in range(hash_h):
+        for j in range(hash_w):
+            if bits[i, j]:
+                v |= 1 << (i * hash_w + j)
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+def image_dhash(df: DataFrame, hash_w: int = 8, hash_h: int = 8,
+                stub: bool = True, codec_factory=None,
+                cache_key: str | None = None) -> DataFrame:
+    """Perceptual fingerprints for a media frame: decode (real
+    BMP/netpbm/PNG path, or a plugged codec, or the deterministic
+    stub) → :func:`dhash_pixels`. Output (media_id, dhash) — the blob
+    never re-serializes past this projection, so the pair stage that
+    follows shuffles 12-byte rows, not images."""
+    schema = "media_id string, dhash long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from metadata_enhanced_pretrain_datapipeline_spark.operators.annotators import executor_singleton
+
+        decode = (executor_singleton(codec_factory, cache_key)
+                  if codec_factory is not None
+                  else (lambda b: decode_image(b, stub=stub)))
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"].to_numpy(),
+                                    pdf["content"].to_numpy()):
+                if content is None:
+                    out.append((mid, None))
+                    continue
+                out.append((mid, dhash_pixels(decode(bytes(content)),
+                                              hash_w, hash_h)))
+            yield pd.DataFrame(out, columns=["media_id", "dhash"])
+
+    return df.select("media_id", "content").mapInPandas(run, schema)
+
+
+def image_near_dup_pairs(df: DataFrame, hash_w: int = 8, hash_h: int = 8,
+                         max_hamming: int = 2,
+                         max_bucket_size: int | None = None,
+                         stub: bool = True, codec_factory=None,
+                         cache_key: str | None = None) -> DataFrame:
+    """Visual near-duplicate candidate PAIRS: :func:`image_dhash` over
+    the decoded media → the shared Manku chunk-bucket machinery
+    (dedup.hamming_pairs_from_fingerprints) on the 64-bit hash. Returns
+    (id_a, id_b, hamming), id_a < id_b, hamming <= ``max_hamming``.
+
+    Default ``max_bucket_size=None``: with no cap the candidate set is
+    provably complete (pigeonhole), which is what the pair-replay
+    oracle checks; production corpora with monochrome/templated
+    thumbnail floods should set a cap like the text families do.
+
+    Scale: the image bytes are read ONCE (the dhash projection); the
+    exchange key is (chunk, value) over 12-byte rows. Completes the
+    dedup story for the multimodal columns — the byte-level digests
+    (image_features/frame digests) catch exact copies, this catches
+    the recompressed/brightness-shifted mirror the digest misses."""
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.dedup import (
+        hamming_pairs_from_fingerprints,
+    )
+
+    fps = image_dhash(df, hash_w, hash_h, stub, codec_factory,
+                      cache_key).filter(F.col("dhash").isNotNull())
+    return hamming_pairs_from_fingerprints(
+        fps, "media_id", "dhash", hash_w * hash_h, max_hamming,
+        max_bucket_size)
+
+
+def image_near_dup(df: DataFrame, hash_w: int = 8, hash_h: int = 8,
+                   max_hamming: int = 2,
+                   max_bucket_size: int | None = None,
+                   stub: bool = True, codec_factory=None,
+                   cache_key: str | None = None) -> DataFrame:
+    """End-to-end visual dedup: dHash pairs → the package's standard
+    greedy smaller-id-wins resolution (dedup.drop_near_duplicates) →
+    kept media rows. The visual member of the dedup family
+    (minhash=Jaccard, simhash=cosine-on-shingles, semantic=embedding,
+    dhash=pixels)."""
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.dedup import drop_near_duplicates
+
+    pairs = image_near_dup_pairs(df, hash_w, hash_h, max_hamming,
+                                 max_bucket_size, stub, codec_factory,
+                                 cache_key)
+    return drop_near_duplicates(df, pairs, "media_id")

@@ -641,6 +641,12 @@ def token_budget_cap(df: DataFrame, group_col: str, tokens_col: Column,
         per.setdefault(r[0], {})[r["__b"]] = r["__s"]
     entries = []
     for grp, bs in per.items():
+        # docstring contract: with per-group budgets, groups absent from
+        # the map keep NOTHING — matching the large-cardinality branch's
+        # inner join (budget 0.0 alone would still admit zero-token rows
+        # through `acc <= bud`)
+        if budgets is not None and grp not in budgets:
+            continue
         acc = 0
         bud = _bud(grp)
         for b in sorted(bs):

@@ -140,7 +140,20 @@ def kmeans_fit(df: DataFrame, vec_col: str = "embedding", k: int = 8,
                iters: int = 5, key_col: str = "vec_id") -> list[list[float]]:
     """Deterministic Lloyd's: seeds = hash-ordered first k vectors, then
     `iters` rounds of assign (narrow) + mean (one shuffle). Returns the
-    centroid list for broadcast into ivf_assign/ivf_topk."""
+    centroid list for broadcast into ivf_assign/ivf_topk.
+
+    FIT ON A SAMPLE. Each Lloyd round re-derives the assignment from
+    ``df``'s lineage, so the fit scans its input ``iters`` times (plus
+    once for seeds) — inherent to relational Lloyd's, and the standard
+    IVF recipe anyway: codebooks are trained on a small sample and the
+    full corpus only pays the single ``ivf_assign`` pass. Never point
+    this at the full corpus; pass something like
+    ``corpus.sample(fraction=...)`` (or ``.limit(n)`` after a hash
+    order for determinism) sized so ~``iters``+1 scans of the SAMPLE
+    are cheap — 100×k to 10_000×k vectors is plenty for nlists
+    centroids (see docs/operations.md). If the caller insists on a
+    large input, ``persist()`` it first so the rounds rescan cached
+    blocks instead of the source."""
     from metadata_enhanced_pretrain_datapipeline_spark.functions.hashing import salted_hash
 
     seeds = (
@@ -393,7 +406,13 @@ def compact_ivf_quantized_store(spark, monthly_paths: list[str],
 
     from pyspark.sql import Window
 
-    if out_path in monthly_paths:
+    # normalized comparison: a trailing slash, relative-vs-absolute
+    # spelling, or symlink alias of an input must not slip past the
+    # guard — mode("overwrite") on an input store mid-read destroys it
+    import os as _os
+
+    if _os.path.realpath(out_path) in {_os.path.realpath(p)
+                                       for p in monthly_paths}:
         raise ValueError(
             "compact_ivf_quantized_store: out_path is one of "
             "monthly_paths — overwriting an input store mid-read would "
@@ -591,12 +610,22 @@ def _rank_bands(scored: DataFrame, pos_k: int, neg_start: int,
                 neg_end: int) -> DataFrame:
     """Shared two-phase partial top-k + rank-band selection of the two
     hard-negative miners over a (query_id, cand_id, cosine) relation:
-    per input partition each query keeps its ``neg_end`` best (bounded
-    collect inside one partition-group), per-partition winners merge
-    per query (<= neg_end x partitions rows each; insert another merge
-    level at extreme partition counts) — never a full per-query sort in
-    one task. Ranks on (rounded cosine desc, id) via the ascending
-    struct sort of (-cosine, id)."""
+    per input partition each query keeps its ``neg_end`` best, then the
+    per-partition winners merge per query (<= neg_end x partitions rows
+    each; insert another merge level at extreme partition counts) —
+    never a full per-query sort in one task. Ranks on (rounded cosine
+    desc, id) via the ascending struct sort of (-cosine, id).
+
+    Memory note: phase 1's ``collect_list`` gathers a query's ENTIRE
+    per-partition candidate list before ``array_sort``/``slice``
+    truncates it — per-group memory is bounded by the partition's
+    candidate count for that query, NOT by ``neg_end``. That bound is
+    what the callers engineer: the flat miner caps |Q| and fans the
+    corpus out once (each (query, partition) group ≈ partition_rows),
+    the bucketed miner equi-joins on list_id (group ≈ list size /
+    partitions). A neg_end-bounded accumulator would need a Python
+    UDAF — the slow path — for a truncation the slice already does at
+    partition granularity."""
     k = int(neg_end)
     ent = F.struct((-F.col("cosine")).alias("nc"),
                    F.col("cand_id").alias("i"),

@@ -6966,7 +6966,15 @@ def q_hard_negative_mine(spark, sf):
     partition each query keeps its neg_end best, then a bounded
     per-query merge) — never a full per-query corpus sort in one task.
     The oracle is the naive per-query rank window over all pairwise
-    cosines, proving the two-phase decomposition exact."""
+    cosines, proving the two-phase decomposition exact.
+
+    The ``limit(4097)`` collect is one MORE than the miner's default
+    ``max_queries=4096`` ON PURPOSE: at a scale factor where the
+    mod-211 sample outgrows the driver-bounded guard, the fixture
+    raises loudly instead of silently mining a truncated query set
+    that would diverge from the (uncapped) oracle. Scale probes of
+    this family use the fixed-|Q| scripts (scripts/hardneg_ab.py),
+    not this fixture — see SCALE.md round 8."""
     e = load(spark, sf, "embeddings")
     qids = [r.vec_id for r in
             e.filter(F.col("vec_id") % 211 == 3).select("vec_id")
@@ -7005,7 +7013,9 @@ def q_hard_negative_mine_bucketed(spark, sf):
     this variant exists for — SCALE.md r8). Within-cluster candidates
     are also the semantically-hard ones; cross-cluster pairs are easy
     negatives by construction. Oracle replays assignment + within-list
-    ranks naively."""
+    ranks naively. The ``limit(4097)`` + default ``max_queries=4096``
+    overflow raise is deliberate (same loud-failure contract as
+    q_hard_negative_mine — see its docstring)."""
     e = load(spark, sf, "embeddings")
     cents = _static_codebook(e)
     qids = [r.vec_id for r in
@@ -7013,3 +7023,225 @@ def q_hard_negative_mine_bucketed(spark, sf):
             .limit(4097).collect()]
     return similarity.mine_hard_negatives_bucketed(
         e, qids, cents, pos_k=1, neg_start=4, neg_end=6)
+
+
+# ---------------------------------------------------------------------------
+# round-9 additions: visual near-dup + corpus lifecycle composition
+
+
+@register(
+    "q_image_near_dup",
+    # closed-form dHash replay: pixel (y, x, c) of doc did's ORIGINAL
+    # (BMP, suffix _a) is (did*131 + y*17 + x*29 + c*53) % 199 over an
+    # 18x16 grid; even dids also carry a RECOMPRESSED twin (_b, PNG):
+    # uniform +1 brightness, except did % 8 == 6 which gets +17 on a
+    # 2x2-cell checkerboard (a real content edit). dHash = channel-sum
+    # luminance, 2x2 cell sums, bit(i,j) = cell(i,j+1) > cell(i,j),
+    # weight 2^(i*8+j) (bit 63 as the signed two's-complement term);
+    # pairs = every (a < b) within Hamming distance 2 (bucketing is
+    # pigeonhole-complete at max_bucket_size=None, so the naive
+    # cross-join replay IS the operator's contract).
+    "WITH d AS (SELECT doc_id AS did FROM documents WHERE doc_id % 10 = 2), "
+    "m AS (SELECT 'm' || did || '_a' AS media_id, did, 0 AS edit FROM d "
+    "  UNION ALL "
+    "  SELECT 'm' || did || '_b', did, CASE WHEN did % 8 = 6 THEN 2 "
+    "  ELSE 1 END FROM d WHERE did % 2 = 0), "
+    "px AS (SELECT media_id, y.g AS y, x.g AS x, "
+    "  (did*131 + y.g*17 + x.g*29 + c.g*53) % 199 "
+    "  + CASE WHEN edit = 1 THEN 1 "
+    "         WHEN edit = 2 AND ((x.g//2)+(y.g//2)) % 2 = 0 THEN 17 "
+    "         ELSE 0 END AS v "
+    "  FROM m, generate_series(0,15) y(g), generate_series(0,17) x(g), "
+    "  generate_series(0,2) c(g)), "
+    "cell AS (SELECT media_id, y//2 AS i, x//2 AS j, SUM(v) AS s "
+    "  FROM px GROUP BY media_id, y//2, x//2), "
+    "bits AS (SELECT l.media_id, l.i, l.j, "
+    "  CASE WHEN r.s > l.s THEN 1 ELSE 0 END AS b "
+    "  FROM cell l JOIN cell r ON r.media_id = l.media_id "
+    "  AND r.i = l.i AND r.j = l.j + 1 WHERE l.j <= 7), "
+    "dh AS (SELECT media_id, CAST(SUM(CASE WHEN i*8+j = 63 "
+    "  THEN b * (-9223372036854775807 - 1) "
+    "  ELSE b * (1::BIGINT << CAST(i*8+j AS INT)) END) AS BIGINT) "
+    "  AS dhash FROM bits GROUP BY media_id) "
+    "SELECT a.media_id AS id_a, b.media_id AS id_b, "
+    "  CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming "
+    "FROM dh a JOIN dh b ON a.media_id < b.media_id "
+    "WHERE bit_count(xor(a.dhash, b.dhash)) <= 2",
+)
+def q_image_near_dup(spark, sf):
+    """Visual near-duplicate detection over REAL image bytes — the
+    perceptual-hash member of the dedup family (VERDICT r8 #3): per
+    selected doc, synthesize closed-form 18x16 RGB pixels, encode a
+    real 24-bit BMP; even docs also plant a RECOMPRESSED twin — the
+    same pixels re-encoded as a real zlib PNG with +1 uniform
+    brightness (the recompressed-mirror case byte digests miss), or a
+    checkerboard +17 content edit for did % 8 == 6 (a true edit that
+    must NOT pair). The operator chain is all real:
+    multimodal.image_dhash decodes each blob with the stdlib codecs
+    (stub=False), mean-pools channel-sum luminance to an 8x9 grid,
+    emits the 64-bit gradient hash, and
+    dedup.hamming_pairs_from_fingerprints (the Manku machinery shared
+    with simhash_pairs) buckets fingerprint chunks and verifies
+    bit_count(xor) <= 2. The oracle replays the pixels, the hash, and
+    the pairs in closed form — any codec, pooling, bit-packing, or
+    bucketing bug breaks the hash match. Uncapped buckets make the
+    bucketed pair set provably equal to the naive cross-join replay.
+
+    Scale: images decode once into 12-byte (id, hash) rows; the pair
+    exchange never carries pixels. Production thumbnail floods set
+    max_bucket_size like the text families do."""
+    import numpy as np
+    import pandas as pd
+
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import multimodal
+
+    d = load(spark, sf, "documents").filter(
+        F.col("doc_id") % 10 == 2).select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"].to_numpy():
+                y = np.arange(16).reshape(16, 1, 1)
+                x = np.arange(18).reshape(1, 18, 1)
+                c = np.arange(3).reshape(1, 1, 3)
+                base = ((did * 131 + y * 17 + x * 29 + c * 53) % 199)
+                rows.append((f"m{did}_a",
+                             multimodal.encode_bmp(base.astype(np.uint8))))
+                if did % 2 == 0:
+                    if did % 8 == 6:
+                        cb = ((x // 2) + (y // 2)) % 2 == 0
+                        tw = base + np.where(cb, 17, 0)
+                    else:
+                        tw = base + 1
+                    rows.append((f"m{did}_b",
+                                 multimodal.encode_png(tw.astype(np.uint8))))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = d.mapInPandas(build, "media_id string, content binary")
+    return multimodal.image_near_dup_pairs(
+        media, max_hamming=2, max_bucket_size=None, stub=False)
+
+
+@register(
+    "q_corpus_lifecycle",
+    # three monthly crawls (doc_id % 3), both store lifecycles composed:
+    # month 2 fuzzy-dedups against month 1's band store; month 3 against
+    # the COMPACTED (m1+m2-survivors) band store — compaction is
+    # load-bearing, a month-3 near-dup of a month-2 survivor must drop.
+    # Survivors' vectors (vec_id = doc_id) stream-append into the IVF
+    # int8 store next to month 1's batch-built store; IVF compaction
+    # merges them and the standard pruned probe answers over the final
+    # layout. The oracle replays the whole chain: band collisions for
+    # the keep sets, then assignment/quantization/probe over exactly
+    # the surviving corpus.
+    "WITH " + _minhash_bands_sql(8, 4) + ", "
+    "c2 AS (SELECT DISTINCT b2.doc_id FROM bands b2 "
+    "  JOIN (SELECT DISTINCT band, key FROM bands WHERE doc_id % 3 = 0) s1 "
+    "  USING (band, key) WHERE b2.doc_id % 3 = 1), "
+    "k2 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1 "
+    "  AND doc_id NOT IN (SELECT doc_id FROM c2)), "
+    "sn23 AS (SELECT DISTINCT band, key FROM bands WHERE doc_id % 3 = 0 "
+    "  OR doc_id IN (SELECT doc_id FROM k2)), "
+    "c3 AS (SELECT DISTINCT b3.doc_id FROM bands b3 "
+    "  JOIN sn23 USING (band, key) WHERE b3.doc_id % 3 = 2), "
+    "k3 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2 "
+    "  AND doc_id NOT IN (SELECT doc_id FROM c3)), "
+    "corpus AS (SELECT vec_id, embedding FROM embeddings "
+    "  WHERE vec_id % 3 = 0 OR vec_id IN (SELECT doc_id FROM k2) "
+    "  OR vec_id IN (SELECT doc_id FROM k3)), "
+    + _ivf_assign_sql("corpus") + ", "
+    + _qstore_quant_sql("corpus") + ", "
+    "sc2 AS (SELECT z.vec_id, list_dot_product(z.qx, qv.qq) AS dp, "
+    "  list_dot_product(z.qx, z.qx) AS aa, qv.qn FROM qz z "
+    "  JOIN assign ON assign.vec_id = z.vec_id "
+    "  JOIN probe ON probe.cid = assign.list_id "
+    "  CROSS JOIN qv WHERE z.vec_id <> 0) "
+    "SELECT vec_id, dp / (sqrt(aa) * qn) AS qcos FROM sc2 WHERE aa > 0 "
+    "ORDER BY qcos DESC, vec_id LIMIT 10",
+)
+def q_corpus_lifecycle(spark, sf):
+    """The crawl story END TO END (VERDICT r8 #5): the dedup and
+    retrieval store lifecycles composed into one monthly chain instead
+    of living side by side. Month 1 seeds both stores (band store from
+    its MinHash band keys; IVF int8 store batch-built from its
+    vectors). Month 2 arrives -> fuzzy-dedup against the month-1 band
+    STORE (text never re-shingled on the seen side) -> its survivors'
+    band keys become the month-2 store -> compact_band_store merges
+    m1+m2 (keying stamps verified + re-applied). Month 3 dedups
+    against the COMPACTED store — so a month-3 near-dup of a month-2
+    survivor is dropped, which only works if compaction preserved
+    month 2's keys. Survivors' vectors (vec_id = doc_id where one
+    exists) STREAM-append into a month-23 IVF store
+    (stream_append_ivf_quantized_store, 2 micro-batches, the shared
+    ivf_quantized_codes projection), compact_ivf_quantized_store
+    merges it with month 1's batch store (codebook stamps verified +
+    re-applied), and the standard pruned probe answers over the final
+    layout — PartitionFilters + tinyint ReadSchema asserted in-plan,
+    same as every other store probe. One oracle hashes the whole
+    chain: any drift in band keys, keep-set logic, store compaction,
+    quantization, or directory pruning breaks the match."""
+    import re as _re
+    import shutil
+
+    from metadata_enhanced_pretrain_datapipeline_spark.streaming import events as se
+
+    d = load(spark, sf, "documents")
+    e = load(spark, sf, "embeddings")
+    cents = _static_codebook(e)
+    m1 = d.filter(F.col("doc_id") % 3 == 0)
+    m2 = d.filter(F.col("doc_id") % 3 == 1)
+    m3 = d.filter(F.col("doc_id") % 3 == 2)
+
+    def _bands(df):
+        return dedup.minhash_band_keys(
+            dedup.minhash_signatures(df.select("doc_id", "text"),
+                                     num_hashes=8, portable=True),
+            num_hashes=8, bands=4, portable=True)
+
+    scratch = _scratch_dir(sf, "lifecycle")
+    bs1, bs2, bsc = f"{scratch}/bs1", f"{scratch}/bs2", f"{scratch}/bsc"
+    s1, s23 = f"{scratch}/ivf_m1", f"{scratch}/ivf_s23"
+    final = f"{scratch}/ivf_final"
+    src, ck = f"{scratch}/vec_src", f"{scratch}/ck"
+    for p in (bs1, bs2, bsc, s1, s23, final, src, ck):
+        shutil.rmtree(p, ignore_errors=True)
+
+    # month 1 seeds the dedup state; months 2/3 probe stores, never text
+    dedup.write_band_store(_bands(m1), bs1)
+    kept2 = dedup.minhash_dedup_against(
+        m2, dedup.read_band_store(spark, bs1),
+        num_hashes=8, bands=4, portable=True)
+    dedup.write_band_store(_bands(kept2), bs2)
+    dedup.compact_band_store(spark, [bs1, bs2], bsc)
+    kept3 = dedup.minhash_dedup_against(
+        m3, dedup.read_band_store(spark, bsc),
+        num_hashes=8, bands=4, portable=True)
+
+    # retrieval side: month 1 batch store + survivors streamed in
+    similarity.write_ivf_quantized_store(
+        e.filter(F.col("vec_id") % 3 == 0), s1, cents)
+    surv = (kept2.select("doc_id").unionByName(kept3.select("doc_id"))
+            .withColumnRenamed("doc_id", "vec_id"))
+    vecs = e.join(surv, "vec_id", "left_semi")
+    vecs.filter(F.col("vec_id") % 2 == 0).write.parquet(f"{src}/part_a")
+    vecs.filter(F.col("vec_id") % 2 == 1).write.parquet(f"{src}/part_b")
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    se.stream_append_ivf_quantized_store(stream, s23, cents, ck)
+    similarity.compact_ivf_quantized_store(spark, [s1, s23], final)
+
+    back = spark.read.parquet(final).filter(F.col("vec_id") != 0)
+    out = similarity.ivf_quantized_topk(back, cents, cents[0], k=10,
+                                        nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    _check_plan(bool(_re.search(r"PartitionFilters: \[[^\]]*list_id", plan)),
+                plan, "lifecycle store probe must prune list directories")
+    _check_plan("tinyint" in plan
+                and "qscale" not in plan.split("ReadSchema")[-1],
+                plan, "lifecycle store must read tinyint codes only")
+    return out

@@ -37,6 +37,17 @@ _ORACLE_CONFS = {
     # overhead than it buys on this box, 64 under-splits the window-heavy
     # queries, 128 improves every former outlier.
     "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "128",
+    # AQE inside cached plans: by default Spark compiles an
+    # InMemoryRelation WITHOUT adaptive output partitioning (the
+    # conservative upstream default protects consumers that assume the
+    # cache's partitioning), so every shuffle under a .persist() runs at
+    # the full initialPartitionNum uncoalesced — with the 128-wide AQE
+    # start above, a cached subtree pays 128 uncoalesced reducers where
+    # the uncached plan coalesces to a handful. materialize(eager=False)
+    # persists, so this conf is load-bearing: the r9 ABBA measured
+    # q_perplexity_buckets at 1.65x without it (SCALE.md round-9
+    # adjudication).
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     # The driver's vanilla session defaults to 200 shuffle partitions —
     # wasteful at oracle scale (sf0.01) and for streaming state stores,
     # which size to this at checkpoint creation. Runtime-settable.

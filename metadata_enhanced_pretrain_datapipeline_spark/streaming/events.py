@@ -336,6 +336,20 @@ def stream_append_ivf_quantized_store(stream_df: DataFrame, path: str,
     small files is the existing lifecycle operator
     (``compact_ivf_quantized_store`` — latest-wins also heals a vector
     re-embedded across batches).
+
+    DELIVERY: the append sink is AT-LEAST-ONCE, not exactly-once — a
+    micro-batch retried after a partial write appends its rows again,
+    and a duplicated ``vec_id`` can then occupy multiple top-k slots in
+    probes. This is deliberate: an idempotent per-batch subdirectory
+    (the ``foreach_batch_versioned_upsert`` trick) would put a second
+    partition level in the layout and break parquet partition discovery
+    against a batch-built store at the same root, which is the whole
+    byte-compatibility contract. The healer is the existing lifecycle
+    op: ``compact_ivf_quantized_store`` keeps exactly one (latest) row
+    per ``vec_id``, so running compaction — already required for
+    small-file hygiene — also collapses any retry duplicates. Probes
+    between a retried batch and the next compaction may transiently
+    over-represent the retried ids.
     """
     from metadata_enhanced_pretrain_datapipeline_spark.operators.similarity import (
         ivf_quantized_codes,

@@ -677,3 +677,23 @@ def test_mine_hard_negatives_bucketed_within_cluster(spark):
         df, [5], cents)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_token_budget_cap_absent_group_keeps_nothing(spark):
+    """ADVICE r8: with per-group budgets, a group ABSENT from the map
+    keeps nothing in BOTH cardinality branches — before the fix the
+    bucketed branch admitted absent groups' zero-token rows (bud=0.0,
+    acc <= bud on the first bucket) while the >max_map_entries branch
+    inner-joined them away."""
+    rows = [(1, "known", 5), (2, "known", 0), (3, "ghost", 0),
+            (4, "ghost", 7)]
+    df = spark.createDataFrame(rows, "id long, grp string, n int")
+    budgets = {"known": 100.0}
+    small = sorted(r.id for r in sampling.token_budget_cap(
+        df, "grp", F.col("n"), 0, F.col("id"), num_buckets=2,
+        budgets=budgets).collect())
+    big = sorted(r.id for r in sampling.token_budget_cap(
+        df, "grp", F.col("n"), 0, F.col("id"), num_buckets=2,
+        budgets=budgets, max_map_entries=1).collect())
+    assert small == [1, 2]          # ghost keeps nothing, zero-token incl.
+    assert big == small             # branches agree on the contract

@@ -1,0 +1,72 @@
+"""Visual near-dup via perceptual dHash (VERDICT r8 #3): planted
+recompressed duplicates must pair at Hamming 0 and resolve away; real
+content edits must not pair."""
+
+import numpy as np
+import pytest
+
+from metadata_enhanced_pretrain_datapipeline_spark.operators import multimodal
+
+
+def _grid(seed: int) -> np.ndarray:
+    y = np.arange(16).reshape(16, 1, 1)
+    x = np.arange(18).reshape(1, 18, 1)
+    c = np.arange(3).reshape(1, 1, 3)
+    return ((seed * 131 + y * 17 + x * 29 + c * 53) % 199).astype(np.uint8)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    """Three originals (BMP); one RECOMPRESSED twin of m0 (same pixels
+    +1 uniform brightness, re-encoded as PNG — different bytes, same
+    gradients) and one EDITED twin of m1 (+17 checkerboard)."""
+    rows = [
+        ("m0_a", multimodal.encode_bmp(_grid(2))),
+        ("m0_dup", multimodal.encode_png((_grid(2).astype(np.int64) + 1)
+                                         .astype(np.uint8))),
+        ("m1_a", multimodal.encode_bmp(_grid(6))),
+        ("m2_a", multimodal.encode_bmp(_grid(12))),
+    ]
+    y = np.arange(16).reshape(16, 1, 1)
+    x = np.arange(18).reshape(1, 18, 1)
+    cb = ((x // 2) + (y // 2)) % 2 == 0
+    edited = (_grid(6).astype(np.int64) + np.where(cb, 17, 0)).astype(np.uint8)
+    rows.append(("m1_edit", multimodal.encode_png(edited)))
+    return spark.createDataFrame(rows, "media_id string, content binary")
+
+
+def test_dhash_recompression_invariance():
+    """BMP→PNG re-encode + uniform brightness keeps the hash bit-identical
+    (gradients unchanged); a checkerboard edit flips many bits."""
+    px = _grid(2)
+    h_orig = multimodal.dhash_pixels(px)
+    bright = (px.astype(np.int64) + 1).astype(np.uint8)
+    back = multimodal.decode_image(multimodal.encode_png(bright), stub=False)
+    assert multimodal.dhash_pixels(back) == h_orig
+
+    y = np.arange(16).reshape(16, 1, 1)
+    x = np.arange(18).reshape(1, 18, 1)
+    cb = ((x // 2) + (y // 2)) % 2 == 0
+    edited = (px.astype(np.int64) + np.where(cb, 17, 0)).astype(np.uint8)
+    h_edit = multimodal.dhash_pixels(edited)
+    assert bin((h_orig ^ h_edit) & (2**64 - 1)).count("1") > 2
+
+
+def test_dhash_undersized_returns_none():
+    assert multimodal.dhash_pixels(np.zeros((4, 4, 3), np.uint8)) is None
+
+
+def test_near_dup_pairs_find_planted_twin_only(media):
+    pairs = multimodal.image_near_dup_pairs(
+        media, max_hamming=2, max_bucket_size=None, stub=False).collect()
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert got.get(("m0_a", "m0_dup")) == 0
+    # the edited twin and the unrelated originals must not pair
+    assert all({a, b} == {"m0_a", "m0_dup"} for a, b in got)
+
+
+def test_near_dup_resolution_drops_larger_id(media):
+    kept = sorted(r.media_id for r in multimodal.image_near_dup(
+        media, max_hamming=2, max_bucket_size=None, stub=False).collect())
+    # 'm0_a' < 'm0_dup' -> the recompressed copy is dropped
+    assert kept == ["m0_a", "m1_a", "m1_edit", "m2_a"]
