@@ -715,6 +715,73 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
         fps, "id", "simhash", bits, max_hamming, max_bucket_size)
 
 
+def _fingerprint_chunks(fps: DataFrame, bits: int,
+                        max_hamming: int) -> DataFrame:
+    """Explode ``(id, __fp)`` rows into the ``max_hamming + 1`` Manku
+    chunks: (id, __fp, c, v) where ``v`` is chunk ``c``'s masked bits.
+    Shared by the pair generator and the incremental against-store
+    probe; sign-fill bits of ``shiftright`` are masked off (offset +
+    width <= bits <= 64 for every chunk), so a full-width signed
+    fingerprint extracts exactly."""
+    chunks = max_hamming + 1
+    base, rem = divmod(bits, chunks)
+    widths = [base + (1 if i < rem else 0) for i in range(chunks)]
+    offsets = [sum(widths[:i]) for i in range(chunks)]
+    chunk_cols = [
+        F.struct(
+            F.lit(i).alias("c"),
+            F.shiftright(F.col("__fp"), offsets[i])
+            .bitwiseAND(F.lit((1 << widths[i]) - 1)).alias("v"),
+        )
+        for i in range(chunks)
+    ]
+    return fps.select(
+        "id", "__fp", F.explode(F.array(*chunk_cols)).alias("ck")
+    ).select("id", "__fp", F.col("ck.c").alias("c"), F.col("ck.v").alias("v"))
+
+
+def hamming_dedup_against(new_fps: DataFrame, seen_fps: DataFrame,
+                          id_col: str, fp_col: str, bits: int,
+                          max_hamming: int) -> DataFrame:
+    """Incremental Hamming dedup across snapshots: drop NEW fingerprints
+    within ``max_hamming`` of ANY previously-seen fingerprint — the
+    against-store complement of :func:`hamming_pairs_from_fingerprints`,
+    and the visual/simhash analogue of :func:`minhash_dedup_against`
+    (monthly crawl: last month's images live on only as their 8-byte
+    hashes; the new month never re-decodes them). ``seen_fps`` needs
+    only ``fp_col``. Returns the surviving ``new_fps`` rows.
+
+    Same pigeonhole machinery: both sides explode into chunks, an
+    equi-join on (chunk, value) finds every candidate (COMPLETE — any
+    pair within ``max_hamming`` agrees on some chunk), bit_count(xor)
+    verifies, and the flagged ids come back as an ids-only anti-join.
+
+    Scale: the exchange key is (chunk, value) over 12-byte rows; the
+    store side is distinct-ed per (c, v, fp) so a re-ingested duplicate
+    hash cannot fan new rows out twice. A monochrome/templated
+    thumbnail flood makes hot chunk values — cap such content upstream
+    (the same guidance as the pair generator's max_bucket_size).
+    """
+    new_ch = _fingerprint_chunks(
+        new_fps.select(F.col(id_col).alias("id"),
+                       F.col(fp_col).alias("__fp")),
+        bits, max_hamming)
+    seen_ch = (
+        _fingerprint_chunks(
+            seen_fps.select(F.lit(0).cast("long").alias("id"),
+                            F.col(fp_col).alias("__fp")),
+            bits, max_hamming)
+        .select("c", "v", F.col("__fp").alias("__sfp")).distinct()
+    )
+    hits = (
+        new_ch.join(seen_ch, ["c", "v"])
+        .filter(F.bit_count(F.col("__fp").bitwiseXOR(F.col("__sfp")))
+                <= F.lit(max_hamming))
+        .select(F.col("id").alias(id_col)).distinct()
+    )
+    return new_fps.join(hits, id_col, "left_anti")
+
+
 def hamming_pairs_from_fingerprints(fps: DataFrame, id_col: str,
                                     fp_col: str, bits: int,
                                     max_hamming: int,
@@ -743,22 +810,9 @@ def hamming_pairs_from_fingerprints(fps: DataFrame, id_col: str,
     exchange, shuffle-free window count for the bucket guards, bounded
     collect_list + array-combination pair expansion, codegen xor.
     """
-    fps = fps.select(F.col(id_col).alias("id"), F.col(fp_col).alias("__fp"))
-    chunks = max_hamming + 1
-    base, rem = divmod(bits, chunks)
-    widths = [base + (1 if i < rem else 0) for i in range(chunks)]
-    offsets = [sum(widths[:i]) for i in range(chunks)]
-    chunk_cols = [
-        F.struct(
-            F.lit(i).alias("c"),
-            F.shiftright(F.col("__fp"), offsets[i])
-            .bitwiseAND(F.lit((1 << widths[i]) - 1)).alias("v"),
-        )
-        for i in range(chunks)
-    ]
-    buckets = fps.select(
-        "id", "__fp", F.explode(F.array(*chunk_cols)).alias("ck")
-    ).select("id", "__fp", F.col("ck.c").alias("c"), F.col("ck.v").alias("v"))
+    buckets = _fingerprint_chunks(
+        fps.select(F.col(id_col).alias("id"), F.col(fp_col).alias("__fp")),
+        bits, max_hamming)
     buckets = buckets.repartition("c", "v")
     w = Window.partitionBy("c", "v")
     counted = buckets.withColumn("__n", F.count("*").over(w))

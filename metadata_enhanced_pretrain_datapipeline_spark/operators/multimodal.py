@@ -655,3 +655,33 @@ def image_near_dup(df: DataFrame, hash_w: int = 8, hash_h: int = 8,
                                  max_bucket_size, stub, codec_factory,
                                  cache_key)
     return drop_near_duplicates(df, pairs, "media_id")
+
+
+def image_dedup_against(new_media: DataFrame, seen_hashes: DataFrame,
+                        hash_w: int = 8, hash_h: int = 8,
+                        max_hamming: int = 2, stub: bool = True,
+                        codec_factory=None,
+                        cache_key: str | None = None) -> DataFrame:
+    """Incremental VISUAL dedup across snapshots: drop new media whose
+    dHash is within ``max_hamming`` of any hash in ``seen_hashes`` (a
+    frame exposing ``dhash`` — :func:`image_dhash` output persisted
+    from prior months). The monthly-crawl story for images: last
+    month's corpus lives on only as 8-byte hashes, the new month's
+    blobs decode ONCE, and a re-crawled/recompressed image is dropped
+    without either month's pixels crossing the wire again — the visual
+    member of the against-store family (exact digests =
+    dedup_against, MinHash bands = minhash_dedup_against, dHash =
+    this). Returns surviving new_media rows (blob column intact).
+    Media too small to hash (NULL dhash) can never be near-dups and
+    are KEPT — the drop set is derived, so they are never named in
+    it."""
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.dedup import hamming_dedup_against
+
+    fps = image_dhash(new_media, hash_w, hash_h, stub, codec_factory,
+                      cache_key).filter(F.col("dhash").isNotNull())
+    kept_ids = hamming_dedup_against(
+        fps, seen_hashes.select("dhash"), "media_id", "dhash",
+        hash_w * hash_h, max_hamming).select("media_id")
+    dropped = fps.select("media_id").join(kept_ids, "media_id",
+                                          "left_anti")
+    return new_media.join(dropped, "media_id", "left_anti")

@@ -7245,3 +7245,96 @@ def q_corpus_lifecycle(spark, sf):
                 and "qscale" not in plan.split("ReadSchema")[-1],
                 plan, "lifecycle store must read tinyint codes only")
     return out
+
+
+@register(
+    "q_image_dedup_against",
+    # same closed-form media set as q_image_near_dup; the NEW month is
+    # the _b twins, the seen store is every _a original's dHash. A twin
+    # survives iff no stored hash is within Hamming distance 2.
+    "WITH d AS (SELECT doc_id AS did FROM documents WHERE doc_id % 10 = 2), "
+    "m AS (SELECT 'm' || did || '_a' AS media_id, did, 0 AS edit FROM d "
+    "  UNION ALL "
+    "  SELECT 'm' || did || '_b', did, CASE WHEN did % 8 = 6 THEN 2 "
+    "  ELSE 1 END FROM d WHERE did % 2 = 0), "
+    "px AS (SELECT media_id, y.g AS y, x.g AS x, "
+    "  (did*131 + y.g*17 + x.g*29 + c.g*53) % 199 "
+    "  + CASE WHEN edit = 1 THEN 1 "
+    "         WHEN edit = 2 AND ((x.g//2)+(y.g//2)) % 2 = 0 THEN 17 "
+    "         ELSE 0 END AS v "
+    "  FROM m, generate_series(0,15) y(g), generate_series(0,17) x(g), "
+    "  generate_series(0,2) c(g)), "
+    "cell AS (SELECT media_id, y//2 AS i, x//2 AS j, SUM(v) AS s "
+    "  FROM px GROUP BY media_id, y//2, x//2), "
+    "bits AS (SELECT l.media_id, l.i, l.j, "
+    "  CASE WHEN r.s > l.s THEN 1 ELSE 0 END AS b "
+    "  FROM cell l JOIN cell r ON r.media_id = l.media_id "
+    "  AND r.i = l.i AND r.j = l.j + 1 WHERE l.j <= 7), "
+    "dh AS (SELECT media_id, CAST(SUM(CASE WHEN i*8+j = 63 "
+    "  THEN b * (-9223372036854775807 - 1) "
+    "  ELSE b * (1::BIGINT << CAST(i*8+j AS INT)) END) AS BIGINT) "
+    "  AS dhash FROM bits GROUP BY media_id) "
+    "SELECT n.media_id FROM dh n WHERE right(n.media_id, 2) = '_b' "
+    "AND NOT EXISTS (SELECT 1 FROM dh s WHERE right(s.media_id, 2) = '_a' "
+    "  AND bit_count(xor(n.dhash, s.dhash)) <= 2)",
+)
+def q_image_dedup_against(spark, sf):
+    """Incremental VISUAL dedup (multimodal.image_dedup_against +
+    dedup.hamming_dedup_against): the monthly-crawl story for images.
+    The seen store is last month's dHashes only (8 bytes per image —
+    the originals' blobs are never re-decoded); the new month's blobs
+    (the recompressed/edited twins, real PNG bytes) decode once, and
+    any new image within Hamming distance 2 of ANY stored hash drops
+    via the chunk-bucket equi-join + ids-only anti-join — the visual
+    member of the against-store family (dedup_against /
+    minhash_dedup_against / this). Recompressed +1-brightness twins
+    hash identically to their original and MUST drop; checkerboard-
+    edited twins survive unless some other original happens within
+    distance 2 (the oracle replays the full cross-check, so both
+    engines agree on exactly which)."""
+    import numpy as np
+    import pandas as pd
+
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import multimodal
+
+    d = load(spark, sf, "documents").filter(
+        F.col("doc_id") % 10 == 2).select("doc_id")
+
+    def build_old(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"].to_numpy():
+                y = np.arange(16).reshape(16, 1, 1)
+                x = np.arange(18).reshape(1, 18, 1)
+                c = np.arange(3).reshape(1, 1, 3)
+                base = ((did * 131 + y * 17 + x * 29 + c * 53) % 199)
+                rows.append((f"m{did}_a",
+                             multimodal.encode_bmp(base.astype(np.uint8))))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    def build_new(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"].to_numpy():
+                if did % 2 != 0:
+                    continue
+                y = np.arange(16).reshape(16, 1, 1)
+                x = np.arange(18).reshape(1, 18, 1)
+                c = np.arange(3).reshape(1, 1, 3)
+                base = ((did * 131 + y * 17 + x * 29 + c * 53) % 199)
+                if did % 8 == 6:
+                    cb = ((x // 2) + (y // 2)) % 2 == 0
+                    tw = base + np.where(cb, 17, 0)
+                else:
+                    tw = base + 1
+                rows.append((f"m{did}_b",
+                             multimodal.encode_png(tw.astype(np.uint8))))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    schema = "media_id string, content binary"
+    old_media = d.mapInPandas(build_old, schema)
+    new_media = d.mapInPandas(build_new, schema)
+    seen = multimodal.image_dhash(old_media, stub=False)
+    kept = multimodal.image_dedup_against(new_media, seen, max_hamming=2,
+                                          stub=False)
+    return kept.select("media_id")

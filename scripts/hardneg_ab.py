@@ -8,8 +8,15 @@ scales and prices the flat corpus-fan-out miner against the
 IVF-bucketed one (nlists=16), one fresh JVM per (scale, variant) lap
 via the canonical timed_laps protocol:
 
-    SPARK_DRIVER_MEMORY=48g python scripts/hardneg_ab.py .scale/sf1.0
-    SPARK_DRIVER_MEMORY=48g python scripts/hardneg_ab.py .scale/sf10
+    SPARK_DRIVER_MEMORY=48g python scripts/hardneg_ab.py .scale/sf1.0 [fit_sample]
+    SPARK_DRIVER_MEMORY=48g python scripts/hardneg_ab.py .scale/sf10  [fit_sample]
+
+``fit_sample`` < 1.0 fits the codebook on a corpus sample (the
+kmeans_fit sample-fit contract — at sf100 the full-corpus fit this
+script originally did is itself a multi-decade job and the r9 probe
+died inside it at default heap; scripts/hardneg_bucketed_probe.py is
+the third-decade harness). Default 1.0 preserves comparability with
+the r8-recorded numbers.
 """
 
 from __future__ import annotations
@@ -30,6 +37,7 @@ NLISTS = 16
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else ".scale/sf1.0"
+    fit_sample = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
     spark = get_spark("hardneg_ab")
     spark.sparkContext.setLogLevel("ERROR")
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -40,7 +48,9 @@ def main() -> None:
                   base.filter(F.col("vec_id") % 211 == 3).collect())
     have = e.filter(F.col("vec_id").isin(qids)).count()
     assert have == len(qids), f"{len(qids) - have} query ids missing"
-    cents = similarity.kmeans_fit(e, k=NLISTS, iters=3)
+    fit_input = (e.sample(fraction=fit_sample, seed=7)
+                 if fit_sample < 1.0 else e)
+    cents = similarity.kmeans_fit(fit_input, k=NLISTS, iters=3)
 
     results = {}
     laps = timed_laps(lambda: similarity.mine_hard_negatives(

@@ -70,3 +70,18 @@ def test_near_dup_resolution_drops_larger_id(media):
         media, max_hamming=2, max_bucket_size=None, stub=False).collect())
     # 'm0_a' < 'm0_dup' -> the recompressed copy is dropped
     assert kept == ["m0_a", "m1_a", "m1_edit", "m2_a"]
+
+
+def test_image_dedup_against_store(spark, media):
+    """Monthly story: the seen store carries only hashes; a new
+    recompressed twin drops, an edited/unrelated image survives, and an
+    undersized (NULL-hash) image is always kept."""
+    seen = multimodal.image_dhash(
+        media.filter("media_id IN ('m0_a', 'm1_a', 'm2_a')"), stub=False)
+    tiny = multimodal.encode_bmp(np.zeros((4, 4, 3), np.uint8))
+    new = media.filter("media_id IN ('m0_dup', 'm1_edit')").unionByName(
+        spark.createDataFrame([("m_tiny", tiny)],
+                              "media_id string, content binary"))
+    kept = sorted(r.media_id for r in multimodal.image_dedup_against(
+        new, seen, max_hamming=2, stub=False).collect())
+    assert kept == ["m1_edit", "m_tiny"]
