@@ -156,7 +156,9 @@ R8_ADDITIONS = [
 #: streamed+compacted IVF retrieval store, probed end to end).
 R9_ADDITIONS = [
     "q_image_near_dup",
+    "q_image_dedup_against",
     "q_corpus_lifecycle",
+    "q_video_near_dup",
 ]
 
 

@@ -1715,3 +1715,56 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_col: str,
         .otherwise("unchanged")
         .alias("change"),
     )
+
+
+def token_set_jaccard_pairs(df: DataFrame, id_col: str, token_col: str,
+                            min_jaccard: float = 0.5,
+                            max_bucket_size: int | None = 256) -> DataFrame:
+    """Exact set-Jaccard candidate pairs over a PRE-EXPLODED
+    (id, token) relation — :func:`jaccard_pairs` without the text
+    shingling front end, for ids whose "tokens" are already first-class
+    rows: sampled video frame digests
+    (:func:`~metadata_enhanced_pretrain_datapipeline_spark.operators.multimodal.video_near_dup_pairs`),
+    per-host URL sets, citation lists. Returns (id_a, id_b, jaccard)
+    with id_a < id_b, jaccard = |A∩B| / (|A|+|B|-|A∩B|) over DISTINCT
+    tokens, >= ``min_jaccard``.
+
+    Scale shape: one exchange keyed on token; a shuffle-free window
+    count drops singleton buckets and (``max_bucket_size``) degenerate
+    ones — a black-frame digest shared by half the corpus must not go
+    quadratic; per-pair intersection counts come from the bucketed
+    self-join's groupBy (AQE splits residual skew); set sizes ride the
+    exploded rows, so nothing re-aggregates the corpus. Dropping a
+    capped bucket UNDERCOUNTS intersections for pairs sharing that
+    token (conservative: pairs can only miss, never false-positive on
+    jaccard) — same contract as every bucket cap in this family.
+    """
+    tok = (df.select(F.col(id_col).alias("id"),
+                     F.col(token_col).alias("token"))
+           .filter(F.col("token").isNotNull()).distinct())
+    sized = tok.join(
+        tok.groupBy("id").agg(F.count("*").alias("n_tok")), "id")
+    sized = sized.repartition("token")
+    w = Window.partitionBy("token")
+    counted = sized.withColumn("__n", F.count("*").over(w))
+    upper = (F.col("__n") <= F.lit(max_bucket_size)
+             if max_bucket_size is not None else F.lit(True))
+    live = counted.filter((F.col("__n") >= 2) & upper).drop("__n")
+    a, b = live.alias("a"), live.alias("b")
+    inter = (
+        a.join(b, "token")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_tok").alias("n_a"),
+            F.col("b.n_tok").alias("n_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = inter.withColumn(
+        "jaccard",
+        F.col("n_common").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+    ).select("id_a", "id_b", "jaccard")
+    return jac.filter(F.col("jaccard") >= F.lit(min_jaccard))

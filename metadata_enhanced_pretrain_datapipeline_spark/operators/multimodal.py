@@ -685,3 +685,48 @@ def image_dedup_against(new_media: DataFrame, seen_hashes: DataFrame,
     dropped = fps.select("media_id").join(kept_ids, "media_id",
                                           "left_anti")
     return new_media.join(dropped, "media_id", "left_anti")
+
+
+def video_near_dup_pairs(media: DataFrame, every_ms: int = 1000,
+                         min_jaccard: float = 0.5,
+                         max_bucket_size: int | None = 256,
+                         stub: bool = True, codec_factory=None,
+                         cache_key: str | None = None) -> DataFrame:
+    """Visual near-dup for VIDEO: two videos are near-duplicates when
+    their sampled frames largely coincide — re-encoded, re-containered,
+    or head/tail-trimmed uploads share most frame digests while
+    distinct footage shares none. Composition of two proven pieces:
+    :func:`sample_video_frames` (1 frame per ``every_ms``, digest per
+    frame — blobs decode once) feeds
+    dedup.token_set_jaccard_pairs over (media_id, frame_digest).
+    Returns (id_a, id_b, jaccard >= min_jaccard).
+
+    Frame digests are EXACT-match tokens, so this catches
+    bit-identical frame streams (container/metadata changes, trims);
+    recompressed-per-frame video needs a perceptual per-frame hash —
+    plug a real extractor via ``codec_factory`` and compose
+    :func:`dhash_pixels` per frame, then band the hashes like
+    :func:`image_near_dup_pairs` (the Spark shape is identical; only
+    the token column changes)."""
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.dedup import token_set_jaccard_pairs
+
+    frames = sample_video_frames(media, every_ms, stub, codec_factory,
+                                 cache_key)
+    return token_set_jaccard_pairs(
+        frames.select("media_id", "frame_digest"), "media_id",
+        "frame_digest", min_jaccard, max_bucket_size)
+
+
+def video_near_dup(media: DataFrame, every_ms: int = 1000,
+                   min_jaccard: float = 0.5,
+                   max_bucket_size: int | None = 256,
+                   stub: bool = True, codec_factory=None,
+                   cache_key: str | None = None) -> DataFrame:
+    """End-to-end video dedup: frame-overlap pairs → standard
+    smaller-id-wins resolution → kept media rows."""
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.dedup import drop_near_duplicates
+
+    pairs = video_near_dup_pairs(media, every_ms, min_jaccard,
+                                 max_bucket_size, stub, codec_factory,
+                                 cache_key)
+    return drop_near_duplicates(media, pairs, "media_id")

@@ -7338,3 +7338,63 @@ def q_image_dedup_against(spark, sf):
     kept = multimodal.image_dedup_against(new_media, seen, max_hamming=2,
                                           stub=False)
     return kept.select("media_id")
+
+
+@register(
+    "q_video_near_dup",
+    # planted twin videos: selected docs (did % 7 = 3) pair up
+    # ((3,10), (17,24), ...) and share 8 of 10 frame-digest tokens
+    # (md5 of closed-form strings), so Jaccard = 8/12 within a pair
+    # and 0 across pairs; threshold 0.5 keeps exactly the twins.
+    "WITH d AS (SELECT doc_id AS did FROM documents WHERE doc_id % 7 = 3), "
+    "fr AS (SELECT 'v' || did AS media_id, "
+    "  md5(CASE WHEN t.g < 8 THEN "
+    "    'f' || (did - 7*(((did - 3)//7) % 2)) || '_' || t.g "
+    "    ELSE 'u' || did || '_' || t.g END) AS fd "
+    "  FROM d, generate_series(0, 9) t(g)), "
+    "sz AS (SELECT media_id, count(DISTINCT fd) AS n FROM fr "
+    "  GROUP BY media_id), "
+    "sh AS (SELECT a.media_id AS id_a, b.media_id AS id_b, "
+    "  CAST(count(*) AS BIGINT) AS c FROM fr a JOIN fr b "
+    "  ON a.fd = b.fd AND a.media_id < b.media_id GROUP BY 1, 2) "
+    "SELECT id_a, id_b, round(c / (sa.n + sb.n - c), 6) AS jaccard "
+    "FROM sh JOIN sz sa ON sa.media_id = id_a "
+    "JOIN sz sb ON sb.media_id = id_b "
+    "WHERE c / (sa.n + sb.n - c) >= 0.5",
+)
+def q_video_near_dup(spark, sf):
+    """Video near-dup by frame-digest overlap
+    (dedup.token_set_jaccard_pairs, the engine under
+    multimodal.video_near_dup_pairs): two videos are near-duplicates
+    when their sampled frames largely coincide — re-containered or
+    trimmed uploads share most frame digests. The fixture synthesizes
+    the (media_id, frame_digest) relation closed-form (md5 of
+    deterministic strings — engine-identical hex), with planted twin
+    pairs sharing 8/10 frames; the REAL blob→frames path
+    (sample_video_frames → this operator) is exercised by
+    test_video_near_dup_identical_blobs and the digest-twin frame
+    oracle (q_multimodal_frame_sample). Spark runs the one
+    token-keyed exchange + window bucket guard + bucketed self-join;
+    the oracle replays sizes, intersections, and the Jaccard filter
+    naively."""
+    d = load(spark, sf, "documents").filter(
+        F.col("doc_id") % 7 == 3).select(F.col("doc_id").alias("did"))
+    fr = d.select(
+        "did", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("t"))
+    pair_base = (F.col("did")
+                 - 7 * (F.floor((F.col("did") - 3) / 7) % 2)).cast("long")
+    token = F.when(
+        F.col("t") < 8,
+        F.concat(F.lit("f"), pair_base.cast("string"), F.lit("_"),
+                 F.col("t").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("u"), F.col("did").cast("string"), F.lit("_"),
+                 F.col("t").cast("string")))
+    frames = fr.select(
+        F.concat(F.lit("v"), F.col("did").cast("string")).alias("media_id"),
+        F.md5(token.cast("binary")).alias("frame_digest"))
+    out = dedup.token_set_jaccard_pairs(
+        frames, "media_id", "frame_digest", min_jaccard=0.5,
+        max_bucket_size=None)
+    return out.select("id_a", "id_b",
+                      F.round(F.col("jaccard"), 6).alias("jaccard"))

@@ -85,3 +85,20 @@ def test_image_dedup_against_store(spark, media):
     kept = sorted(r.media_id for r in multimodal.image_dedup_against(
         new, seen, max_hamming=2, stub=False).collect())
     assert kept == ["m1_edit", "m_tiny"]
+
+
+def test_video_near_dup_identical_blobs(spark):
+    """The real blob path: two media ids carrying the SAME video bytes
+    share every sampled frame digest (J=1) and resolve to one; a
+    distinct blob shares none."""
+    blob_a = bytes(range(200))
+    blob_b = bytes(reversed(range(200)))
+    rows = [("va1", "video", blob_a, "video/mp4", None, None, 3500),
+            ("va2", "video", blob_a, "video/mp4", None, None, 3500),
+            ("vb", "video", blob_b, "video/mp4", None, None, 3500)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    pairs = multimodal.video_near_dup_pairs(media).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in pairs] == [("va1", "va2", 1.0)]
+    kept = sorted(r.media_id
+                  for r in multimodal.video_near_dup(media).collect())
+    assert kept == ["va1", "vb"]
