@@ -159,6 +159,9 @@ R9_ADDITIONS = [
     "q_image_dedup_against",
     "q_corpus_lifecycle",
     "q_video_near_dup",
+    "q_semantic_decontam",
+    "q_semantic_decontam_ivf",
+    "q_audio_near_dup",
 ]
 
 

@@ -1768,3 +1768,87 @@ def token_set_jaccard_pairs(df: DataFrame, id_col: str, token_col: str,
         / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
     ).select("id_a", "id_b", "jaccard")
     return jac.filter(F.col("jaccard") >= F.lit(min_jaccard))
+
+
+def semantic_contamination_hits(corpus: DataFrame, benchmark: DataFrame,
+                                threshold: float = 0.9,
+                                id_col: str = "vec_id",
+                                vec_col: str = "embedding",
+                                bench_id_col: str = "bench_id",
+                                bench_vec_col: str = "embedding",
+                                max_benchmark: int = 65536,
+                                centroids: list[list[float]] | None = None,
+                                nprobe: int = 2) -> DataFrame:
+    """SEMANTIC decontamination hits — the embedding-space counterpart
+    of :func:`contamination_hits`: a corpus row is contaminated when its
+    embedding's cosine to ANY benchmark vector reaches ``threshold``
+    (6dp-rounded, the engine-portable compare the miners' rank bands
+    use). N-gram decontamination misses paraphrased/translated benchmark
+    leakage; this catches whatever the embedding space considers the
+    same content (the reference's contamination story is n-gram-only —
+    this is the extension a modern eval-hygiene pipeline adds on top).
+    Returns (corpus_id, bench_id, cosine).
+
+    Scale shape: benchmarks are small and stay small — the benchmark
+    side is COUNTED against ``max_benchmark`` and raises loudly past it
+    (the mine_hard_negatives contract). With ``centroids=None`` the
+    bounded benchmark broadcasts and fans the corpus out in ONE scan
+    (the deliberate multi-query shape; |corpus| × |bench| compares).
+    With ``centroids``, corpus rows are IVF-assigned (argmax) and each
+    benchmark vector probes its ``nprobe`` nearest lists via
+    :func:`~metadata_enhanced_pretrain_datapipeline_spark.operators.similarity.ivf_probe_lists`
+    — an equi-join on list_id (work/nlists; a corpus row lives in
+    exactly one list so no pair double-counts). nprobe > 1 exists
+    because decontamination MISSES are costly: a benchmark vector near
+    a centroid boundary still probes the neighbor list. Hits outside
+    the probed lists are missed by construction — the standard
+    IVF recall trade, tunable with nprobe/nlists.
+    """
+    from metadata_enhanced_pretrain_datapipeline_spark.functions.arrays import cosine_similarity
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.similarity import (
+        ivf_assign, ivf_probe_lists)
+
+    n_bench = benchmark.limit(max_benchmark + 1).count()
+    if n_bench > max_benchmark:
+        raise ValueError(
+            f"semantic_contamination_hits: benchmark exceeds "
+            f"max_benchmark={max_benchmark} — the benchmark side must "
+            "stay broadcast-small; split it and union the hit sets.")
+    bench = benchmark.select(F.col(bench_id_col).alias("__bid"),
+                             F.col(bench_vec_col).alias("__bv"))
+    if centroids is None:
+        paired = corpus.crossJoin(F.broadcast(bench))
+    else:
+        assigned = ivf_assign(corpus, centroids, vec_col)
+        bench_lists = bench.withColumn(
+            "list_id",
+            F.explode(ivf_probe_lists(F.col("__bv"), centroids, nprobe)))
+        paired = assigned.join(F.broadcast(bench_lists), "list_id")
+    return (
+        paired.select(
+            F.col(id_col).alias("corpus_id"),
+            F.col("__bid").alias("bench_id"),
+            F.round(cosine_similarity(F.col(vec_col), F.col("__bv")), 6)
+            .alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+    )
+
+
+def semantic_decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                           threshold: float = 0.9,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           bench_id_col: str = "bench_id",
+                           bench_vec_col: str = "embedding",
+                           max_benchmark: int = 65536,
+                           centroids: list[list[float]] | None = None,
+                           nprobe: int = 2) -> DataFrame:
+    """Drop every corpus row :func:`semantic_contamination_hits` flags —
+    ids-only distinct + left_anti, so the corpus embedding column never
+    shuffles (same sink shape as :func:`decontaminate`)."""
+    hits = semantic_contamination_hits(
+        corpus, benchmark, threshold, id_col, vec_col, bench_id_col,
+        bench_vec_col, max_benchmark, centroids, nprobe)
+    hit_ids = hits.select(F.col("corpus_id").alias(id_col)).distinct()
+    return corpus.join(hit_ids, id_col, "left_anti")

@@ -730,3 +730,128 @@ def video_near_dup(media: DataFrame, every_ms: int = 1000,
                                  max_bucket_size, stub, codec_factory,
                                  cache_key)
     return drop_near_duplicates(media, pairs, "media_id")
+
+
+def audio_window_energies(df: DataFrame, window_samples: int = 1024,
+                          segments: int = 32, stub: bool = True,
+                          codec_factory=None,
+                          cache_key: str | None = None) -> DataFrame:
+    """Per-window segment energies — the decode half of the audio
+    fingerprint, split from the arithmetic half
+    (:func:`energy_fingerprint`) so the bit-packing is a pure Spark
+    expression an oracle can replay. Each blob decodes ONCE
+    (mapInPandas); PCM truncates to whole ``window_samples`` windows;
+    each window splits into ``segments`` equal chunks and emits the
+    chunk energies (Σ sample², float64) as one row:
+    (media_id, win_idx, energies array<double>).
+
+    ``codec_factory() -> decode(bytes) -> float PCM`` plugs in a real
+    decoder (soundfile/librosa) built once per worker; the default is
+    the REAL stdlib WAV path / deterministic stub of
+    :func:`decode_audio`.
+    """
+    if window_samples % segments:
+        raise ValueError(
+            f"audio_window_energies: window_samples={window_samples} "
+            f"must divide into segments={segments}")
+    schema = "media_id string, win_idx int, energies array<double>"
+    seg_len = window_samples // segments
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from metadata_enhanced_pretrain_datapipeline_spark.operators.annotators import executor_singleton
+
+        decode = (executor_singleton(codec_factory, cache_key)
+                  if codec_factory is not None
+                  else (lambda b: decode_audio(b, stub=stub)))
+        for pdf in batches:
+            out_mid, out_w, out_en = [], [], []
+            for mid, content in zip(pdf["media_id"].to_numpy(),
+                                    pdf["content"].to_numpy()):
+                if content is None:
+                    continue  # no blob -> no windows
+                pcm = np.asarray(decode(bytes(content)), dtype=np.float64)
+                n_win = len(pcm) // window_samples
+                if not n_win:
+                    continue
+                chunks = pcm[: n_win * window_samples].reshape(
+                    n_win, segments, seg_len)
+                energies = (chunks * chunks).sum(axis=2)
+                for w in range(n_win):
+                    out_mid.append(mid)
+                    out_w.append(w)
+                    out_en.append(list(energies[w]))
+            yield pd.DataFrame(
+                {"media_id": out_mid, "win_idx": out_w, "energies": out_en})
+
+    return df.select("media_id", "content").mapInPandas(run, schema)
+
+
+def energy_fingerprint(energies: Column) -> Column:
+    """Haitsma–Kalker-style sign fingerprint (ISMIR'02 "A Highly Robust
+    Audio Fingerprinting System" — public algorithm): bit i = 1 iff
+    E[i] > E[i+1], packed MSB-first into a BIGINT via a Horner fold
+    (acc·2 + bit — no shift-by-column, which pyspark's shiftleft can't
+    express). Signs of energy DIFFERENCES are invariant to volume
+    scaling and robust to re-encoding; n segments → n−1 bits, so
+    segments ≤ 32 keeps the fingerprint well inside ANSI-safe bigint
+    range. Pure expression — JVM-side, oracle-replayable as
+    Σ bit_i · 2^(n−2−i)."""
+    pairs = F.zip_with(
+        F.slice(energies, 1, F.size(energies) - 1),
+        F.slice(energies, 2, F.size(energies) - 1),
+        lambda a, b: F.when(a > b, F.lit(1).cast("long"))
+        .otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(pairs, F.lit(0).cast("long"),
+                       lambda acc, bit: acc * F.lit(2).cast("long") + bit)
+
+
+def audio_fingerprints(df: DataFrame, window_samples: int = 1024,
+                       segments: int = 32, stub: bool = True,
+                       codec_factory=None,
+                       cache_key: str | None = None) -> DataFrame:
+    """(media_id, win_idx, fp bigint) — decode + energies + sign-bit
+    packing composed. The 8-byte fp column is what an incremental store
+    would persist (the audio analogue of the image dHash store)."""
+    en = audio_window_energies(df, window_samples, segments, stub,
+                               codec_factory, cache_key)
+    return en.select("media_id", "win_idx",
+                     energy_fingerprint(F.col("energies")).alias("fp"))
+
+
+def audio_near_dup_pairs(media: DataFrame, min_jaccard: float = 0.5,
+                         max_bucket_size: int | None = 256,
+                         window_samples: int = 1024, segments: int = 32,
+                         stub: bool = True, codec_factory=None,
+                         cache_key: str | None = None) -> DataFrame:
+    """Audio near-dup: two clips are near-duplicates when their window
+    fingerprints largely coincide — volume-normalized, re-containered,
+    channel-remixed, or window-aligned-trimmed uploads share most
+    fingerprints (sign-of-energy-difference bits survive all of those)
+    while distinct recordings share none. Same engine as video:
+    :func:`audio_fingerprints` feeds dedup.token_set_jaccard_pairs over
+    (media_id, fp) — constant/silent audio collapses to degenerate
+    shared fingerprints, which the bucket cap defuses exactly like the
+    black-frame digest case. Returns (id_a, id_b, jaccard)."""
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.dedup import token_set_jaccard_pairs
+
+    fps = audio_fingerprints(media, window_samples, segments, stub,
+                             codec_factory, cache_key)
+    return token_set_jaccard_pairs(
+        fps.select("media_id", "fp"), "media_id", "fp",
+        min_jaccard, max_bucket_size)
+
+
+def audio_near_dup(media: DataFrame, min_jaccard: float = 0.5,
+                   max_bucket_size: int | None = 256,
+                   window_samples: int = 1024, segments: int = 32,
+                   stub: bool = True, codec_factory=None,
+                   cache_key: str | None = None) -> DataFrame:
+    """End-to-end audio dedup: fingerprint-overlap pairs → standard
+    smaller-id-wins resolution → kept media rows."""
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.dedup import drop_near_duplicates
+
+    pairs = audio_near_dup_pairs(media, min_jaccard, max_bucket_size,
+                                 window_samples, segments, stub,
+                                 codec_factory, cache_key)
+    return drop_near_duplicates(media, pairs, "media_id")

@@ -192,6 +192,36 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]],
     return df.withColumn("list_id", _nearest_centroid_col(F.col(vec_col), centroids))
 
 
+def ivf_probe_lists(vec: Column, centroids: list[list[float]],
+                    nprobe: int = 2) -> Column:
+    """Per-ROW probe set: the ``nprobe`` nearest list ids for each vector
+    as an ``array<int>`` — :func:`ivf_topk`'s driver-side probe
+    computation lifted into an expression, for operators whose QUERY
+    side is a DataFrame (semantic decontamination, batched retrieval)
+    rather than one literal vector. Same score (dot − |c|²/2, ≡ nearest
+    by distance) and the same tie-break (smaller centroid id) as
+    :func:`_nearest_centroid_col`, so ``nprobe=1`` reproduces
+    ``ivf_assign`` exactly. O(k log k) expression nodes — the array
+    sort, never a when-chain (the r8 O(2^k) lesson)."""
+    from metadata_enhanced_pretrain_datapipeline_spark.functions.arrays import dot_product
+
+    scored = []
+    for i, c in enumerate(centroids):
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        half_norm = sum(x * x for x in c) / 2.0
+        scored.append(F.struct(
+            (dot_product(vec, lit) - F.lit(half_norm)).alias("s"),
+            F.lit(i).alias("i"),
+        ))
+    ranked = F.array_sort(
+        F.array(*scored),
+        lambda a, b: F.when(a["s"] > b["s"], F.lit(-1))
+        .when(a["s"] < b["s"], F.lit(1))
+        .otherwise(a["i"] - b["i"]),
+    )
+    return F.transform(F.slice(ranked, 1, nprobe), lambda x: x["i"].cast("int"))
+
+
 def ivf_topk(df: DataFrame, centroids: list[list[float]], query_vec: list[float],
              k: int = 10, nprobe: int = 2, id_col: str = "vec_id",
              vec_col: str = "embedding", list_col: str | None = None) -> DataFrame:

@@ -7398,3 +7398,163 @@ def q_video_near_dup(spark, sf):
         max_bucket_size=None)
     return out.select("id_a", "id_b",
                       F.round(F.col("jaccard"), 6).alias("jaccard"))
+
+
+# Semantic-decontamination fixture: the benchmark is a sign-flip
+# perturbation of the vec_id%97==3 corpus vectors ("benchmark items
+# that leaked into the corpus with light edits") — cosine(source,
+# perturbed) = 1 - 2*v_j^2/|v|^2 >= 0.93 on this corpus while every
+# other pair stays <= 0.44 (measured at sf0.01), so threshold 0.7 has
+# ~0.23 margin on both sides and no 6dp boundary risk.
+_SEMDECON_BENCH_SQL = (
+    "sdb AS (SELECT vec_id AS bid, list_transform(embedding, (x, i) -> "
+    "  CASE WHEN i - 1 = vec_id % 64 THEN -CAST(x AS DOUBLE) "
+    "  ELSE CAST(x AS DOUBLE) END) AS bv "
+    "  FROM embeddings WHERE vec_id % 97 = 3), "
+    "sdae AS (SELECT vec_id, unnest(embedding) AS v, "
+    "  generate_subscripts(embedding, 1) AS i FROM embeddings), "
+    "sdbe AS (SELECT bid, unnest(bv) AS v, "
+    "  generate_subscripts(bv, 1) AS i FROM sdb), "
+    "sdn AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) "
+    "  AS nrm FROM sdae GROUP BY vec_id), "
+    "sdbn AS (SELECT bid, sqrt(sum(v * v)) AS nrm FROM sdbe GROUP BY bid), "
+    "sdd AS (SELECT a.vec_id, c.bid, sum(CAST(a.v AS DOUBLE) * c.v) AS dp "
+    "  FROM sdae a JOIN sdbe c ON a.i = c.i GROUP BY 1, 2), "
+    "sdcos AS (SELECT sdd.vec_id, sdd.bid, "
+    "  round(dp / (sdn.nrm * sdbn.nrm), 6) AS c "
+    "  FROM sdd JOIN sdn USING (vec_id) JOIN sdbn USING (bid))"
+)
+
+
+def _semdecon_bench(e):
+    """Spark twin of _SEMDECON_BENCH_SQL's sdb CTE (keep in lockstep)."""
+    return e.filter(F.col("vec_id") % 97 == 3).select(
+        F.col("vec_id").alias("bench_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(
+                i.cast("bigint") == F.col("vec_id") % 64,
+                -x.cast("double")).otherwise(x.cast("double")),
+        ).alias("embedding"),
+    )
+
+
+@register(
+    "q_semantic_decontam",
+    f"WITH {_SEMDECON_BENCH_SQL}, "
+    "sdhit AS (SELECT DISTINCT vec_id FROM sdcos WHERE c >= 0.7) "
+    "SELECT vec_id, label FROM embeddings "
+    "WHERE vec_id NOT IN (SELECT vec_id FROM sdhit)",
+)
+def q_semantic_decontam(spark, sf):
+    """Extension — SEMANTIC decontamination (dedup.semantic_decontaminate,
+    flat path): drop corpus rows whose embedding cosine to ANY benchmark
+    vector reaches the threshold. The n-gram decontamination family
+    (q_decontaminate) misses paraphrased benchmark leakage; this is the
+    embedding-space complement a modern eval-hygiene pipeline layers on
+    top. Benchmark = sign-flip perturbed copies of the vec_id%97==3
+    corpus vectors (closed-form in both engines); the bounded benchmark
+    broadcasts and fans the corpus out in one scan; the oracle replays
+    dot/norm/threshold and the NOT-IN anti-join naively."""
+    e = load(spark, sf, "embeddings")
+    kept = dedup.semantic_decontaminate(
+        e, _semdecon_bench(e), threshold=0.7)
+    return kept.select("vec_id", "label")
+
+
+@register(
+    "q_semantic_decontam_ivf",
+    f"WITH {_IVF_ASSIGN_SQL}, {_SEMDECON_BENCH_SQL}, "
+    "sdbs AS (SELECT e.bid, c.cid, sum(e.v * CAST(c.v AS DOUBLE)) AS dp "
+    "  FROM sdbe e JOIN ce c ON e.i = c.i GROUP BY 1, 2), "
+    "sdsc AS (SELECT bid, cid, dp - cn.n2 / 2 AS s "
+    "  FROM sdbs JOIN cn USING (cid)), "
+    "sdpl AS (SELECT bid, cid FROM (SELECT bid, cid, row_number() OVER ("
+    "  PARTITION BY bid ORDER BY s DESC, cid) AS rn FROM sdsc) "
+    "  WHERE rn <= 2) "
+    "SELECT sdcos.vec_id AS corpus_id, sdcos.bid AS bench_id, "
+    "  sdcos.c AS cosine "
+    "FROM sdcos "
+    "JOIN assign ON assign.vec_id = sdcos.vec_id "
+    "JOIN sdpl ON sdpl.bid = sdcos.bid AND sdpl.cid = assign.list_id "
+    "WHERE sdcos.c >= 0.7",
+)
+def q_semantic_decontam_ivf(spark, sf):
+    """Extension — semantic-contamination hits at corpus scale
+    (dedup.semantic_contamination_hits with centroids): corpus rows are
+    IVF-assigned once, each benchmark vector probes its nprobe=2 nearest
+    lists (similarity.ivf_probe_lists — the per-row probe-set
+    expression), and the compare is an equi-join on list_id — work
+    drops to ~|corpus|x|bench|/nlists and misses outside probed lists
+    are the standard IVF recall trade (nprobe exists because
+    decontamination misses are costly). The oracle replays corpus
+    assignment, per-benchmark probe ranking, and the in-list cosine
+    threshold."""
+    e = load(spark, sf, "embeddings")
+    cents = _static_codebook(e)
+    hits = dedup.semantic_contamination_hits(
+        e, _semdecon_bench(e), threshold=0.7, centroids=cents, nprobe=2)
+    return hits.select("corpus_id", "bench_id", "cosine")
+
+
+@register(
+    "q_audio_near_dup",
+    # planted twin clips: docs did%11==4 pair up and share 9 of 12
+    # window-energy patterns; the fingerprint (sign bits of adjacent
+    # segment-energy differences, Horner MSB-first = sum of
+    # 2^(30-i) terms) is replayed bit-exactly, then sizes /
+    # intersections / the Jaccard filter naively.
+    "WITH d AS (SELECT doc_id AS did FROM documents WHERE doc_id % 11 = 4), "
+    "wn AS (SELECT did, t.w FROM d, generate_series(0, 11) t(w)), "
+    "en AS (SELECT did, w, i.i, "
+    "  CAST(((CASE WHEN w < 9 THEN did - 11 * (((did - 4) // 11) % 2) "
+    "    ELSE did END) * 31 + w * 17 + i.i * 7) % 97 AS BIGINT) AS e "
+    "  FROM wn, generate_series(0, 31) i(i)), "
+    "fp AS (SELECT 'au' || a.did AS media_id, a.w, "
+    "  sum(CASE WHEN a.e > b.e THEN 1::BIGINT << (30 - a.i) "
+    "    ELSE 0 END) AS fp "
+    "  FROM en a JOIN en b ON b.did = a.did AND b.w = a.w "
+    "    AND b.i = a.i + 1 GROUP BY 1, 2), "
+    "tok AS (SELECT DISTINCT media_id, fp FROM fp), "
+    "sz AS (SELECT media_id, count(*) AS n FROM tok GROUP BY 1), "
+    "sh AS (SELECT a.media_id AS id_a, b.media_id AS id_b, "
+    "  CAST(count(*) AS BIGINT) AS c FROM tok a JOIN tok b "
+    "  ON a.fp = b.fp AND a.media_id < b.media_id GROUP BY 1, 2) "
+    "SELECT id_a, id_b, round(c / (sa.n + sb.n - c), 6) AS jaccard "
+    "FROM sh JOIN sz sa ON sa.media_id = id_a "
+    "JOIN sz sb ON sb.media_id = id_b "
+    "WHERE c / (sa.n + sb.n - c) >= 0.5",
+)
+def q_audio_near_dup(spark, sf):
+    """Audio near-dup by fingerprint overlap (multimodal.audio_near_dup_pairs'
+    engine): clips whose Haitsma-Kalker-style window fingerprints
+    largely coincide are near-duplicates — volume-scaled /
+    re-containered / channel-remixed uploads share every
+    sign-of-energy-difference bit. The fixture synthesizes the
+    (media_id, win_idx, energies) relation closed-form (the %97
+    arithmetic, planted twins sharing 9/12 windows) and runs the REAL
+    multimodal.energy_fingerprint expression + dedup.token_set_jaccard_pairs
+    on it, so the bit-packing Horner fold and the Jaccard engine are
+    both hash-checked; the real WAV-decode path is exercised by
+    tests/test_audio_dedup.py."""
+    d = load(spark, sf, "documents").filter(
+        F.col("doc_id") % 11 == 4).select(F.col("doc_id").alias("did"))
+    wn = d.select(
+        "did", F.explode(F.sequence(F.lit(0), F.lit(11))).alias("w"))
+    pair_base = (F.col("did")
+                 - 11 * (F.floor((F.col("did") - 4) / 11) % 2)).cast("long")
+    base = F.when(F.col("w") < 9, pair_base).otherwise(
+        F.col("did").cast("long"))
+    energies = F.transform(
+        F.sequence(F.lit(0), F.lit(31)),
+        lambda i: ((base * 31 + F.col("w") * 17 + i * 7) % 97)
+        .cast("double"))
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.multimodal import energy_fingerprint
+
+    fps = wn.select(
+        F.concat(F.lit("au"), F.col("did").cast("string")).alias("media_id"),
+        energy_fingerprint(energies).alias("fp"))
+    out = dedup.token_set_jaccard_pairs(
+        fps, "media_id", "fp", min_jaccard=0.5, max_bucket_size=None)
+    return out.select("id_a", "id_b",
+                      F.round(F.col("jaccard"), 6).alias("jaccard"))

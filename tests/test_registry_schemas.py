@@ -59,6 +59,12 @@ ALLOWED_SCALAR_BNLJ = {
 
     "q_dsir_top_n",          # R / T 1-row model-total broadcasts
     "q_dsir_sample",         # same dsir_weights R/T scalar broadcasts
+    "q_semantic_decontam",   # bounded (<=max_benchmark) benchmark-vector
+                             # broadcast fanning the corpus out in ONE
+                             # scan — the flat decontamination shape,
+                             # guarded by a raise; the IVF variant
+                             # (q_semantic_decontam_ivf) is the
+                             # equi-join scale path
 }
 
 #: q_udtf_excerpt_windows is the deliberate Python-UDTF API surface demo
