@@ -1729,27 +1729,36 @@ def token_set_jaccard_pairs(df: DataFrame, id_col: str, token_col: str,
     with id_a < id_b, jaccard = |A∩B| / (|A|+|B|-|A∩B|) over DISTINCT
     tokens, >= ``min_jaccard``.
 
-    Scale shape: one exchange keyed on token; a shuffle-free window
-    count drops singleton buckets and (``max_bucket_size``) degenerate
-    ones — a black-frame digest shared by half the corpus must not go
-    quadratic; per-pair intersection counts come from the bucketed
-    self-join's groupBy (AQE splits residual skew); set sizes ride the
-    exploded rows, so nothing re-aggregates the corpus. Dropping a
+    Scale shape: three narrow exchanges over (id, token) rows — the
+    distinct, a per-id window count (true set sizes, taken BEFORE any
+    bucket is dropped), and a per-token window count whose filter kills
+    singleton buckets and (``max_bucket_size``) degenerate ones — a
+    black-frame digest shared by half the corpus must not go quadratic.
+    The surviving bucket rows then MATERIALIZE (lazy persist) before
+    the self-join: a self-join re-evaluates its subtree per side, so
+    without the boundary the whole distinct+count chain would run twice
+    (the LeftAnti-through-Union lesson, same fix as
+    drop_near_duplicates). Per-pair intersection counts come from the
+    bucketed self-join's groupBy (AQE splits residual skew); set sizes
+    ride the rows, so nothing re-aggregates the corpus. Dropping a
     capped bucket UNDERCOUNTS intersections for pairs sharing that
     token (conservative: pairs can only miss, never false-positive on
     jaccard) — same contract as every bucket cap in this family.
     """
+    from metadata_enhanced_pretrain_datapipeline_spark.checkpointing import materialize
+
     tok = (df.select(F.col(id_col).alias("id"),
                      F.col(token_col).alias("token"))
            .filter(F.col("token").isNotNull()).distinct())
-    sized = tok.join(
-        tok.groupBy("id").agg(F.count("*").alias("n_tok")), "id")
-    sized = sized.repartition("token")
-    w = Window.partitionBy("token")
-    counted = sized.withColumn("__n", F.count("*").over(w))
+    counted = (
+        tok.withColumn("n_tok",
+                       F.count("*").over(Window.partitionBy("id")))
+        .withColumn("__n", F.count("*").over(Window.partitionBy("token")))
+    )
     upper = (F.col("__n") <= F.lit(max_bucket_size)
              if max_bucket_size is not None else F.lit(True))
     live = counted.filter((F.col("__n") >= 2) & upper).drop("__n")
+    live = materialize(live, eager=False)
     a, b = live.alias("a"), live.alias("b")
     inter = (
         a.join(b, "token")
