@@ -162,6 +162,7 @@ R9_ADDITIONS = [
     "q_semantic_decontam",
     "q_semantic_decontam_ivf",
     "q_audio_near_dup",
+    "q_token_dedup_against",
 ]
 
 

@@ -1861,3 +1861,50 @@ def semantic_decontaminate(corpus: DataFrame, benchmark: DataFrame,
         bench_vec_col, max_benchmark, centroids, nprobe)
     hit_ids = hits.select(F.col("corpus_id").alias(id_col)).distinct()
     return corpus.join(hit_ids, id_col, "left_anti")
+
+
+def token_set_jaccard_against(new_df: DataFrame, seen_df: DataFrame,
+                              id_col: str, token_col: str,
+                              min_jaccard: float = 0.5,
+                              max_bucket_size: int | None = 256) -> DataFrame:
+    """Incremental :func:`token_set_jaccard_pairs`: Jaccard candidate
+    pairs between a NEW month's (id, token) sets and a persisted STORE
+    of prior months' tokens — month N+1's media never re-pair among
+    the already-deduped past, mirroring :func:`hamming_dedup_against`
+    for the token-set families (video frame digests, audio window
+    fingerprints, per-host URL sets). Both frames use ``id_col`` /
+    ``token_col`` names. Returns (new_id, seen_id, jaccard) with
+    jaccard over DISTINCT tokens >= ``min_jaccard``.
+
+    Scale shape: per side, two narrow window counts over the distinct
+    (id, token) rows — true set sizes FIRST, then the per-token bucket
+    guard (a token kept on both sides fans out at most
+    ``max_bucket_size``² pairs; dropping a capped bucket undercounts
+    conservatively, the family contract). The cross-frame equi-join on
+    token replaces the pair generator's self-join, so no materialize
+    boundary is needed — each subtree is consumed once.
+    """
+    def prep(d: DataFrame, side: str) -> DataFrame:
+        t = (d.select(F.col(id_col).alias(f"{side}_id"),
+                      F.col(token_col).alias("token"))
+             .filter(F.col("token").isNotNull()).distinct())
+        t = t.withColumn(f"n_{side}",
+                         F.count("*").over(Window.partitionBy(f"{side}_id")))
+        if max_bucket_size is not None:
+            t = (t.withColumn("__n",
+                              F.count("*").over(Window.partitionBy("token")))
+                 .filter(F.col("__n") <= F.lit(max_bucket_size))
+                 .drop("__n"))
+        return t
+
+    inter = (
+        prep(new_df, "new").join(prep(seen_df, "seen"), "token")
+        .groupBy("new_id", "seen_id", "n_new", "n_seen")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = inter.withColumn(
+        "jaccard",
+        F.col("n_common").cast("double")
+        / (F.col("n_new") + F.col("n_seen") - F.col("n_common")),
+    ).select("new_id", "seen_id", "jaccard")
+    return jac.filter(F.col("jaccard") >= F.lit(min_jaccard))

@@ -855,3 +855,47 @@ def audio_near_dup(media: DataFrame, min_jaccard: float = 0.5,
                                  window_samples, segments, stub,
                                  codec_factory, cache_key)
     return drop_near_duplicates(media, pairs, "media_id")
+
+
+def audio_dedup_against(new_media: DataFrame, seen_fps: DataFrame,
+                        min_jaccard: float = 0.5,
+                        max_bucket_size: int | None = 256,
+                        window_samples: int = 1024, segments: int = 32,
+                        stub: bool = True, codec_factory=None,
+                        cache_key: str | None = None) -> DataFrame:
+    """Incremental audio dedup: the new month's blobs decode once;
+    prior months live on as their (media_id, fp) window-fingerprint
+    rows (``seen_fps`` — what :func:`audio_fingerprints` emits and a
+    store persists). New clips sharing >= ``min_jaccard`` of their
+    fingerprints with ANY stored clip drop; the rest survive. Same
+    month-over-month shape as :func:`image_dedup_against`, with
+    dedup.token_set_jaccard_against as the engine."""
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.dedup import token_set_jaccard_against
+
+    fps = audio_fingerprints(new_media, window_samples, segments, stub,
+                             codec_factory, cache_key)
+    pairs = token_set_jaccard_against(
+        fps.select("media_id", "fp"), seen_fps.select("media_id", "fp"),
+        "media_id", "fp", min_jaccard, max_bucket_size)
+    dropped = pairs.select(F.col("new_id").alias("media_id")).distinct()
+    return new_media.join(dropped, "media_id", "left_anti")
+
+
+def video_dedup_against(new_media: DataFrame, seen_frames: DataFrame,
+                        every_ms: int = 1000, min_jaccard: float = 0.5,
+                        max_bucket_size: int | None = 256,
+                        stub: bool = True, codec_factory=None,
+                        cache_key: str | None = None) -> DataFrame:
+    """Incremental video dedup against a persisted (media_id,
+    frame_digest) store — :func:`video_near_dup`'s month-over-month
+    form (the store is what :func:`sample_video_frames` emits)."""
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.dedup import token_set_jaccard_against
+
+    frames = sample_video_frames(new_media, every_ms, stub, codec_factory,
+                                 cache_key)
+    pairs = token_set_jaccard_against(
+        frames.select("media_id", "frame_digest"),
+        seen_frames.select("media_id", "frame_digest"),
+        "media_id", "frame_digest", min_jaccard, max_bucket_size)
+    dropped = pairs.select(F.col("new_id").alias("media_id")).distinct()
+    return new_media.join(dropped, "media_id", "left_anti")

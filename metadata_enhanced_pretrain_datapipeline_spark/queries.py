@@ -7558,3 +7558,65 @@ def q_audio_near_dup(spark, sf):
         fps, "media_id", "fp", min_jaccard=0.5, max_bucket_size=None)
     return out.select("id_a", "id_b",
                       F.round(F.col("jaccard"), 6).alias("jaccard"))
+
+
+@register(
+    "q_token_dedup_against",
+    # store = 's{did}' media with tokens did*101+g (g 0..9); new month =
+    # 'n{did}' media sharing 8/10 tokens (did%3==0 -> J=8/12, drops) or
+    # 3/10 (J=3/17, survives); the 101 stride keeps token ranges
+    # disjoint across dids, so each new media pairs only with its own
+    # stored counterpart. Oracle replays sizes, intersections, the
+    # Jaccard filter, and the NOT-IN anti-join naively.
+    "WITH d AS (SELECT doc_id AS did FROM documents WHERE doc_id % 13 = 6), "
+    "r AS (SELECT did, t.g FROM d, generate_series(0, 9) t(g)), "
+    "seen AS (SELECT 's' || did AS media_id, did * 101 + g AS token FROM r), "
+    "newm AS (SELECT 'n' || did AS media_id, "
+    "  CASE WHEN g < (CASE WHEN did % 3 = 0 THEN 8 ELSE 3 END) "
+    "    THEN did * 101 + g "
+    "    ELSE did * 101 + 1000 + g "
+    "      - (CASE WHEN did % 3 = 0 THEN 8 ELSE 3 END) END AS token "
+    "  FROM r), "
+    "nsz AS (SELECT media_id, count(DISTINCT token) AS n FROM newm "
+    "  GROUP BY 1), "
+    "ssz AS (SELECT media_id, count(DISTINCT token) AS n FROM seen "
+    "  GROUP BY 1), "
+    "sh AS (SELECT n.media_id AS nid, s.media_id AS sid, "
+    "  CAST(count(*) AS BIGINT) AS c "
+    "  FROM (SELECT DISTINCT media_id, token FROM newm) n "
+    "  JOIN (SELECT DISTINCT media_id, token FROM seen) s "
+    "  ON n.token = s.token GROUP BY 1, 2), "
+    "dropi AS (SELECT DISTINCT nid FROM sh "
+    "  JOIN nsz ON nsz.media_id = sh.nid JOIN ssz ON ssz.media_id = sh.sid "
+    "  WHERE c / (nsz.n + ssz.n - c) >= 0.5) "
+    "SELECT DISTINCT media_id FROM newm "
+    "WHERE media_id NOT IN (SELECT nid FROM dropi)",
+)
+def q_token_dedup_against(spark, sf):
+    """Incremental token-set dedup (dedup.token_set_jaccard_against —
+    the engine under multimodal.audio_dedup_against /
+    video_dedup_against): month N+1's token sets Jaccard-compare
+    against a persisted store of prior months' tokens, never re-pairing
+    the already-deduped past. The fixture synthesizes disjoint-range
+    integer tokens with planted 8/10-overlap twins (drop) and
+    3/10-overlap near-misses (survive); Spark runs the per-side window
+    counts + cross-frame token equi-join; the real blob→token paths are
+    exercised by test_audio_dedup.py / test_image_dedup.py."""
+    d = load(spark, sf, "documents").filter(
+        F.col("doc_id") % 13 == 6).select(F.col("doc_id").alias("did"))
+    r = d.select("did", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("g"))
+    seen = r.select(
+        F.concat(F.lit("s"), F.col("did").cast("string")).alias("media_id"),
+        (F.col("did") * 101 + F.col("g")).alias("token"))
+    shared_n = F.when(F.col("did") % 3 == 0, F.lit(8)).otherwise(F.lit(3))
+    newm = r.select(
+        F.concat(F.lit("n"), F.col("did").cast("string")).alias("media_id"),
+        F.when(F.col("g") < shared_n, F.col("did") * 101 + F.col("g"))
+        .otherwise(F.col("did") * 101 + 1000 + F.col("g") - shared_n)
+        .alias("token"))
+    pairs = dedup.token_set_jaccard_against(
+        newm, seen, "media_id", "token", min_jaccard=0.5,
+        max_bucket_size=None)
+    dropped = pairs.select(F.col("new_id").alias("media_id")).distinct()
+    return (newm.select("media_id").distinct()
+            .join(dropped, "media_id", "left_anti"))

@@ -72,3 +72,14 @@ def test_energy_fingerprint_is_horner_msb_first(spark):
     out = df.select(
         multimodal.energy_fingerprint(F.col("energies")).alias("fp")).head()
     assert out.fp == 5
+
+
+def test_audio_dedup_against_store(spark, media):
+    """Prior month lives on as (media_id, fp) rows; a volume-scaled
+    re-upload drops against the store, fresh audio survives."""
+    seen = multimodal.audio_fingerprints(
+        media.filter(media.media_id == "a1"), stub=False)
+    new = media.filter(media.media_id.isin("a1_loud", "b1"))
+    kept = sorted(r.media_id for r in multimodal.audio_dedup_against(
+        new, seen, stub=False).collect())
+    assert kept == ["b1"]

@@ -102,3 +102,22 @@ def test_video_near_dup_identical_blobs(spark):
     kept = sorted(r.media_id
                   for r in multimodal.video_near_dup(media).collect())
     assert kept == ["va1", "vb"]
+
+
+def test_video_dedup_against_store(spark):
+    """Month 1's frame digests persist; month 2's identical blob drops,
+    distinct footage survives."""
+    blob_a = bytes(range(200))
+    blob_b = bytes(reversed(range(200)))
+    m1 = spark.createDataFrame(
+        [("va1", "video", blob_a, "video/mp4", None, None, 3500)],
+        multimodal.MEDIA_SCHEMA)
+    seen = multimodal.sample_video_frames(m1).select(
+        "media_id", "frame_digest")
+    m2 = spark.createDataFrame(
+        [("va2", "video", blob_a, "video/mp4", None, None, 3500),
+         ("vb", "video", blob_b, "video/mp4", None, None, 3500)],
+        multimodal.MEDIA_SCHEMA)
+    kept = sorted(r.media_id for r in multimodal.video_dedup_against(
+        m2, seen).collect())
+    assert kept == ["vb"]
