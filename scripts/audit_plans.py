@@ -258,6 +258,41 @@ AUDITS = {
     "corpus scanned once); per-query top-k is two HashAggregates "
     "(per-partition truncated arrays, bounded merge) — no per-query "
     "Window sort over the corpus.",
+    "q_image_near_dup": "Visual dHash near-dup: blobs decode once in "
+    "one MapInPandas into 12-byte (id, hash64) rows; everything after "
+    "— chunk Generate, bucket self-join, bit_count verify — exchanges "
+    "hashes only, never pixels.",
+    "q_video_near_dup": "Frame-overlap near-dup (token-set Jaccard "
+    "engine): distinct + two Window counts on (id, token), then the "
+    "counted rows hit an InMemoryRelation boundary so the bucketed "
+    "self-join reads the subtree once, not twice; per-pair "
+    "intersections are one HashAggregate — set sizes ride the rows.",
+    "q_audio_near_dup": "Energy-sign fingerprints: the Haitsma-Kalker "
+    "bit-pack is a pure codegen Horner chain (no Python); near-dup "
+    "pairs reuse the same materialized token-set Jaccard skeleton as "
+    "video.",
+    "q_token_dedup_against": "Incremental token-set dedup: the seen "
+    "STORE joins by token only — new-month rows carry their sizes, "
+    "store set sizes come from the store's own persisted counts; no "
+    "re-aggregation of history.",
+    "q_image_dedup_against": "Incremental visual dedup: new blobs "
+    "decode once; the hash store joins on bucketed chunks "
+    "(equi-join, no cross month-vs-store product).",
+    "q_semantic_decontam": "Flat semantic decontamination: the counted"
+    "+guarded benchmark broadcasts; the corpus fans out ONCE through a "
+    "BroadcastNestedLoopJoin, hits reduce to distinct ids, and the "
+    "kept corpus is a LeftAnti on ids — the embedding column never "
+    "shuffles.",
+    "q_semantic_decontam_ivf": "IVF-probed decontamination: corpus "
+    "rows get a nearest-centroid list_id (O(k) argmax expression), "
+    "each benchmark vector probes its nprobe lists, and the hit scan "
+    "is an equi-join on list_id — work/nlists instead of |corpus| x "
+    "|benchmark|.",
+    "q_corpus_lifecycle": "The composed monthly chain: every stage is "
+    "the production operator (band-store dedup, stream append, "
+    "codebook-stamped compaction), and the final probe plan shows the "
+    "same PartitionFilters + tinyint ReadSchema as the standalone "
+    "store probes — composition adds no new exchange.",
 }
 
 KEEP = re.compile(
