@@ -163,6 +163,8 @@ R9_ADDITIONS = [
     "q_semantic_decontam_ivf",
     "q_audio_near_dup",
     "q_token_dedup_against",
+    "q_containment_pairs",
+    "q_video_containment",
 ]
 
 

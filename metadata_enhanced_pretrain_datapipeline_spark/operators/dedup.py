@@ -602,17 +602,34 @@ def compact_band_store(spark, monthly_paths: list[str], out_path: str,
             num_buckets=num_buckets)
 
 
-def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                  shingle_n: int = 3, min_jaccard: float = 0.0) -> DataFrame:
-    """n-gram Jaccard similarity for candidate pairs via a shingle inverted
-    index: explode distinct shingles, self-join on shingle, count common
-    shingles per pair, then |A∩B| / (|A|+|B|-|A∩B|).
+def _overlap_metric(metric: str) -> Column:
+    """Pair-overlap metric over (n_a, n_b, n_common) columns — the one
+    definition shared by every set-overlap pair generator here.
 
-    The join is keyed by shingle — a hot shingle (stopword trigram) can
-    skew; AQE skew-join splits it, and `min_jaccard` prunes the long tail
-    early. For full-corpus dedup prefer minhash_lsh_pairs; this operator is
-    the exact verifier within LSH buckets.
+    - ``jaccard``: |A∩B| / |A∪B| — symmetric similarity; dilutes toward 0
+      when one set is much larger than the other.
+    - ``containment``: |A∩B| / min(|A|, |B|) — "is the smaller set inside
+      the bigger one": 1.0 for a snippet quoted whole inside a long doc or
+      a trimmed clip inside the full video, exactly the near-superset
+      duplicates Jaccard scores near |small|/|big| and misses.
     """
+    if metric == "jaccard":
+        return (F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+    if metric == "containment":
+        return (F.col("n_common").cast("double")
+                / F.least(F.col("n_a"), F.col("n_b")))
+    raise ValueError(f"unknown overlap metric {metric!r} "
+                     "(expected 'jaccard' or 'containment')")
+
+
+def _shingle_pair_counts(df: DataFrame, id_col: str, text_col: str,
+                         shingle_n: int) -> DataFrame:
+    """Shared shingle-inverted-index pair counter under
+    :func:`jaccard_pairs` / :func:`containment_pairs`: explode distinct
+    shingles, self-join on shingle, count common shingles per (id_a <
+    id_b) pair; set sizes ride the rows. The join is keyed by shingle —
+    a hot shingle (stopword trigram) can skew; AQE skew-join splits it."""
     from metadata_enhanced_pretrain_datapipeline_spark.partitioning import ensure_min_partitions
 
     # materialize the shingle array once, then size/explode the column —
@@ -624,7 +641,7 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         .select("id", F.size("__sh").alias("n_sh"), F.explode("__sh").alias("shingle"))
     )
     a, b = sh.alias("a"), sh.alias("b")
-    inter = (
+    return (
         a.join(b, "shingle")
         .filter(F.col("a.id") < F.col("b.id"))
         .groupBy(
@@ -635,12 +652,45 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         )
         .agg(F.count("*").alias("n_common"))
     )
-    jac = inter.withColumn(
-        "jaccard",
-        F.col("n_common").cast("double")
-        / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-    ).select("id_a", "id_b", "jaccard")
+
+
+def jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                  shingle_n: int = 3, min_jaccard: float = 0.0) -> DataFrame:
+    """n-gram Jaccard similarity for candidate pairs via a shingle inverted
+    index: explode distinct shingles, self-join on shingle, count common
+    shingles per pair, then |A∩B| / (|A|+|B|-|A∩B|).
+
+    The join is keyed by shingle — a hot shingle (stopword trigram) can
+    skew; AQE skew-join splits it, and `min_jaccard` prunes the long tail
+    early. For full-corpus dedup prefer minhash_lsh_pairs; this operator is
+    the exact verifier within LSH buckets.
+    """
+    jac = (_shingle_pair_counts(df, id_col, text_col, shingle_n)
+           .withColumn("jaccard", _overlap_metric("jaccard"))
+           .select("id_a", "id_b", "jaccard"))
     return jac.filter(F.col("jaccard") >= F.lit(min_jaccard))
+
+
+def containment_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", shingle_n: int = 3,
+                      min_containment: float = 0.5) -> DataFrame:
+    """n-gram CONTAINMENT candidate pairs — |A∩B| / min(|A|, |B|) over
+    distinct shingles, the asymmetric complement of :func:`jaccard_pairs`
+    (reference parity: the fuzzy-dedup family, minhash_dedup.py; the
+    containment variant is the standard extension for quote/excerpt
+    duplication — Broder 1997's containment coefficient).
+
+    Jaccard dilutes when sizes differ: a 50-shingle snippet quoted whole
+    inside a 5000-shingle page scores ~0.01 and survives every Jaccard
+    threshold, yet it IS a duplicate of the page's content. Containment
+    scores that pair 1.0. Same inverted-index skeleton and skew caveats
+    as jaccard_pairs; at corpus scale run it on LSH candidates or a
+    sample, not as the full-corpus pair generator.
+    """
+    pairs = (_shingle_pair_counts(df, id_col, text_col, shingle_n)
+             .withColumn("containment", _overlap_metric("containment"))
+             .select("id_a", "id_b", "containment"))
+    return pairs.filter(F.col("containment") >= F.lit(min_containment))
 
 
 def simhash(df: DataFrame, text_col: str = "text", bits: int = 16,
@@ -1719,7 +1769,8 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_col: str,
 
 def token_set_jaccard_pairs(df: DataFrame, id_col: str, token_col: str,
                             min_jaccard: float = 0.5,
-                            max_bucket_size: int | None = 256) -> DataFrame:
+                            max_bucket_size: int | None = 256,
+                            metric: str = "jaccard") -> DataFrame:
     """Exact set-Jaccard candidate pairs over a PRE-EXPLODED
     (id, token) relation — :func:`jaccard_pairs` without the text
     shingling front end, for ids whose "tokens" are already first-class
@@ -1734,6 +1785,10 @@ def token_set_jaccard_pairs(df: DataFrame, id_col: str, token_col: str,
     bucket is dropped), and a per-token window count whose filter kills
     singleton buckets and (``max_bucket_size``) degenerate ones — a
     black-frame digest shared by half the corpus must not go quadratic.
+    ``metric="containment"`` scores |A∩B| / min(|A|,|B|) instead (output
+    column renamed to match, threshold applies to it): the trimmed-upload
+    case — a clip whose frames are a SUBSET of the full video's — scores
+    1.0 on containment but only |clip|/|full| on Jaccard.
     The surviving bucket rows then MATERIALIZE (lazy persist) before
     the self-join: a self-join re-evaluates its subtree per side, so
     without the boundary the whole distinct+count chain would run twice
@@ -1771,12 +1826,9 @@ def token_set_jaccard_pairs(df: DataFrame, id_col: str, token_col: str,
         )
         .agg(F.count("*").alias("n_common"))
     )
-    jac = inter.withColumn(
-        "jaccard",
-        F.col("n_common").cast("double")
-        / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-    ).select("id_a", "id_b", "jaccard")
-    return jac.filter(F.col("jaccard") >= F.lit(min_jaccard))
+    jac = (inter.withColumn(metric, _overlap_metric(metric))
+           .select("id_a", "id_b", metric))
+    return jac.filter(F.col(metric) >= F.lit(min_jaccard))
 
 
 def semantic_contamination_hits(corpus: DataFrame, benchmark: DataFrame,
@@ -1866,7 +1918,8 @@ def semantic_decontaminate(corpus: DataFrame, benchmark: DataFrame,
 def token_set_jaccard_against(new_df: DataFrame, seen_df: DataFrame,
                               id_col: str, token_col: str,
                               min_jaccard: float = 0.5,
-                              max_bucket_size: int | None = 256) -> DataFrame:
+                              max_bucket_size: int | None = 256,
+                              metric: str = "jaccard") -> DataFrame:
     """Incremental :func:`token_set_jaccard_pairs`: Jaccard candidate
     pairs between a NEW month's (id, token) sets and a persisted STORE
     of prior months' tokens — month N+1's media never re-pair among
@@ -1874,7 +1927,9 @@ def token_set_jaccard_against(new_df: DataFrame, seen_df: DataFrame,
     for the token-set families (video frame digests, audio window
     fingerprints, per-host URL sets). Both frames use ``id_col`` /
     ``token_col`` names. Returns (new_id, seen_id, jaccard) with
-    jaccard over DISTINCT tokens >= ``min_jaccard``.
+    jaccard over DISTINCT tokens >= ``min_jaccard``;
+    ``metric="containment"`` swaps in |A∩B| / min(|A|,|B|) (column
+    renamed to match) for the trimmed-clip-of-a-seen-video case.
 
     Scale shape: per side, two narrow window counts over the distinct
     (id, token) rows — true set sizes FIRST, then the per-token bucket
@@ -1902,9 +1957,8 @@ def token_set_jaccard_against(new_df: DataFrame, seen_df: DataFrame,
         .groupBy("new_id", "seen_id", "n_new", "n_seen")
         .agg(F.count("*").alias("n_common"))
     )
-    jac = inter.withColumn(
-        "jaccard",
-        F.col("n_common").cast("double")
-        / (F.col("n_new") + F.col("n_seen") - F.col("n_common")),
-    ).select("new_id", "seen_id", "jaccard")
-    return jac.filter(F.col("jaccard") >= F.lit(min_jaccard))
+    inter = inter.withColumnRenamed("n_new", "n_a").withColumnRenamed(
+        "n_seen", "n_b")
+    jac = (inter.withColumn(metric, _overlap_metric(metric))
+           .select("new_id", "seen_id", metric))
+    return jac.filter(F.col(metric) >= F.lit(min_jaccard))

@@ -7620,3 +7620,111 @@ def q_token_dedup_against(spark, sf):
     dropped = pairs.select(F.col("new_id").alias("media_id")).distinct()
     return (newm.select("media_id").distinct()
             .join(dropped, "media_id", "left_anti"))
+
+
+@register(
+    "q_containment_pairs",
+    # derived corpus: each selected doc (even id = 2*doc_id) plus a
+    # SNIPPET row (odd id = 2*doc_id + 1) holding its first 8 words —
+    # the quote/excerpt case. The snippet's bigrams are a subset of the
+    # doc's, so containment = 1.0 on every planted pair while Jaccard
+    # is ~7/n_doc (a symmetric threshold would miss them all).
+    "WITH csrc AS ("
+    "  SELECT doc_id * 2 AS doc_id, text FROM documents "
+    "    WHERE doc_id % 10 = 0 "
+    "  UNION ALL "
+    "  SELECT doc_id * 2 + 1, array_to_string(list_slice(list_filter("
+    "    regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''), "
+    "    1, 8), ' ') FROM documents WHERE doc_id % 10 = 0), "
+    f"{_shingle_ctes('', 2, 'csrc')}, "
+    "sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "  CAST(count(*) AS BIGINT) AS c FROM sh a JOIN sh b "
+    "  USING (shingle) WHERE a.doc_id < b.doc_id "
+    "  GROUP BY a.doc_id, b.doc_id) "
+    "SELECT id_a, id_b, round(c / least(sa.n_sh, sb.n_sh), 6) "
+    "  AS containment FROM inter "
+    "JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b "
+    "WHERE c / least(sa.n_sh, sb.n_sh) >= 0.9",
+)
+def q_containment_pairs(spark, sf):
+    """Containment near-dup pairs (dedup.containment_pairs — Broder's
+    containment coefficient |A∩B| / min(|A|,|B|), the asymmetric
+    complement of the Jaccard family; reference parity: the fuzzy-dedup
+    verifier family, minhash_dedup.py). The fixture plants the exact
+    case Jaccard misses: a snippet row quoting each selected doc's
+    first 8 words verbatim — snippet bigrams are a SUBSET of the doc's,
+    so containment = 1.0 while Jaccard ~ 7/n_doc drowns below any
+    useful symmetric threshold. Spark runs the shared shingle
+    inverted-index skeleton (one shingle-keyed exchange, set sizes ride
+    the rows); the oracle replays shingling, the pair join, and the
+    min-denominator in closed form."""
+    d = load(spark, sf, "documents").filter(F.col("doc_id") % 10 == 0)
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"),
+                    lambda x: x != "")
+    base = d.select((F.col("doc_id") * 2).alias("doc_id"), "text")
+    snip = d.select(
+        (F.col("doc_id") * 2 + 1).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, 8), " ").alias("text"))
+    out = dedup.containment_pairs(base.unionByName(snip), shingle_n=2,
+                                  min_containment=0.9)
+    return out.select(
+        "id_a", "id_b", F.round("containment", 6).alias("containment"))
+
+
+@register(
+    "q_video_containment",
+    # trimmed-upload fixture: every selected video v{did} has 10 unique
+    # frame digests; a trimmed clip t{did} carries only frames 0-3 of
+    # the SAME digests. Jaccard(clip, full) = 4/10 — the 0.5 near-dup
+    # threshold misses it — but containment = 4/4 = 1.0.
+    "WITH d AS (SELECT doc_id AS did FROM documents WHERE doc_id % 7 = 3), "
+    "fr AS (SELECT 'v' || did AS media_id, "
+    "    md5('f' || did || '_' || t.g) AS fd "
+    "  FROM d, generate_series(0, 9) t(g) "
+    "  UNION ALL "
+    "  SELECT 't' || did, md5('f' || did || '_' || t.g) "
+    "  FROM d, generate_series(0, 3) t(g)), "
+    "sz AS (SELECT media_id, count(DISTINCT fd) AS n FROM fr "
+    "  GROUP BY media_id), "
+    "sh AS (SELECT a.media_id AS id_a, b.media_id AS id_b, "
+    "  CAST(count(*) AS BIGINT) AS c FROM fr a JOIN fr b "
+    "  ON a.fd = b.fd AND a.media_id < b.media_id GROUP BY 1, 2) "
+    "SELECT id_a, id_b, round(c / least(sa.n, sb.n), 6) AS containment "
+    "FROM sh JOIN sz sa ON sa.media_id = id_a "
+    "JOIN sz sb ON sb.media_id = id_b "
+    "WHERE c / least(sa.n, sb.n) >= 0.75",
+)
+def q_video_containment(spark, sf):
+    """Trimmed-upload video near-dup (dedup.token_set_jaccard_pairs
+    with metric="containment"): a clip whose sampled frames are a
+    SUBSET of the full video's shares 4 of its own 4 digests but only
+    4 of the union's 10 — Jaccard 0.4 slips under q_video_near_dup's
+    0.5 threshold, containment scores it 1.0. Same one-token-keyed-
+    exchange engine (window set-size counts taken before the bucket
+    guard, materialize boundary before the self-join); only the final
+    metric expression differs. The oracle replays digests, the pair
+    join, and the min-denominator naively."""
+    d = load(spark, sf, "documents").filter(
+        F.col("doc_id") % 7 == 3).select(F.col("doc_id").alias("did"))
+
+    def digest():
+        return F.md5(
+            F.concat(F.lit("f"), F.col("did").cast("string"), F.lit("_"),
+                     F.col("t").cast("string")).cast("binary"))
+
+    full = d.select(
+        "did", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("t"))
+    clip = d.select(
+        "did", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("t"))
+    frames = full.select(
+        F.concat(F.lit("v"), F.col("did").cast("string")).alias("media_id"),
+        digest().alias("frame_digest"),
+    ).unionByName(clip.select(
+        F.concat(F.lit("t"), F.col("did").cast("string")).alias("media_id"),
+        digest().alias("frame_digest")))
+    out = dedup.token_set_jaccard_pairs(
+        frames, "media_id", "frame_digest", min_jaccard=0.75,
+        max_bucket_size=None, metric="containment")
+    return out.select(
+        "id_a", "id_b", F.round("containment", 6).alias("containment"))
