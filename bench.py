@@ -165,6 +165,8 @@ R9_ADDITIONS = [
     "q_token_dedup_against",
     "q_containment_pairs",
     "q_video_containment",
+    "q_pq_adc_topk",
+    "q_ivfpq_probe",
 ]
 
 

@@ -567,6 +567,246 @@ def quantized_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     return scored.orderBy(F.desc("qcos"), F.col(id_col)).limit(k)
 
 
+def _nearest_code_col(subvec: Column, sub_codebook: list[list[float]]) -> Column:
+    """Per-subspace PQ code: argmin ||x-c||² ≡ argmax (dot - |c|²/2),
+    same identity as :func:`_nearest_centroid_col` but O(1) expression
+    nodes per subspace — the centroids and their (Python-exact) half
+    norms travel as two LITERAL arrays zip_with'd at runtime, so m
+    subspaces cost O(m) plan nodes, not O(m·ksub) dot chains (the r8
+    argmax plan-explosion lesson, one level up: a 96×256 production
+    codebook must not build 24k expression subtrees)."""
+    cb = F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                   for c in sub_codebook])
+    hn = F.array(*[F.lit(sum(float(x) * float(x) for x in c) / 2.0)
+                   for c in sub_codebook])
+    scores = F.zip_with(cb, hn, lambda c, h: dot_product(c, subvec) - h)
+    return (F.array_position(scores, F.array_max(scores)) - F.lit(1)).cast(
+        "tinyint")
+
+
+def _pq_shape(codebooks: list[list[list[float]]]) -> tuple[int, int, int]:
+    """Validate a PQ codebook list and return (m, ksub, dsub)."""
+    m = len(codebooks)
+    if m == 0:
+        raise ValueError("pq: empty codebook list")
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    if ksub > 127:
+        raise ValueError(
+            f"pq: ksub={ksub} does not fit a tinyint code (max 127); "
+            "shrink the per-subspace codebook or widen the code column")
+    for j, sub in enumerate(codebooks):
+        if len(sub) != ksub or any(len(c) != dsub for c in sub):
+            raise ValueError(f"pq: ragged codebook at subspace {j} "
+                             f"(expected {ksub} centroids of dim {dsub})")
+    return m, ksub, dsub
+
+
+def pq_fit(df: DataFrame, m: int = 8, ksub: int = 16,
+           vec_col: str = "embedding", iters: int = 5,
+           key_col: str = "vec_id") -> list[list[list[float]]]:
+    """Train product-quantization codebooks: the vector splits into
+    ``m`` contiguous subspaces and each gets its own independent
+    :func:`kmeans_fit` over the SLICED sample (Jégou et al. 2011, PQ).
+
+    FIT ON A SAMPLE — this runs m separate Lloyd fits, each rescanning
+    its input iters+1 times (the kmeans_fit contract, m-fold); pass a
+    sampled/limited frame and ``persist()`` it first so the m·(iters+1)
+    passes hit cached blocks. The full corpus pays only the single
+    :func:`pq_encode` pass."""
+    first = df.select(vec_col).limit(1).collect()
+    if not first:
+        raise ValueError("pq_fit: input has no rows")
+    dim = len(first[0][0])
+    if dim % m != 0:
+        raise ValueError(f"pq_fit: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return [
+        kmeans_fit(
+            df.select(F.col(key_col),
+                      F.slice(F.col(vec_col), j * dsub + 1, dsub)
+                      .alias(vec_col)),
+            vec_col, k=ksub, iters=iters, key_col=key_col)
+        for j in range(m)
+    ]
+
+
+def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
+              vec_col: str = "embedding",
+              out_col: str = "pq_codes") -> DataFrame:
+    """Product-quantize a float corpus to ``m`` tinyint codes per row —
+    the bytes lever past scalar int8 (:func:`quantize_embeddings` is
+    dim bytes/vector; PQ is m bytes: a 64-dim float32 corpus shrinks
+    256 → 8 bytes at m=8, 32×). Each subspace's code is the nearest
+    sub-centroid by L2 (argmax of dot - |c|²/2, ties to the smaller
+    code — engine-exact, replayable in SQL). One projection pass, all
+    JVM expressions; compose with ivf_assign + partitionBy for the
+    FAISS IVFPQ layout."""
+    m, _, dsub = _pq_shape(codebooks)
+    codes = [
+        _nearest_code_col(F.slice(F.col(vec_col), j * dsub + 1, dsub),
+                          codebooks[j])
+        for j in range(m)
+    ]
+    return df.withColumn(out_col, F.array(*codes))
+
+
+def pq_adc_topk(codes_df: DataFrame, codebooks: list[list[list[float]]],
+                query_vec: list[float], k: int = 10,
+                id_col: str = "vec_id",
+                codes_col: str = "pq_codes") -> DataFrame:
+    """Asymmetric distance computation over PQ codes: the query builds
+    an m×ksub inner-product lookup table DRIVER-side (m·ksub·dsub
+    flops, once), and each corpus row's score is m array lookups + m
+    adds — score = dot(query, PQ-reconstruction(x)), never a per-row
+    float dot over the original dim. Returns (id, adc_score) top-k via
+    TakeOrderedAndProject. The scan reads m bytes/vector: at 100 TB of
+    float32 embeddings, the ADC pass reads ~3 TB at m=8·dim=64 — and
+    the ids-only result feeds the same broadcast re-rank as
+    :func:`ivf_quantized_rerank_topk` when float-exact order matters."""
+    m, ksub, dsub = _pq_shape(codebooks)
+    if len(query_vec) != m * dsub:
+        raise ValueError(f"pq_adc_topk: query dim {len(query_vec)} != "
+                         f"m*dsub = {m * dsub}")
+    lut = [
+        [sum(float(q) * float(c)
+             for q, c in zip(query_vec[j * dsub:(j + 1) * dsub], cent))
+         for cent in sub]
+        for j, sub in enumerate(codebooks)
+    ]
+    lut_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
+    score = F.aggregate(
+        F.zip_with(F.col(codes_col), lut_lit,
+                   lambda c, t: F.element_at(t, c.cast("int") + F.lit(1))),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return (codes_df.select(F.col(id_col),
+                            F.round(score, 6).alias("adc_score"))
+            .orderBy(F.desc("adc_score"), F.col(id_col)).limit(k))
+
+
+#: pq_codes column metadata key: digest of (coarse codebook, PQ codebooks)
+PQ_CODEBOOK_METADATA_KEY = "mep_spark.ivfpq_codebook"
+
+
+def ivfpq_digest(coarse: list[list[float]],
+                 codebooks: list[list[list[float]]]) -> str:
+    """Digest binding BOTH codebooks an IVFPQ store was written under —
+    residual codes are meaningless against a different coarse codebook
+    even when the PQ books match, so the stamp covers the pair."""
+    import hashlib
+
+    payload = codebook_digest(coarse) + "|" + ";".join(
+        codebook_digest(sub) for sub in codebooks)
+    return hashlib.md5(payload.encode()).hexdigest()[:16]
+
+
+def ivfpq_codes(df: DataFrame, coarse: list[list[float]],
+                codebooks: list[list[list[float]]],
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """The IVFPQ store-row projection: coarse-assign on the FLOAT
+    vectors (recall matches the float index), then product-quantize the
+    RESIDUAL x - coarse_centroid (FAISS's by_residual encoding:
+    residuals are centered near zero, so the same sub-codebook budget
+    spends its resolution where the list's vectors actually live).
+    Rows are (id, pq_codes array<tinyint> stamped with the joint
+    codebook digest, list_id) — m + 1 bytes of payload per vector.
+    Pure codegen projection, stateless (streaming-sink safe)."""
+    assigned = ivf_assign(df, coarse, vec_col)
+    coarse_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                           for c in coarse])
+    resid = F.zip_with(
+        F.col(vec_col),
+        F.element_at(coarse_lit, F.col("list_id").cast("int") + F.lit(1)),
+        lambda a, b: a.cast("double") - b)
+    enc = pq_encode(assigned.withColumn("__resid", resid), codebooks,
+                    vec_col="__resid")
+    return enc.select(
+        id_col,
+        F.col("pq_codes").alias(
+            "pq_codes",
+            metadata={PQ_CODEBOOK_METADATA_KEY: ivfpq_digest(coarse,
+                                                             codebooks)}),
+        "list_id")
+
+
+def write_ivfpq_store(df: DataFrame, path: str, coarse: list[list[float]],
+                      codebooks: list[list[list[float]]],
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> None:
+    """The FAISS-IVFPQ parquet layout: nlists directories
+    (``partitionBy(list_id)`` — probes arrive as PartitionFilters) of
+    m-byte PQ codes over residuals. Both scale levers at their
+    strongest settings: a probe reads nprobe/nlists directories AND
+    m bytes per vector — 64-dim float32 at m=8 is 32× fewer payload
+    bytes than the float corpus and 8× fewer than the int8 store. The
+    float vectors are deliberately NOT stored (probe-only layout;
+    keep the source table for exact re-rank)."""
+    (
+        ivfpq_codes(df, coarse, codebooks, id_col, vec_col)
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(path)
+    )
+
+
+def ivfpq_topk(store: DataFrame, coarse: list[list[float]],
+               codebooks: list[list[list[float]]],
+               query_vec: list[float], k: int = 10, nprobe: int = 2,
+               id_col: str = "vec_id") -> DataFrame:
+    """Probe a :func:`write_ivfpq_store` layout with per-list ADC: pick
+    the nprobe nearest coarse lists driver-side, and for each build the
+    residual-query lookup table lut_l[j][c] = dot((q - coarse_l)_j,
+    sub_centroid_c) plus the scalar coarse term dot(q, coarse_l) — so a
+    row in list l scores dot(q, coarse_l + PQ-recon(residual)) with m
+    map-backed lookups and adds, never a per-row float dot. The
+    nprobe-entry literal maps are O(nprobe) lookups per row (tiny —
+    the r7 literal-map lesson bites at hundreds of entries, not
+    single digits). A store stamped under different codebooks raises,
+    same contract as :func:`ivf_quantized_topk`."""
+    import numpy as np
+
+    m, ksub, dsub = _pq_shape(codebooks)
+    stamped = (store.schema["pq_codes"].metadata or {}).get(
+        PQ_CODEBOOK_METADATA_KEY) if "pq_codes" in store.columns else None
+    if stamped is not None and stamped != ivfpq_digest(coarse, codebooks):
+        raise ValueError(
+            "ivfpq_topk: store was written under codebook pair "
+            f"{stamped}, probed with {ivfpq_digest(coarse, codebooks)} — "
+            "residual codes are in a different keyspace; probe with the "
+            "writing codebooks or rebuild the store.")
+    q = np.asarray(query_vec, dtype=float)
+    dists = [float(((np.asarray(c) - q) ** 2).sum()) for c in coarse]
+    probe = sorted(range(len(coarse)), key=lambda i: dists[i])[:nprobe]
+    lut_entries: list[Column] = []
+    coarse_entries: list[Column] = []
+    for l in probe:
+        rq = [float(a) - float(b) for a, b in zip(query_vec, coarse[l])]
+        lut = [
+            [sum(a * float(b) for a, b in zip(rq[j * dsub:(j + 1) * dsub],
+                                              cent))
+             for cent in sub]
+            for j, sub in enumerate(codebooks)
+        ]
+        lut_entries += [F.lit(l), F.array(*[
+            F.array(*[F.lit(v) for v in row]) for row in lut])]
+        coarse_entries += [F.lit(l), F.lit(float(
+            sum(float(a) * float(b) for a, b in zip(query_vec, coarse[l]))))]
+    lut_map = F.create_map(*lut_entries)
+    coarse_map = F.create_map(*coarse_entries)
+    score = F.element_at(coarse_map, F.col("list_id")) + F.aggregate(
+        F.zip_with(F.col("pq_codes"),
+                   F.element_at(lut_map, F.col("list_id")),
+                   lambda c, t: F.element_at(t, c.cast("int") + F.lit(1))),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        store.filter(F.col("list_id").isin(probe))
+        .select(F.col(id_col), F.round(score, 6).alias("adc_score"))
+        .orderBy(F.desc("adc_score"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def rrf_fuse(ranked: list[DataFrame], k: int = 10, c: float = 60.0,
              id_col: str = "doc_id") -> DataFrame:
     """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of N ranked

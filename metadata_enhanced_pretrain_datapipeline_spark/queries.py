@@ -7728,3 +7728,133 @@ def q_video_containment(spark, sf):
         max_bucket_size=None, metric="containment")
     return out.select(
         "id_a", "id_b", F.round("containment", 6).alias("containment"))
+
+
+@register(
+    "q_pq_adc_topk",
+    # product quantization, static codebooks: subspace j's 4 centroids
+    # are the first 4 vectors' j-th 8-dim slices (deterministic, SQL-
+    # replayable like _static_codebook). The oracle replays the whole
+    # pipeline: per-(vector, subspace) nearest sub-centroid by
+    # argmax(dot - |c|^2/2) with ties to the smaller code, the query's
+    # m x ksub inner-product lookup table, and the summed ADC score.
+    "WITH pcb AS (SELECT vec_id AS cid, embedding FROM embeddings "
+    "  WHERE vec_id < 4), "
+    "pce AS (SELECT cid, CAST((i - 1) // 8 AS INT) AS j, (i - 1) % 8 AS si, "
+    "  CAST(v AS DOUBLE) AS v FROM (SELECT cid, unnest(embedding) AS v, "
+    "  generate_subscripts(embedding, 1) AS i FROM pcb)), "
+    "pcn AS (SELECT cid, j, sum(v * v) AS n2 FROM pce GROUP BY cid, j), "
+    "pae AS (SELECT vec_id, CAST((i - 1) // 8 AS INT) AS j, "
+    "  (i - 1) % 8 AS si, CAST(v AS DOUBLE) AS v "
+    "  FROM (SELECT vec_id, unnest(embedding) AS v, "
+    "  generate_subscripts(embedding, 1) AS i FROM embeddings)), "
+    "prd AS (SELECT a.vec_id, c.cid, a.j, sum(a.v * c.v) AS dp "
+    "  FROM pae a JOIN pce c ON a.j = c.j AND a.si = c.si "
+    "  GROUP BY 1, 2, 3), "
+    "psc AS (SELECT prd.vec_id, prd.j, prd.cid, dp - n2 / 2 AS s "
+    "  FROM prd JOIN pcn ON pcn.cid = prd.cid AND pcn.j = prd.j), "
+    "pcode AS (SELECT vec_id, j, cid AS code FROM ("
+    "  SELECT vec_id, j, cid, row_number() OVER (PARTITION BY vec_id, j "
+    "  ORDER BY s DESC, cid) AS rn FROM psc) WHERE rn = 1), "
+    "plut AS (SELECT c.cid, c.j, sum(q.v * c.v) AS t "
+    "  FROM pce c JOIN pae q ON q.j = c.j AND q.si = c.si "
+    "  WHERE q.vec_id = 0 GROUP BY 1, 2), "
+    "pscore AS (SELECT pcode.vec_id, sum(plut.t) AS score "
+    "  FROM pcode JOIN plut ON plut.cid = pcode.code "
+    "  AND plut.j = pcode.j GROUP BY 1) "
+    "SELECT vec_id, round(score, 6) AS adc_score FROM pscore "
+    "ORDER BY adc_score DESC, vec_id LIMIT 10",
+)
+def q_pq_adc_topk(spark, sf):
+    """Product quantization + asymmetric distance (similarity.pq_encode
+    / pq_adc_topk; Jegou et al. 2011) — the bytes lever PAST scalar
+    int8: m=8 tinyint codes replace 64 floats (32x), and the query
+    scores each row with m table lookups instead of a 64-dim dot. The
+    codebooks are static (first 4 vectors' subvector slices) so the
+    whole pipeline — per-subspace argmax assignment with
+    smaller-code ties, the driver-built LUT, the summed ADC score, the
+    top-k — is replayed by the oracle in closed form. The training
+    loop (pq_fit = m independent sample-fit kmeans) stays off the
+    oracle path like q_ivf_topk's."""
+    e = load(spark, sf, "embeddings")
+    flat = _static_codebook(e)
+    cbs = [[vec[j * 8:(j + 1) * 8] for vec in flat] for j in range(8)]
+    codes = similarity.pq_encode(e, cbs)
+    return similarity.pq_adc_topk(codes, cbs, flat[0], k=10)
+
+
+@register(
+    "q_ivfpq_probe",
+    # FAISS-IVFPQ layout replay: coarse assign/probe come from
+    # _IVF_ASSIGN_SQL (cb/ce/cn/ae/rd/sc/assign/probe); vce slices the
+    # SAME first-4 codebook into 8x8 PQ sub-centroids; rsd/xe/xrd/xsc/
+    # xcode product-quantize each vector's RESIDUAL against its
+    # assigned coarse centroid; qr/qe/qlut build the per-probed-list
+    # residual-query lookup tables and qct the coarse dot terms; fsc
+    # sums them into the ADC score.
+    f"WITH {_IVF_ASSIGN_SQL}, "
+    "vce AS (SELECT cid, CAST((i - 1) // 8 AS INT) AS j, (i - 1) % 8 AS si, "
+    "  CAST(v AS DOUBLE) AS v FROM ce), "
+    "vcn AS (SELECT cid, j, sum(v * v) AS n2 FROM vce GROUP BY cid, j), "
+    "rsd AS (SELECT a.vec_id, a.i, CAST(a.v AS DOUBLE) - CAST(c.v AS DOUBLE) "
+    "  AS v FROM ae a JOIN assign s ON s.vec_id = a.vec_id "
+    "  JOIN ce c ON c.cid = s.list_id AND c.i = a.i), "
+    "xe AS (SELECT vec_id, CAST((i - 1) // 8 AS INT) AS j, (i - 1) % 8 AS si, "
+    "  v FROM rsd), "
+    "xrd AS (SELECT x.vec_id, c.cid, x.j, sum(x.v * c.v) AS dp "
+    "  FROM xe x JOIN vce c ON c.j = x.j AND c.si = x.si GROUP BY 1, 2, 3), "
+    "xsc AS (SELECT xrd.vec_id, xrd.j, xrd.cid, dp - n2 / 2 AS s "
+    "  FROM xrd JOIN vcn ON vcn.cid = xrd.cid AND vcn.j = xrd.j), "
+    "xcode AS (SELECT vec_id, j, cid AS code FROM ("
+    "  SELECT vec_id, j, cid, row_number() OVER (PARTITION BY vec_id, j "
+    "  ORDER BY s DESC, cid) AS rn FROM xsc) WHERE rn = 1), "
+    "qr AS (SELECT p.cid AS l, c.i, CAST(a.v AS DOUBLE) - "
+    "  CAST(c.v AS DOUBLE) AS v FROM probe p "
+    "  JOIN ce c ON c.cid = p.cid "
+    "  JOIN ae a ON a.i = c.i AND a.vec_id = 0), "
+    "qe AS (SELECT l, CAST((i - 1) // 8 AS INT) AS j, (i - 1) % 8 AS si, "
+    "  v FROM qr), "
+    "qlut AS (SELECT q.l, c.cid AS code, q.j, sum(q.v * c.v) AS t "
+    "  FROM qe q JOIN vce c ON c.j = q.j AND c.si = q.si GROUP BY 1, 2, 3), "
+    "qct AS (SELECT p.cid AS l, sum(CAST(a.v AS DOUBLE) * "
+    "  CAST(c.v AS DOUBLE)) AS t0 FROM probe p "
+    "  JOIN ce c ON c.cid = p.cid "
+    "  JOIN ae a ON a.i = c.i AND a.vec_id = 0 GROUP BY 1), "
+    "fsc AS (SELECT x.vec_id, qct.t0 + sum(ql.t) AS score "
+    "  FROM xcode x JOIN assign s ON s.vec_id = x.vec_id "
+    "  JOIN probe p ON p.cid = s.list_id "
+    "  JOIN qlut ql ON ql.l = s.list_id AND ql.j = x.j "
+    "  AND ql.code = x.code "
+    "  JOIN qct ON qct.l = s.list_id "
+    "  WHERE x.vec_id <> 0 GROUP BY x.vec_id, qct.t0) "
+    "SELECT vec_id, round(score, 6) AS adc_score FROM fsc "
+    "ORDER BY adc_score DESC, vec_id LIMIT 10",
+)
+def q_ivfpq_probe(spark, sf):
+    """The FAISS-IVFPQ store, physically (similarity.write_ivfpq_store
+    / ivfpq_topk): nlists partition directories — the probe's literal
+    isin arrives as a PartitionFilter, asserted in-plan — whose files
+    hold m=8 tinyint PQ codes over RESIDUALS (by_residual encoding)
+    instead of 64 floats: 32x fewer payload bytes than the float
+    corpus, 8x fewer than the int8 store, asserted via ReadSchema.
+    The probe scores each row as dot(q, coarse_l) + m lookups into the
+    per-list residual-query LUT. The oracle replays coarse assignment,
+    residual encoding, per-subspace argmax, both LUT terms, and the
+    top-k — the physical layout must not change a value."""
+    e = load(spark, sf, "embeddings")
+    cents = _static_codebook(e)
+    cbs = [[vec[j * 8:(j + 1) * 8] for vec in cents] for j in range(8)]
+    path = _scratch_dir(sf, "ivfpq_layout")
+    similarity.write_ivfpq_store(e, path, cents, cbs)
+    back = spark.read.parquet(path)
+    out = similarity.ivfpq_topk(
+        back.filter(F.col("vec_id") != 0), cents, cbs, cents[0],
+        k=10, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+    _check_plan(bool(_re.search(r"PartitionFilters: \[[^\]]*list_id", plan)),
+                plan, "nprobe list_id filter missing from IVFPQ scan")
+    _check_plan("tinyint" in plan.split("ReadSchema")[-1]
+                and "embedding" not in plan.split("ReadSchema")[-1],
+                plan, "IVFPQ scan must read tinyint codes, not floats")
+    return out
