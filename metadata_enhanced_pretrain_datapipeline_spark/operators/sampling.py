@@ -152,6 +152,69 @@ def top_k(df: DataFrame, order: list[Column], k: int) -> DataFrame:
     return df.orderBy(*order).limit(k)
 
 
+def es_key(weight: Column, key: Column, salt: int = 0,
+           round_dp: int = 9) -> Column:
+    """The Efraimidis–Spirakis A-ES race key ``ln(u) / w`` (Efraimidis &
+    Spirakis 2006, "Weighted random sampling with a reservoir"): with
+    ``u`` uniform in (0, 1], the ``n`` rows with the LARGEST keys are an
+    exact weighted sample without replacement — the one-pass, order-free
+    formulation of sequential weighted draws, which is the only sane
+    semantics on a shuffled 100 TB corpus (a sequential reservoir would
+    serialize the scan).
+
+    ``u`` comes from the portable salted hash, not an RNG — the same row
+    always gets the same draw on Spark, DuckDB, or any retry. ``+1``
+    keeps u > 0 (ln defined); hash = MD5_SPACE-1 gives u = 1, ln 0 —
+    also fine. The key is rounded to ``round_dp`` BEFORE any ranking so
+    both engines rank identical values (the BM25 precedent); callers
+    break remaining ties on the row key. Weights <= 0 or NULL yield a
+    NULL race key — callers must drop those rows (zero weight can never
+    be drawn)."""
+    u = (salted_hash(key, salt) + F.lit(1)).cast("double") / F.lit(
+        float(MD5_SPACE))
+    w = weight.cast("double")
+    raw = F.log(u) / F.when(w > 0, w)
+    return F.round(raw, round_dp)
+
+
+def weighted_sample(df: DataFrame, weight_col: Column, n: int, key: Column,
+                    salt: int = 0) -> DataFrame:
+    """Exact weighted sampling WITHOUT replacement: the ``n`` rows with
+    the largest :func:`es_key` (quality-weighted corpus subsampling —
+    sample documents proportionally to a quality score or token count
+    without ever materializing cumulative weights).
+
+    Scale: orderBy + limit plans as TakeOrderedAndProject — per-partition
+    partial top-n then one merge, no full sort, no sequential reservoir.
+    ``n`` is a driver-bounded result size; for fraction-style thinning
+    use ``hash_sample`` (predicate-only, no ordering at all)."""
+    tagged = df.withColumn("__es", es_key(weight_col, key, salt))
+    return (tagged.filter(F.col("__es").isNotNull())
+            .orderBy(F.col("__es").desc(), key)
+            .limit(int(n)).drop("__es"))
+
+
+def weighted_sample_per_group(df: DataFrame, group_col: str,
+                              weight_col: Column, n: int, key: Column,
+                              salt: int = 0,
+                              num_ranges: int | None = None) -> DataFrame:
+    """Per-group weighted sampling without replacement: the ``n``
+    largest :func:`es_key` rows within EVERY group (per-source /
+    per-language quality-weighted subsampling in one pass).
+
+    A naive ``row_number() OVER (PARTITION BY group ...)`` serializes
+    each group through one task; this rides :func:`keyed_rank` (the
+    range-split three-phase rank), so a 10-language corpus still sorts
+    in ``num_ranges`` tasks per language. Weight <= 0 / NULL rows are
+    dropped before ranking, matching :func:`weighted_sample`."""
+    tagged = df.withColumn("__es", es_key(weight_col, key, salt)).filter(
+        F.col("__es").isNotNull())
+    ranked = keyed_rank(
+        tagged, [group_col], [(-F.col("__es")), key], rank_col="__wr",
+        num_ranges=num_ranges)
+    return ranked.filter(F.col("__wr") <= F.lit(int(n))).drop("__es", "__wr")
+
+
 def _order_surrogate(df: DataFrame, primary: Column) -> Column:
     """Monotone DOUBLE surrogate of an ascending order column — the
     range-splitting key for the two-phase rank operators. Numerics cast
@@ -958,3 +1021,70 @@ def unimax_sample(df: DataFrame, group_col: str, tokens_col: Column,
         [(r[0], r["__c"] or 0) for r in cnt_rows], budget, max_epochs)
     return token_budget_cap(df, group_col, tokens_col, 0, key,
                             num_buckets=num_buckets, budgets=alloc)
+
+
+def doremi_weights(df: DataFrame, domain_col: str, loss_col: Column,
+                   temperature: float = 1.0, smoothing: float = 0.1,
+                   max_domains: int = 65536) -> dict:
+    """Domain weights from per-domain excess loss — the REWEIGHTING side
+    of DoReMi (Xie et al. 2023, arXiv:2305.10429): domains where the
+    proxy model's excess loss is high (most learnable headroom) get
+    upweighted by a tempered softmax, blended with uniform so no domain
+    starves:
+
+        α_d = (1 − s) · softmax(mean_loss_d / τ)_d + s / |D|
+
+    ``loss_col`` is a per-document excess-loss column — the published
+    per-domain losses joined on, or an engine proxy such as the char-LM
+    score (operators/lm.char_lm_score). The proxy-model TRAINING loop
+    that produces real excess losses is model-runtime work outside the
+    engine, like the encoder stubs (docs/model_plugins.md); given its
+    output column, everything here is exact and oracle-checked.
+
+    One bounded aggregate: (domain, mean loss) rows collect driver-side
+    (≤ ``max_domains``, guarded — domains are a curated vocabulary, not
+    a high-cardinality key). Every float step is rounded to 9dp so the
+    weights replay bit-identically cross-engine (means → exp → normalize
+    → blend, each rounded): the BM25/unimax float-portability precedent.
+    """
+    import math
+
+    rows = (df.groupBy(domain_col)
+            .agg(F.round(F.avg(loss_col.cast("double")), 9).alias("__m"))
+            .limit(max_domains + 1).collect())
+    if len(rows) > max_domains:
+        raise ValueError(
+            f"doremi_weights: more than {max_domains} domains — the "
+            "domain column is not a curated vocabulary; aggregate it "
+            "first or raise max_domains knowingly.")
+    if not rows:
+        return {}
+    exps = {r[0]: round(math.exp(r["__m"] / float(temperature)), 9)
+            for r in rows}
+    z = sum(exps.values())
+    k = len(exps)
+    s = float(smoothing)
+    return {d: round((1.0 - s) * round(e / z, 9) + s / k, 9)
+            for d, e in exps.items()}
+
+
+def doremi_mix(df: DataFrame, domain_col: str, loss_col: Column,
+               tokens_col: Column, budget: float, key: Column,
+               temperature: float = 1.0, smoothing: float = 0.1,
+               num_buckets: int | None = None) -> DataFrame:
+    """DoReMi-weighted mix construction: :func:`doremi_weights` turns
+    per-domain excess loss into target weights α, each domain's token
+    budget becomes ``floor(α_d · budget)``, and :func:`token_budget_cap`
+    enforces the budgets in hash priority — the same bucketed two-phase
+    cap as UniMax (no single-task mega-domain sort), so the corpus text
+    shuffles zero times and the only driver state is two tiny maps
+    (weights + bucket offsets). Integer budgets keep the boundary
+    comparison exact cross-engine (a running token sum is integral)."""
+    import math
+
+    alphas = doremi_weights(df, domain_col, loss_col, temperature,
+                            smoothing)
+    budgets = {d: float(math.floor(a * float(budget)))
+               for d, a in alphas.items()}
+    return token_budget_cap(df, domain_col, tokens_col, 0, key,
+                            num_buckets=num_buckets, budgets=budgets)

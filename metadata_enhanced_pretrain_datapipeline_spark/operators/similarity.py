@@ -1015,3 +1015,70 @@ def mine_hard_negatives_bucketed(df: DataFrame, query_ids: list[int],
         )
     )
     return _rank_bands(scored, pos_k, neg_start, neg_end)
+
+
+def mine_bitext(x: DataFrame, y: DataFrame, centroids: list[list[float]],
+                k: int = 4, margin_threshold: float = 1.05,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                mutual: bool = True, round_dp: int = 9) -> DataFrame:
+    """Margin-based parallel-corpus mining (Artetxe & Schwenk 2019,
+    "Margin-based parallel corpus mining with multilingual sentence
+    embeddings" — the CCMatrix/LASER recipe): pair source-language
+    sentences ``x`` with target-language sentences ``y`` whose
+    embeddings are mutual nearest neighbors under the RATIO margin
+
+        margin(x, y) = cos(x, y) / ((avgₖ cos(x, ·) + avgₖ cos(y, ·)) / 2)
+
+    — the k-NN-average denominators penalize hubs (sentences close to
+    everything) that plain cosine thresholds mis-mine. Bitext mined
+    this way is the standard source of parallel pretraining data for
+    multilingual models; reference parity: the bidirectional pair
+    formatter family (europarl/main_bidirectional.py) consumes exactly
+    such pairs.
+
+    Scale shape: both sides take their IVF list assignment against the
+    SHARED ``centroids`` (a multilingual codebook) and candidates meet
+    in an equi-join on ``list_id`` — work is ~|X|·|Y|/nlists, never the
+    |X|·|Y| cross product, and nlists is the direct scale lever (the
+    bucketed-miner shape). Rank/average windows partition by the
+    high-cardinality sentence ids — many small partitions, no mega-key
+    sort. The margin denominators therefore average within-list
+    candidates: exact whenever the list holds the true k-NN, the same
+    locality premise IVF retrieval itself rests on (measure with
+    scripts/ann_recall.py; raise nlists recall concerns there first).
+
+    ``mutual=True`` keeps a pair only when y is x's best candidate AND
+    x is y's best — the intersection heuristic the paper reports
+    strongest. Cosines are rounded to ``round_dp`` before ranking (the
+    BM25 tie-pinning precedent) and the margin to 6dp before the
+    threshold, so selection is bit-portable cross-engine. Zero-norm
+    embeddings yield NULL cosine/margin and drop out of every band.
+    """
+    xa = ivf_assign(x, centroids, vec_col).select(
+        F.col(id_col).alias("x_id"), F.col(vec_col).alias("__xv"), "list_id")
+    ya = ivf_assign(y, centroids, vec_col).select(
+        F.col(id_col).alias("y_id"), F.col(vec_col).alias("__yv"), "list_id")
+    pairs = xa.join(ya, "list_id").select(
+        "x_id", "y_id",
+        F.round(cosine_similarity(F.col("__xv"), F.col("__yv")), round_dp)
+        .alias("cosine"))
+
+    from pyspark.sql import Window as W
+    wx = W.partitionBy("x_id").orderBy(F.col("cosine").desc(), "y_id")
+    wy = W.partitionBy("y_id").orderBy(F.col("cosine").desc(), "x_id")
+    ranked = (pairs
+              .withColumn("__rx", F.row_number().over(wx))
+              .withColumn("__ry", F.row_number().over(wy)))
+    kf = F.lit(int(k))
+    dx = F.avg(F.when(F.col("__rx") <= kf, F.col("cosine"))).over(
+        W.partitionBy("x_id"))
+    dy = F.avg(F.when(F.col("__ry") <= kf, F.col("cosine"))).over(
+        W.partitionBy("y_id"))
+    scored = ranked.withColumn(
+        "margin",
+        F.round(F.try_divide(F.col("cosine"), (dx + dy) / F.lit(2.0)), 6))
+    keep = (F.col("__rx") == 1) & (F.col("margin") >= F.lit(
+        float(margin_threshold)))
+    if mutual:
+        keep = keep & (F.col("__ry") == 1)
+    return scored.filter(keep).select("x_id", "y_id", "cosine", "margin")

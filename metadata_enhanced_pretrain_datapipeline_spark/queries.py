@@ -7858,3 +7858,179 @@ def q_ivfpq_probe(spark, sf):
                 and "embedding" not in plan.split("ReadSchema")[-1],
                 plan, "IVFPQ scan must read tinyint codes, not floats")
     return out
+
+
+_ES_T_SQL = (
+    "t AS (SELECT doc_id, lang, n_chars, "
+    "  round(ln((" + salted_hash_sql("doc_id", 5) + " + 1) / "
+    "  1152921504606846976.0) / CAST(n_chars AS DOUBLE), 9) AS es "
+    "  FROM documents WHERE n_chars > 0)"
+)
+
+
+@register(
+    "q_weighted_sample",
+    # A-ES race-key replay: u = (hash+1)/2^60 in (0,1], key = ln(u)/w
+    # rounded to 9dp BEFORE the rank (BM25 tie-pinning), ties on doc_id.
+    f"WITH {_ES_T_SQL} "
+    "SELECT doc_id, lang, n_chars FROM t "
+    "ORDER BY es DESC, doc_id LIMIT 50",
+)
+def q_weighted_sample(spark, sf):
+    """Exact weighted sampling without replacement
+    (sampling.weighted_sample — Efraimidis & Spirakis 2006): the 50
+    documents winning the ln(u)/w race, w = n_chars, u from the
+    portable salted hash (never an RNG — the same row wins on any
+    engine, any retry, any partitioning). Plans as
+    TakeOrderedAndProject: per-partition partial top-n, one merge — the
+    sequential weighted reservoir re-expressed order-free for a 100 TB
+    scan. The oracle replays hash → u → ln(u)/w → rank verbatim."""
+    d = load(spark, sf, "documents")
+    out = sampling.weighted_sample(
+        d, F.col("n_chars"), 50, F.col("doc_id"), salt=5)
+    return out.select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "q_weighted_sample_per_group",
+    f"WITH {_ES_T_SQL} "
+    "SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER ("
+    "  PARTITION BY lang ORDER BY es DESC, doc_id) AS rn FROM t) "
+    "WHERE rn <= 20",
+)
+def q_weighted_sample_per_group(spark, sf):
+    """Per-language weighted sampling without replacement
+    (sampling.weighted_sample_per_group): every language keeps its 20
+    best ln(u)/w race keys. The ranking rides keyed_rank's three-phase
+    range split, so a 2-language 100 TB corpus still sorts in
+    num_ranges tasks per language instead of two mega-tasks; the
+    oracle proves the decomposition exact against the naive
+    per-language window."""
+    d = load(spark, sf, "documents")
+    out = sampling.weighted_sample_per_group(
+        d, "lang", F.col("n_chars"), 20, F.col("doc_id"), salt=5)
+    return out.select("doc_id", "lang")
+
+
+@register(
+    "q_doremi_mix",
+    # full replay of the DoReMi chain: per-domain mean excess loss →
+    # tempered softmax (every float step rounded 9dp, matching the
+    # driver-side Python walk) → uniform blend → floor-integer budgets →
+    # the hash-priority running-sum cap (token_budget_cap's naive-window
+    # twin). tau = 0.5, smoothing = 0.2, budget = 30% of corpus tokens.
+    "WITH t AS (SELECT doc_id, source AS dom, "
+    "  len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+    "      x -> x <> '')) AS n, "
+    "  round(ln(1.0 + n_chars / 1000.0), 9) AS loss, "
+    + salted_hash_sql("doc_id") + " AS h FROM documents), "
+    "ml AS (SELECT dom, round(avg(loss), 9) AS m FROM t GROUP BY 1), "
+    "ex AS (SELECT dom, round(exp(m / 0.5), 9) AS e FROM ml), "
+    "z AS (SELECT sum(e) AS z, count(*) AS k FROM ex), "
+    "al AS (SELECT dom, round((1.0 - 0.2) * round(e / z.z, 9) "
+    "  + 0.2 / z.k, 9) AS a FROM ex, z), "
+    "tot AS (SELECT CAST(sum(n) AS DOUBLE) AS tc FROM t), "
+    "bud AS (SELECT dom, floor(a * (tot.tc * 0.3)) AS b FROM al, tot), "
+    "cum AS (SELECT doc_id, dom, sum(n) OVER (PARTITION BY dom "
+    "  ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+    "  CURRENT ROW) AS c FROM t) "
+    "SELECT cum.doc_id, cum.dom AS source FROM cum "
+    "JOIN bud ON bud.dom = cum.dom WHERE cum.c <= bud.b",
+)
+def q_doremi_mix(spark, sf):
+    """DoReMi-weighted mix construction (sampling.doremi_mix — Xie et
+    al. 2023, arXiv:2305.10429, the reweighting/resampling side):
+    per-source mean excess loss (proxy: ln(1 + n_chars/1000), standing
+    in for the proxy-model column — the training loop is model-runtime
+    scope) → tempered softmax blended with uniform → integer token
+    budgets → token_budget_cap's bucketed two-phase hash-priority cap.
+    The whole chain — means, exp, normalize, blend, floor, running
+    sum — replays in the oracle; corpus text shuffles zero times, and
+    the only driver state is two tiny maps (weights, bucket offsets)."""
+    d = load(spark, sf, "documents")
+    ntok = F.size(tokens_ws(F.col("text")))
+    loss = F.round(
+        F.log(F.lit(1.0) + F.col("n_chars") / F.lit(1000.0)), 9)
+    total = d.agg(F.sum(ntok.cast("long")).alias("t")).head().t
+    out = sampling.doremi_mix(
+        d, "source", loss, ntok, budget=float(total) * 0.3,
+        key=F.col("doc_id"), temperature=0.5, smoothing=0.2)
+    return out.select("doc_id", "source")
+
+
+@register(
+    "q_bitext_mine",
+    # fixture: x = every 4th embedding; y = x's identical twins
+    # (+100000) plus the %4==1 vectors as distractors (+200000). The
+    # oracle replays coarse assignment of BOTH sides against the shared
+    # first-4 codebook, within-list pair cosines, both rank windows,
+    # the k-NN-average denominators, and the ratio margin.
+    "WITH cb AS (SELECT vec_id AS cid, embedding FROM embeddings "
+    "  WHERE vec_id < 4), "
+    "ce AS (SELECT cid, unnest(embedding) AS v, "
+    "  generate_subscripts(embedding, 1) AS i FROM cb), "
+    "cn AS (SELECT cid, sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS n2 "
+    "  FROM ce GROUP BY cid), "
+    "xs AS (SELECT vec_id AS id, embedding FROM embeddings "
+    "  WHERE vec_id % 4 = 0), "
+    "ys AS (SELECT vec_id + 100000 AS id, embedding FROM embeddings "
+    "  WHERE vec_id % 4 = 0 UNION ALL "
+    "  SELECT vec_id + 200000, embedding FROM embeddings "
+    "  WHERE vec_id % 4 = 1), "
+    "xe AS (SELECT id, unnest(embedding) AS v, "
+    "  generate_subscripts(embedding, 1) AS i FROM xs), "
+    "ye AS (SELECT id, unnest(embedding) AS v, "
+    "  generate_subscripts(embedding, 1) AS i FROM ys), "
+    "xd AS (SELECT x.id, c.cid, sum(CAST(x.v AS DOUBLE) * "
+    "  CAST(c.v AS DOUBLE)) AS dp FROM xe x JOIN ce c ON x.i = c.i "
+    "  GROUP BY 1, 2), "
+    "xa AS (SELECT id, cid AS l FROM (SELECT xd.id, xd.cid, "
+    "  row_number() OVER (PARTITION BY xd.id ORDER BY dp - n2 / 2 DESC, "
+    "  xd.cid) AS rn FROM xd JOIN cn USING (cid)) WHERE rn = 1), "
+    "yd AS (SELECT y.id, c.cid, sum(CAST(y.v AS DOUBLE) * "
+    "  CAST(c.v AS DOUBLE)) AS dp FROM ye y JOIN ce c ON y.i = c.i "
+    "  GROUP BY 1, 2), "
+    "ya AS (SELECT id, cid AS l FROM (SELECT yd.id, yd.cid, "
+    "  row_number() OVER (PARTITION BY yd.id ORDER BY dp - n2 / 2 DESC, "
+    "  yd.cid) AS rn FROM yd JOIN cn USING (cid)) WHERE rn = 1), "
+    "xn AS (SELECT id, sqrt(sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) "
+    "  AS nrm FROM xe GROUP BY id), "
+    "yn AS (SELECT id, sqrt(sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) "
+    "  AS nrm FROM ye GROUP BY id), "
+    "pd AS (SELECT xe.id AS xid, ye.id AS yid, sum(CAST(xe.v AS DOUBLE) "
+    "  * CAST(ye.v AS DOUBLE)) AS dp FROM xe JOIN ye ON xe.i = ye.i "
+    "  JOIN xa ON xa.id = xe.id JOIN ya ON ya.id = ye.id AND ya.l = xa.l "
+    "  GROUP BY 1, 2), "
+    "pc AS (SELECT xid, yid, round(dp / (xn.nrm * yn.nrm), 9) AS c "
+    "  FROM pd JOIN xn ON xn.id = xid JOIN yn ON yn.id = yid), "
+    "rk AS (SELECT xid, yid, c, row_number() OVER (PARTITION BY xid "
+    "  ORDER BY c DESC, yid) AS rx, row_number() OVER (PARTITION BY yid "
+    "  ORDER BY c DESC, xid) AS ry FROM pc), "
+    "av AS (SELECT rk.*, avg(CASE WHEN rx <= 4 THEN c END) OVER ("
+    "  PARTITION BY xid) AS dx, avg(CASE WHEN ry <= 4 THEN c END) OVER ("
+    "  PARTITION BY yid) AS dy FROM rk) "
+    "SELECT xid AS x_id, yid AS y_id, round(c, 6) AS cosine, "
+    "  round(c / ((dx + dy) / 2), 6) AS margin FROM av "
+    "WHERE rx = 1 AND ry = 1 AND round(c / ((dx + dy) / 2), 6) >= 1.02",
+)
+def q_bitext_mine(spark, sf):
+    """Margin-based bitext mining (similarity.mine_bitext — Artetxe &
+    Schwenk 2019's ratio margin, the CCMatrix recipe): mutual nearest
+    neighbors under cos/((avgk_x + avgk_y)/2), both corpora bucketed by
+    the SHARED coarse codebook so candidates meet in a list_id
+    equi-join (|X||Y|/nlists work, never a cross product). The fixture
+    plants each x's identical twin in y beside same-language
+    distractors: the twin wins at cosine 1.0 with margin > 1 wherever
+    its list offers real competition. Every float step is rounded
+    before ranking/thresholding, so both engines mine the same pairs."""
+    e = load(spark, sf, "embeddings")
+    cents = _static_codebook(e)
+    x = e.filter(F.col("vec_id") % 4 == 0).select("vec_id", "embedding")
+    twin = e.filter(F.col("vec_id") % 4 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    dis = e.filter(F.col("vec_id") % 4 == 1).select(
+        (F.col("vec_id") + 200000).alias("vec_id"), "embedding")
+    out = similarity.mine_bitext(
+        x, twin.unionByName(dis), cents, k=4, margin_threshold=1.02)
+    return out.select("x_id", "y_id",
+                      F.round("cosine", 6).alias("cosine"), "margin")

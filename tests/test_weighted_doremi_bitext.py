@@ -1,0 +1,152 @@
+"""Weighted sampling (Efraimidis–Spirakis), DoReMi mix, and bitext
+mining — the round-9 late additions."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from metadata_enhanced_pretrain_datapipeline_spark.operators import sampling, similarity
+
+
+@pytest.fixture(scope="module")
+def weighted(spark):
+    rows = [(i, 1000.0 if i < 5 else 1.0) for i in range(100)]
+    return spark.createDataFrame(rows, "id long, w double")
+
+
+def test_weighted_sample_prefers_heavy_rows(weighted):
+    """5 rows carry 1000x the weight of the other 95: across salts the
+    heavy ids must dominate a 5-row sample (each heavy id's inclusion
+    probability is ~0.98 under A-ES; 95 light rows together get ~2%)."""
+    heavy_hits = total = 0
+    for salt in range(10):
+        got = [r.id for r in sampling.weighted_sample(
+            weighted, F.col("w"), 5, F.col("id"), salt=salt).collect()]
+        assert len(got) == 5
+        heavy_hits += sum(1 for i in got if i < 5)
+        total += 5
+    assert heavy_hits / total > 0.8
+
+
+def test_weighted_sample_deterministic_and_excludes_nonpositive(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None), (5, 2.0)],
+        "id long, w double")
+    a = sorted(r.id for r in sampling.weighted_sample(
+        df, F.col("w"), 10, F.col("id")).collect())
+    b = sorted(r.id for r in sampling.weighted_sample(
+        df, F.col("w"), 10, F.col("id")).collect())
+    assert a == b == [1, 5]  # zero/negative/NULL weights can never win
+
+
+def test_weighted_sample_per_group_matches_naive_window(weighted):
+    df = weighted.withColumn("g", (F.col("id") % 3).cast("string"))
+    got = sampling.weighted_sample_per_group(
+        df, "g", F.col("w"), 7, F.col("id"), salt=3, num_ranges=4)
+    naive = (df.withColumn("__es", sampling.es_key(F.col("w"), F.col("id"), 3))
+             .withColumn("__rn", F.row_number().over(
+                 Window.partitionBy("g").orderBy(
+                     F.col("__es").desc(), F.col("id"))))
+             .filter(F.col("__rn") <= 7).drop("__es", "__rn"))
+    assert (sorted(map(tuple, got.select("id", "g").collect()))
+            == sorted(map(tuple, naive.select("id", "g").collect())))
+
+
+def test_doremi_weights_order_smoothing_and_sum(spark):
+    df = spark.createDataFrame(
+        [(i, ["easy", "mid", "hard"][i % 3],
+          {"easy": 0.1, "mid": 0.5, "hard": 2.0}[["easy", "mid", "hard"][i % 3]])
+         for i in range(60)], "id long, dom string, loss double")
+    w = sampling.doremi_weights(df, "dom", F.col("loss"),
+                                temperature=0.5, smoothing=0.1)
+    assert set(w) == {"easy", "mid", "hard"}
+    assert w["hard"] > w["mid"] > w["easy"]          # tempered by loss
+    assert all(v >= 0.1 / 3 - 1e-9 for v in w.values())  # uniform floor
+    assert abs(sum(w.values()) - 1.0) < 1e-6
+
+
+def test_doremi_mix_respects_per_domain_budgets(spark):
+    df = spark.createDataFrame(
+        [(i, "hard" if i % 2 else "easy", 10,
+          2.0 if i % 2 else 0.1) for i in range(200)],
+        "id long, dom string, n int, loss double")
+    out = sampling.doremi_mix(df, "dom", F.col("loss"), F.col("n"),
+                              budget=400.0, key=F.col("id"),
+                              temperature=1.0, smoothing=0.0)
+    alphas = sampling.doremi_weights(df, "dom", F.col("loss"),
+                                     temperature=1.0, smoothing=0.0)
+    kept = {r.dom: r.tok for r in out.groupBy("dom")
+            .agg(F.sum("n").alias("tok")).collect()}
+    for dom, a in alphas.items():
+        assert kept.get(dom, 0) <= math.floor(a * 400.0)
+    assert kept["hard"] > kept.get("easy", 0)  # high-loss domain upweighted
+
+
+def test_doremi_weights_guard_and_empty(spark):
+    df = spark.createDataFrame([(i, str(i), 1.0) for i in range(50)],
+                               "id long, dom string, loss double")
+    with pytest.raises(ValueError, match="domains"):
+        sampling.doremi_weights(df, "dom", F.col("loss"), max_domains=10)
+    assert sampling.doremi_weights(
+        df.filter(F.lit(False)), "dom", F.col("loss")) == {}
+
+
+@pytest.fixture(scope="module")
+def bitext(spark):
+    """4 coarse centroids (axis-aligned), x corpus of 8 vectors, y = the
+    identical twins (+100) plus in-list distractors (+200)."""
+    import random
+
+    rng = random.Random(7)
+    cents = [[1.0 if d == j else 0.0 for d in range(8)] for j in range(4)]
+    xs = []
+    for i in range(8):
+        base = [0.05 * rng.random() for _ in range(8)]
+        base[i % 4] = 1.0
+        xs.append((i, base))
+    ys = [(i + 100, v) for i, v in xs]
+    for i, v in xs:
+        noisy = [x + 0.4 * rng.random() for x in v]
+        ys.append((i + 200, noisy))
+    x = spark.createDataFrame(xs, "vec_id long, embedding array<double>")
+    y = spark.createDataFrame(ys, "vec_id long, embedding array<double>")
+    return cents, x, y
+
+
+def test_mine_bitext_finds_planted_twins(bitext):
+    cents, x, y = bitext
+    out = similarity.mine_bitext(x, y, cents, k=2, margin_threshold=1.0,
+                                 mutual=True)
+    rows = {r.x_id: r for r in out.collect()}
+    # every mined pair maps x to its identical twin, at cosine 1.0
+    for xid, r in rows.items():
+        assert r.y_id == xid + 100
+        assert r.cosine == pytest.approx(1.0, abs=1e-9)
+        assert r.margin >= 1.0
+    assert len(rows) >= 6  # the twins win in (nearly) every list
+
+
+def test_mine_bitext_mutual_excludes_contested_pairs(bitext):
+    cents, x, y = bitext
+    # make y_101 identical to BOTH x_0's and x_1's twin target by
+    # dropping x_1's twin: x_1's best y is now x_0's twin only if they
+    # share a list AND it outranks the distractors; mutual=True must
+    # never emit a y twice
+    y2 = y.filter(F.col("vec_id") != 101)
+    out = similarity.mine_bitext(x, y2, cents, k=2, margin_threshold=1.0,
+                                 mutual=True).collect()
+    ys_mined = [r.y_id for r in out]
+    assert len(ys_mined) == len(set(ys_mined))
+
+
+def test_mine_bitext_zero_vector_drops_out(spark, bitext):
+    cents, x, y = bitext
+    zero = spark.createDataFrame([(999, [0.0] * 8)],
+                                 "vec_id long, embedding array<double>")
+    out = similarity.mine_bitext(x.unionByName(zero), y, cents, k=2,
+                                 margin_threshold=1.0)
+    assert 999 not in [r.x_id for r in out.collect()]
