@@ -167,6 +167,9 @@ R9_ADDITIONS = [
     "q_video_containment",
     "q_pq_adc_topk",
     "q_ivfpq_probe",
+    "q_weighted_sample_per_group",
+    "q_doremi_mix",
+    "q_bitext_mine",
 ]
 
 

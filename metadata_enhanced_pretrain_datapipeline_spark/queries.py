@@ -8034,3 +8034,25 @@ def q_bitext_mine(spark, sf):
         x, twin.unionByName(dis), cents, k=4, margin_threshold=1.02)
     return out.select("x_id", "y_id",
                       F.round("cosine", 6).alias("cosine"), "margin")
+
+
+@register(
+    "q_orc_roundtrip",
+    "SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars "
+    "FROM documents GROUP BY lang",
+)
+def q_orc_roundtrip(spark, sf):
+    """ORC write→read-back round-trip (sources.write_orc/read_orc —
+    engine extension beyond the reference's parquet/jsonl surface):
+    zstd ORC carries the documents table losslessly through Spark's
+    vectorized ORC path; the aggregate over the read-back must equal
+    the oracle's over the original parquet."""
+    from metadata_enhanced_pretrain_datapipeline_spark.sources import readers, writers
+
+    d = load(spark, sf, "documents")
+    path = _scratch_dir(sf, "orc_roundtrip")
+    writers.write_orc(d, path)
+    back = readers.read_orc(spark, path, columns=["lang", "n_chars"])
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").cast("long").alias("chars"))

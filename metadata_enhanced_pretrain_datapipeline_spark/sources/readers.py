@@ -148,3 +148,12 @@ def read_hf_snapshot(spark: SparkSession, snapshot_dir: str,
             df = df.withColumnRenamed("text", "__orig_text")
         df = df.withColumnRenamed(text_key, "text")
     return df
+
+
+def read_orc(spark: SparkSession, path: str,
+             columns: list[str] | None = None) -> DataFrame:
+    """ORC scan (engine extension — the reference is parquet/jsonl-only,
+    but mixed lakes feed ORC; Spark's vectorized ORC reader prunes
+    columns and pushes predicates exactly like the parquet path)."""
+    df = spark.read.orc(path)
+    return df.select(*columns) if columns else df

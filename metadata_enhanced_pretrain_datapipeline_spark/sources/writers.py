@@ -68,3 +68,10 @@ def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
     if path:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
+              compression: str = "zstd") -> None:
+    """ORC sink (engine extension; zstd like the parquet writer — K1's
+    compression parity, fineweb/main.py:144-148)."""
+    df.write.mode(mode).option("compression", compression).orc(path)
