@@ -170,6 +170,8 @@ R9_ADDITIONS = [
     "q_weighted_sample_per_group",
     "q_doremi_mix",
     "q_bitext_mine",
+    "q_ngram_novelty",
+    "q_rp_topk",
 ]
 
 

@@ -1962,3 +1962,45 @@ def token_set_jaccard_against(new_df: DataFrame, seen_df: DataFrame,
     jac = (inter.withColumn(metric, _overlap_metric(metric))
            .select("new_id", "seen_id", metric))
     return jac.filter(F.col(metric) >= F.lit(min_jaccard))
+
+
+def ngram_novelty(docs: DataFrame, ref: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", shingle_n: int = 3,
+                  ref_text_col: str | None = None,
+                  portable: bool = False,
+                  out_col: str = "novelty") -> DataFrame:
+    """Per-document n-gram NOVELTY against a reference corpus:
+    ``1 − |shingles(doc) ∩ shingles(ref)| / |shingles(doc)|`` over
+    distinct word n-grams — the memorization-risk / freshness signal
+    (novelty ~0: the doc restates the reference, e.g. a re-crawl or a
+    benchmark paraphrase; ~1: genuinely new text). The aggregate dual of
+    :func:`contamination_hits` (hit COUNT, flag-pass semantics): same
+    broadcast shingle-hash set, but every doc gets a score instead of
+    contaminated docs getting a row.
+
+    Scale shape is contamination's: the reference's distinct shingle
+    hashes broadcast; the corpus-side shingle explosion is marked by
+    the broadcast left join in place and collapses in ONE per-doc
+    count/sum aggregation — shingles travel as 64-bit hashes, the
+    corpus never shuffles them, text never leaves the scan stage.
+    Docs with fewer than ``shingle_n`` words have no shingles and are
+    absent from the output (no 0/0 row).
+    """
+    rt = ref_text_col or text_col
+    ref_h = (
+        ref.select(F.explode(word_shingles(F.col(rt), shingle_n)).alias("sh"))
+        .select(_shingle_hash(F.col("sh"), portable).alias("h"))
+        .distinct().withColumn("__r", F.lit(1))
+    )
+    doc_h = docs.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+    ).select(id_col, _shingle_hash(F.col("sh"), portable).alias("h"))
+    return (
+        doc_h.join(F.broadcast(ref_h), "h", "left")
+        .groupBy(id_col)
+        .agg(F.round(
+            F.lit(1.0)
+            - F.sum(F.coalesce(F.col("__r"), F.lit(0))) / F.count("*"),
+            6).alias(out_col))
+    )

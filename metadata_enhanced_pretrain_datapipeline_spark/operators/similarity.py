@@ -1082,3 +1082,31 @@ def mine_bitext(x: DataFrame, y: DataFrame, centroids: list[list[float]],
     if mutual:
         keep = keep & (F.col("__ry") == 1)
     return scored.filter(keep).select("x_id", "y_id", "cosine", "margin")
+
+
+def rp_project(df: DataFrame, out_dim: int = 8, vec_col: str = "embedding",
+               out_col: str = "rp") -> DataFrame:
+    """Johnson–Lindenstrauss-style signed random projection: ``out_dim``
+    deterministic ±-weight planes (the :func:`lsh_bucket` plane family —
+    small-int weights from a public mod-11 trick, engine-portable where
+    seeded gaussians are not) map a d-dim embedding to ``out_dim``
+    doubles. The DIMENSION lever of the compression triad — int8
+    quantization cuts bytes/component (4×), PQ cuts both (32×),
+    projection cuts components (d/out_dim×) while JL keeps pairwise
+    angles approximately; and unlike PQ the output is still a plain
+    vector, so every downstream operator (brute-force/IVF/store
+    layouts, near-dup, mining) composes unchanged on the ``out_col``.
+
+    Measure the recall cost on YOUR corpus before adopting:
+    ``scripts/ann_recall.py`` runs on any (vec_id, embedding) parquet —
+    write the projected corpus and point it there (the nprobe-guidance
+    precedent: publish both endpoints, never assume).
+
+    Narrow projection, no shuffle, O(out_dim · d) plan nodes; raises
+    past 15 planes (the distinct-constants bound lsh_bucket asserts).
+    """
+    if out_dim > 15:
+        raise ValueError("rp_project supports at most 15 distinct planes")
+    projs = [positional_dot(F.col(vec_col), _plane_weight(p))
+             for p in range(out_dim)]
+    return df.withColumn(out_col, F.array(*projs))

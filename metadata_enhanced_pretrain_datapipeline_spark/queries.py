@@ -8056,3 +8056,64 @@ def q_orc_roundtrip(spark, sf):
     return back.groupBy("lang").agg(
         F.count("*").alias("n"),
         F.sum("n_chars").cast("long").alias("chars"))
+
+
+@register(
+    "q_ngram_novelty",
+    "WITH " + _shingle_ctes("", 3) + ", "
+    "h AS (SELECT doc_id, " + md5_hash64_sql("shingle") + " AS h FROM sh), "
+    "rh AS (SELECT DISTINCT h FROM h WHERE doc_id % 37 = 0) "
+    "SELECT h.doc_id, round(1.0 - CAST(sum(CASE WHEN rh.h IS NOT NULL "
+    "THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS novelty "
+    "FROM h LEFT JOIN rh ON rh.h = h.h GROUP BY h.doc_id",
+)
+def q_ngram_novelty(spark, sf):
+    """Per-document n-gram novelty vs a reference corpus
+    (dedup.ngram_novelty): 1 − overlap fraction of distinct word
+    trigrams — the memorization-risk/freshness score, the aggregate
+    dual of the contamination flag pass (same broadcast shingle-hash
+    set; every doc scored instead of contaminated docs flagged). The
+    mod-37 'reference' docs self-match as a live canary (novelty 0);
+    the oracle replays shingling, hashing, the left join, and the
+    ratio."""
+    d = load(spark, sf, "documents")
+    ref = d.filter(F.col("doc_id") % 37 == 0)
+    return dedup.ngram_novelty(d, ref, shingle_n=3, portable=True)
+
+
+@register(
+    "q_rp_topk",
+    # the deterministic plane weights ((i0·A[p] + 5p+2) mod 11 − 5)
+    # replayed verbatim; cosine in the 8-dim projected space, rounded
+    # to 6dp before the rank like every ANN oracle.
+    "WITH pl(p, a, b) AS (VALUES (0, 3, 2), (1, 5, 7), (2, 7, 12), "
+    "  (3, 13, 17), (4, 17, 22), (5, 19, 27), (6, 23, 32), (7, 29, 37)), "
+    "ae AS (SELECT vec_id, unnest(embedding) AS v, "
+    "  generate_subscripts(embedding, 1) AS i FROM embeddings), "
+    "pr AS (SELECT vec_id, p, sum(CAST(v AS DOUBLE) * "
+    "  (((i - 1) * a + b) % 11 - 5)) AS pv "
+    "  FROM ae CROSS JOIN pl GROUP BY 1, 2), "
+    "qn AS (SELECT sqrt(sum(pv * pv)) AS n FROM pr WHERE vec_id = 0), "
+    "vn AS (SELECT vec_id, sqrt(sum(pv * pv)) AS n FROM pr GROUP BY 1), "
+    "dp AS (SELECT a.vec_id, sum(a.pv * q.pv) AS d FROM pr a "
+    "  JOIN pr q ON q.p = a.p AND q.vec_id = 0 "
+    "  WHERE a.vec_id <> 0 GROUP BY 1) "
+    "SELECT dp.vec_id, round(dp.d / (vn.n * qn.n), 6) AS cosine "
+    "FROM dp JOIN vn ON vn.vec_id = dp.vec_id CROSS JOIN qn "
+    "ORDER BY cosine DESC, dp.vec_id LIMIT 10",
+)
+def q_rp_topk(spark, sf):
+    """Signed random projection + top-k in the projected space
+    (similarity.rp_project — the JL dimension lever beside int8/PQ:
+    64 floats → 8 doubles, and the output is still a plain vector so
+    the whole ANN/near-dup family composes on it unchanged). The
+    deterministic mod-11 plane weights make the projection itself
+    oracle-replayable — recall vs the full-dim top-k is measured, not
+    assumed (scripts/ann_recall.py on a projected corpus)."""
+    e = load(spark, sf, "embeddings")
+    proj = similarity.rp_project(e, out_dim=8)
+    qv = [float(x)
+          for x in proj.filter(F.col("vec_id") == 0).head().rp]
+    return similarity.brute_force_topk(
+        proj.filter(F.col("vec_id") != 0).select("vec_id", "rp"),
+        qv, k=10, vec_col="rp")

@@ -150,3 +150,32 @@ def test_mine_bitext_zero_vector_drops_out(spark, bitext):
     out = similarity.mine_bitext(x.unionByName(zero), y, cents, k=2,
                                  margin_threshold=1.0)
     assert 999 not in [r.x_id for r in out.collect()]
+
+
+def test_ngram_novelty_bounds_and_canary(spark, docs):
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import dedup
+
+    ref = docs.filter(F.col("doc_id") % 10 == 9)  # the identical-dup rows
+    out = {r.doc_id: r.novelty
+           for r in dedup.ngram_novelty(docs, ref, shingle_n=3).collect()}
+    for i in (9, 19, 39):
+        assert out[i] == 0.0  # ref members self-match completely
+    assert all(0.0 <= v <= 1.0 for v in out.values())
+    # docs sharing no trigram with the dup body stay fully novel
+    assert out[1] == 1.0
+
+
+def test_rp_project_shapes_and_guard(spark):
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 2.0]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    out = similarity.rp_project(df, out_dim=4)
+    rows = {r.vec_id: r.rp for r in out.collect()}
+    assert len(rows[1]) == 4
+    assert rows[2] == [0.0, 0.0, 0.0, 0.0]  # zero vec projects to zero
+    # plane 0 weights at positions 0,1,2: ((i*3+2)%11)-5 = -3, 0, 3
+    assert rows[1][0] == pytest.approx(1.0 * -3 + 0.0 * 0 + 2.0 * 3)
+    with pytest.raises(ValueError, match="15"):
+        similarity.rp_project(df, out_dim=16)
