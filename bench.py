@@ -172,6 +172,7 @@ R9_ADDITIONS = [
     "q_bitext_mine",
     "q_ngram_novelty",
     "q_rp_topk",
+    "q_curation_v2",
 ]
 
 

@@ -8117,3 +8117,74 @@ def q_rp_topk(spark, sf):
     return similarity.brute_force_topk(
         proj.filter(F.col("vec_id") != 0).select("vec_id", "rp"),
         qv, k=10, vec_col="rp")
+
+
+@register(
+    "q_curation_v2",
+    # this session's operators composed into one curation chain, each
+    # stage the proven oracle piece: trigram-novelty gate vs the mod-37
+    # reference (ngram_novelty replay — ref members self-match to 0 and
+    # drop) → DoReMi per-source budgets over the GATED corpus (means →
+    # tempered softmax → uniform blend → floor budgets → hash-priority
+    # running-sum cap) → per-language weighted sample without
+    # replacement (A-ES race key, row_number twin of keyed_rank).
+    "WITH " + _shingle_ctes("", 3) + ", "
+    "hh AS (SELECT doc_id, " + md5_hash64_sql("shingle") + " AS h FROM sh), "
+    "rh AS (SELECT DISTINCT h FROM hh WHERE doc_id % 37 = 0), "
+    "nov AS (SELECT hh.doc_id, 1.0 - CAST(sum(CASE WHEN rh.h IS NOT NULL "
+    "  THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS nv "
+    "  FROM hh LEFT JOIN rh ON rh.h = hh.h GROUP BY hh.doc_id), "
+    "g AS (SELECT d.* FROM documents d JOIN nov ON nov.doc_id = d.doc_id "
+    "  WHERE round(nv, 6) >= 0.5), "
+    "t AS (SELECT doc_id, lang, source AS dom, "
+    "  len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+    "      x -> x <> '')) AS n, n_chars, "
+    "  round(ln(1.0 + n_chars / 1000.0), 9) AS loss, "
+    + salted_hash_sql("doc_id") + " AS h FROM g), "
+    "ml AS (SELECT dom, round(avg(loss), 9) AS m FROM t GROUP BY 1), "
+    "ex AS (SELECT dom, round(exp(m / 0.5), 9) AS e FROM ml), "
+    "z AS (SELECT sum(e) AS z, count(*) AS k FROM ex), "
+    "al AS (SELECT dom, round((1.0 - 0.2) * round(e / z.z, 9) "
+    "  + 0.2 / z.k, 9) AS a FROM ex, z), "
+    "tot AS (SELECT CAST(sum(n) AS DOUBLE) AS tc FROM t), "
+    "bud AS (SELECT dom, floor(a * (tot.tc * 0.5)) AS b FROM al, tot), "
+    "cum AS (SELECT doc_id, lang, dom, n_chars, n, sum(n) OVER ("
+    "  PARTITION BY dom ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED "
+    "  PRECEDING AND CURRENT ROW) AS c FROM t), "
+    "mix AS (SELECT cum.doc_id, cum.lang, cum.dom, cum.n_chars FROM cum "
+    "  JOIN bud ON bud.dom = cum.dom WHERE cum.c <= bud.b), "
+    "es AS (SELECT doc_id, lang, dom, round(ln(("
+    + salted_hash_sql("doc_id", 5) + " + 1) / 1152921504606846976.0) "
+    "  / CAST(n_chars AS DOUBLE), 9) AS e FROM mix WHERE n_chars > 0) "
+    "SELECT doc_id, lang, dom AS source FROM (SELECT doc_id, lang, dom, "
+    "  row_number() OVER (PARTITION BY lang ORDER BY e DESC, doc_id) "
+    "  AS rn FROM es) WHERE rn <= 15",
+)
+def q_curation_v2(spark, sf):
+    """The round-9 curation chain composed end to end: novelty gate
+    (keep docs whose trigram overlap with the mod-37 reference leaves
+    novelty ≥ 0.5 — re-crawls and reference members drop) → DoReMi mix
+    (per-source tempered-softmax budgets over the gated corpus, 50%
+    token budget, hash-priority cap) → per-language A-ES weighted
+    sample (15 docs per language, weight = n_chars). Each stage is the
+    oracle-proven operator; the composition is what a real curation
+    run executes, and the single composed oracle proves the stages
+    hand off exactly (the q_mix_pipeline/q_corpus_lifecycle pattern).
+    Corpus text crosses the wire zero times: the novelty join carries
+    hashes, the cap carries token counts, the sample ranks race
+    keys."""
+    d = load(spark, sf, "documents")
+    ref = d.filter(F.col("doc_id") % 37 == 0)
+    nov = dedup.ngram_novelty(d, ref, shingle_n=3, portable=True)
+    gated = d.join(nov, "doc_id").filter(F.col("novelty") >= 0.5).drop(
+        "novelty")
+    ntok = F.size(tokens_ws(F.col("text")))
+    loss = F.round(
+        F.log(F.lit(1.0) + F.col("n_chars") / F.lit(1000.0)), 9)
+    total = gated.agg(F.sum(ntok.cast("long")).alias("t")).head().t
+    mixed = sampling.doremi_mix(
+        gated, "source", loss, ntok, budget=float(total) * 0.5,
+        key=F.col("doc_id"), temperature=0.5, smoothing=0.2)
+    out = sampling.weighted_sample_per_group(
+        mixed, "lang", F.col("n_chars"), 15, F.col("doc_id"), salt=5)
+    return out.select("doc_id", "lang", "source")
