@@ -293,6 +293,47 @@ AUDITS = {
     "codebook-stamped compaction), and the final probe plan shows the "
     "same PartitionFilters + tinyint ReadSchema as the standalone "
     "store probes — composition adds no new exchange.",
+    "q_containment_pairs": "Broder containment over the shared shingle "
+    "inverted-index skeleton: one shingle-keyed Exchange, set sizes "
+    "ride the rows, min-denominator is a projection — no plan "
+    "difference from the Jaccard twin but the final expression.",
+    "q_pq_adc_topk": "PQ/ADC retrieval: encode is a narrow projection "
+    "(m literal-codebook argmaxes, O(m) nodes), the query LUT is "
+    "driver-built literals, scoring is m array lookups + adds, and "
+    "the top-k is TakeOrderedAndProject — zero joins, zero shuffles "
+    "before the single merge.",
+    "q_ivfpq_probe": "IVFPQ store probe: PartitionFilters carries the "
+    "nprobe list set at file-listing time, ReadSchema holds only "
+    "tinyint codes (+ coarse id), per-list LUT terms are literal "
+    "maps — the scan reads m+1 bytes per row of a 32x-smaller "
+    "layout.",
+    "q_weighted_sample": "A-ES weighted sample: race key is one "
+    "projection over the scan, then TakeOrderedAndProject — the "
+    "weighted reservoir with no sequential pass and no full sort.",
+    "q_weighted_sample_per_group": "Per-group A-ES sample: keyed_rank's "
+    "three-phase shape — quantile boundaries as literals, one bounded "
+    "(key, range) count agg, in-range window — no per-language "
+    "single-task sort.",
+    "q_doremi_mix": "DoReMi mix: one tiny (domain, mean-loss) agg "
+    "collects driver-side, budgets return as broadcast literals, and "
+    "the cap is token_budget_cap's bucketed two-phase window — corpus "
+    "text never shuffles.",
+    "q_bitext_mine": "Margin bitext mining: both sides' IVF assignment "
+    "is a narrow projection, candidates meet in ONE list_id equi-join "
+    "(broadcast while a side is small), and the rank/average windows "
+    "partition by the high-cardinality sentence ids — never |X|x|Y|.",
+    "q_ngram_novelty": "N-gram novelty: reference shingle hashes "
+    "BroadcastExchange into a marked left join over the corpus "
+    "shingle stream; one per-doc HashAggregate — the only Exchange "
+    "is the per-doc count, text never leaves the scan stage.",
+    "q_rp_topk": "Random projection top-k: the projection is "
+    "out_dim positional-dot expressions in the scan's codegen stage; "
+    "cosine + TakeOrderedAndProject on the 8-dim vectors — same plan "
+    "family as brute-force top-k at 1/8th the flops.",
+    "q_curation_v2": "Composed curation chain: novelty's broadcast "
+    "join, DoReMi's driver-literal budgets, and the A-ES keyed_rank "
+    "stack in one DAG — each stage's exchanges are the standalone "
+    "operator's; composition adds none.",
 }
 
 KEEP = re.compile(
