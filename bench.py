@@ -173,6 +173,7 @@ R9_ADDITIONS = [
     "q_ngram_novelty",
     "q_rp_topk",
     "q_curation_v2",
+    "q_stream_image_dedup",
 ]
 
 

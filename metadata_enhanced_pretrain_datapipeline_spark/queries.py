@@ -8188,3 +8188,85 @@ def q_curation_v2(spark, sf):
     out = sampling.weighted_sample_per_group(
         mixed, "lang", F.col("n_chars"), 15, F.col("doc_id"), salt=5)
     return out.select("doc_id", "lang", "source")
+
+
+@register("q_stream_image_dedup", _REGISTRY["q_image_dedup_against"][1])
+def q_stream_image_dedup(spark, sf):
+    """Continuous visual-store ingestion
+    (streaming.events.stream_append_image_hash_store): month 1's image
+    blobs arrive as a 2-batch stream (pre-split files,
+    maxFilesPerTrigger=1), each micro-batch decodes once through the
+    shared image_dhash projection and appends 8-byte (media_id, dhash)
+    rows; the new month's recompressed/edited twins then batch-dedup
+    against the STREAM-BUILT store with the standard
+    image_dedup_against probe. The oracle IS q_image_dedup_against's
+    SQL verbatim — the stream-built store must answer identically to
+    the batch-built one (the q_stream_ivf_append contract, visual
+    edition). Unlike the IVF store, at-least-once retries are exact
+    here by construction: the probe is hash-ball membership, so
+    duplicate store rows cannot flip a decision."""
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import multimodal
+    from metadata_enhanced_pretrain_datapipeline_spark.streaming import events as se
+
+    d = load(spark, sf, "documents").filter(
+        F.col("doc_id") % 10 == 2).select("doc_id")
+
+    def build_old(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"].to_numpy():
+                y = np.arange(16).reshape(16, 1, 1)
+                x = np.arange(18).reshape(1, 18, 1)
+                c = np.arange(3).reshape(1, 1, 3)
+                base = ((did * 131 + y * 17 + x * 29 + c * 53) % 199)
+                rows.append((f"m{did}_a",
+                             multimodal.encode_bmp(base.astype(np.uint8))))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    def build_new(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"].to_numpy():
+                if did % 2 != 0:
+                    continue
+                y = np.arange(16).reshape(16, 1, 1)
+                x = np.arange(18).reshape(1, 18, 1)
+                c = np.arange(3).reshape(1, 1, 3)
+                base = ((did * 131 + y * 17 + x * 29 + c * 53) % 199)
+                if did % 8 == 6:
+                    cb = ((x // 2) + (y // 2)) % 2 == 0
+                    tw = base + np.where(cb, 17, 0)
+                else:
+                    tw = base + 1
+                rows.append((f"m{did}_b",
+                             multimodal.encode_png(tw.astype(np.uint8))))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    schema = "media_id string, content binary"
+    scratch = _scratch_dir(sf, "stream_imghash")
+    src, store, ck = f"{scratch}/src", f"{scratch}/store", f"{scratch}/ck"
+    for p in (src, store, ck):
+        shutil.rmtree(p, ignore_errors=True)
+    old_media = d.mapInPandas(build_old, schema)
+    # two input files -> two micro-batches under maxFilesPerTrigger=1
+    old_media.filter(F.col("media_id").rlike("^m\\d*[02468]_a$")) \
+        .write.parquet(f"{src}/part_a")
+    old_media.filter(~F.col("media_id").rlike("^m\\d*[02468]_a$")) \
+        .write.parquet(f"{src}/part_b")
+    stream = (
+        spark.readStream.schema("media_id string, content binary")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    se.stream_append_image_hash_store(stream, store, ck, stub=False)
+    seen = spark.read.parquet(store)
+    new_media = d.mapInPandas(build_new, schema)
+    kept = multimodal.image_dedup_against(new_media, seen, max_hamming=2,
+                                          stub=False)
+    return kept.select("media_id")

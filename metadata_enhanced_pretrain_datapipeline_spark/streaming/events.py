@@ -368,3 +368,45 @@ def stream_append_ivf_quantized_store(stream_df: DataFrame, path: str,
         .start()
     )
     q.awaitTermination()
+
+
+def stream_append_image_hash_store(stream_media: DataFrame, path: str,
+                                   checkpoint: str, hash_w: int = 8,
+                                   hash_h: int = 8, stub: bool = True,
+                                   codec_factory=None) -> None:
+    """Continuous VISUAL-store ingestion — the image twin of
+    :func:`stream_append_ivf_quantized_store`: media blobs arrive as a
+    stream, every micro-batch decodes ONCE through
+    :func:`~metadata_enhanced_pretrain_datapipeline_spark.operators.multimodal.image_dhash`
+    (the shared projection, so stream-appended and batch-built rows are
+    byte-compatible) and appends 8-byte ``(media_id, dhash)`` rows to
+    the hash store that
+    :func:`~metadata_enhanced_pretrain_datapipeline_spark.operators.multimodal.image_dedup_against`
+    probes. The monthly-crawl story becomes continuous: blobs are
+    hashed as they land and never decoded again; undersized media
+    (NULL dhash) are filtered here, matching the batch store builders.
+
+    Stateless per batch (no watermark, no state store). DELIVERY: the
+    append sink is at-least-once, and for THIS store that is already
+    exact — the probe is membership (NOT EXISTS within a Hamming ball)
+    over hashes, so a retry-duplicated (media_id, dhash) row cannot
+    change any dedup decision; compaction is small-file hygiene only
+    (a plain distinct rewrite), unlike the IVF store where duplicates
+    transiently occupy top-k slots."""
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.multimodal import image_dhash
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            image_dhash(batch_df, hash_w, hash_h, stub, codec_factory)
+            .filter(F.col("dhash").isNotNull())
+            .select("media_id", "dhash")
+            .write.mode("append").parquet(path)
+        )
+
+    q = (
+        stream_media.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -179,3 +179,34 @@ def test_rp_project_shapes_and_guard(spark):
     assert rows[1][0] == pytest.approx(1.0 * -3 + 0.0 * 0 + 2.0 * 3)
     with pytest.raises(ValueError, match="15"):
         similarity.rp_project(df, out_dim=16)
+
+
+def test_stream_image_hash_store_matches_batch(spark, tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import multimodal
+    from metadata_enhanced_pretrain_datapipeline_spark.streaming import events as se
+
+    def blobs(ids):
+        rows = []
+        for i in ids:
+            rng = np.random.default_rng(i)
+            rows.append((f"b{i}", multimodal.encode_bmp(
+                rng.integers(0, 255, (16, 18, 3)).astype(np.uint8))))
+        return rows
+
+    schema = "media_id string, content binary"
+    media = spark.createDataFrame(blobs(range(8)), schema)
+    src, store, ck = (str(tmp_path / d) for d in ("src", "store", "ck"))
+    media.filter(F.col("media_id") < "b4").write.parquet(f"{src}/p1")
+    media.filter(F.col("media_id") >= "b4").write.parquet(f"{src}/p2")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("recursiveFileLookup", "true").parquet(src))
+    se.stream_append_image_hash_store(stream, store, ck, stub=False)
+    got = {(r.media_id, r.dhash)
+           for r in spark.read.parquet(store).collect()}
+    want = {(r.media_id, r.dhash)
+            for r in multimodal.image_dhash(media, stub=False).collect()}
+    assert got == want  # stream-built store byte-equals the batch projection
