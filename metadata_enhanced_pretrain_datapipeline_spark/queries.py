@@ -8252,12 +8252,13 @@ def q_stream_image_dedup(spark, sf):
     src, store, ck = f"{scratch}/src", f"{scratch}/store", f"{scratch}/ck"
     for p in (src, store, ck):
         shutil.rmtree(p, ignore_errors=True)
-    old_media = d.mapInPandas(build_old, schema)
     # two input files -> two micro-batches under maxFilesPerTrigger=1
-    old_media.filter(F.col("media_id").rlike("^m\\d*[02468]_a$")) \
-        .write.parquet(f"{src}/part_a")
-    old_media.filter(~F.col("media_id").rlike("^m\\d*[02468]_a$")) \
-        .write.parquet(f"{src}/part_b")
+    # (split on the TENS digit: every selected did ends in 2, so a
+    # last-digit split would leave one batch empty)
+    d.filter((F.col("doc_id") / 10).cast("long") % 2 == 0) \
+        .mapInPandas(build_old, schema).write.parquet(f"{src}/part_a")
+    d.filter((F.col("doc_id") / 10).cast("long") % 2 == 1) \
+        .mapInPandas(build_old, schema).write.parquet(f"{src}/part_b")
     stream = (
         spark.readStream.schema("media_id string, content binary")
         .option("maxFilesPerTrigger", 1)
