@@ -334,6 +334,10 @@ AUDITS = {
     "join, DoReMi's driver-literal budgets, and the A-ES keyed_rank "
     "stack in one DAG — each stage's exchanges are the standalone "
     "operator's; composition adds none.",
+    "q_stream_image_dedup": "Stream-built visual hash store: the "
+    "against-store probe over stream-appended rows is the batch plan "
+    "verbatim — blobs decoded once in MapInPandas, 8-byte hash rows, "
+    "chunk-bucket equi-join + ids-only anti-join.",
 }
 
 KEEP = re.compile(
