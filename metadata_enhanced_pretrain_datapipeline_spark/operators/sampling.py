@@ -1059,8 +1059,13 @@ def doremi_weights(df: DataFrame, domain_col: str, loss_col: Column,
             "first or raise max_domains knowingly.")
     if not rows:
         return {}
+    # a domain whose losses are all NULL has no evidence — it gets no
+    # weight (absent from the map ⇒ token_budget_cap keeps nothing),
+    # rather than a TypeError out of math.exp(None)
     exps = {r[0]: round(math.exp(r["__m"] / float(temperature)), 9)
-            for r in rows}
+            for r in rows if r["__m"] is not None}
+    if not exps:
+        return {}
     z = sum(exps.values())
     k = len(exps)
     s = float(smoothing)

@@ -210,3 +210,13 @@ def test_stream_image_hash_store_matches_batch(spark, tmp_path):
     want = {(r.media_id, r.dhash)
             for r in multimodal.image_dhash(media, stub=False).collect()}
     assert got == want  # stream-built store byte-equals the batch projection
+
+
+def test_doremi_weights_null_loss_domain_excluded(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "b", None), (4, "b", None)],
+        "id long, dom string, loss double")
+    w = sampling.doremi_weights(df, "dom", F.col("loss"), smoothing=0.0)
+    assert set(w) == {"a"}  # no loss evidence -> no weight, no crash
+    assert sampling.doremi_weights(
+        df.filter(F.col("dom") == "b"), "dom", F.col("loss")) == {}
