@@ -1020,7 +1020,8 @@ def mine_hard_negatives_bucketed(df: DataFrame, query_ids: list[int],
 def mine_bitext(x: DataFrame, y: DataFrame, centroids: list[list[float]],
                 k: int = 4, margin_threshold: float = 1.05,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                mutual: bool = True, round_dp: int = 9) -> DataFrame:
+                mutual: bool = True, round_dp: int = 9,
+                nprobe: int = 1) -> DataFrame:
     """Margin-based parallel-corpus mining (Artetxe & Schwenk 2019,
     "Margin-based parallel corpus mining with multilingual sentence
     embeddings" — the CCMatrix/LASER recipe): pair source-language
@@ -1053,9 +1054,23 @@ def mine_bitext(x: DataFrame, y: DataFrame, centroids: list[list[float]],
     BM25 tie-pinning precedent) and the margin to 6dp before the
     threshold, so selection is bit-portable cross-engine. Zero-norm
     embeddings yield NULL cosine/margin and drop out of every band.
+
+    ``nprobe`` is the recall lever (the semantic_decontam_ivf
+    pattern): each x probes its ``nprobe`` nearest lists via
+    :func:`ivf_probe_lists`, so a true pair sitting just across a
+    centroid boundary is still met — work scales ×nprobe, and misses
+    are expensive in mining (an unmined pair is training data lost),
+    so >1 is the production default the decontaminator also uses.
     """
-    xa = ivf_assign(x, centroids, vec_col).select(
-        F.col(id_col).alias("x_id"), F.col(vec_col).alias("__xv"), "list_id")
+    if nprobe == 1:
+        xa = ivf_assign(x, centroids, vec_col).select(
+            F.col(id_col).alias("x_id"), F.col(vec_col).alias("__xv"),
+            "list_id")
+    else:
+        xa = x.select(
+            F.col(id_col).alias("x_id"), F.col(vec_col).alias("__xv"),
+            F.explode(ivf_probe_lists(F.col(vec_col), centroids, nprobe))
+            .alias("list_id"))
     ya = ivf_assign(y, centroids, vec_col).select(
         F.col(id_col).alias("y_id"), F.col(vec_col).alias("__yv"), "list_id")
     pairs = xa.join(ya, "list_id").select(

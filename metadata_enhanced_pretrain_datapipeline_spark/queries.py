@@ -7986,7 +7986,7 @@ def q_doremi_mix(spark, sf):
     "  GROUP BY 1, 2), "
     "xa AS (SELECT id, cid AS l FROM (SELECT xd.id, xd.cid, "
     "  row_number() OVER (PARTITION BY xd.id ORDER BY dp - n2 / 2 DESC, "
-    "  xd.cid) AS rn FROM xd JOIN cn USING (cid)) WHERE rn = 1), "
+    "  xd.cid) AS rn FROM xd JOIN cn USING (cid)) WHERE rn <= 2), "
     "yd AS (SELECT y.id, c.cid, sum(CAST(y.v AS DOUBLE) * "
     "  CAST(c.v AS DOUBLE)) AS dp FROM ye y JOIN ce c ON y.i = c.i "
     "  GROUP BY 1, 2), "
@@ -8031,7 +8031,8 @@ def q_bitext_mine(spark, sf):
     dis = e.filter(F.col("vec_id") % 4 == 1).select(
         (F.col("vec_id") + 200000).alias("vec_id"), "embedding")
     out = similarity.mine_bitext(
-        x, twin.unionByName(dis), cents, k=4, margin_threshold=1.02)
+        x, twin.unionByName(dis), cents, k=4, margin_threshold=1.02,
+        nprobe=2)
     return out.select("x_id", "y_id",
                       F.round("cosine", 6).alias("cosine"), "margin")
 

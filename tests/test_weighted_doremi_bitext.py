@@ -220,3 +220,22 @@ def test_doremi_weights_null_loss_domain_excluded(spark):
     assert set(w) == {"a"}  # no loss evidence -> no weight, no crash
     assert sampling.doremi_weights(
         df.filter(F.col("dom") == "b"), "dom", F.col("loss")) == {}
+
+
+def test_mine_bitext_nprobe_recovers_boundary_pair(spark):
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    # x sits just on c0's side of the boundary, its translation twin
+    # just on c1's side: nprobe=1 buckets them apart, nprobe=2 probes
+    # across the boundary and mines the pair
+    x = spark.createDataFrame([(1, [0.72, 0.69])],
+                              "vec_id long, embedding array<double>")
+    y = spark.createDataFrame([(101, [0.69, 0.72]), (102, [0.0, 1.0])],
+                              "vec_id long, embedding array<double>")
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import similarity as sim
+
+    none = sim.mine_bitext(x, y, cents, k=2, margin_threshold=0.0,
+                           mutual=False, nprobe=1).collect()
+    assert none == []
+    got = sim.mine_bitext(x, y, cents, k=2, margin_threshold=0.0,
+                          mutual=False, nprobe=2).collect()
+    assert [r.y_id for r in got] == [101]
