@@ -174,6 +174,7 @@ R9_ADDITIONS = [
     "q_rp_topk",
     "q_curation_v2",
     "q_stream_image_dedup",
+    "q_paragraph_semantic_dedup",
 ]
 
 

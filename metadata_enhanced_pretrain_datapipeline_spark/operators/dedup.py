@@ -2004,3 +2004,60 @@ def ngram_novelty(docs: DataFrame, ref: DataFrame, id_col: str = "doc_id",
             - F.sum(F.coalesce(F.col("__r"), F.lit(0))) / F.count("*"),
             6).alias(out_col))
     )
+
+
+def paragraph_semantic_dedup(chunks: DataFrame, doc_id_col: str = "doc_id",
+                             chunk_id_col: str = "chunk_id",
+                             vec_col: str = "embedding",
+                             threshold: float = 0.95, num_planes: int = 8,
+                             max_bucket_size: int | None = 1024,
+                             centroids: list[list[float]] | None = None,
+                             min_kept_frac: float = 0.5) -> DataFrame:
+    """SemDeDup at PARAGRAPH granularity — the paper's deployment shape
+    (Abbas et al. 2023 dedupes chunk/paragraph embeddings, then data
+    decisions happen per document): chunk near-duplicates collapse
+    corpus-wide through :func:`semantic_dedup` (a boilerplate paragraph
+    shared by 10k documents survives once), and each DOCUMENT is scored
+    by its surviving-chunk fraction — ``keep`` is false when fewer than
+    ``min_kept_frac`` of its chunks survive, i.e. the document is
+    mostly semantically-duplicated content. The input is the
+    (doc, chunk, embedding) relation the chunk-embedding annotator
+    already produces (A1's explode shape, xlmr_embedding_annotator.py's
+    per-512-token chunks).
+
+    Chunk identity for the smaller-id-wins resolution is the exact
+    integer ``doc_id * (max_chunk_id + 1) + chunk_id`` (one tiny agg
+    for the stride — no hash collisions, deterministic winner, and the
+    key arithmetic replays in SQL). Returns one row per document:
+    (doc_id, n_chunks, kept_chunks, kept_frac, keep); the caller joins
+    ``keep`` back to the corpus or thresholds kept_frac differently —
+    the decision column is data, not a hidden filter.
+
+    Scale: inherits semantic_dedup's one-bucket-exchange shape over
+    (key, vec, bucket) rows; the per-doc rollup is one count
+    aggregation on integer keys. Fraction compared on the 6dp-rounded
+    value so the keep flag is bit-portable cross-engine.
+    """
+    mx = chunks.agg(F.max(F.col(chunk_id_col)).alias("m")).head().m
+    if mx is None:
+        return chunks.sparkSession.createDataFrame(
+            [], f"{doc_id_col} long, n_chunks long, kept_chunks long, "
+                "kept_frac double, keep boolean")
+    stride = int(mx) + 1
+    keyed = chunks.withColumn(
+        "__ck",
+        F.col(doc_id_col).cast("long") * F.lit(stride)
+        + F.col(chunk_id_col).cast("long"))
+    kept = semantic_dedup(keyed, "__ck", vec_col, threshold, num_planes,
+                          max_bucket_size, centroids)
+    totals = keyed.groupBy(doc_id_col).agg(F.count("*").alias("n_chunks"))
+    survived = kept.groupBy(doc_id_col).agg(
+        F.count("*").alias("__kept"))
+    frac = F.round(
+        F.coalesce(F.col("__kept"), F.lit(0)) / F.col("n_chunks"), 6)
+    return (totals.join(survived, doc_id_col, "left")
+            .select(doc_id_col, "n_chunks",
+                    F.coalesce(F.col("__kept"), F.lit(0))
+                    .alias("kept_chunks"),
+                    frac.alias("kept_frac"),
+                    (frac >= F.lit(float(min_kept_frac))).alias("keep")))

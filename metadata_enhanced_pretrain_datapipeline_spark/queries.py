@@ -8272,3 +8272,51 @@ def q_stream_image_dedup(spark, sf):
     kept = multimodal.image_dedup_against(new_media, seen, max_hamming=2,
                                           stub=False)
     return kept.select("media_id")
+
+
+@register(
+    "q_paragraph_semantic_dedup",
+    # chunks = the embeddings table reshaped (doc vec_id//4, chunk
+    # vec_id%4) so the exact stride key doc*4+chunk IS vec_id and the
+    # proven bucket/pair/resolution replay carries over unchanged; the
+    # per-doc rollup + 6dp-rounded keep flag are replayed on top.
+    f"WITH bk AS ({_NEAR_DUP_BUCKET6}), "
+    "be AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, bk.bucket "
+    "  FROM embeddings e JOIN bk USING (vec_id)), "
+    "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+    "  list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * "
+    "  sqrt(list_dot_product(b.v, b.v))) AS c "
+    "  FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id < b.vec_id), "
+    "k AS (SELECT vec_id FROM embeddings WHERE vec_id NOT IN "
+    "  (SELECT id_b FROM p WHERE c >= 0.3)), "
+    "st AS (SELECT vec_id // 4 AS doc_id, count(*) AS n_chunks "
+    "  FROM embeddings GROUP BY 1), "
+    "kc AS (SELECT vec_id // 4 AS doc_id, count(*) AS kept FROM k "
+    "  GROUP BY 1) "
+    "SELECT st.doc_id, CAST(n_chunks AS BIGINT) AS n_chunks, "
+    "  CAST(coalesce(kept, 0) AS BIGINT) AS kept_chunks, "
+    "  round(CAST(coalesce(kept, 0) AS DOUBLE) / n_chunks, 6) "
+    "  AS kept_frac, "
+    "  round(CAST(coalesce(kept, 0) AS DOUBLE) / n_chunks, 6) >= 0.5 "
+    "  AS keep "
+    "FROM st LEFT JOIN kc ON kc.doc_id = st.doc_id",
+)
+def q_paragraph_semantic_dedup(spark, sf):
+    """SemDeDup at paragraph granularity
+    (dedup.paragraph_semantic_dedup — the paper's deployment shape):
+    chunk embeddings dedup corpus-wide through the proven
+    semantic_dedup plan, then every DOCUMENT gets a surviving-chunk
+    fraction and a keep flag (< 50% survivors ⇒ the doc is mostly
+    semantically-duplicated content). The fixture reshapes the
+    embeddings table into 4-chunk documents so the operator's exact
+    stride key (doc·4 + chunk) equals vec_id and the oracle replays
+    buckets, pairs, resolution, the rollup, and the rounded flag in
+    closed form."""
+    e = load(spark, sf, "embeddings")
+    chunks = e.select(
+        F.expr("vec_id div 4").alias("doc_id"),
+        (F.col("vec_id") % 4).alias("chunk_id"),
+        "embedding")
+    return dedup.paragraph_semantic_dedup(
+        chunks, threshold=0.3, num_planes=6, max_bucket_size=None,
+        min_kept_frac=0.5)

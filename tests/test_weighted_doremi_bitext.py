@@ -239,3 +239,35 @@ def test_mine_bitext_nprobe_recovers_boundary_pair(spark):
     got = sim.mine_bitext(x, y, cents, k=2, margin_threshold=0.0,
                           mutual=False, nprobe=2).collect()
     assert [r.y_id for r in got] == [101]
+
+
+def test_paragraph_semantic_dedup_doc_decision(spark):
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import dedup
+
+    # doc 0: four orthogonal-ish chunks (all survive); doc 1: its four
+    # chunks are clones of doc 0's (all drop -> keep False); doc 2: two
+    # unique + two clones of doc 0's (frac 0.5 -> keep True at 0.5)
+    def v(i):
+        base = [0.0] * 8
+        base[i] = 1.0
+        return base
+
+    rows = [(0, c, v(c)) for c in range(4)]
+    rows += [(1, c, v(c)) for c in range(4)]
+    rows += [(2, 0, v(4)), (2, 1, v(5)), (2, 2, v(0)), (2, 3, v(1))]
+    df = spark.createDataFrame(
+        rows, "doc_id long, chunk_id long, embedding array<double>")
+    out = {r.doc_id: r for r in dedup.paragraph_semantic_dedup(
+        df, threshold=0.9, num_planes=6, max_bucket_size=None,
+        min_kept_frac=0.5).collect()}
+    assert out[0].kept_chunks == 4 and out[0].keep
+    assert out[1].kept_chunks == 0 and not out[1].keep
+    assert out[2].kept_chunks == 2 and out[2].kept_frac == 0.5 and out[2].keep
+
+
+def test_paragraph_semantic_dedup_empty(spark):
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [], "doc_id long, chunk_id long, embedding array<double>")
+    assert dedup.paragraph_semantic_dedup(df).count() == 0
