@@ -338,6 +338,11 @@ AUDITS = {
     "against-store probe over stream-appended rows is the batch plan "
     "verbatim — blobs decoded once in MapInPandas, 8-byte hash rows, "
     "chunk-bucket equi-join + ids-only anti-join.",
+    "q_paragraph_semantic_dedup": "Paragraph-granularity SemDeDup: "
+    "chunk keys are exact integer strides (one tiny max agg), pair "
+    "generation is semantic_dedup's one bucket Exchange, and the "
+    "per-doc rollup is a single integer-key HashAggregate + left "
+    "join — the document decision adds no vector movement.",
 }
 
 KEEP = re.compile(
