@@ -175,6 +175,7 @@ R9_ADDITIONS = [
     "q_curation_v2",
     "q_stream_image_dedup",
     "q_paragraph_semantic_dedup",
+    "q_semantic_dedup_against",
 ]
 
 

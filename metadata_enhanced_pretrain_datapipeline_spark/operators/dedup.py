@@ -2061,3 +2061,64 @@ def paragraph_semantic_dedup(chunks: DataFrame, doc_id_col: str = "doc_id",
                     .alias("kept_chunks"),
                     frac.alias("kept_frac"),
                     (frac >= F.lit(float(min_kept_frac))).alias("keep")))
+
+
+def embedding_dedup_against(new: DataFrame, seen: DataFrame,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            threshold: float = 0.95, num_planes: int = 8,
+                            max_bucket_size: int | None = 1024,
+                            centroids: list[list[float]] | None = None,
+                            seen_bucket_col: str | None = None) -> DataFrame:
+    """Incremental SEMANTIC dedup across snapshots — the embedding
+    member of the against-store family (exact digests = dedup_against,
+    MinHash bands = minhash_dedup_against, dHash = image_dedup_against,
+    token sets = token_set_jaccard_against): drop a NEW vector when its
+    cosine to ANY stored vector in its bucket reaches ``threshold``.
+    The monthly-crawl story for semantic dedup: last month's corpus
+    lives on as (embedding[, bucket]) rows, the deduplicated past is
+    never re-paired against itself, and month N+1 pays one
+    bucket-keyed equi-join against the store instead of a unioned
+    self-join (which would also re-flag old-vs-old pairs).
+
+    ``seen`` needs only the vector column (plus ``seen_bucket_col`` to
+    reuse buckets persisted at write time —
+    similarity.write_bucketed_embeddings' layout — skipping the
+    recompute; when absent, buckets are recomputed with the SAME plane
+    family/codebook, which must match the store's or the probe is
+    meaningless — the minhash keying-mode lesson). Bucket modes and the
+    degenerate-bucket guard are embedding_near_dup's: hyperplane LSH by
+    default, ``centroids`` for the large-corpus branch; the guard
+    bounds the per-bucket join the same conservative way (an
+    over-capped bucket can only MISS drops, never invent them).
+    Returns surviving ``new`` rows with all their columns.
+    """
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.similarity import (
+        _nearest_centroid_col,
+        lsh_bucket,
+    )
+    from metadata_enhanced_pretrain_datapipeline_spark.functions.arrays import cosine_similarity
+
+    def bucket_of(c):
+        return (_nearest_centroid_col(c, centroids) if centroids is not None
+                else lsh_bucket(c, num_planes))
+
+    nk = new.select(F.col(id_col).alias("__nid"),
+                    F.col(vec_col).alias("__nv"),
+                    bucket_of(F.col(vec_col)).alias("__b"))
+    if seen_bucket_col is not None:
+        sk = seen.select(F.col(vec_col).alias("__sv"),
+                         F.col(seen_bucket_col).alias("__b"))
+    else:
+        sk = seen.select(F.col(vec_col).alias("__sv"),
+                         bucket_of(F.col(vec_col)).alias("__b"))
+    if max_bucket_size is not None:
+        w = Window.partitionBy("__b")
+        sk = (sk.repartition("__b")
+              .withColumn("__n", F.count("*").over(w))
+              .filter(F.col("__n") <= F.lit(max_bucket_size)).drop("__n"))
+    hits = (nk.join(sk, "__b")
+            .filter(cosine_similarity(F.col("__nv"), F.col("__sv"))
+                    >= F.lit(threshold))
+            .select(F.col("__nid").alias(id_col)).distinct())
+    return new.join(hits, id_col, "left_anti")

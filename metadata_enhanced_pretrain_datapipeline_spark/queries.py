@@ -8320,3 +8320,44 @@ def q_paragraph_semantic_dedup(spark, sf):
     return dedup.paragraph_semantic_dedup(
         chunks, threshold=0.3, num_planes=6, max_bucket_size=None,
         min_kept_frac=0.5)
+
+
+@register(
+    "q_semantic_dedup_against",
+    # the stored months are the %3==0 vectors; the new month carries
+    # the %3==1 vectors plus verbatim CLONES of every stored vector
+    # (+500000 ids) — a clone shares its original's bucket and cosine
+    # 1.0, so it must drop; the oracle replays buckets, the
+    # new-vs-store join, the threshold, and the anti-join.
+    f"WITH bk AS ({_NEAR_DUP_BUCKET6}), "
+    "be AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, bk.bucket "
+    "  FROM embeddings e JOIN bk USING (vec_id)), "
+    "sn AS (SELECT * FROM be WHERE vec_id % 3 = 0), "
+    "nw AS (SELECT vec_id, v, bucket FROM be WHERE vec_id % 3 = 1 "
+    "  UNION ALL SELECT vec_id + 500000, v, bucket FROM be "
+    "  WHERE vec_id % 3 = 0), "
+    "dr AS (SELECT DISTINCT n.vec_id FROM nw n JOIN sn s "
+    "  ON s.bucket = n.bucket "
+    "  WHERE list_dot_product(n.v, s.v) / (sqrt(list_dot_product(n.v, "
+    "  n.v)) * sqrt(list_dot_product(s.v, s.v))) >= 0.3) "
+    "SELECT vec_id FROM nw WHERE vec_id NOT IN (SELECT vec_id FROM dr)",
+)
+def q_semantic_dedup_against(spark, sf):
+    """Incremental semantic dedup (dedup.embedding_dedup_against — the
+    embedding member of the against-store family, completing the
+    granularity set: digests, bands, dHashes, token sets, and now
+    vectors): month N+1's embeddings bucket-join against the persisted
+    store and drop on cosine ≥ threshold — the deduplicated past is
+    never re-paired against itself, unlike a unioned self-join.
+    Threshold 0.3 / planes 6 / uncapped as in the other semantic
+    fixtures (near-orthogonal synthetic corpus; uncapped buckets make
+    the oracle replay pigeonhole-complete)."""
+    e = load(spark, sf, "embeddings")
+    new = e.filter(F.col("vec_id") % 3 == 1).select(
+        "vec_id", "embedding").unionByName(
+        e.filter(F.col("vec_id") % 3 == 0).select(
+            (F.col("vec_id") + 500000).alias("vec_id"), "embedding"))
+    seen = e.filter(F.col("vec_id") % 3 == 0).select("embedding")
+    kept = dedup.embedding_dedup_against(
+        new, seen, threshold=0.3, num_planes=6, max_bucket_size=None)
+    return kept.select("vec_id")

@@ -271,3 +271,40 @@ def test_paragraph_semantic_dedup_empty(spark):
     df = spark.createDataFrame(
         [], "doc_id long, chunk_id long, embedding array<double>")
     assert dedup.paragraph_semantic_dedup(df).count() == 0
+
+
+def test_embedding_dedup_against_store(spark):
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import dedup
+
+    def v(i, eps=0.0):
+        base = [0.0] * 8
+        base[i % 8] = 1.0
+        base[(i + 1) % 8] = eps
+        return base
+
+    seen = spark.createDataFrame([(v(0),), (v(1),)],
+                                 "embedding array<double>")
+    new = spark.createDataFrame(
+        [(10, v(0)), (11, v(0, 0.1)), (12, v(4))],
+        "vec_id long, embedding array<double>")
+    kept = sorted(r.vec_id for r in dedup.embedding_dedup_against(
+        new, seen, threshold=0.95, num_planes=6,
+        max_bucket_size=None).collect())
+    # 10 = exact clone of a stored vector (drops); 11 = near-clone at
+    # cosine ~0.995 (drops); 12 = orthogonal to the store (survives)
+    assert kept == [12]
+
+
+def test_embedding_dedup_against_reuses_stored_buckets(spark):
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import dedup
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.similarity import lsh_bucket
+
+    rows = [([float(j == i) for j in range(8)],) for i in range(8)]
+    seen = spark.createDataFrame(rows, "embedding array<double>") \
+        .withColumn("bucket", lsh_bucket(F.col("embedding"), 6))
+    new = spark.createDataFrame([(1, rows[3][0])],
+                                "vec_id long, embedding array<double>")
+    out = dedup.embedding_dedup_against(
+        new, seen, threshold=0.95, num_planes=6, max_bucket_size=None,
+        seen_bucket_col="bucket")
+    assert out.count() == 0  # clone caught via the persisted buckets
