@@ -176,6 +176,7 @@ R9_ADDITIONS = [
     "q_stream_image_dedup",
     "q_paragraph_semantic_dedup",
     "q_semantic_dedup_against",
+    "q_token_balanced_shards",
 ]
 
 

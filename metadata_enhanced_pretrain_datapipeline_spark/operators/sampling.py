@@ -1093,3 +1093,64 @@ def doremi_mix(df: DataFrame, domain_col: str, loss_col: Column,
                for d, a in alphas.items()}
     return token_budget_cap(df, domain_col, tokens_col, 0, key,
                             num_buckets=num_buckets, budgets=budgets)
+
+
+def token_balanced_shards(df: DataFrame, tokens_col: Column,
+                          tokens_per_shard: int, key: Column,
+                          num_buckets: int | None = None,
+                          shard_col: str = "shard",
+                          max_buckets: int = 65536) -> DataFrame:
+    """Assign shard ids so every shard carries ~``tokens_per_shard``
+    tokens: documents line up in salted-hash order, and a document's
+    shard is ``floor(start_offset / tokens_per_shard)`` where
+    start_offset is the running token sum BEFORE it — next-fit bin
+    packing with atomic documents (a doc never splits; a shard
+    overshoots its budget by at most one document's tokens). The
+    equal-TOKEN complement of ``pack_sequences``' hash-mod sharding,
+    which balances document COUNTS and lets one long-document-heavy
+    shard dominate a rank's wall clock: token-balanced .bin/.idx
+    shards keep every Megatron data-parallel rank equally fed.
+
+    Scale shape is token_budget_cap's with one global group: the hash
+    space range-splits into monotone buckets, ONE (bucket → token-sum)
+    aggregate collects driver-side (``num_buckets`` scalars), prefix
+    offsets come back as plan literals, and the running sum is an
+    in-bucket window + offset — the global cumulative sum without a
+    single-task global sort, deterministic under retries (hash order).
+    NULL/negative token counts count as 0 toward offsets (the row still
+    lands in a shard). Returns the input plus ``shard_col``.
+    """
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    spark = df.sparkSession
+    nb = int(num_buckets or spark.sparkContext.defaultParallelism)
+    if nb > max_buckets:
+        raise ValueError(
+            f"token_balanced_shards: num_buckets={nb} exceeds "
+            f"max_buckets={max_buckets} — the offset collect is "
+            "driver-bounded by design.")
+    width = MD5_SPACE // nb + 1
+    t = F.coalesce(F.greatest(tokens_col.cast("long"), F.lit(0)), F.lit(0))
+    keyed = (df.withColumn("__t", t)
+             .withColumn("__h", salted_hash(key))
+             .withColumn("__b", F.floor(F.col("__h") / F.lit(float(width)))
+                         .cast("int")))
+    rows = keyed.groupBy("__b").agg(F.sum("__t").alias("__s")).collect()
+    sums = {r["__b"]: (r["__s"] or 0) for r in rows}
+    acc, offs = 0, []
+    for b in sorted(sums):
+        offs.append((b, acc))
+        acc += sums[b]
+    off_schema = StructType([StructField("__b", IntegerType()),
+                             StructField("__off", LongType())])
+    offsets = spark.createDataFrame(offs or [(0, 0)], off_schema)
+    w = (Window.partitionBy("__b").orderBy("__h", key)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (keyed.join(F.broadcast(offsets), "__b", "left")
+           .withColumn("__cum",
+                       F.sum("__t").over(w) + F.coalesce("__off", F.lit(0))))
+    return (cum.withColumn(
+        shard_col,
+        F.floor((F.col("__cum") - F.col("__t"))
+                / F.lit(float(tokens_per_shard))).cast("int"))
+        .drop("__t", "__h", "__b", "__off", "__cum"))

@@ -8361,3 +8361,38 @@ def q_semantic_dedup_against(spark, sf):
     kept = dedup.embedding_dedup_against(
         new, seen, threshold=0.3, num_planes=6, max_bucket_size=None)
     return kept.select("vec_id")
+
+
+@register(
+    "q_token_balanced_shards",
+    # the bucketed two-phase running sum reconstructs the GLOBAL
+    # cumulative token sum exactly (offsets are per-bucket prefix sums
+    # in hash order), so the oracle replays it as one naive window —
+    # bucketing must be invisible in the assignment.
+    "WITH t AS (SELECT doc_id, "
+    "  len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+    "      x -> x <> '')) AS n, "
+    + salted_hash_sql("doc_id") + " AS h FROM documents), "
+    "c AS (SELECT doc_id, n, sum(n) OVER (ORDER BY h, doc_id "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t) "
+    "SELECT CAST(floor((cum - n) / 2000.0) AS INT) AS shard, "
+    "  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS tokens "
+    "FROM c GROUP BY 1",
+)
+def q_token_balanced_shards(spark, sf):
+    """Token-balanced sharding (sampling.token_balanced_shards):
+    next-fit bin packing of whole documents into ~2000-token shards in
+    salted-hash order — the equal-TOKEN complement of hash-mod
+    sharding (which balances doc counts and lets long-doc skew starve
+    Megatron data-parallel ranks). The operator computes the global
+    running sum with the bucketed two-phase shape (one bounded
+    bucket-sum collect, in-bucket window + literal offsets — no
+    single-task global sort); the oracle replays it as the naive
+    global window, proving the decomposition exact."""
+    d = load(spark, sf, "documents")
+    ntok = F.size(tokens_ws(F.col("text")))
+    sharded = sampling.token_balanced_shards(
+        d.withColumn("__n", ntok), F.col("__n"), 2000, F.col("doc_id"))
+    return sharded.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("__n").cast("long").alias("tokens"))

@@ -10,6 +10,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from metadata_enhanced_pretrain_datapipeline_spark.operators import sampling, similarity
+from metadata_enhanced_pretrain_datapipeline_spark.functions.hashing import salted_hash
 
 
 @pytest.fixture(scope="module")
@@ -308,3 +309,36 @@ def test_embedding_dedup_against_reuses_stored_buckets(spark):
         new, seen, threshold=0.95, num_planes=6, max_bucket_size=None,
         seen_bucket_col="bucket")
     assert out.count() == 0  # clone caught via the persisted buckets
+
+
+def test_token_balanced_shards_bounds_and_parity(spark):
+    rows = [(i, 100 + (i % 7) * 50) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, n int")
+    out = sampling.token_balanced_shards(
+        df, F.col("n"), 1000, F.col("id"), num_buckets=8)
+    per = {r.shard: (r.docs, r.tok) for r in out.groupBy("shard").agg(
+        F.count("*").alias("docs"), F.sum("n").alias("tok")).collect()}
+    max_doc = 100 + 6 * 50
+    # next-fit bound: a shard's first doc starts where the previous
+    # shard's last doc overshot, so every non-final shard totals within
+    # one max-document of the budget on either side
+    shards = sorted(per)
+    assert shards == list(range(len(shards)))  # max_doc < budget: no skips
+    for s in shards[:-1]:
+        assert 1000 - max_doc <= per[s][1] <= 1000 + max_doc
+    # naive global window replay must agree exactly
+    naive = (df.withColumn("__h", salted_hash(F.col("id")))
+             .withColumn("__cum", F.sum("n").over(
+                 Window.orderBy("__h", "id").rowsBetween(
+                     Window.unboundedPreceding, Window.currentRow)))
+             .withColumn("shard", F.floor(
+                 (F.col("__cum") - F.col("n")) / 1000.0).cast("int")))
+    assert (sorted(map(tuple, out.select("id", "shard").collect()))
+            == sorted(map(tuple, naive.select("id", "shard").collect())))
+
+
+def test_token_balanced_shards_null_and_zero_tokens(spark):
+    df = spark.createDataFrame([(1, None), (2, 0), (3, 500)],
+                               "id long, n int")
+    out = sampling.token_balanced_shards(df, F.col("n"), 100, F.col("id"))
+    assert out.count() == 3  # every row lands in a shard
