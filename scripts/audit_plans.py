@@ -343,6 +343,14 @@ AUDITS = {
     "generation is semantic_dedup's one bucket Exchange, and the "
     "per-doc rollup is a single integer-key HashAggregate + left "
     "join — the document decision adds no vector movement.",
+    "q_semantic_dedup_against": "Incremental semantic dedup: new-month "
+    "vectors meet the stored embeddings in ONE bucket equi-join (no "
+    "unioned self-join re-pairing the past), the drop set is distinct "
+    "ids, and the corpus returns via one anti-join.",
+    "q_token_balanced_shards": "Equal-token sharding: the global "
+    "running sum is an in-bucket Window plus broadcast literal prefix "
+    "offsets from one bounded bucket-sum agg — no single-task global "
+    "sort anywhere in the plan.",
 }
 
 KEEP = re.compile(
