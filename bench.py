@@ -1,8 +1,10 @@
 """Benchmark harness (driver contract): run the headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS]. The LAST stdout line is the compact contract
-JSON (metric/value/unit/queries/sf — sized to survive a tail capture);
-a preceding line carries the per-lap arrays and group totals.
+JSON (metric/value/unit/queries/sf — sized to survive the driver's
+2000-char tail capture); the FULL record (every query's best-of-2 +
+both laps + group totals) is written to bench_details.json beside this
+file, where the round commit preserves it.
 
 Each query is forced through the `noop` sink — a full materialization of
 every output column (a bare .count() would let Catalyst prune the
@@ -179,6 +181,16 @@ R9_ADDITIONS = [
     "q_token_balanced_shards",
 ]
 
+#: round-10 additions: the production-shaped twins of the
+#: fixture-quadratic near-dup queries (VERDICT r9 #3) — deployed bucket
+#: caps + corpus-varied content, so the per-round bench prices the
+#: config users run, not just the oracle-complete fixture.
+R10_ADDITIONS = [
+    "q_image_near_dup_capped",
+    "q_audio_near_dup_capped",
+    "q_semantic_dedup_against_prod",
+]
+
 
 def timed_laps(run) -> list[float]:
     """THE measurement protocol: one warm lap (JIT + IO cache), then two
@@ -209,7 +221,7 @@ def main() -> None:
     all_laps: dict[str, list[float]] = {}
     for name in (HEADLINE + R3_FAMILIES + R4_ADDITIONS + R5_ADDITIONS
                  + R6_ADDITIONS + R7_ADDITIONS + R8_ADDITIONS
-                 + R9_ADDITIONS):
+                 + R9_ADDITIONS + R10_ADDITIONS):
         fn = registry[name]
         laps = timed_laps(
             lambda: fn(spark, sf_dir).write.format("noop")
@@ -221,50 +233,56 @@ def main() -> None:
         # vs regression decidable from the artifact alone
 
     total = round(sum(timings[n] for n in HEADLINE), 3)
-    # Details (per-lap arrays, group totals) go on a SEPARATE earlier line:
-    # round 4's single fat line outgrew the driver's tail-capture window
-    # and left BENCH_r04.parsed null (VERDICT r4 #3). The LAST line is the
-    # compact driver contract: headline total + per-query bests only.
-    print(
-        json.dumps(
-            {
-                "detail": "laps_and_groups",
-                "laps": all_laps,
-                "r3_families_total": round(
-                    sum(timings[n] for n in R3_FAMILIES), 3
-                ),
-                "r4_additions_total": round(
-                    sum(timings[n] for n in R4_ADDITIONS), 3
-                ),
-                "r5_additions_total": round(
-                    sum(timings[n] for n in R5_ADDITIONS), 3
-                ),
-                "r6_additions_total": round(
-                    sum(timings[n] for n in R6_ADDITIONS), 3
-                ),
-                "r7_additions_total": round(
-                    sum(timings[n] for n in R7_ADDITIONS), 3
-                ),
-                "r8_additions_total": round(
-                    sum(timings[n] for n in R8_ADDITIONS), 3
-                ),
-                "r9_additions_total": round(
-                    sum(timings[n] for n in R9_ADDITIONS), 3
-                ),
-            }
-        )
+    groups = {
+        "r3_families_total": R3_FAMILIES,
+        "r4_additions_total": R4_ADDITIONS,
+        "r5_additions_total": R5_ADDITIONS,
+        "r6_additions_total": R6_ADDITIONS,
+        "r7_additions_total": R7_ADDITIONS,
+        "r8_additions_total": R8_ADDITIONS,
+        "r9_additions_total": R9_ADDITIONS,
+        "r10_additions_total": R10_ADDITIONS,
+    }
+    group_totals = {
+        k: round(sum(timings[n] for n in names), 3)
+        for k, names in groups.items()
+    }
+    # The driver records only the LAST 2000 chars of stdout (BENCH_r09's
+    # tail began mid-dict and parsed=null — VERDICT r9 #2; same failure
+    # as r4's fat line). The full record (per-query bests + both laps +
+    # group totals) therefore goes to bench_details.json ON DISK, where
+    # the round commit preserves it; stdout's final line is the compact
+    # driver contract alone — headline per-query bests + group totals,
+    # compact separators, well under the 2000-char capture window.
+    details = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "queries": timings,
+        "laps": all_laps,
+        **group_totals,
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_details.json"), "w"
+    ) as f:
+        json.dump(details, f, indent=1, sort_keys=True)
+    contract = {
+        "metric": "headline_total",
+        "value": total,  # original HEADLINE only: cross-round comparable
+        "unit": "sec",
+        "queries": {n: timings[n] for n in HEADLINE},
+        "sf": sf,
+        "details": "bench_details.json",  # full per-query bests + laps
+        **group_totals,
+    }
+    line = json.dumps(contract, separators=(",", ":"))
+    assert len(line) < 1900, (
+        f"contract line {len(line)} chars would overflow the driver's "
+        "2000-char tail capture; trim the headline set or group totals"
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,  # original HEADLINE only: cross-round comparable
-                "unit": "sec",
-                "queries": timings,  # per-query best-of-2 (incl. R3/R4 groups)
-                "sf": sf,
-            }
-        )
-    )
+    print(line)
 
 
 if __name__ == "__main__":

@@ -2038,12 +2038,30 @@ def paragraph_semantic_dedup(chunks: DataFrame, doc_id_col: str = "doc_id",
     aggregation on integer keys. Fraction compared on the 6dp-rounded
     value so the keep flag is bit-portable cross-engine.
     """
-    mx = chunks.agg(F.max(F.col(chunk_id_col)).alias("m")).head().m
+    bounds = chunks.agg(
+        F.max(F.col(chunk_id_col)).alias("m"),
+        F.min(F.col(chunk_id_col)).alias("lo"),
+        F.max(F.abs(F.col(doc_id_col).cast("long"))).alias("d")).head()
+    mx = bounds.m
     if mx is None:
         return chunks.sparkSession.createDataFrame(
             [], f"{doc_id_col} long, n_chunks long, kept_chunks long, "
                 "kept_frac double, keep boolean")
+    # the stride key is collision-free ONLY for chunk_id ∈ [0, mx] and
+    # doc_id*stride+mx inside long range — a negative chunk_id aliases a
+    # neighboring document's key, and overflow wraps silently with ANSI
+    # off (ADVICE r9): guard both loudly instead of deduping wrongly.
+    if int(bounds.lo) < 0:
+        raise ValueError(
+            f"paragraph_semantic_dedup: negative {chunk_id_col} "
+            f"(min={bounds.lo}) breaks the collision-free stride key; "
+            "re-index chunks to [0, max] first.")
     stride = int(mx) + 1
+    if int(bounds.d or 0) > (2**63 - 1 - int(mx)) // stride:
+        raise ValueError(
+            f"paragraph_semantic_dedup: |{doc_id_col}|max={bounds.d} x "
+            f"stride={stride} overflows long — colliding keys would "
+            "pick wrong dedup winners; hash to a denser id space first.")
     keyed = chunks.withColumn(
         "__ck",
         F.col(doc_id_col).cast("long") * F.lit(stride)
@@ -2092,6 +2110,15 @@ def embedding_dedup_against(new: DataFrame, seen: DataFrame,
     bounds the per-bucket join the same conservative way (an
     over-capped bucket can only MISS drops, never invent them).
     Returns surviving ``new`` rows with all their columns.
+
+    The guard's exclusions are DETECTABLE (ADVICE r9 — silent skips hid
+    recall loss from degenerate store buckets): run
+    :func:`overcap_bucket_stats` on the same store/config to get
+    (overcap_buckets, overcap_seen_rows, max_seen_bucket) as one tiny
+    aggregation. A ``df.observe`` metric riding the probe itself was
+    tried and rejected: AQE's query-stage re-planning drops the
+    CollectMetrics row in this join shape (empty Observation under
+    adaptive execution, verified on 4.1), and the repo runs AQE on.
     """
     from metadata_enhanced_pretrain_datapipeline_spark.operators.similarity import (
         _nearest_centroid_col,
@@ -2122,3 +2149,36 @@ def embedding_dedup_against(new: DataFrame, seen: DataFrame,
                     >= F.lit(threshold))
             .select(F.col("__nid").alias(id_col)).distinct())
     return new.join(hits, id_col, "left_anti")
+
+
+def overcap_bucket_stats(seen: DataFrame, vec_col: str = "embedding",
+                         max_bucket_size: int = 1024,
+                         num_planes: int = 8,
+                         centroids: list[list[float]] | None = None,
+                         seen_bucket_col: str | None = None) -> DataFrame:
+    """The visibility half of :func:`embedding_dedup_against`'s
+    degenerate-bucket guard (ADVICE r9): one row of
+    (overcap_buckets, overcap_seen_rows, max_seen_bucket) for a store
+    under the SAME bucketing config the probe will use, so operators
+    can detect recall loss (rows the guard will silently exclude)
+    before trusting a probe's misses. One bucket-count aggregation over
+    the store — the shuffle carries (bucket, count) longs, never
+    vectors — with a single-row rollup; run it against the persisted
+    store path, not the corpus.
+    """
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.similarity import (
+        _nearest_centroid_col,
+        lsh_bucket,
+    )
+
+    b = (F.col(seen_bucket_col) if seen_bucket_col is not None
+         else _nearest_centroid_col(F.col(vec_col), centroids)
+         if centroids is not None
+         else lsh_bucket(F.col(vec_col), num_planes))
+    counts = seen.groupBy(b.alias("__b")).agg(F.count("*").alias("__n"))
+    over = F.col("__n") > F.lit(max_bucket_size)
+    return counts.agg(
+        F.sum(over.cast("long")).alias("overcap_buckets"),
+        F.sum(F.when(over, F.col("__n")).otherwise(F.lit(0)))
+        .alias("overcap_seen_rows"),
+        F.max(F.col("__n")).alias("max_seen_bucket"))

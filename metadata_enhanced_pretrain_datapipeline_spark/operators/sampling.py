@@ -13,6 +13,18 @@ from pyspark.sql import functions as F
 from metadata_enhanced_pretrain_datapipeline_spark.functions.hashing import MD5_SPACE, salted_hash
 
 
+def _round_half_up(x: float, digits: int) -> float:
+    """Driver-side rounding in the SAME convention as Spark's F.round
+    on doubles (java BigDecimal.valueOf → HALF_UP on the shortest
+    decimal repr) and the DuckDB oracles' round(): Python's builtin
+    round() is banker's half-even and would diverge on an exact .5 at
+    the target digit (ADVICE r9) — one convention end to end instead."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(
+        Decimal(1).scaleb(-digits), rounding=ROUND_HALF_UP))
+
+
 def deterministic_shuffle(df: DataFrame, key: Column, salt: int = 42) -> DataFrame:
     """O3 — reference shuffles with a seeded RNG
     (paradocs.py:165 `sample(frac=1, random_state=42)`); we order by a
@@ -1046,6 +1058,11 @@ def doremi_weights(df: DataFrame, domain_col: str, loss_col: Column,
     a high-cardinality key). Every float step is rounded to 9dp so the
     weights replay bit-identically cross-engine (means → exp → normalize
     → blend, each rounded): the BM25/unimax float-portability precedent.
+    The softmax is max-shifted (exp((m − max m)/τ), ADVICE r9) — a
+    raw-loss column or a tiny temperature would otherwise overflow
+    math.exp at ~709 — and every driver-side round is HALF_UP
+    (:func:`_round_half_up`), the convention Spark's F.round and the
+    DuckDB oracle already share, instead of Python round()'s half-even.
     """
     import math
 
@@ -1062,15 +1079,19 @@ def doremi_weights(df: DataFrame, domain_col: str, loss_col: Column,
     # a domain whose losses are all NULL has no evidence — it gets no
     # weight (absent from the map ⇒ token_budget_cap keeps nothing),
     # rather than a TypeError out of math.exp(None)
-    exps = {r[0]: round(math.exp(r["__m"] / float(temperature)), 9)
-            for r in rows if r["__m"] is not None}
-    if not exps:
+    means = {r[0]: r["__m"] for r in rows if r["__m"] is not None}
+    if not means:
         return {}
-    z = sum(exps.values())
+    shift = max(means.values())  # exp arg ≤ 0: no overflow at any τ
+    exps = {d: _round_half_up(
+        math.exp((m - shift) / float(temperature)), 9)
+        for d, m in means.items()}
+    z = sum(exps.values())  # ≥ 1: the max domain contributes exp(0)
     k = len(exps)
     s = float(smoothing)
-    return {d: round((1.0 - s) * round(e / z, 9) + s / k, 9)
-            for d, e in exps.items()}
+    return {d: _round_half_up(
+        (1.0 - s) * _round_half_up(e / z, 9) + s / k, 9)
+        for d, e in exps.items()}
 
 
 def doremi_mix(df: DataFrame, domain_col: str, loss_col: Column,

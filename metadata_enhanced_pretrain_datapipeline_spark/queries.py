@@ -3666,14 +3666,22 @@ def q_tpch_q14(spark, sf):
 # ===========================================================================
 
 
-_NEAR_DUP_BUCKET6 = (
-    "SELECT vec_id, "
-    + " + ".join(
-        f"(CASE WHEN {_plane_sql(p)} > 0 THEN {1 << p} ELSE 0 END)" for p in range(6)
+def _near_dup_bucket_sql(planes: int) -> str:
+    """SQL twin of similarity.lsh_bucket over embeddings, any plane
+    count (6 = the fixture family; 12 = the production-shaped twins)."""
+    return (
+        "SELECT vec_id, "
+        + " + ".join(
+            f"(CASE WHEN {_plane_sql(p)} > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(planes)
+        )
+        + " AS bucket FROM (SELECT vec_id, unnest(embedding) AS v, "
+        "generate_subscripts(embedding, 1) AS i FROM embeddings) "
+        "GROUP BY vec_id"
     )
-    + " AS bucket FROM (SELECT vec_id, unnest(embedding) AS v, "
-    "generate_subscripts(embedding, 1) AS i FROM embeddings) GROUP BY vec_id"
-)
+
+
+_NEAR_DUP_BUCKET6 = _near_dup_bucket_sql(6)
 
 
 @register(
@@ -7925,7 +7933,9 @@ def q_weighted_sample_per_group(spark, sf):
     "  round(ln(1.0 + n_chars / 1000.0), 9) AS loss, "
     + salted_hash_sql("doc_id") + " AS h FROM documents), "
     "ml AS (SELECT dom, round(avg(loss), 9) AS m FROM t GROUP BY 1), "
-    "ex AS (SELECT dom, round(exp(m / 0.5), 9) AS e FROM ml), "
+    "mm AS (SELECT max(m) AS s FROM ml), "
+    "ex AS (SELECT dom, round(exp((m - mm.s) / 0.5), 9) AS e "
+    "  FROM ml, mm), "
     "z AS (SELECT sum(e) AS z, count(*) AS k FROM ex), "
     "al AS (SELECT dom, round((1.0 - 0.2) * round(e / z.z, 9) "
     "  + 0.2 / z.k, 9) AS a FROM ex, z), "
@@ -8143,7 +8153,9 @@ def q_rp_topk(spark, sf):
     "  round(ln(1.0 + n_chars / 1000.0), 9) AS loss, "
     + salted_hash_sql("doc_id") + " AS h FROM g), "
     "ml AS (SELECT dom, round(avg(loss), 9) AS m FROM t GROUP BY 1), "
-    "ex AS (SELECT dom, round(exp(m / 0.5), 9) AS e FROM ml), "
+    "mm AS (SELECT max(m) AS s FROM ml), "
+    "ex AS (SELECT dom, round(exp((m - mm.s) / 0.5), 9) AS e "
+    "  FROM ml, mm), "
     "z AS (SELECT sum(e) AS z, count(*) AS k FROM ex), "
     "al AS (SELECT dom, round((1.0 - 0.2) * round(e / z.z, 9) "
     "  + 0.2 / z.k, 9) AS a FROM ex, z), "
@@ -8396,3 +8408,236 @@ def q_token_balanced_shards(spark, sf):
     return sharded.groupBy("shard").agg(
         F.count("*").alias("n_docs"),
         F.sum("__n").cast("long").alias("tokens"))
+
+
+# ===========================================================================
+# round-10 additions: production-shaped twins for the fixture-quadratic
+# near-dup queries (VERDICT r9 "What's missing" #3). Each fixture keeps its
+# oracle-complete config (uncapped buckets, constant content variety —
+# required for pigeonhole-complete replay, quadratic by construction at
+# sf1.0+); each TWIN registers the DEPLOYED config — default bucket cap and
+# per-id content whose variety grows with the corpus (multi-moduli closed
+# forms, so ~199·193 image variants instead of 199) — with an oracle that
+# replays the deterministic window-count cap itself. The driver's bench now
+# prices what users actually run (the q_quantized_topk/store_probe
+# precedent).
+# ===========================================================================
+
+
+@register(
+    "q_image_near_dup_capped",
+    # pixels vary with the corpus: (did%199, did%193) pick the image (the
+    # fixture's single mod-199 offset gave ~199 variants total); even dids
+    # carry a +1-brightness PNG twin, did%8==6 a +17 checkerboard edit.
+    # The oracle replays the dHash AND the deployed Manku cap: 64-bit
+    # hashes split into chunks of widths [22,21,21] (offsets 0/22/43 —
+    # dedup._fingerprint_chunks for bits=64, max_hamming=2, computed on
+    # the unsigned HUGEINT image of the signed hash), per-(chunk,value)
+    # buckets kept when 2 <= n <= 256, pairs verified bit_count(xor) <= 2.
+    "WITH d AS (SELECT doc_id AS did FROM documents WHERE doc_id % 10 = 4), "
+    "m AS (SELECT 'm' || did || '_a' AS media_id, did, 0 AS edit FROM d "
+    "  UNION ALL "
+    "  SELECT 'm' || did || '_b', did, CASE WHEN did % 8 = 6 THEN 2 "
+    "  ELSE 1 END FROM d WHERE did % 2 = 0), "
+    "px AS (SELECT media_id, y.g AS y, x.g AS x, "
+    "  ((did % 199) * (y.g*17 + x.g*29 + c.g*53 + 1) "
+    "   + (did % 193) * (y.g*7 + x.g*11 + c.g*3 + 5)) % 231 "
+    "  + CASE WHEN edit = 1 THEN 1 "
+    "         WHEN edit = 2 AND ((x.g//2)+(y.g//2)) % 2 = 0 THEN 17 "
+    "         ELSE 0 END AS v "
+    "  FROM m, generate_series(0,15) y(g), generate_series(0,17) x(g), "
+    "  generate_series(0,2) c(g)), "
+    "cell AS (SELECT media_id, y//2 AS i, x//2 AS j, SUM(v) AS s "
+    "  FROM px GROUP BY media_id, y//2, x//2), "
+    "bits AS (SELECT l.media_id, l.i, l.j, "
+    "  CASE WHEN r.s > l.s THEN 1 ELSE 0 END AS b "
+    "  FROM cell l JOIN cell r ON r.media_id = l.media_id "
+    "  AND r.i = l.i AND r.j = l.j + 1 WHERE l.j <= 7), "
+    "dh AS (SELECT media_id, CAST(SUM(CASE WHEN i*8+j = 63 "
+    "  THEN b * (-9223372036854775807 - 1) "
+    "  ELSE b * (1::BIGINT << CAST(i*8+j AS INT)) END) AS BIGINT) "
+    "  AS dhash FROM bits GROUP BY media_id), "
+    "fpu AS (SELECT media_id, dhash, CAST(dhash AS HUGEINT) "
+    "  + CASE WHEN dhash < 0 THEN 18446744073709551616::HUGEINT "
+    "    ELSE 0::HUGEINT END AS u FROM dh), "
+    "ck AS (SELECT media_id, dhash, 0 AS c, "
+    "    CAST(u % 4194304 AS BIGINT) AS v FROM fpu "
+    "  UNION ALL SELECT media_id, dhash, 1, "
+    "    CAST((u // 4194304) % 2097152 AS BIGINT) FROM fpu "
+    "  UNION ALL SELECT media_id, dhash, 2, "
+    "    CAST(u // 8796093022208 AS BIGINT) FROM fpu), "
+    "bk AS (SELECT c, v FROM ck GROUP BY c, v "
+    "  HAVING count(*) BETWEEN 2 AND 256), "
+    "cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b, "
+    "    a.dhash AS ha, b.dhash AS hb "
+    "  FROM ck a JOIN bk ON bk.c = a.c AND bk.v = a.v "
+    "  JOIN ck b ON b.c = a.c AND b.v = a.v "
+    "    AND a.media_id < b.media_id) "
+    "SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming "
+    "FROM cand WHERE bit_count(xor(ha, hb)) <= 2",
+)
+def q_image_near_dup_capped(spark, sf):
+    """Visual dHash near-dup in the DEPLOYED config (the production twin
+    of q_image_near_dup, VERDICT r9 #3): per-doc pixels picked by
+    (did % 199, did % 193) so image variety grows with the corpus —
+    the fixture's single mod-199 offset capped variety at ~199 images
+    and sent bucket populations quadratic at sf1.0+ (SCALE.md r9
+    adjudication) — and the Manku bucket guard at its DEFAULT cap 256,
+    exactly what scripts/image_probe.py priced out-of-registry. Real
+    stdlib BMP encode+decode on originals, real zlib PNG on the
+    recompressed twins (+1 brightness pairs; +17 checkerboard edits
+    must NOT pair). The oracle replays pixels → dHash → the 22/21/21
+    chunk split → the 2..256 bucket-count window → verified pairs, so
+    the CAP itself is hash-checked, not just the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import multimodal
+
+    d = load(spark, sf, "documents").filter(
+        F.col("doc_id") % 10 == 4).select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"].to_numpy():
+                did = int(did)
+                y = np.arange(16).reshape(16, 1, 1)
+                x = np.arange(18).reshape(1, 18, 1)
+                c = np.arange(3).reshape(1, 1, 3)
+                base = ((did % 199) * (y * 17 + x * 29 + c * 53 + 1)
+                        + (did % 193) * (y * 7 + x * 11 + c * 3 + 5)) % 231
+                rows.append((f"m{did}_a",
+                             multimodal.encode_bmp(base.astype(np.uint8))))
+                if did % 2 == 0:
+                    if did % 8 == 6:
+                        cb = ((x // 2) + (y // 2)) % 2 == 0
+                        tw = base + np.where(cb, 17, 0)
+                    else:
+                        tw = base + 1
+                    rows.append((f"m{did}_b",
+                                 multimodal.encode_png(tw.astype(np.uint8))))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = d.mapInPandas(build, "media_id string, content binary")
+    return multimodal.image_near_dup_pairs(
+        media, max_hamming=2, max_bucket_size=256, stub=False)
+
+
+@register(
+    "q_audio_near_dup_capped",
+    # same planted-twin structure as q_audio_near_dup (did%11==4 docs pair
+    # up, sharing 9 of 12 window-energy patterns via pair_base), but the
+    # energies mix TWO moduli of the base id — variety grows with the
+    # corpus (~97·89 distinct clips vs the fixture's 97) — and the token
+    # (window-fingerprint) buckets run at the deployed default cap 256.
+    # The oracle replays the fingerprint fold AND the cap: per-token
+    # bucket counts, 2 <= n <= 256 kept, intersections from surviving
+    # rows, Jaccard on the FULL set sizes (taken before the cap, the
+    # operator's contract).
+    "WITH d AS (SELECT doc_id AS did FROM documents WHERE doc_id % 11 = 4), "
+    "wn AS (SELECT did, t.w FROM d, generate_series(0, 11) t(w)), "
+    "en AS (SELECT did, w, i.i, "
+    "  CAST((((CASE WHEN w < 9 THEN did - 11 * (((did - 4) // 11) % 2) "
+    "    ELSE did END) % 97) * (i.i * 7 + w * 17 + 1) "
+    "   + ((CASE WHEN w < 9 THEN did - 11 * (((did - 4) // 11) % 2) "
+    "    ELSE did END) % 89) * (i.i * 5 + w * 13 + 3)) % 101 AS BIGINT) "
+    "  AS e FROM wn, generate_series(0, 31) i(i)), "
+    "fp AS (SELECT 'au' || a.did AS media_id, a.w, "
+    "  sum(CASE WHEN a.e > b.e THEN 1::BIGINT << (30 - a.i) "
+    "    ELSE 0 END) AS fp "
+    "  FROM en a JOIN en b ON b.did = a.did AND b.w = a.w "
+    "    AND b.i = a.i + 1 GROUP BY 1, 2), "
+    "tok AS (SELECT DISTINCT media_id, fp FROM fp), "
+    "sz AS (SELECT media_id, count(*) AS n FROM tok GROUP BY 1), "
+    "bc AS (SELECT fp, count(*) AS bn FROM tok GROUP BY fp), "
+    "live AS (SELECT t.media_id, t.fp FROM tok t JOIN bc USING (fp) "
+    "  WHERE bn BETWEEN 2 AND 256), "
+    "sh AS (SELECT a.media_id AS id_a, b.media_id AS id_b, "
+    "  CAST(count(*) AS BIGINT) AS c FROM live a JOIN live b "
+    "  ON a.fp = b.fp AND a.media_id < b.media_id GROUP BY 1, 2) "
+    "SELECT id_a, id_b, round(c / (sa.n + sb.n - c), 6) AS jaccard "
+    "FROM sh JOIN sz sa ON sa.media_id = id_a "
+    "JOIN sz sb ON sb.media_id = id_b "
+    "WHERE c / (sa.n + sb.n - c) >= 0.5",
+)
+def q_audio_near_dup_capped(spark, sf):
+    """Audio fingerprint-overlap near-dup in the DEPLOYED config (the
+    production twin of q_audio_near_dup, VERDICT r9 #3): window
+    energies mix (base % 97) and (base % 89) so clip variety grows
+    with the corpus — the fixture's single mod-97 pattern kept ~97
+    distinct clips and went quadratic at sf1.0 (the SCALE.md r9
+    fixture-artifact adjudication; the deployed shape was priced only
+    in scripts/audio_probe.py) — and token_set_jaccard_pairs runs at
+    its DEFAULT bucket cap 256. The oracle replays the Haitsma-Kalker
+    sign-bit fold AND the per-token 2..256 count window, proving the
+    cap semantics (full sizes, capped intersections) exactly."""
+    d = load(spark, sf, "documents").filter(
+        F.col("doc_id") % 11 == 4).select(F.col("doc_id").alias("did"))
+    wn = d.select(
+        "did", F.explode(F.sequence(F.lit(0), F.lit(11))).alias("w"))
+    pair_base = (F.col("did")
+                 - 11 * (F.floor((F.col("did") - 4) / 11) % 2)).cast("long")
+    base = F.when(F.col("w") < 9, pair_base).otherwise(
+        F.col("did").cast("long"))
+    energies = F.transform(
+        F.sequence(F.lit(0), F.lit(31)),
+        lambda i: (((base % 97) * (i * 7 + F.col("w") * 17 + 1)
+                    + (base % 89) * (i * 5 + F.col("w") * 13 + 3)) % 101)
+        .cast("double"))
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.multimodal import energy_fingerprint
+
+    fps = wn.select(
+        F.concat(F.lit("au"), F.col("did").cast("string")).alias("media_id"),
+        energy_fingerprint(energies).alias("fp"))
+    out = dedup.token_set_jaccard_pairs(
+        fps, "media_id", "fp", min_jaccard=0.5, max_bucket_size=256)
+    return out.select("id_a", "id_b",
+                      F.round(F.col("jaccard"), 6).alias("jaccard"))
+
+
+@register(
+    "q_semantic_dedup_against_prod",
+    # the deployed config scripts/semagainst_prod.py priced out-of-registry
+    # (VERDICT r9 #3): planes=12 (4096 buckets, the fixture's 64 made the
+    # join quadratic by construction) and the store-side degenerate-bucket
+    # guard at cap 1024. The oracle replays the 12-plane bucket assignment,
+    # the seen-side bucket-count exclusion, the bucket-join cosine
+    # threshold, and the anti-join.
+    f"WITH bk AS ({_near_dup_bucket_sql(12)}), "
+    "be AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, bk.bucket "
+    "  FROM embeddings e JOIN bk USING (vec_id)), "
+    "sn AS (SELECT * FROM be WHERE vec_id % 3 = 0), "
+    "sc AS (SELECT bucket, count(*) AS n FROM sn GROUP BY 1), "
+    "sl AS (SELECT sn.vec_id, sn.v, sn.bucket FROM sn "
+    "  JOIN sc USING (bucket) WHERE sc.n <= 1024), "
+    "nw AS (SELECT vec_id, v, bucket FROM be WHERE vec_id % 3 = 1 "
+    "  UNION ALL SELECT vec_id + 500000, v, bucket FROM be "
+    "  WHERE vec_id % 3 = 0), "
+    "dr AS (SELECT DISTINCT n.vec_id FROM nw n JOIN sl s "
+    "  ON s.bucket = n.bucket "
+    "  WHERE list_dot_product(n.v, s.v) / (sqrt(list_dot_product(n.v, "
+    "  n.v)) * sqrt(list_dot_product(s.v, s.v))) >= 0.3) "
+    "SELECT vec_id FROM nw WHERE vec_id NOT IN (SELECT vec_id FROM dr)",
+)
+def q_semantic_dedup_against_prod(spark, sf):
+    """Incremental semantic dedup in the DEPLOYED config (the production
+    twin of q_semantic_dedup_against, VERDICT r9 #3): planes=12 —
+    4096 buckets, so store-bucket populations grow with corpus/4096
+    instead of corpus/64 — and max_bucket_size=1024, the guard that
+    keeps a degenerate stored bucket from going quadratic (its
+    exclusions are visible via dedup.overcap_bucket_stats). Same data
+    split as the fixture: the store is the %3==0 vectors, the new
+    month is %3==1 plus verbatim clones of the store (+500000 ids)
+    that must drop. scripts/semagainst_prod.py measured this shape at
+    25.5s vs the fixture's 314.9s at sf10; registering it makes the
+    driver's own bench price it every round."""
+    e = load(spark, sf, "embeddings")
+    new = e.filter(F.col("vec_id") % 3 == 1).select(
+        "vec_id", "embedding").unionByName(
+        e.filter(F.col("vec_id") % 3 == 0).select(
+            (F.col("vec_id") + 500000).alias("vec_id"), "embedding"))
+    seen = e.filter(F.col("vec_id") % 3 == 0).select("embedding")
+    kept = dedup.embedding_dedup_against(
+        new, seen, threshold=0.3, num_planes=12, max_bucket_size=1024)
+    return kept.select("vec_id")

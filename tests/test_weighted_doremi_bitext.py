@@ -342,3 +342,63 @@ def test_token_balanced_shards_null_and_zero_tokens(spark):
                                "id long, n int")
     out = sampling.token_balanced_shards(df, F.col("n"), 100, F.col("id"))
     assert out.count() == 3  # every row lands in a shard
+
+
+def test_doremi_weights_stable_softmax_survives_raw_losses(spark):
+    # ADVICE r9: a raw-loss column (not small excess loss) at low
+    # temperature used to overflow math.exp (>~709). The max-shifted
+    # softmax is algebraically identical and bounded: exp arg <= 0.
+    df = spark.createDataFrame(
+        [(1, "a", 5000.0), (2, "b", 5010.0), (3, "c", 4990.0)],
+        "id long, dom string, loss double")
+    w = sampling.doremi_weights(df, "dom", F.col("loss"),
+                                temperature=0.5, smoothing=0.1)
+    assert set(w) == {"a", "b", "c"}
+    assert w["b"] > w["a"] > w["c"]
+    assert abs(sum(w.values()) - 1.0) < 1e-6
+    assert all(math.isfinite(v) for v in w.values())
+
+
+def test_round_half_up_matches_spark_not_bankers():
+    # exact .5 at the target digit: Spark F.round / DuckDB round go UP,
+    # Python round() goes to even — one convention driver-side (ADVICE).
+    assert sampling._round_half_up(2.5, 0) == 3.0
+    assert sampling._round_half_up(0.25, 1) == 0.3
+    assert round(0.25, 1) == 0.2  # the divergence being fixed
+    assert sampling._round_half_up(0.123456789, 9) == 0.123456789
+
+
+def test_paragraph_semantic_dedup_key_guards(spark):
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import dedup
+
+    neg = spark.createDataFrame(
+        [(1, -1, [1.0, 0.0]), (1, 0, [0.0, 1.0])],
+        "doc_id long, chunk_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="negative"):
+        dedup.paragraph_semantic_dedup(neg)
+    big = spark.createDataFrame(
+        [(2**62, 0, [1.0, 0.0]), (2**62, 3, [0.0, 1.0])],
+        "doc_id long, chunk_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="overflows"):
+        dedup.paragraph_semantic_dedup(big)
+
+
+def test_embedding_dedup_against_overcap_is_detectable(spark):
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import dedup
+
+    v0 = [1.0] + [0.0] * 7
+    v4 = [0.0] * 4 + [1.0] + [0.0] * 3
+    seen = spark.createDataFrame([(v0,), (v0,), (v0,), (v4,)],
+                                 "embedding array<double>")
+    new = spark.createDataFrame([(1, v0)],
+                                "vec_id long, embedding array<double>")
+    out = dedup.embedding_dedup_against(
+        new, seen, threshold=0.95, num_planes=6, max_bucket_size=2)
+    # the whole stored bucket (3 clones > cap 2) is excluded -> the new
+    # clone is MISSED (survives); the companion stats make that visible
+    assert [r.vec_id for r in out.collect()] == [1]
+    got = dedup.overcap_bucket_stats(
+        seen, max_bucket_size=2, num_planes=6).head()
+    assert got.overcap_buckets == 1
+    assert got.overcap_seen_rows == 3
+    assert got.max_seen_bucket == 3
