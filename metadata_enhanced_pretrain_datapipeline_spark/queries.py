@@ -7232,8 +7232,18 @@ def q_corpus_lifecycle(spark, sf):
     surv = (kept2.select("doc_id").unionByName(kept3.select("doc_id"))
             .withColumnRenamed("doc_id", "vec_id"))
     vecs = e.join(surv, "vec_id", "left_semi")
-    vecs.filter(F.col("vec_id") % 2 == 0).write.parquet(f"{src}/part_a")
-    vecs.filter(F.col("vec_id") % 2 == 1).write.parquet(f"{src}/part_b")
+    # repartition(1): each half must stay ONE file at every scale, or
+    # maxFilesPerTrigger=1 silently turns "2 micro-batches" into
+    # file-count-many — at sf100 the halves fanned out to 77 files and
+    # the drain paid 77 full micro-batch commits per lap (the r10 probe
+    # found the composed chain ingestion-bound on trigger overhead, not
+    # data). Found-and-fixed in SCALE.md round 10; a production
+    # backfill makes the same choice by draining availableNow with a
+    # BYTES/file budget, never one trigger per small file.
+    vecs.filter(F.col("vec_id") % 2 == 0).repartition(1) \
+        .write.parquet(f"{src}/part_a")
+    vecs.filter(F.col("vec_id") % 2 == 1).repartition(1) \
+        .write.parquet(f"{src}/part_b")
     stream = (
         spark.readStream.schema(e.schema)
         .option("maxFilesPerTrigger", 1)
@@ -8641,3 +8651,34 @@ def q_semantic_dedup_against_prod(spark, sf):
     kept = dedup.embedding_dedup_against(
         new, seen, threshold=0.3, num_planes=12, max_bucket_size=1024)
     return kept.select("vec_id")
+
+
+@register(
+    "q_overcap_stats",
+    # the visibility half of the against-store guard (ADVICE r9): bucket
+    # counts over the store under the probe's exact config, rolled into
+    # (overcap_buckets, overcap_seen_rows, max_seen_bucket). planes=6 /
+    # cap=8 so the guard BINDS at sf0.01 (~10 rows/bucket) and the row is
+    # non-degenerate.
+    f"WITH bk AS ({_near_dup_bucket_sql(6)}), "
+    "sn AS (SELECT bucket FROM bk WHERE vec_id % 3 = 0), "
+    "c AS (SELECT bucket, count(*) AS n FROM sn GROUP BY 1) "
+    "SELECT CAST(sum(CASE WHEN n > 8 THEN 1 ELSE 0 END) AS BIGINT) "
+    "  AS overcap_buckets, "
+    "CAST(sum(CASE WHEN n > 8 THEN n ELSE 0 END) AS BIGINT) "
+    "  AS overcap_seen_rows, "
+    "CAST(max(n) AS BIGINT) AS max_seen_bucket FROM c",
+)
+def q_overcap_stats(spark, sf):
+    """Store-bucket degeneracy report (dedup.overcap_bucket_stats — the
+    detectability half of embedding_dedup_against's conservative bucket
+    guard, ADVICE r9): one (bucket, count) aggregation over the store
+    under the probe's exact bucketing config, rolled up to how many
+    buckets the guard will exclude, how many stored rows that hides
+    from the probe, and the worst bucket's population. Run before
+    trusting an against-store probe's misses; the shuffle carries
+    (bucket, count) longs, never vectors."""
+    e = load(spark, sf, "embeddings")
+    seen = e.filter(F.col("vec_id") % 3 == 0).select("embedding")
+    return dedup.overcap_bucket_stats(seen, max_bucket_size=8,
+                                      num_planes=6)

@@ -351,6 +351,87 @@ AUDITS = {
     "running sum is an in-bucket Window plus broadcast literal prefix "
     "offsets from one bounded bucket-sum agg — no single-task global "
     "sort anywhere in the plan.",
+    "q_image_near_dup_capped": "The DEPLOYED visual near-dup shape: "
+    "blobs decode once in MapInPandas into 12-byte (id, hash) rows, "
+    "one (chunk, value) Exchange, and the 2..256 window-count cap "
+    "bounds every bucket before pair expansion — the plan a thumbnail "
+    "flood meets in production.",
+    "q_audio_near_dup_capped": "The deployed audio near-dup shape: "
+    "fingerprints are pure codegen expressions (no Python), one "
+    "token-keyed Exchange with the default 256 cap, set sizes ride "
+    "the rows from BEFORE the cap.",
+    "q_semantic_dedup_against_prod": "The deployed against-store "
+    "semantic dedup: 4096 LSH buckets (planes=12) keep store-bucket "
+    "populations at corpus/4096, the <=1024 seen-side window guard "
+    "bounds the worst bucket, and the store join stays one bucket "
+    "equi-join + ids-only anti-join.",
+}
+
+def _lifecycle_dedup_stage(spark, sf):
+    """The band-dedup stage INSIDE q_corpus_lifecycle (month 3 probing
+    the compacted band store), rebuilt standalone: the registered query
+    materializes this stage eagerly on the way to the final probe, so
+    PLANS.md's q_corpus_lifecycle entry only ever showed the probe
+    (VERDICT r9 #5). Here the store is written and the against-store
+    DataFrame returned unexecuted, making the stage's scan pruning and
+    exchange skeleton auditable."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import dedup
+
+    d = q.load(spark, SF, "documents")
+
+    def bands(df):
+        return dedup.minhash_band_keys(
+            dedup.minhash_signatures(df.select("doc_id", "text"),
+                                     num_hashes=8, portable=True),
+            num_hashes=8, bands=4, portable=True)
+
+    bs = os.path.join(tempfile.mkdtemp(prefix="plan_audit_lc_"), "bs")
+    dedup.write_band_store(bands(d.filter(F.col("doc_id") % 3 == 0)), bs)
+    return dedup.minhash_dedup_against(
+        d.filter(F.col("doc_id") % 3 == 2),
+        dedup.read_band_store(spark, bs),
+        num_hashes=8, bands=4, portable=True)
+
+
+def _lifecycle_append_stage(spark, sf):
+    """The stream-append stage inside q_corpus_lifecycle: a streaming
+    sink can't be explained before start, but every micro-batch runs
+    EXACTLY this batch projection (the shared ivf_quantized_codes)
+    before its partitioned append — auditing the per-batch plan pins
+    the stage (stream_append_ivf_quantized_store's apply body)."""
+    from pyspark.sql import functions as F
+
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import similarity
+
+    e = q.load(spark, SF, "embeddings")
+    cents = q._static_codebook(e)
+    return similarity.ivf_quantized_codes(
+        e.filter(F.col("vec_id") % 3 != 0), cents)
+
+
+#: lifecycle SUB-STAGE audits (VERDICT r9 #5): plans that exist only
+#: transiently inside a composed registered query, rebuilt standalone so
+#: the audit can pin them. Keyed by a ::stage suffix on the parent name.
+STAGE_AUDITS = {
+    "q_corpus_lifecycle::band_dedup_stage": (
+        "The lifecycle's month-vs-store fuzzy dedup: the store side "
+        "scans ONLY (band, key) — no text, no signatures — the probe "
+        "side shingles once, and the two meet in one (band, key) "
+        "equi-join followed by an ids-only anti-join; nothing "
+        "text-sized shuffles.",
+        _lifecycle_dedup_stage),
+    "q_corpus_lifecycle::stream_append_stage": (
+        "The lifecycle's per-micro-batch append body (shared "
+        "ivf_quantized_codes projection): nearest-centroid argmax and "
+        "int8 quantization are pure codegen projections — no join, no "
+        "exchange; the sink partitions by list_id so the appended rows "
+        "land in the same pruned directories the batch writer builds.",
+        _lifecycle_append_stage),
 }
 
 KEEP = re.compile(
@@ -398,9 +479,20 @@ def main() -> None:
         out.extend(skeleton(plan))
         out.append("```")
         out.append("")
+    for name, (note, builder) in STAGE_AUDITS.items():
+        df = builder(spark, SF)
+        plan = df._jdf.queryExecution().explainString(mode)
+        out.append(f"## {name}")
+        out.append("")
+        out.append(f"**Why this shape:** {note}")
+        out.append("")
+        out.append("```")
+        out.extend(skeleton(plan))
+        out.append("```")
+        out.append("")
     with open("PLANS.md", "w") as f:
         f.write("\n".join(out))
-    print(f"wrote PLANS.md ({len(AUDITS)} queries)")
+    print(f"wrote PLANS.md ({len(AUDITS) + len(STAGE_AUDITS)} plans)")
 
 
 if __name__ == "__main__":

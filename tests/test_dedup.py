@@ -944,3 +944,35 @@ def test_dedup_keep_best_transitive_argmax_and_ties(spark):
     kept = sorted(r.doc_id for r in dedup.dedup_keep_best(
         df, pairs, quality_col="quality").collect())
     assert kept == [2, 4, 6]
+
+
+def test_hamming_pairs_cap_excludes_flooded_bucket(spark):
+    # the deployed-config contract the r10 capped twins hash-check: a
+    # bucket past max_bucket_size is EXCLUDED whole (misses only — a
+    # monochrome-thumbnail flood can't go quadratic), while pairs in
+    # in-cap buckets are untouched.
+    flood = [(f"f{i}", 0) for i in range(5)]  # 5 identical hashes
+    # pair: hamming 1 apart, and >2 bits from the flood value so the
+    # only true pairs are the 10 flood combinations plus this one
+    pair = [("p1", 0b111 << 40), ("p2", (0b111 << 40) + 1)]
+    df = spark.createDataFrame(flood + pair, "id string, fp long")
+    capped = dedup.hamming_pairs_from_fingerprints(
+        df, "id", "fp", bits=64, max_hamming=2, max_bucket_size=4)
+    assert sorted((r.id_a, r.id_b) for r in capped.collect()) \
+        == [("p1", "p2")]
+    full = dedup.hamming_pairs_from_fingerprints(
+        df, "id", "fp", bits=64, max_hamming=2, max_bucket_size=None)
+    assert full.count() == 10 + 1  # C(5,2) flood pairs + the real pair
+
+
+def test_token_set_cap_excludes_hot_token_keeps_full_sizes(spark):
+    # a token shared by >cap media is dropped from candidate generation
+    # (A-B lose their only link), but set SIZES in the Jaccard come from
+    # before the cap: D/E share both their tokens -> J=1.0 regardless.
+    rows = [("A", 1), ("A", 2), ("B", 1), ("B", 3), ("C", 1),
+            ("D", 5), ("D", 6), ("E", 5), ("E", 6)]
+    df = spark.createDataFrame(rows, "media_id string, token long")
+    out = dedup.token_set_jaccard_pairs(
+        df, "media_id", "token", min_jaccard=0.4, max_bucket_size=2)
+    got = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+    assert got == {("D", "E"): 1.0}
