@@ -147,6 +147,105 @@ def repetition_signals(text: Column) -> Column:
     return F.get(F.transform(F.array(lines_expr), body), 0)
 
 
+def ngram_repetition_signals(text: Column, top_n: int = 2,
+                             dup_n: int = 5) -> Column:
+    """The n-gram half of the Gopher repetition family (Rae et al. 2021
+    §A1.1; datatrove's gopher_repetition_filter) — the line half is
+    :func:`repetition_signals`. Returns a struct column with:
+
+    - ``top_ngram_char_frac``: characters inside ALL occurrences of the
+      single most frequent ``top_n``-gram, over total token characters
+      (Gopher runs this for n ∈ {2,3,4}). Ties break to the
+      lexicographically smallest n-gram so the metric is deterministic
+      and engine-portable.
+    - ``dup_ngram_char_frac``: characters covered by any occurrence of
+      a DUPLICATED ``dup_n``-gram (count ≥ 2), counted by token
+      POSITION so overlapping occurrences never double-count — the
+      datatrove span-marking convention (Gopher runs n ∈ {5..10}).
+
+    Character totals count token characters only (separators excluded,
+    both numerator and denominator). Either metric is NULL when the
+    document has fewer than n tokens. Pure array expressions — a narrow
+    projection, no shuffle, no UDF; per-row cost is O(tokens · n ·
+    distinct-dup-grams), bounded by document length, constant per row
+    at 100 TB.
+    """
+    def grams(toks: Column, n: int) -> Column:
+        n_t = F.size(toks)
+        return F.when(
+            n_t >= F.lit(n),
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n_t - F.lit(n - 1), F.lit(1))),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def bind(col: Column, fn) -> Column:
+        # lambda-bind an intermediate so every reference is a variable
+        # lookup, not a re-evaluation (no CSE inside a projection — the
+        # word_shingles lesson; the unbound version of this function
+        # re-built the gram arrays per distinct gram AND per position:
+        # 351s for 500 docs at sf0.01, ~0.5s bound)
+        return F.get(F.transform(F.array(col), fn), 0)
+
+    def per_counts(g: Column) -> Column:
+        return F.transform(
+            F.array_distinct(g),
+            lambda d: F.struct(
+                d.alias("g"),
+                F.size(F.filter(g, lambda x: x == d)).alias("cnt")))
+
+    def body(toks: Column) -> Column:
+        n_t = F.size(toks)
+        total_chars = F.aggregate(
+            toks, F.lit(0), lambda acc, t: acc + F.length(t))
+
+        def top_frac(per: Column) -> Column:
+            return bind(
+                F.array_max(F.transform(per, lambda s: s["cnt"])),
+                lambda max_cnt: F.when(
+                    n_t >= F.lit(top_n),
+                    F.try_divide(
+                        (max_cnt * (F.length(F.array_min(F.transform(
+                            F.filter(per, lambda s: s["cnt"] == max_cnt),
+                            lambda s: s["g"])))
+                            - F.lit(top_n - 1))).cast("double"),
+                        total_chars)))
+
+        def dup_frac(gd: Column, dup_set: Column) -> Column:
+            n_starts = n_t - F.lit(dup_n - 1)
+            covered = F.aggregate(
+                F.sequence(F.lit(1), F.greatest(n_t, F.lit(1))),
+                F.lit(0),
+                lambda acc, j: acc + F.when(
+                    F.exists(
+                        F.sequence(
+                            F.greatest(j - F.lit(dup_n - 1), F.lit(1)),
+                            F.least(j, F.greatest(n_starts, F.lit(1)))),
+                        lambda i: F.array_contains(
+                            dup_set, F.element_at(gd, i))),
+                    F.length(F.element_at(toks, j))).otherwise(F.lit(0)))
+            return F.when(
+                n_t >= F.lit(dup_n),
+                F.try_divide(covered.cast("double"), total_chars))
+
+        return bind(grams(toks, top_n), lambda gt:
+                    bind(grams(toks, dup_n), lambda gd:
+                         bind(per_counts(gt), lambda per:
+                              bind(F.transform(
+                                  F.filter(per_counts(gd),
+                                           lambda s: s["cnt"] >= 2),
+                                  lambda s: s["g"]),
+                                  lambda dup_set: F.struct(
+                                      top_frac(per)
+                                      .alias("top_ngram_char_frac"),
+                                      dup_frac(gd, dup_set)
+                                      .alias("dup_ngram_char_frac"))))))
+
+    return F.get(F.transform(F.array(tokens_ws(text)), body), 0)
+
+
 #: tiny per-language stopword lists for the n-gram language-ID heuristic
 #: (public-knowledge lists; the reference uses fasttext lang-id via
 #: datatrove). Single source of truth — queries.py builds both the Spark

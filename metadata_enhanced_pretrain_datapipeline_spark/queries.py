@@ -8682,3 +8682,71 @@ def q_overcap_stats(spark, sf):
     seen = e.filter(F.col("vec_id") % 3 == 0).select("embedding")
     return dedup.overcap_bucket_stats(seen, max_bucket_size=8,
                                       num_planes=6)
+
+
+@register(
+    "q_ngram_repetition",
+    # same derived boilerplate corpus as q_repetition_signals (header =
+    # first 6 words, repeated doc_id % 4 times, joined by spaces): the
+    # oracle replays the 2-gram occurrence counts, the (count desc, gram
+    # asc) top pick, the duplicated-5-gram set, and the POSITION-distinct
+    # coverage union, all over token characters.
+    "WITH base AS (SELECT doc_id, text, "
+    "  array_to_string(list_slice(string_split(text, ' '), 1, 6), ' ') AS hdr, "
+    "  CAST(doc_id % 4 AS INT) AS reps FROM documents), "
+    "d AS (SELECT doc_id, array_to_string(list_concat("
+    "  list_transform(range(1, reps + 1), x -> hdr), [text]), ' ') AS t "
+    "  FROM base), "
+    "tk AS (SELECT doc_id, arr, len(arr) AS n, "
+    "  length(array_to_string(arr, '')) AS total FROM "
+    "  (SELECT doc_id, list_filter(regexp_split_to_array(trim(t), '\\s+'), "
+    "   x -> x <> '') AS arr FROM d)), "
+    "s2a AS (SELECT doc_id, arr, unnest(range(1, n)) AS i FROM tk "
+    "  WHERE n >= 2), "
+    "s2 AS (SELECT doc_id, array_to_string(list_slice(arr, i, i + 1), ' ') "
+    "  AS g FROM s2a), "
+    "c2 AS (SELECT doc_id, g, count(*) AS cnt FROM s2 GROUP BY 1, 2), "
+    "top AS (SELECT doc_id, cnt * (length(g) - 1) AS chars FROM "
+    "  (SELECT doc_id, cnt, g, row_number() OVER (PARTITION BY doc_id "
+    "   ORDER BY cnt DESC, g ASC) AS rn FROM c2) WHERE rn = 1), "
+    "s5a AS (SELECT doc_id, arr, unnest(range(1, n - 3)) AS i FROM tk "
+    "  WHERE n >= 5), "
+    "s5 AS (SELECT doc_id, i, array_to_string(list_slice(arr, i, i + 4), "
+    "  ' ') AS g FROM s5a), "
+    "d5 AS (SELECT doc_id, g FROM s5 GROUP BY doc_id, g "
+    "  HAVING count(*) >= 2), "
+    "occ AS (SELECT s5.doc_id, s5.i FROM s5 JOIN d5 USING (doc_id, g)), "
+    "cov AS (SELECT DISTINCT occ.doc_id, occ.i + k.k AS j FROM occ, "
+    "  (SELECT unnest(range(0, 5)) AS k) k), "
+    "cc AS (SELECT cov.doc_id, sum(length(arr[j])) AS chars FROM cov "
+    "  JOIN tk USING (doc_id) GROUP BY 1) "
+    "SELECT tk.doc_id, "
+    "  CASE WHEN n >= 2 THEN round(CAST(top.chars AS DOUBLE) / total, 6) "
+    "    END AS top_ngram_char_frac, "
+    "  CASE WHEN n >= 5 THEN round(CAST(coalesce(cc.chars, 0) AS DOUBLE) "
+    "    / total, 6) END AS dup_ngram_char_frac "
+    "FROM tk LEFT JOIN top USING (doc_id) LEFT JOIN cc USING (doc_id)",
+)
+def q_ngram_repetition(spark, sf):
+    """Extension — the n-gram half of the Gopher repetition family
+    (functions/text.ngram_repetition_signals; Rae et al. 2021 §A1.1,
+    datatrove gopher_repetition_filter): fraction of token characters
+    in all occurrences of the most frequent 2-gram (tie → smallest
+    gram), and in position-distinct coverage of duplicated 5-grams
+    (overlaps never double-count). Same derived-boilerplate corpus as
+    q_repetition_signals (the raw word-soup has no planted repeats):
+    the repeated 6-word header plants both duplicated 2-grams and
+    duplicated 5-grams with a doc_id-dependent distribution. Pure
+    array expressions, narrow projection, no shuffle."""
+    from metadata_enhanced_pretrain_datapipeline_spark.functions.text import ngram_repetition_signals
+
+    d = load(spark, sf, "documents")
+    hdr = F.array_join(F.slice(F.split("text", " "), 1, 6), " ")
+    reps = (F.col("doc_id") % 4).cast("int")
+    derived = F.array_join(
+        F.concat(F.array_repeat(hdr, reps), F.array(F.col("text"))), " ")
+    sig = ngram_repetition_signals(derived, top_n=2, dup_n=5)
+    return d.select(
+        "doc_id",
+        F.round(sig["top_ngram_char_frac"], 6).alias("top_ngram_char_frac"),
+        F.round(sig["dup_ngram_char_frac"], 6).alias("dup_ngram_char_frac"))
