@@ -8750,3 +8750,68 @@ def q_ngram_repetition(spark, sf):
         "doc_id",
         F.round(sig["top_ngram_char_frac"], 6).alias("top_ngram_char_frac"),
         F.round(sig["dup_ngram_char_frac"], 6).alias("dup_ngram_char_frac"))
+
+
+@register(
+    "q_wet_roundtrip",
+    # the reader is the thing under test: documents serialize to real WET
+    # bytes (warcinfo preamble + one conversion record per doc; half the
+    # files multi-member gzip, half plain), read_wet parses them back, and
+    # the oracle states what a lossless roundtrip must return.
+    "SELECT doc_id, 'https://example.com/' || doc_id AS url, text "
+    "FROM documents",
+)
+def q_wet_roundtrip(spark, sf):
+    """Common Crawl WET source roundtrip (sources/readers.read_wet +
+    writers.wet_record — the crawl entry point datatrove pipelines
+    start from, beyond the reference's parquet/jsonl surface): the
+    corpus serializes into real WET files — warcinfo preamble the
+    reader must SKIP, one WARC conversion record per document, exact
+    Content-Length byte slicing, multi-member gzip for even-led
+    batches and plain streams for odd — then read_wet parses them back
+    via the binaryFile + mapInPandas file-granular path. Hash match
+    proves header parsing, member-spanning gunzip, byte slicing, and
+    UTF-8 handling are lossless. The builder writes to a shared
+    scratch path (a cluster run points it at shared storage); the
+    READER is the production path."""
+    import os
+    import shutil
+
+    from metadata_enhanced_pretrain_datapipeline_spark.sources import readers, writers
+
+    d = load(spark, sf, "documents").select("doc_id", "text") \
+        .repartition(8, F.col("doc_id") % 8)
+    scratch = _scratch_dir(sf, "wet")
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch, exist_ok=True)
+
+    def build(batches):
+        import gzip
+        import uuid
+
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"n": pd.Series([], dtype="int64")})
+                continue
+            parts = [writers.warcinfo_record()]
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                parts.append(writers.wet_record(
+                    f"https://example.com/{did}",
+                    "2026-01-01T00:00:00Z", text))
+            gz = int(pdf["doc_id"].min()) % 2 == 0
+            blob = (b"".join(gzip.compress(p) for p in parts) if gz
+                    else b"".join(parts))
+            name = os.path.join(
+                scratch,
+                f"{uuid.uuid4().hex}.warc.wet" + (".gz" if gz else ""))
+            with open(name, "wb") as f:
+                f.write(blob)
+            yield pd.DataFrame({"n": pd.Series([len(pdf)], dtype="int64")})
+
+    d.mapInPandas(build, "n long").agg(F.sum("n")).head()  # force build
+    out = readers.read_wet(spark, scratch)
+    return out.select(
+        F.regexp_extract("url", r"/(\d+)$", 1).cast("long").alias("doc_id"),
+        "url", "text")

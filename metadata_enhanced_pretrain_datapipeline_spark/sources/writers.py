@@ -75,3 +75,35 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
     """ORC sink (engine extension; zstd like the parquet writer — K1's
     compression parity, fineweb/main.py:144-148)."""
     df.write.mode(mode).option("compression", compression).orc(path)
+
+
+def wet_record(url: str, date: str, text: str) -> bytes:
+    """One WARC ``conversion`` record (the WET payload unit), byte-exact:
+    version line, headers, CRLFCRLF, Content-Length BYTES of UTF-8
+    content, record separator. Pairs with readers.read_wet; gzip each
+    record separately for the standard multi-member WET layout."""
+    body = text.encode("utf-8")
+    hdr = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {date}\r\n"
+        "Content-Type: text/plain\r\n"
+        f"Content-Length: {len(body)}\r\n"
+        "\r\n"
+    ).encode("utf-8")
+    return hdr + body + b"\r\n\r\n"
+
+
+def warcinfo_record(info: str = "software: metadata-enhanced-pretrain-datapipeline-spark") -> bytes:
+    """The ``warcinfo`` preamble record real WET files start with —
+    readers must SKIP it when selecting conversion records."""
+    body = (info + "\r\n").encode("utf-8")
+    hdr = (
+        "WARC/1.0\r\n"
+        "WARC-Type: warcinfo\r\n"
+        "Content-Type: application/warc-fields\r\n"
+        f"Content-Length: {len(body)}\r\n"
+        "\r\n"
+    ).encode("utf-8")
+    return hdr + body + b"\r\n\r\n"

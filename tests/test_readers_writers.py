@@ -83,3 +83,50 @@ def test_read_hf_snapshot_layouts(spark, tmp_path):
     import pytest
     with pytest.raises(FileNotFoundError):
         readers.read_hf_snapshot(spark, str(tmp_path / "dsA"), split="validation")
+
+
+def test_warc_parser_records_skip_and_errors(spark, tmp_path):
+    import gzip
+
+    import pytest
+
+    from metadata_enhanced_pretrain_datapipeline_spark.sources import readers, writers
+
+    recs = (writers.warcinfo_record()
+            + writers.wet_record("https://x/1", "2026-01-01T00:00:00Z",
+                                 "hello world")
+            + writers.wet_record("https://x/2", "2026-01-01T00:00:00Z",
+                                 "héllo ünïcode"))  # multi-byte lengths
+    got = list(readers._iter_warc_records(recs))
+    assert [h.get("warc-type") for h, _ in got] \
+        == ["warcinfo", "conversion", "conversion"]
+    assert got[2][1].decode("utf-8") == "héllo ünïcode"
+    # truncated content must raise, not silently under-parse
+    with pytest.raises(ValueError, match="truncated"):
+        list(readers._iter_warc_records(recs[:-6]))
+    with pytest.raises(ValueError, match="version"):
+        list(readers._iter_warc_records(b"HTTP/1.1 200 OK\r\n\r\n"))
+
+    # member-per-record gzip: GzipFile must read across members
+    gz = b"".join(gzip.compress(p) for p in
+                  (writers.warcinfo_record(),
+                   writers.wet_record("https://x/3", "d", "abc")))
+    p = tmp_path / "t.warc.wet.gz"
+    p.write_bytes(gz)
+    out = readers.read_wet(spark, str(tmp_path)).collect()
+    assert [(r.url, r.text) for r in out] == [("https://x/3", "abc")]
+    everything = readers.read_wet(spark, str(tmp_path),
+                                  record_type=None).count()
+    assert everything == 2  # warcinfo visible only when asked for
+
+
+def test_read_warc_binary_content(spark, tmp_path):
+    from metadata_enhanced_pretrain_datapipeline_spark.sources import readers
+
+    body = bytes(range(256))
+    hdr = ("WARC/1.0\r\nWARC-Type: response\r\n"
+           "WARC-Target-URI: https://x/bin\r\n"
+           f"Content-Length: {len(body)}\r\n\r\n").encode()
+    (tmp_path / "r.warc").write_bytes(hdr + body + b"\r\n\r\n")
+    out = readers.read_warc(spark, str(tmp_path)).collect()
+    assert len(out) == 1 and bytes(out[0].content) == body
