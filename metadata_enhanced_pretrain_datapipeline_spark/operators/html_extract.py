@@ -1,0 +1,102 @@
+"""HTML → text extraction (engine extension).
+
+The step between the crawl source (sources/readers.read_warc — response
+bodies are HTML bytes) and every text operator in this engine: the
+reference's framework runs trafilatura here (datatrove's Trafilatura
+extractor); that library is not in this container, so the module ships a
+REAL stdlib baseline (html.parser — tolerant of malformed markup, the
+same tag/entity semantics browsers degrade to) plus the standard
+per-executor plug-in slot for a production extractor
+(docs/model_plugins.md pattern). The baseline's rules are deterministic
+and documented, so the whole operator is oracle-checkable:
+
+- ``script``/``style``/``head``/``noscript``/``template``/``svg``
+  subtrees contribute nothing;
+- block-level boundaries (p, div, h1-h6, li, tr, br, section, article,
+  blockquote, pre, td interpreted as cell break) emit newlines;
+- character/entity references decode (convert_charrefs);
+- whitespace collapses within a line; blank lines drop.
+
+Scale shape: a scalar Arrow ``pandas_udf`` — one Python hop per batch,
+no shuffle, composes with the ordinary projection pipeline; at 100 TB
+this runs in the same file-granular pass as the WARC parse.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+import pandas as pd  # module-level: the UDF's type hints must resolve
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: subtrees whose text is never content
+_SKIP_TAGS = frozenset(
+    {"script", "style", "head", "noscript", "template", "svg"})
+
+#: tags that terminate a text line when they open OR close
+_BLOCK_TAGS = frozenset(
+    {"p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "tr", "br",
+     "section", "article", "blockquote", "pre", "table", "ul", "ol",
+     "td", "th"})
+
+_WS = re.compile(r"\s+")
+
+
+class _TextExtractor(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._skip_depth = 0
+        self._parts: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+        elif tag in _BLOCK_TAGS:
+            self._parts.append("\n")
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_TAGS:
+            self._skip_depth = max(0, self._skip_depth - 1)
+        elif tag in _BLOCK_TAGS:
+            self._parts.append("\n")
+
+    def handle_data(self, data):
+        if not self._skip_depth and data:
+            self._parts.append(data)
+
+    def text(self) -> str:
+        lines = "".join(self._parts).split("\n")
+        cleaned = [_WS.sub(" ", ln).strip() for ln in lines]
+        return "\n".join(ln for ln in cleaned if ln)
+
+
+def html_to_text(html: str) -> str:
+    """Extract visible text from one HTML string (the driver-side twin
+    of the column expression; shared so tests and the UDF can never
+    diverge)."""
+    p = _TextExtractor()
+    p.feed(html or "")
+    p.close()
+    return p.text()
+
+
+def extract_text_col(html: Column) -> Column:
+    """Column form: Arrow-batched scalar pandas_udf over the stdlib
+    extractor. Prefer a real extractor plug-in for production quality —
+    the signature is the contract (string in, string out), so swapping
+    trafilatura in is a one-line factory change."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _extract(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: html_to_text(x) if x is not None else None)
+
+    return _extract(html)
+
+
+def extract_text(df: DataFrame, html_col: str = "html",
+                 out_col: str = "text") -> DataFrame:
+    """Operator form: add ``out_col`` with the extracted text."""
+    return df.withColumn(out_col, extract_text_col(F.col(html_col)))

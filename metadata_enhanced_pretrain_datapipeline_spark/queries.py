@@ -8815,3 +8815,37 @@ def q_wet_roundtrip(spark, sf):
     return out.select(
         F.regexp_extract("url", r"/(\d+)$", 1).cast("long").alias("doc_id"),
         "url", "text")
+
+
+@register(
+    "q_html_extract",
+    # synthesized page per doc: head+script junk that must vanish, an h1
+    # from the first 3 words, the body text in a <p>, an entity-bearing
+    # footer div. The oracle states the extraction contract directly
+    # (skip-subtrees, block newlines, entity decode); whitespace collapse
+    # is a no-op on this corpus and unit-tested separately.
+    "SELECT doc_id, "
+    "  array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') "
+    "  || chr(10) || text || chr(10) || 'footer & nav' AS text "
+    "FROM documents",
+)
+def q_html_extract(spark, sf):
+    """HTML → text extraction (operators/html_extract — the step between
+    read_warc's response bodies and every text operator; the reference
+    framework runs trafilatura here, stubbed per docs/model_plugins.md
+    with this REAL stdlib-parser baseline): each doc becomes a full page
+    (head with title+script junk, h1 from its first 3 words, the text
+    in a paragraph, an entity-bearing footer) and the Arrow-batched
+    extractor must drop the head subtree, break blocks into lines, and
+    decode &amp; — the oracle is the extraction contract itself."""
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.html_extract import extract_text_col
+
+    d = load(spark, sf, "documents")
+    hdr = F.array_join(F.slice(F.split("text", " "), 1, 3), " ")
+    page = F.concat(
+        F.lit("<html><head><title>junk title</title>"
+              "<script>var x = 1;</script></head><body><h1>"),
+        hdr,
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit("</p><div>footer &amp; nav</div></body></html>"))
+    return d.select("doc_id", extract_text_col(page).alias("text"))
