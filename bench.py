@@ -189,6 +189,13 @@ R10_ADDITIONS = [
     "q_image_near_dup_capped",
     "q_audio_near_dup_capped",
     "q_semantic_dedup_against_prod",
+    # late-r10: crawl-source family (WET parse roundtrip, HTML text
+    # extraction), the Gopher n-gram repetition signals, and the
+    # against-store guard's visibility stats
+    "q_wet_roundtrip",
+    "q_html_extract",
+    "q_ngram_repetition",
+    "q_overcap_stats",
 ]
 
 

@@ -365,6 +365,16 @@ AUDITS = {
     "populations at corpus/4096, the <=1024 seen-side window guard "
     "bounds the worst bucket, and the store join stays one bucket "
     "equi-join + ids-only anti-join.",
+    "q_wet_roundtrip": "Crawl-source parse: binaryFile scan feeds one "
+    "MapInPandas (file-granular parallelism, the reference framework's "
+    "file-per-task model); downstream projection is ordinary Catalyst "
+    "on the parsed columns.",
+    "q_html_extract": "HTML extraction: one Arrow-batched scalar "
+    "Python stage (ArrowEvalPython) over a pure projection — no "
+    "shuffle, no join; the page never leaves the scan task.",
+    "q_ngram_repetition": "Gopher n-gram signals: a single narrow "
+    "projection of lambda-BOUND array expressions (each gram array "
+    "materializes once per row) — no shuffle, no Python.",
 }
 
 def _lifecycle_dedup_stage(spark, sf):
