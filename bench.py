@@ -196,6 +196,9 @@ R10_ADDITIONS = [
     "q_html_extract",
     "q_ngram_repetition",
     "q_overcap_stats",
+    # DCT perceptual hash: the rescale-robust visual near-dup twin
+    # (real codec decode → integer-exact 8x8 DCT → Manku hamming pairs)
+    "q_image_phash_near_dup",
 ]
 
 

@@ -687,6 +687,147 @@ def image_dedup_against(new_media: DataFrame, seen_hashes: DataFrame,
     return new_media.join(dropped, "media_id", "left_anti")
 
 
+def _phash_basis(grid: int = 32, keep: int = 8) -> "np.ndarray":
+    """Quantized DCT-II basis for :func:`phash_pixels`: row ``u`` holds
+    ``round(cos(pi*(2y+1)*u/(2*grid)) * 1e6)`` for y in [0, grid) — the
+    low-``keep`` frequencies of the orthogonal cosine transform, scaled
+    to INTEGERS so every downstream multiply/add is exact int64 (no
+    libm drift can flip a hash bit between engines). Rounding is
+    half-away-from-zero on the exact double (Decimal HALF_UP), matching
+    DuckDB's ``round(DOUBLE)`` so the SQL oracle rebuilds the identical
+    basis from ``cos(pi()*(2*y+1)*u/(2*grid))*1000000``."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    b = np.empty((keep, grid), dtype=np.int64)
+    for u in range(keep):
+        for y in range(grid):
+            v = math.cos(math.pi * (2 * y + 1) * u / (2 * grid)) * 1000000
+            b[u, y] = int(Decimal(v).quantize(Decimal(1),
+                                              rounding=ROUND_HALF_UP))
+    return b
+
+
+def phash_pixels(pixels: "np.ndarray", grid: int = 32,
+                 keep: int = 8) -> int | None:
+    """Perceptual DCT hash (pHash) of one decoded image — the
+    frequency-domain twin of :func:`dhash_pixels` (Krawetz's public
+    construction): channel-SUM luminance, mean-pool to a
+    ``grid x grid`` raster, 2-D DCT-II, keep the ``keep x keep``
+    lowest-frequency block, bit (u, v) set iff coefficient (u, v)
+    exceeds the mean of the 63 AC coefficients. Because the hash reads
+    only low spatial frequencies of an aspect-normalized raster, it
+    additionally survives RESCALING — the common re-upload transform
+    that shifts every dHash cell boundary — on top of dHash's
+    recompression/brightness coverage.
+
+    Exactness contract (what the q_image_phash_near_dup oracle
+    replays): luminance is the integer channel sum; the raster is the
+    ADAPTIVE mean-pool — cell (i, j) covers rows [i*h//grid,
+    (i+1)*h//grid) x the analogous columns (floor boundaries cover the
+    WHOLE image at any size; cropping to multiples instead would drop
+    up to grid-1 trailing rows/cols and break rescale robustness —
+    measured: an 80x80 nearest-neighbor rescale of a smooth 64x64 image
+    hashed 21 bits away under crop, 0-2 under adaptive pooling) — and
+    each cell is the FLOOR-DIVIDED mean ``sum // area`` (bounding cell
+    values <= 765 so the transform fits int64 at any image size); the
+    DCT uses the quantized integer basis of :func:`_phash_basis`; the
+    AC-mean comparison is the exact integer cross-multiplication
+    ``63 * C[u,v] > sum(AC)`` evaluated in unbounded Python ints (the
+    63x product can exceed int64 — never wrapped silently). Zero float
+    arithmetic anywhere. At exact-multiple sizes (the oracle fixture's
+    64x64 and 128x128) adaptive pooling coincides with uniform
+    ``(h//grid) x (w//grid)`` cells, so the SQL replay stays ``y//2``
+    / ``y//4`` arithmetic.
+
+    Returns a SIGNED 64-bit value for ``keep*keep = 64`` (bit 63 in
+    two's complement, same packing as dHash so the Manku chunk-bucket
+    machinery applies unchanged), or None for images smaller than
+    ``grid x grid``."""
+    gray = pixels.astype(np.int64).sum(axis=2)
+    h, w = gray.shape
+    if h < grid or w < grid:
+        return None
+    integ = np.zeros((h + 1, w + 1), dtype=np.int64)
+    integ[1:, 1:] = gray.cumsum(axis=0).cumsum(axis=1)
+    yb = (np.arange(grid + 1) * h) // grid
+    xb = (np.arange(grid + 1) * w) // grid
+    sums = (integ[yb[1:, None], xb[None, 1:]]
+            - integ[yb[:-1, None], xb[None, 1:]]
+            - integ[yb[1:, None], xb[None, :-1]]
+            + integ[yb[:-1, None], xb[None, :-1]])
+    areas = (yb[1:] - yb[:-1])[:, None] * (xb[1:] - xb[:-1])[None, :]
+    cells = sums // areas
+    basis = _phash_basis(grid, keep)
+    coef = basis @ cells @ basis.T  # exact: |C| <= grid^2 * 765 * 1e12
+    cl = coef.tolist()  # python ints: the 63x compare below may exceed int64
+    sum_ac = sum(c for row in cl for c in row) - cl[0][0]
+    v = 0
+    for u in range(keep):
+        for j in range(keep):
+            if 63 * cl[u][j] > sum_ac:
+                v |= 1 << (u * keep + j)
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+def image_phash(df: DataFrame, grid: int = 32, keep: int = 8,
+                stub: bool = True, codec_factory=None,
+                cache_key: str | None = None) -> DataFrame:
+    """DCT perceptual fingerprints for media frames: decode (real
+    BMP/netpbm/PNG path, plugged codec, or deterministic stub) →
+    :func:`phash_pixels`. Output (media_id, phash) — same 12-byte
+    projection contract as :func:`image_dhash`: blobs decode once and
+    never re-serialize past this point."""
+    schema = "media_id string, phash long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from metadata_enhanced_pretrain_datapipeline_spark.operators.annotators import executor_singleton
+
+        decode = (executor_singleton(codec_factory, cache_key)
+                  if codec_factory is not None
+                  else (lambda b: decode_image(b, stub=stub)))
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"].to_numpy(),
+                                    pdf["content"].to_numpy()):
+                if content is None:
+                    out.append((mid, None))
+                    continue
+                out.append((mid, phash_pixels(decode(bytes(content)),
+                                              grid, keep)))
+            yield pd.DataFrame(out, columns=["media_id", "phash"])
+
+    return df.select("media_id", "content").mapInPandas(run, schema)
+
+
+def image_phash_near_dup_pairs(df: DataFrame, grid: int = 32,
+                               keep: int = 8, max_hamming: int = 2,
+                               max_bucket_size: int | None = None,
+                               stub: bool = True, codec_factory=None,
+                               cache_key: str | None = None) -> DataFrame:
+    """Visual near-duplicate candidate PAIRS on the DCT hash:
+    :func:`image_phash` → dedup.hamming_pairs_from_fingerprints, the
+    exact machinery (and exact scale shape — one (chunk, value)
+    exchange over 12-byte rows) as the dHash pairs. Returns
+    (id_a, id_b, hamming), id_a < id_b, hamming <= ``max_hamming``.
+    Use this variant when the corpus contains RESCALED re-uploads
+    (thumbnails, responsive-image variants); dHash remains the cheaper
+    choice when sizes are normalized upstream. Same bucket-cap
+    contract: None = pigeonhole-complete, set a cap for templated
+    floods."""
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.dedup import (
+        hamming_pairs_from_fingerprints,
+    )
+
+    fps = image_phash(df, grid, keep, stub, codec_factory,
+                      cache_key).filter(F.col("phash").isNotNull())
+    return hamming_pairs_from_fingerprints(
+        fps, "media_id", "phash", keep * keep, max_hamming,
+        max_bucket_size)
+
+
 def video_near_dup_pairs(media: DataFrame, every_ms: int = 1000,
                          min_jaccard: float = 0.5,
                          max_bucket_size: int | None = 256,

@@ -8849,3 +8849,116 @@ def q_html_extract(spark, sf):
         F.lit("</h1><p>"), F.col("text"),
         F.lit("</p><div>footer &amp; nav</div></body></html>"))
     return d.select("doc_id", extract_text_col(page).alias("text"))
+
+
+# ---------------------------------------------------------------------------
+# round-10 additions: DCT perceptual hash (pHash)
+
+
+@register(
+    "q_image_phash_near_dup",
+    # closed-form pHash replay (VERDICT r9 #6): doc did's ORIGINAL (_a,
+    # 64x64 BMP) has pixel (y, x, c) = (did*131 + y*17 + x*29 + c*53)
+    # % 199; every selected did also carries a _b — did % 3 == 0 gets a
+    # CONTENT EDIT (+40/channel on the left half, same size, PNG; must
+    # NOT pair: measured hamming >= 15), everyone else a RESCALED twin
+    # (2x nearest-neighbor to 128x128, +1/channel brightness, PNG; the
+    # re-upload transform dHash misses). The raster identities make the
+    # oracle exact without modeling 128x128 pixels: at 64x64 the 32x32
+    # adaptive pool is 2x2 cells with v = sum//4; the 2x-replicated
+    # +1-brightness twin pools to EXACTLY v + 3 (each orig pixel appears
+    # 4x, +3 luminance/pixel, floor((4s+48)/16) = floor(s/4)+3), and the
+    # left-half edit to v + 120 for j < 16. DCT basis = round(cos(pi*
+    # (2y+1)*u/64)*1e6) as BIGINT (half-away-from-zero both engines,
+    # bit-identical basis asserted in tests), coefficients = basis-
+    # sandwich integer sums, bit (u, v) = 63*C > sum(AC) in HUGEINT,
+    # packing = 2^(u*8+v) with bit 63 as the signed two's-complement
+    # term (the dHash precedent). Pairs = every (a < b) within Hamming
+    # distance 2; uncapped buckets are pigeonhole-complete so the naive
+    # cross-join replay IS the operator's contract.
+    "WITH d AS (SELECT doc_id AS did FROM documents WHERE doc_id % 10 = 7), "
+    "px AS (SELECT did, y.g AS y, x.g AS x, "
+    "  CAST((did*131 + y.g*17 + x.g*29 + c.g*53) % 199 AS BIGINT) AS v "
+    "  FROM d, generate_series(0,63) y(g), generate_series(0,63) x(g), "
+    "  generate_series(0,2) c(g)), "
+    "cell AS (SELECT did, y//2 AS i, x//2 AS j, SUM(v)//4 AS v "
+    "  FROM px GROUP BY did, y//2, x//2), "
+    "g AS (SELECT 'm' || did || '_a' AS media_id, i, j, v FROM cell "
+    "  UNION ALL "
+    "  SELECT 'm' || did || '_b', i, j, v + CASE WHEN did % 3 = 0 THEN "
+    "  (CASE WHEN j < 16 THEN 120 ELSE 0 END) ELSE 3 END FROM cell), "
+    "b AS (SELECT u.g AS u, y.g AS y, "
+    "  CAST(round(cos(pi()*(2*y.g+1)*u.g/64)*1000000) AS BIGINT) AS f "
+    "  FROM generate_series(0,7) u(g), generate_series(0,31) y(g)), "
+    "rt AS (SELECT g.media_id, bu.u AS u, g.j, SUM(g.v * bu.f) AS r "
+    "  FROM g JOIN b bu ON bu.y = g.i GROUP BY 1, 2, 3), "
+    "co AS (SELECT rt.media_id, rt.u, bv.u AS v, SUM(rt.r * bv.f) AS c "
+    "  FROM rt JOIN b bv ON bv.y = rt.j GROUP BY 1, 2, 3), "
+    "ac AS (SELECT media_id, SUM(CASE WHEN u = 0 AND v = 0 THEN 0 "
+    "  ELSE c END) AS sumac FROM co GROUP BY media_id), "
+    "bits AS (SELECT co.media_id, co.u, co.v, "
+    "  CASE WHEN 63 * co.c > ac.sumac THEN 1 ELSE 0 END AS bt "
+    "  FROM co JOIN ac USING (media_id)), "
+    "ph AS (SELECT media_id, CAST(SUM(CASE WHEN u*8+v = 63 "
+    "  THEN bt * (-9223372036854775807 - 1) "
+    "  ELSE bt * (1::BIGINT << CAST(u*8+v AS INT)) END) AS BIGINT) "
+    "  AS phash FROM bits GROUP BY media_id) "
+    "SELECT a.media_id AS id_a, b.media_id AS id_b, "
+    "  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming "
+    "FROM ph a JOIN ph b ON a.media_id < b.media_id "
+    "WHERE bit_count(xor(a.phash, b.phash)) <= 2",
+)
+def q_image_phash_near_dup(spark, sf):
+    """Visual near-dup on the DCT perceptual hash (VERDICT r9 #6) — the
+    RESCALE-robust twin of q_image_near_dup: per selected doc,
+    closed-form 64x64 pixels encode a real BMP; every doc plants a _b
+    that is either a 2x nearest-neighbor RESCALE with +1 brightness
+    re-encoded as a real zlib PNG (must pair — exactly the transform
+    that defeats dHash's fixed cell grid) or, for did % 3 == 0, a
+    +40-left-half content edit (must NOT pair — measured hamming >=
+    15 vs a cross-image floor of 10). The chain is all real:
+    multimodal.image_phash decodes each blob with the stdlib codecs
+    (stub=False), adaptive-mean-pools channel-sum luminance to 32x32,
+    applies the quantized-integer 8x8 DCT (every multiply/add exact —
+    no libm drift can flip a bit), thresholds on the integer AC mean,
+    and dedup.hamming_pairs_from_fingerprints buckets the 64-bit
+    hashes exactly as for dHash/SimHash. The oracle replays raster,
+    basis, transform, bits, and pairs in closed form; uncapped buckets
+    make the bucketed pair set provably equal to the naive replay.
+
+    Scale: identical shape to q_image_near_dup — blobs decode ONCE
+    into 12-byte (id, hash) rows, one (chunk, value) exchange, codegen
+    xor verify; production floods set max_bucket_size."""
+    import numpy as np
+    import pandas as pd
+
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import multimodal
+
+    d = load(spark, sf, "documents").filter(
+        F.col("doc_id") % 10 == 7).select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"].to_numpy():
+                did = int(did)
+                y = np.arange(64).reshape(64, 1, 1)
+                x = np.arange(64).reshape(1, 64, 1)
+                c = np.arange(3).reshape(1, 1, 3)
+                base = (did * 131 + y * 17 + x * 29 + c * 53) % 199
+                rows.append((f"m{did}_a",
+                             multimodal.encode_bmp(base.astype(np.uint8))))
+                if did % 3 == 0:
+                    ed = base.copy()
+                    ed[:, :32, :] += 40
+                    rows.append((f"m{did}_b",
+                                 multimodal.encode_png(ed.astype(np.uint8))))
+                else:
+                    tw = np.repeat(np.repeat(base + 1, 2, axis=0), 2, axis=1)
+                    rows.append((f"m{did}_b",
+                                 multimodal.encode_png(tw.astype(np.uint8))))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = d.mapInPandas(build, "media_id string, content binary")
+    return multimodal.image_phash_near_dup_pairs(
+        media, max_hamming=2, max_bucket_size=None, stub=False)

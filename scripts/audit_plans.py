@@ -375,6 +375,11 @@ AUDITS = {
     "q_ngram_repetition": "Gopher n-gram signals: a single narrow "
     "projection of lambda-BOUND array expressions (each gram array "
     "materializes once per row) — no shuffle, no Python.",
+    "q_image_phash_near_dup": "DCT pHash near-dup: same shape as the "
+    "dHash family — blobs decode once in MapInPandas into 12-byte "
+    "(id, hash64) rows (the integer DCT runs inside the decode "
+    "stage), then chunk Generate, one (chunk, value) Exchange, "
+    "bit_count verify; pixels never shuffle.",
 }
 
 def _lifecycle_dedup_stage(spark, sf):
