@@ -199,6 +199,10 @@ R10_ADDITIONS = [
     # DCT perceptual hash: the rescale-robust visual near-dup twin
     # (real codec decode → integer-exact 8x8 DCT → Manku hamming pairs)
     "q_image_phash_near_dup",
+    # winnowing (MOSS): localized fingerprints + count-gated overlap pairs
+    "q_winnow_fingerprints",
+    "q_winnow_overlap",
+    "q_winnow_dedup_against",
 ]
 
 

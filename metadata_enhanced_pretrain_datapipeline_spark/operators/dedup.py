@@ -1770,7 +1770,8 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_col: str,
 def token_set_jaccard_pairs(df: DataFrame, id_col: str, token_col: str,
                             min_jaccard: float = 0.5,
                             max_bucket_size: int | None = 256,
-                            metric: str = "jaccard") -> DataFrame:
+                            metric: str = "jaccard",
+                            min_common: int = 1) -> DataFrame:
     """Exact set-Jaccard candidate pairs over a PRE-EXPLODED
     (id, token) relation — :func:`jaccard_pairs` without the text
     shingling front end, for ids whose "tokens" are already first-class
@@ -1789,6 +1790,10 @@ def token_set_jaccard_pairs(df: DataFrame, id_col: str, token_col: str,
     column renamed to match, threshold applies to it): the trimmed-upload
     case — a clip whose frames are a SUBSET of the full video's — scores
     1.0 on containment but only |clip|/|full| on Jaccard.
+    ``min_common`` additionally requires |A∩B| >= that COUNT — absolute
+    shared-evidence thresholding (the MOSS convention for winnowed
+    fingerprints), robust where ratio metrics dilute on length-skewed
+    pairs; the default 1 is a no-op (every emitted pair shares a token).
     The surviving bucket rows then MATERIALIZE (lazy persist) before
     the self-join: a self-join re-evaluates its subtree per side, so
     without the boundary the whole distinct+count chain would run twice
@@ -1826,6 +1831,8 @@ def token_set_jaccard_pairs(df: DataFrame, id_col: str, token_col: str,
         )
         .agg(F.count("*").alias("n_common"))
     )
+    if min_common > 1:
+        inter = inter.filter(F.col("n_common") >= F.lit(min_common))
     jac = (inter.withColumn(metric, _overlap_metric(metric))
            .select("id_a", "id_b", metric))
     return jac.filter(F.col(metric) >= F.lit(min_jaccard))
@@ -2182,3 +2189,150 @@ def overcap_bucket_stats(seen: DataFrame, vec_col: str = "embedding",
         F.sum(F.when(over, F.col("__n")).otherwise(F.lit(0)))
         .alias("overcap_seen_rows"),
         F.max(F.col("__n")).alias("max_seen_bucket"))
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 5,
+                        window: int = 4,
+                        portable: bool = False) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every POSITIONAL word
+    ``k``-gram, slide a window of ``window`` consecutive gram hashes,
+    and select each window's minimum — ties broken toward the RIGHTMOST
+    position (the paper's robust-winnowing rule, made deterministic
+    cross-engine). The selected (position, hash) pairs, deduplicated,
+    are the document's fingerprints. Guarantee (the paper's): any
+    shared word run of at least ``k + window - 1`` words contributes at
+    least one IDENTICAL fingerprint hash to both documents, while the
+    fingerprint density is ~2/(window+1) of all grams — the local,
+    overlap-preserving compression that whole-doc digests
+    (:func:`normalized_text_key`) and per-doc MinHash signatures both
+    lack (MinHash estimates whole-set resemblance; winnowing LOCALIZES
+    matches, so pair stages can threshold on shared-run evidence).
+
+    Returns (id_col, pos, fp): ``pos`` is the 1-based gram start of the
+    selected gram, ``fp`` its hash. Documents with fewer than ``k``
+    words yield no rows; documents with 1..window-1 grams yield the
+    single minimum over what grams exist (one whole-doc window), so
+    short docs still fingerprint.
+
+    Scale: everything up to the explode is per-row codegen array
+    arithmetic (the gram hashes and window minima are lambda-BOUND so
+    each materializes once — the word_shingles precedent); the output
+    relation carries (id, int, long) rows, ~2/(window+1) of gram count,
+    and the text column never leaves the scan projection. Downstream
+    pair generation reuses :func:`token_set_jaccard_pairs` on the fp
+    values (one token-keyed exchange, bucket guard — never all-pairs).
+
+    ``portable=True`` uses the engine-portable md5 gram hash so a SQL
+    oracle replays fingerprints exactly; the bench path keeps xxhash64.
+    """
+    from metadata_enhanced_pretrain_datapipeline_spark.functions.text import tokens_ws
+
+    def gram_struct(toks, i):
+        joined = F.concat_ws(
+            " ", F.slice(toks, i, k))
+        return F.struct(
+            _shingle_hash(joined, portable).alias("h"),
+            (-i).alias("np"),  # struct min = (h asc, pos DESC): rightmost tie
+            i.alias("pos"))
+
+    grams = F.get(
+        F.transform(
+            F.array(tokens_ws(F.col(text_col))),
+            lambda toks: F.filter(
+                F.transform(
+                    F.sequence(F.lit(1),
+                               F.greatest(F.size(toks) - F.lit(k - 1),
+                                          F.lit(1))),
+                    lambda i: F.when(i + F.lit(k - 1) <= F.size(toks),
+                                     gram_struct(toks, i)),
+                ),
+                lambda g: g.isNotNull(),
+            ),
+        ),
+        0,
+    )
+    fps = F.get(
+        F.transform(
+            F.array(grams),
+            lambda gs: F.array_distinct(
+                F.filter(
+                    F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.greatest(F.size(gs) - F.lit(window - 1),
+                                       F.lit(1))),
+                        lambda s: F.array_min(F.slice(gs, s, window)),
+                    ),
+                    lambda m: m.isNotNull(),
+                )
+            ),
+        ),
+        0,
+    )
+    return (df.select(F.col(id_col), F.explode(fps).alias("__fp"))
+            .select(id_col, F.col("__fp.pos").alias("pos"),
+                    F.col("__fp.h").alias("fp")))
+
+
+def winnow_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", k: int = 5,
+                         window: int = 4, min_jaccard: float = 0.0,
+                         min_shared: int = 5,
+                         max_bucket_size: int | None = 256,
+                         portable: bool = False) -> DataFrame:
+    """Partial-overlap candidate pairs via winnowed fingerprints — the
+    MOSS composition: :func:`winnow_fingerprints` (localized shared-run
+    evidence) feeding :func:`token_set_jaccard_pairs` on the DISTINCT
+    fingerprint hashes. Catches documents sharing a long passage
+    (quotation, boilerplate splice, partial plagiarism) that whole-doc
+    near-dup dilutes away. The PRIMARY lever is ``min_shared`` — the
+    MOSS convention of absolute shared-fingerprint count (a shared run
+    of >= k + m*window - 1 words provably yields >= m shared
+    fingerprints by the window-covering argument), because ratio
+    metrics dilute on length-skewed pairs: a 24-word splice inside a
+    long document scores tiny Jaccard but a guaranteed count.
+    ``min_jaccard`` remains available as a secondary ratio gate.
+    Returns (id_a, id_b, jaccard) over fingerprint sets, id_a < id_b."""
+    fps = winnow_fingerprints(df, id_col, text_col, k, window, portable)
+    return token_set_jaccard_pairs(
+        fps.select(F.col(id_col).alias("id"), F.col("fp")),
+        "id", "fp", min_jaccard, max_bucket_size, min_common=min_shared)
+
+
+def winnow_dedup_against(new_docs: DataFrame, seen_fps: DataFrame,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         k: int = 5, window: int = 4,
+                         min_shared: int = 5,
+                         portable: bool = False) -> DataFrame:
+    """Incremental PARTIAL-OVERLAP dedup across snapshots: drop new
+    documents sharing at least ``min_shared`` winnowed fingerprints
+    with a persisted fingerprint store — the winnowing member of the
+    against-store family (exact digests = dedup_against, MinHash bands
+    = minhash_dedup_against, dHashes = image_dedup_against, token sets
+    = token_set_dedup_against, vectors = embedding_dedup_against).
+    The monthly-crawl story for SPLICED content: a new page quoting a
+    24-word passage already crawled last month shares >= 5 fingerprints
+    by the window-covering guarantee and drops, even when the rest of
+    the page is fresh — whole-doc digests and MinHash resemblance both
+    dilute this case away. ``seen_fps`` needs only ``fp``
+    (:func:`winnow_fingerprints` output persisted from prior months —
+    8-byte hashes; last month's text never re-tokenizes).
+
+    Returns surviving ``new_docs`` rows (all columns intact). Documents
+    too short to fingerprint can never hit the store and are KEPT.
+
+    Scale: the new month fingerprints once (per-row codegen arrays);
+    the store side is distinct-ed per fp so re-ingested duplicates
+    cannot double-count; one fp equi-join over (id, long) rows, a
+    per-id count, and an ids-only anti-join — text never shuffles."""
+    fps = (winnow_fingerprints(new_docs, id_col, text_col, k, window,
+                               portable)
+           .select(F.col(id_col), F.col("fp")).distinct())
+    seen = seen_fps.select("fp").distinct()
+    hits = (fps.join(seen, "fp")
+            .groupBy(id_col).agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") >= F.lit(min_shared))
+            .select(id_col))
+    return new_docs.join(hits, id_col, "left_anti")

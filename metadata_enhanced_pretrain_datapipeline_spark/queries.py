@@ -8962,3 +8962,185 @@ def q_image_phash_near_dup(spark, sf):
     media = d.mapInPandas(build, "media_id string, content binary")
     return multimodal.image_phash_near_dup_pairs(
         media, max_hamming=2, max_bucket_size=None, stub=False)
+
+
+#: winnowing replay (Schleimer et al. 2003): positional k=5 word grams
+#: (portable md5 hash), window=4 minima with rightmost tie-break, distinct
+#: selected (pos, hash). ``{src}`` is a CTE exposing (doc_id, text).
+def _winnow_sql(src: str, k: int = 5, window: int = 4) -> str:
+    gram = " || ' ' || ".join(f"ws[i + {j}]" for j in range(k))
+    return (
+        "wtok AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        f"trim(text), '\\s+'), x -> x <> '') AS ws FROM {src}), "
+        f"wg AS (SELECT doc_id, i AS pos, {md5_hash64_sql(gram)} AS h "
+        "  FROM (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - "
+        f"{k - 2}, 1))) AS i FROM wtok)), "
+        "wn AS (SELECT doc_id, count(*) AS ng FROM wg GROUP BY doc_id), "
+        "ww AS (SELECT doc_id, unnest(generate_series(1, greatest(ng - "
+        f"{window - 1}, 1))) AS s FROM wn), "
+        "wj AS (SELECT ww.doc_id, ww.s, wg.pos, wg.h, row_number() OVER "
+        "  (PARTITION BY ww.doc_id, ww.s ORDER BY wg.h, wg.pos DESC) AS rn "
+        "  FROM ww JOIN wg ON wg.doc_id = ww.doc_id "
+        f"  AND wg.pos BETWEEN ww.s AND ww.s + {window - 1}), "
+        "wfp AS (SELECT DISTINCT doc_id, CAST(pos AS INT) AS pos, h "
+        "  FROM wj WHERE rn = 1)"
+    )
+
+
+@register(
+    "q_winnow_fingerprints",
+    # full winnowing replay over the real corpus: positional 5-gram md5
+    # hashes, 4-wide window minima (ties -> rightmost pos, the paper's
+    # robust rule), distinct (pos, hash) selections.
+    "WITH src AS (SELECT doc_id, text FROM documents), "
+    + _winnow_sql("src")
+    + " SELECT doc_id, pos, h AS fp FROM wfp",
+)
+def q_winnow_fingerprints(spark, sf):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — MOSS; dedup.winnow_fingerprints): every positional
+    word 5-gram hashes, each 4-window's minimum hash is selected
+    (rightmost position on ties), and the distinct selections are the
+    doc's fingerprints — ~2/(window+1) the gram volume, with the
+    guarantee that any shared run of k+window-1 = 8 words yields a
+    shared fingerprint. The local complement of whole-doc digests and
+    MinHash resemblance: fingerprints LOCALIZE shared passages. The
+    oracle replays grams, window minima, tie-breaks, and the distinct
+    in SQL (row_number over (hash, pos DESC) per window).
+
+    Scale: gram hashing and window minima are lambda-bound per-row
+    array expressions in codegen (no shuffle, no Python); output rows
+    are (id, int, long) — the text never leaves the scan."""
+    return dedup.winnow_fingerprints(
+        load(spark, sf, "documents"), "doc_id", "text",
+        k=5, window=4, portable=True)
+
+
+@register(
+    "q_winnow_overlap",
+    # planted partial overlap: doc did's text gains a 24-word passage
+    # unique to its PAIR group gid = did // 2 ('p<gid>_<j>' words — group
+    # variety grows with the corpus, the fixture-variety lesson), so
+    # (2g, 2g+1) share a 24-word run that PROVABLY yields >= 5 shared
+    # winnowed fingerprints (17 interior windows, a selection covers at
+    # most 4); the min_shared=5 count gate keeps every planted pair at
+    # any doc length, where a ratio threshold measurably loses 10% of
+    # them to length dilution (and ALSO keeps genuinely near-identical
+    # base-text pairs — intended). Oracle replays passage, winnowing,
+    # fingerprint sets, intersections, and the count gate naively
+    # (uncapped buckets are complete; real-corpus fp buckets max at 4).
+    "WITH src AS (SELECT doc_id, trim(text) || ' ' || array_to_string("
+    "  list_transform(range(0, 24), j -> 'p' || CAST(doc_id // 2 AS "
+    "  VARCHAR) || '_' || CAST(j AS VARCHAR)), ' ') AS text "
+    "  FROM documents), "
+    + _winnow_sql("src")
+    + ", dfp AS (SELECT DISTINCT doc_id, h FROM wfp), "
+    "sz AS (SELECT doc_id, count(*) AS n FROM dfp GROUP BY doc_id), "
+    "sh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "  CAST(count(*) AS BIGINT) AS c FROM dfp a JOIN dfp b "
+    "  ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+    "SELECT id_a, id_b, round(c / (sa.n + sb.n - c), 6) AS jaccard "
+    "FROM sh JOIN sz sa ON sa.doc_id = id_a "
+    "JOIN sz sb ON sb.doc_id = id_b "
+    "WHERE c >= 5",
+)
+def q_winnow_overlap(spark, sf):
+    """Partial-overlap detection via winnowed fingerprints — the MOSS
+    composition (dedup.winnow_overlap_pairs): winnow_fingerprints feeds
+    token_set_jaccard_pairs on distinct fingerprint hashes, catching
+    documents that SHARE A PASSAGE (quotation, boilerplate splice,
+    partial plagiarism) which whole-doc near-dup dilutes away. The
+    fixture appends a 24-word passage unique to each doc pair
+    (gid = doc_id // 2): planted pairs share >= 5 winnowed fingerprints
+    BY THE COVERING GUARANTEE (17 windows lie fully inside the shared
+    20-gram run; one selection covers at most 4 of them), so the
+    min_shared=5 count gate keeps all of them at every scale while
+    chance base-text overlaps share 1-3. Ratio thresholds measurably
+    fail here (min planted jaccard 0.077 < max chance 0.14 at sf0.01 —
+    length dilution), which is exactly why the operator's primary lever
+    is the MOSS count. Uncapped buckets keep the pair set provably
+    complete for the naive replay.
+
+    Scale: fingerprints are ~2/(window+1) of gram volume; the pair
+    stage is the proven token-set engine (one token-keyed exchange +
+    bucket guard + materialize boundary — never all-pairs)."""
+    d = load(spark, sf, "documents")
+    gid = F.floor(F.col("doc_id") / 2).cast("long")
+    passage = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(23)),
+            lambda j: F.concat(F.lit("p"), gid.cast("string"),
+                               F.lit("_"), j.cast("string"))))
+    fused = d.select(
+        "doc_id",
+        F.concat(F.trim("text"), F.lit(" "), passage).alias("text"))
+    out = dedup.winnow_overlap_pairs(
+        fused, "doc_id", "text", k=5, window=4,
+        min_shared=5, max_bucket_size=None, portable=True)
+    return out.select("id_a", "id_b",
+                      F.round(F.col("jaccard"), 6).alias("jaccard"))
+
+
+@register(
+    "q_winnow_dedup_against",
+    # the winnowing member of the against-store family: months split by
+    # doc_id % 3 (0,1 = seen store, 2 = new crawl); docs with
+    # did % 6 IN (1, 2) carry a 24-word passage keyed did // 6, so doc
+    # 6m+2 (new) splices the passage doc 6m+1 (seen) already contributed
+    # to the store and must drop (>= 5 shared fingerprints by the
+    # window-covering guarantee); did % 6 == 5 new docs carry no passage
+    # and survive unless their BASE text genuinely shares >= 5 winnowed
+    # fingerprints with the seen months (the oracle replays those too).
+    "WITH src AS (SELECT doc_id, trim(text) || CASE WHEN doc_id % 6 IN "
+    "  (1, 2) THEN ' ' || array_to_string(list_transform(range(0, 24), "
+    "  j -> 'p' || CAST(doc_id // 6 AS VARCHAR) || '_' || "
+    "  CAST(j AS VARCHAR)), ' ') ELSE '' END AS text FROM documents), "
+    + _winnow_sql("src")
+    + ", dfp AS (SELECT DISTINCT doc_id, h FROM wfp), "
+    "seen AS (SELECT DISTINCT h FROM dfp WHERE doc_id % 3 IN (0, 1)), "
+    "hits AS (SELECT doc_id FROM dfp JOIN seen USING (h) "
+    "  WHERE doc_id % 3 = 2 GROUP BY doc_id HAVING count(*) >= 5) "
+    "SELECT doc_id FROM documents WHERE doc_id % 3 = 2 "
+    "AND doc_id NOT IN (SELECT doc_id FROM hits)",
+)
+def q_winnow_dedup_against(spark, sf):
+    """Incremental partial-overlap dedup vs a fingerprint store
+    (dedup.winnow_dedup_against): month N+1's documents winnow once and
+    probe the persisted fingerprint hashes of prior months — a new page
+    SPLICING a passage already crawled drops on >= 5 shared
+    fingerprints (the covering guarantee), even though whole-doc
+    digests and MinHash resemblance both dilute a 24-word quote inside
+    a fresh page to a miss. The past lives on as 8-byte hashes; its
+    text never re-tokenizes. Fixture: planted cross-month splices
+    (did % 6 == 2 quotes did % 6 == 1's passage) must drop,
+    passage-free new docs survive, and the oracle replays fingerprints,
+    the store join, the count gate, and the anti-join naively.
+
+    Scale: one fp equi-join over (id, long) rows + per-id count +
+    ids-only anti-join; the store side is distinct-ed so re-ingested
+    duplicate hashes cannot double-count."""
+    d = load(spark, sf, "documents")
+    gid = F.floor(F.col("doc_id") / 6).cast("long")
+    passage = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(23)),
+            lambda j: F.concat(F.lit("p"), gid.cast("string"),
+                               F.lit("_"), j.cast("string"))))
+    fused = d.select(
+        "doc_id",
+        F.concat(
+            F.trim("text"),
+            F.when(F.col("doc_id") % 6 == 1, F.concat(F.lit(" "), passage))
+            .when(F.col("doc_id") % 6 == 2, F.concat(F.lit(" "), passage))
+            .otherwise(F.lit(""))).alias("text"))
+    seen_docs = fused.filter(F.col("doc_id") % 3 != 2)
+    new_docs = fused.filter(F.col("doc_id") % 3 == 2)
+    store = dedup.winnow_fingerprints(
+        seen_docs, "doc_id", "text", k=5, window=4,
+        portable=True).select("fp")
+    kept = dedup.winnow_dedup_against(
+        new_docs, store, "doc_id", "text", k=5, window=4,
+        min_shared=5, portable=True)
+    return kept.select("doc_id")

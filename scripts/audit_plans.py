@@ -380,6 +380,19 @@ AUDITS = {
     "(id, hash64) rows (the integer DCT runs inside the decode "
     "stage), then chunk Generate, one (chunk, value) Exchange, "
     "bit_count verify; pixels never shuffle.",
+    "q_winnow_fingerprints": "Winnowing: gram hashes and window "
+    "minima are lambda-bound array expressions in ONE codegen "
+    "projection over the scan — no shuffle, no Python; the explode "
+    "emits (id, int, long) rows at ~2/(window+1) of gram volume.",
+    "q_winnow_overlap": "MOSS overlap pairs: the winnowed projection "
+    "feeds the proven token-set engine — distinct + two Window "
+    "counts + materialize boundary + one fp-keyed self-join; the "
+    "text never shuffles past the fingerprint projection.",
+    "q_winnow_dedup_against": "Against-store winnow dedup: both "
+    "months fingerprint in their scan stages, meet in ONE fp "
+    "equi-join over (id, long) rows, per-id count, ids-only "
+    "anti-join — the store side distinct-ed so duplicate hashes "
+    "cannot double-count; text never shuffles.",
 }
 
 def _lifecycle_dedup_stage(spark, sf):
