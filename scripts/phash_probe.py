@@ -1,0 +1,78 @@
+"""Scaling probe for the DCT pHash near-dup OPERATOR.
+
+The registered q_image_phash_near_dup fixture synthesizes pixels as
+``(did·131 + …) % 199`` — closed-form for the oracle, but only ~199
+distinct 64x64 images exist, so at sf10 every pHash repeats ~250x and
+(with the fixture's max_bucket_size=None, required for
+pigeonhole-complete replay) pair verification goes quadratic — the
+same fixture-variety artifact the dHash fixture showed at sf10 (see
+scripts/image_probe.py and SCALE.md round 9). A real crawl's content
+variety grows with the corpus; this probe prices the operator as
+deployed: per-image rng pixels (deterministic per media id, full
+variety), a planted 2x-rescaled +1-brightness PNG twin for even ids
+(the transform pHash exists for), REAL stdlib BMP/PNG encode+decode on
+both sides, the integer DCT, and the DEFAULT bucket cap 256. Run
+back-to-back in fresh JVMs:
+
+    python scripts/phash_probe.py .scale/sf1.0
+    python scripts/phash_probe.py .scale/sf10
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+from bench import timed_laps
+from metadata_enhanced_pretrain_datapipeline_spark.operators import multimodal
+from metadata_enhanced_pretrain_datapipeline_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else ".scale/sf1.0"
+    spark = get_spark("phash-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+         .filter(F.col("doc_id") % 10 == 7).select("doc_id")
+         .repartition(32))
+    n_docs = d.count()
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"].to_numpy():
+                rng = np.random.default_rng(int(did))
+                base = rng.integers(0, 255, (64, 64, 3))
+                rows.append((f"m{did}_a",
+                             multimodal.encode_bmp(base.astype(np.uint8))))
+                if did % 2 == 0:
+                    tw = np.repeat(np.repeat(base + 0, 2, axis=0), 2,
+                                   axis=1)
+                    tw = np.clip(tw + 1, 0, 255)
+                    rows.append((f"m{did}_b",
+                                 multimodal.encode_png(tw.astype(np.uint8))))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    def run():
+        media = d.mapInPandas(build, "media_id string, content binary")
+        multimodal.image_phash_near_dup_pairs(
+            media, max_hamming=2, max_bucket_size=256, stub=False,
+        ).write.format("noop").mode("overwrite").save()
+
+    t0 = time.time()
+    laps = timed_laps(run)
+    print(json.dumps({"sf_dir": sf_dir, "n_docs": n_docs,
+                      "laps": laps, "best": min(laps),
+                      "wall": round(time.time() - t0, 1)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
