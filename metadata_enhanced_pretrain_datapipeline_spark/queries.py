@@ -8934,8 +8934,12 @@ def q_image_phash_near_dup(spark, sf):
 
     from metadata_enhanced_pretrain_datapipeline_spark.operators import multimodal
 
-    d = load(spark, sf, "documents").filter(
-        F.col("doc_id") % 10 == 7).select("doc_id")
+    # repartition BEFORE the build: the sf0.1 documents table is one
+    # parquet file, and without this the whole encode+decode+DCT chain
+    # runs in a single task (measured 39s -> ~3s at sf0.1; the blob
+    # work, not the id scan, is the cost to parallelize)
+    d = (load(spark, sf, "documents").filter(
+        F.col("doc_id") % 10 == 7).select("doc_id").repartition(32))
 
     def build(batches):
         for pdf in batches:
