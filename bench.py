@@ -203,6 +203,8 @@ R10_ADDITIONS = [
     "q_winnow_fingerprints",
     "q_winnow_overlap",
     "q_winnow_dedup_against",
+    # document-level Gopher quality rules + composed keep decision
+    "q_gopher_quality",
 ]
 
 

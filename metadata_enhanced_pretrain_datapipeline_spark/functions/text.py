@@ -261,6 +261,105 @@ LANG_MARKERS = {
 STOPWORDS = ("the", "a", "of", "to", "and", "in", "is")
 
 
+def gopher_quality_signals(text: Column) -> Column:
+    """The DOCUMENT-LEVEL half of Gopher's quality rules (Rae et al.
+    2021 §A1.1) that the repo's repetition halves don't cover —
+    completing the published rule set beside :func:`repetition_signals`
+    (duplicate lines), :func:`ngram_repetition_signals` (n-grams),
+    :func:`quality_stats` (lengths/stopwords) and :func:`c4_kept_lines`
+    (C4's line rules). Returns a struct with:
+
+    - ``alpha_word_frac``: fraction of words containing at least one
+      alphabetic character (Gopher requires >= 0.8 — symbol/number soup
+      is machine output, not prose).
+    - ``bullet_line_frac``: fraction of non-empty lines starting with a
+      bullet marker (``-``, ``*``, or U+2022; Gopher caps at 0.9).
+    - ``ellipsis_line_frac``: fraction of non-empty lines ending with
+      ``...`` or U+2026 (Gopher caps at 0.3 — truncated listings).
+    - ``symbol_word_ratio``: (``#`` + ellipsis occurrences) / words
+      (Gopher caps at 0.1).
+
+    Fractions are rounded to 6dp so downstream threshold compares are
+    bit-portable cross-engine; word/line-less documents yield NULLs
+    (try_divide), which every Gopher comparison treats as not-passing.
+    Pure array/regexp expressions — narrow projection, no shuffle, no
+    Python; the token and line arrays are lambda-BOUND once each (the
+    word_shingles trick — sibling references get no CSE)."""
+    sig = F.get(
+        F.transform(
+            F.array(tokens_ws(text)),
+            lambda toks: F.get(
+                F.transform(
+                    F.array(F.filter(
+                        F.transform(F.split(text, "\n"),
+                                    lambda l: F.trim(l)),
+                        lambda l: l != "")),
+                    lambda lines: F.struct(
+                        F.round(F.try_divide(
+                            F.size(F.filter(
+                                toks,
+                                lambda t: t.rlike(r"\p{L}"))).cast("double"),
+                            F.size(toks)), 6).alias("alpha_word_frac"),
+                        F.round(F.try_divide(
+                            F.size(F.filter(
+                                lines,
+                                lambda l: l.rlike(
+                                    r"^(- |\* |\u2022)"))).cast("double"),
+                            F.size(lines)), 6).alias("bullet_line_frac"),
+                        F.round(F.try_divide(
+                            F.size(F.filter(
+                                lines,
+                                lambda l: l.rlike(
+                                    r"(\.\.\.|\u2026)$"))).cast("double"),
+                            F.size(lines)), 6).alias("ellipsis_line_frac"),
+                        F.round(F.try_divide(
+                            (F.size(F.regexp_extract_all(
+                                text, F.lit("#"), F.lit(0)))
+                             + F.size(F.regexp_extract_all(
+                                 text, F.lit(r"\.\.\.|\u2026"),
+                                 F.lit(0)))).cast("double"),
+                            F.size(toks)), 6).alias("symbol_word_ratio"),
+                    ),
+                ),
+                0,
+            ),
+        ),
+        0,
+    )
+    return sig
+
+
+def gopher_quality_keep(text: Column, min_words: int = 50,
+                        max_words: int = 100_000,
+                        min_stopwords: int = 2) -> Column:
+    """The composed Gopher document KEEP decision (Rae et al. 2021
+    §A1.1) over this module's signal family: word-count bounds, mean
+    word length in [3, 10], >= ``min_stopwords`` stopword occurrences,
+    alpha-word fraction >= 0.8, bullet lines <= 0.9, ellipsis lines
+    <= 0.3, symbol-to-word ratio <= 0.1. NULL signals (empty docs)
+    fail their comparison, so empty documents are dropped — the
+    published behavior. Thresholds compare 6dp-rounded fractions, so
+    the flag is bit-portable cross-engine."""
+    qs = quality_stats(text)
+    g = gopher_quality_signals(text)
+    mean_len = F.round(qs["avg_token_len"], 6)
+    checks = (
+        (qs["n_tokens"] >= F.lit(min_words))
+        & (qs["n_tokens"] <= F.lit(max_words))
+        & (mean_len >= F.lit(3.0)) & (mean_len <= F.lit(10.0))
+        & (F.size(F.filter(
+            tokens_ws(text),
+            lambda t: F.array_contains(
+                F.array(*[F.lit(w) for w in STOPWORDS]), t)))
+           >= F.lit(min_stopwords))
+        & (g["alpha_word_frac"] >= F.lit(0.8))
+        & (g["bullet_line_frac"] <= F.lit(0.9))
+        & (g["ellipsis_line_frac"] <= F.lit(0.3))
+        & (g["symbol_word_ratio"] <= F.lit(0.1))
+    )
+    return F.coalesce(checks, F.lit(False))
+
+
 def lang_id_scores(text: Column) -> dict[str, Column]:
     """Per-language marker-hit OCCURRENCE counts; argmax is the predicted
     language. Occurrences, not distinct marker types (array_intersect

@@ -9148,3 +9148,90 @@ def q_winnow_dedup_against(spark, sf):
         new_docs, store, "doc_id", "text", k=5, window=4,
         min_shared=5, portable=True)
     return kept.select("doc_id")
+
+
+@register(
+    "q_gopher_quality",
+    # per-doc synthesized page exercising every rule: did % 3 == 0 adds
+    # a bullet header line, did % 2 == 0 an ellipsis footer line,
+    # did % 5 == 0 two '#' symbols. The oracle restates each signal
+    # (alpha-word fraction over \s+ tokens, bullet/ellipsis line
+    # fractions over trimmed non-empty lines, symbol-to-word ratio) and
+    # the composed keep decision (word bounds, mean-word-length [3,10],
+    # >= 2 stopwords, the four Gopher fraction thresholds) directly;
+    # fractions are 6dp-rounded in both engines so the thresholds are
+    # bit-portable. Java regex takes \uXXXX where DuckDB's RE2 does not
+    # - the oracle uses the literal bullet/ellipsis characters.
+    "WITH src AS (SELECT doc_id, "
+    "  CASE WHEN doc_id % 3 = 0 THEN '- ' || array_to_string("
+    "    list_slice(string_split(text, ' '), 1, 3), ' ') || chr(10) "
+    "    ELSE '' END "
+    "  || text "
+    "  || CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'see more...' "
+    "     ELSE '' END "
+    "  || CASE WHEN doc_id % 5 = 0 THEN ' # #' ELSE '' END AS t "
+    "  FROM documents), "
+    "w AS (SELECT doc_id, t, "
+    "  list_filter(regexp_split_to_array(trim(t), '\\s+'), x -> x <> '') "
+    "    AS ws, "
+    "  list_filter(list_transform(string_split(t, chr(10)), "
+    "    l -> trim(l)), l -> l <> '') AS ls FROM src), "
+    "sig AS (SELECT doc_id, ws, t, "
+    "  round(len(list_filter(ws, x -> regexp_matches(x, '\\p{L}'))) "
+    "    / len(ws), 6) AS alpha_word_frac, "
+    "  round(len(list_filter(ls, l -> regexp_matches(l, "
+    "    '^(- |\\* |•)'))) / len(ls), 6) AS bullet_line_frac, "
+    "  round(len(list_filter(ls, l -> regexp_matches(l, "
+    "    '(\\.\\.\\.|…)$'))) / len(ls), 6) AS ellipsis_line_frac, "
+    "  round((len(regexp_extract_all(t, '#')) "
+    "    + len(regexp_extract_all(t, '\\.\\.\\.|…'))) / len(ws), 6) "
+    "    AS symbol_word_ratio FROM w) "
+    "SELECT doc_id, alpha_word_frac, bullet_line_frac, "
+    "  ellipsis_line_frac, symbol_word_ratio, "
+    "  COALESCE(len(ws) >= 20 AND len(ws) <= 100000 "
+    "    AND round(list_sum(list_transform(ws, x -> len(x))) "
+    "      / len(ws), 6) BETWEEN 3.0 AND 10.0 "
+    "    AND len(list_filter(ws, x -> x IN ('the', 'a', 'of', 'to', "
+    "      'and', 'in', 'is'))) >= 2 "
+    "    AND alpha_word_frac >= 0.8 AND bullet_line_frac <= 0.9 "
+    "    AND ellipsis_line_frac <= 0.3 AND symbol_word_ratio <= 0.1, "
+    "    false) AS keep "
+    "FROM sig",
+)
+def q_gopher_quality(spark, sf):
+    """The document-level Gopher quality rules (Rae et al. 2021 §A1.1;
+    functions/text.gopher_quality_signals + gopher_quality_keep) —
+    completing the published rule set beside the repetition halves
+    (q_repetition_signals, q_ngram_repetition), the length/stopword
+    stats (q_quality_score) and C4's line rules (q_c4_line_filter):
+    alpha-word fraction, bullet-line and ellipsis-line fractions,
+    symbol-to-word ratio, and the COMPOSED keep decision (word bounds,
+    mean word length in [3, 10], >= 2 stopwords, the four fraction
+    thresholds). Each doc synthesizes a page hitting every rule (bullet
+    header for did % 3 == 0, ellipsis footer for did % 2 == 0, '#'
+    symbols for did % 5 == 0); the oracle restates signals and decision
+    directly. Pure array/regexp expressions — narrow projection, no
+    shuffle, no Python."""
+    from metadata_enhanced_pretrain_datapipeline_spark.functions.text import (
+        gopher_quality_keep,
+        gopher_quality_signals,
+    )
+
+    d = load(spark, sf, "documents")
+    hdr = F.array_join(F.slice(F.split("text", " "), 1, 3), " ")
+    t2 = F.concat(
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("- "), hdr, F.lit("\n"))).otherwise(F.lit("")),
+        F.col("text"),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.lit("\nsee more...")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit(" # #")).otherwise(F.lit("")))
+    sig = gopher_quality_signals(t2)
+    return d.select(
+        "doc_id",
+        sig["alpha_word_frac"].alias("alpha_word_frac"),
+        sig["bullet_line_frac"].alias("bullet_line_frac"),
+        sig["ellipsis_line_frac"].alias("ellipsis_line_frac"),
+        sig["symbol_word_ratio"].alias("symbol_word_ratio"),
+        gopher_quality_keep(t2, min_words=20).alias("keep"))

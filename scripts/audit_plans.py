@@ -393,6 +393,9 @@ AUDITS = {
     "equi-join over (id, long) rows, per-id count, ids-only "
     "anti-join — the store side distinct-ed so duplicate hashes "
     "cannot double-count; text never shuffles.",
+    "q_gopher_quality": "Gopher document rules: every signal and the "
+    "composed keep flag are lambda-bound array/regexp expressions in "
+    "one codegen projection over the scan — no shuffle, no Python.",
 }
 
 def _lifecycle_dedup_stage(spark, sf):

@@ -84,3 +84,38 @@ def test_ngram_repetition_short_docs_null_no_dups_zero(spark):
     assert rows[1]["dup_ngram_char_frac"] is None   # < 5 tokens
     assert rows[2]["top_ngram_char_frac"] is not None  # max count 1 still tops
     assert rows[2]["dup_ngram_char_frac"] == 0.0    # no duplicated 5-gram
+
+
+def test_gopher_quality_signals_hand_computed(spark):
+    from metadata_enhanced_pretrain_datapipeline_spark.functions.text import (
+        gopher_quality_signals,
+    )
+    from pyspark.sql import functions as F
+
+    # 3 non-empty lines: one bullet, one ellipsis ending; 9 ws tokens,
+    # 7 with a letter ('-' and '42' have none); symbols: 1 '#', 1 '...'
+    text = "- alpha beta\ngamma 42 #tag\nwait for it..."
+    df = spark.createDataFrame([(1, text)], "id long, text string")
+    s = df.select(gopher_quality_signals(F.col("text")).alias("s")).head()["s"]
+    assert abs(s["alpha_word_frac"] - 7 / 9) < 1e-6
+    assert abs(s["bullet_line_frac"] - 1 / 3) < 1e-6
+    assert abs(s["ellipsis_line_frac"] - 1 / 3) < 1e-6
+    assert abs(s["symbol_word_ratio"] - 2 / 9) < 1e-6
+
+
+def test_gopher_quality_keep_thresholds(spark):
+    from metadata_enhanced_pretrain_datapipeline_spark.functions.text import (
+        gopher_quality_keep,
+    )
+    from pyspark.sql import functions as F
+
+    good = "the quick brown fox is one of the best and a joy to watch in"
+    soup = " ".join(["####"] * 20)  # no alpha words, symbol flood
+    df = spark.createDataFrame(
+        [(1, good), (2, soup), (3, "")], "id long, text string")
+    rows = {r.id: r.k for r in df.select(
+        "id", gopher_quality_keep(F.col("text"), min_words=10).alias("k")
+    ).collect()}
+    assert rows[1] is True
+    assert rows[2] is False
+    assert rows[3] is False  # empty doc: NULL signals -> dropped
