@@ -205,6 +205,8 @@ R10_ADDITIONS = [
     "q_winnow_dedup_against",
     # document-level Gopher quality rules + composed keep decision
     "q_gopher_quality",
+    # streaming fingerprint-store ingestion (the winnow member)
+    "q_stream_winnow_dedup",
 ]
 
 

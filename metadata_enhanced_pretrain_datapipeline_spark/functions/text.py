@@ -285,13 +285,14 @@ def gopher_quality_signals(text: Column) -> Column:
     Pure array/regexp expressions — narrow projection, no shuffle, no
     Python; the token and line arrays are lambda-BOUND once each (the
     word_shingles trick — sibling references get no CSE)."""
-    sig = F.get(
+    def sig_of(t):
+        return F.get(
         F.transform(
-            F.array(tokens_ws(text)),
+            F.array(tokens_ws(t)),
             lambda toks: F.get(
                 F.transform(
                     F.array(F.filter(
-                        F.transform(F.split(text, "\n"),
+                        F.transform(F.split(t, "\n"),
                                     lambda l: F.trim(l)),
                         lambda l: l != "")),
                     lambda lines: F.struct(
@@ -314,9 +315,9 @@ def gopher_quality_signals(text: Column) -> Column:
                             F.size(lines)), 6).alias("ellipsis_line_frac"),
                         F.round(F.try_divide(
                             (F.size(F.regexp_extract_all(
-                                text, F.lit("#"), F.lit(0)))
+                                t, F.lit("#"), F.lit(0)))
                              + F.size(F.regexp_extract_all(
-                                 text, F.lit(r"\.\.\.|\u2026"),
+                                 t, F.lit(r"\.\.\.|\u2026"),
                                  F.lit(0)))).cast("double"),
                             F.size(toks)), 6).alias("symbol_word_ratio"),
                     ),
@@ -325,8 +326,11 @@ def gopher_quality_signals(text: Column) -> Column:
             ),
         ),
         0,
-    )
-    return sig
+        )
+
+    # bind a COMPUTED text expression once (fixtures synthesize pages;
+    # unbound references re-evaluate the page per use — see keep below)
+    return F.get(F.transform(F.array(text), lambda t: sig_of(t)), 0)
 
 
 def gopher_quality_keep(text: Column, min_words: int = 50,
@@ -340,23 +344,32 @@ def gopher_quality_keep(text: Column, min_words: int = 50,
     fail their comparison, so empty documents are dropped — the
     published behavior. Thresholds compare 6dp-rounded fractions, so
     the flag is bit-portable cross-engine."""
-    qs = quality_stats(text)
-    g = gopher_quality_signals(text)
-    mean_len = F.round(qs["avg_token_len"], 6)
-    checks = (
-        (qs["n_tokens"] >= F.lit(min_words))
-        & (qs["n_tokens"] <= F.lit(max_words))
-        & (mean_len >= F.lit(3.0)) & (mean_len <= F.lit(10.0))
-        & (F.size(F.filter(
-            tokens_ws(text),
-            lambda t: F.array_contains(
-                F.array(*[F.lit(w) for w in STOPWORDS]), t)))
-           >= F.lit(min_stopwords))
-        & (g["alpha_word_frac"] >= F.lit(0.8))
-        & (g["bullet_line_frac"] <= F.lit(0.9))
-        & (g["ellipsis_line_frac"] <= F.lit(0.3))
-        & (g["symbol_word_ratio"] <= F.lit(0.1))
-    )
+    # ``text`` may be a COMPUTED expression (the registered fixture
+    # synthesizes a page) — bind it ONCE as a lambda variable before the
+    # many references below (quality_stats + signals + the stopword
+    # filter re-evaluate their argument per reference; the unbound form
+    # measured 54x/decade on the synthesized fixture vs linear bound).
+    def checks_of(t):
+        qs = quality_stats(t)
+        g = gopher_quality_signals(t)
+        mean_len = F.round(qs["avg_token_len"], 6)
+        return (
+            (qs["n_tokens"] >= F.lit(min_words))
+            & (qs["n_tokens"] <= F.lit(max_words))
+            & (mean_len >= F.lit(3.0)) & (mean_len <= F.lit(10.0))
+            & (F.size(F.filter(
+                tokens_ws(t),
+                lambda w: F.array_contains(
+                    F.array(*[F.lit(x) for x in STOPWORDS]), w)))
+               >= F.lit(min_stopwords))
+            & (g["alpha_word_frac"] >= F.lit(0.8))
+            & (g["bullet_line_frac"] <= F.lit(0.9))
+            & (g["ellipsis_line_frac"] <= F.lit(0.3))
+            & (g["symbol_word_ratio"] <= F.lit(0.1))
+        )
+
+    checks = F.get(
+        F.transform(F.array(text), lambda t: checks_of(t)), 0)
     return F.coalesce(checks, F.lit(False))
 
 

@@ -9235,3 +9235,64 @@ def q_gopher_quality(spark, sf):
         sig["ellipsis_line_frac"].alias("ellipsis_line_frac"),
         sig["symbol_word_ratio"].alias("symbol_word_ratio"),
         gopher_quality_keep(t2, min_words=20).alias("keep"))
+
+
+@register("q_stream_winnow_dedup", _REGISTRY["q_winnow_dedup_against"][1])
+def q_stream_winnow_dedup(spark, sf):
+    """Continuous fingerprint-store ingestion
+    (streaming.events.stream_append_winnow_fingerprint_store): the seen
+    months' documents arrive as a 2-batch stream (pre-split files,
+    maxFilesPerTrigger=1), each micro-batch winnows once through the
+    shared winnow_fingerprints projection and appends (doc_id, fp)
+    rows; the new month then batch-dedups against the STREAM-BUILT
+    store with the standard winnow_dedup_against probe. The oracle IS
+    q_winnow_dedup_against's SQL verbatim — the stream-built store must
+    answer identically to the batch-built one (the q_stream_ivf_append
+    contract, text edition). At-least-once retries are exact here by
+    construction: the probe DISTINCTs store fps before the count gate,
+    so duplicate rows cannot change a decision."""
+    import shutil
+
+    from metadata_enhanced_pretrain_datapipeline_spark.streaming import events as se
+
+    d = load(spark, sf, "documents")
+    gid = F.floor(F.col("doc_id") / 6).cast("long")
+    passage = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(23)),
+            lambda j: F.concat(F.lit("p"), gid.cast("string"),
+                               F.lit("_"), j.cast("string"))))
+    fused = d.select(
+        "doc_id",
+        F.concat(
+            F.trim("text"),
+            F.when(F.col("doc_id") % 6 == 1, F.concat(F.lit(" "), passage))
+            .when(F.col("doc_id") % 6 == 2, F.concat(F.lit(" "), passage))
+            .otherwise(F.lit(""))).alias("text"))
+    seen_docs = fused.filter(F.col("doc_id") % 3 != 2)
+    new_docs = fused.filter(F.col("doc_id") % 3 == 2)
+
+    scratch = _scratch_dir(sf, "stream_winnow")
+    src, store, ck = f"{scratch}/src", f"{scratch}/store", f"{scratch}/ck"
+    for p in (src, store, ck):
+        shutil.rmtree(p, ignore_errors=True)
+    # two input files -> two micro-batches under maxFilesPerTrigger=1
+    # (parity split: seen dids are % 3 in (0, 1), both parities present)
+    seen_docs.filter(F.col("doc_id") % 2 == 0).repartition(1) \
+        .write.parquet(f"{src}/part_a")
+    seen_docs.filter(F.col("doc_id") % 2 == 1).repartition(1) \
+        .write.parquet(f"{src}/part_b")
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    se.stream_append_winnow_fingerprint_store(
+        stream, store, ck, k=5, window=4, portable=True)
+    seen_fps = spark.read.parquet(store)
+    kept = dedup.winnow_dedup_against(
+        new_docs, seen_fps, "doc_id", "text", k=5, window=4,
+        min_shared=5, portable=True)
+    return kept.select("doc_id")

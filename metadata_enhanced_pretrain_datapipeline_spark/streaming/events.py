@@ -410,3 +410,45 @@ def stream_append_image_hash_store(stream_media: DataFrame, path: str,
         .start()
     )
     q.awaitTermination()
+
+
+def stream_append_winnow_fingerprint_store(stream_docs: DataFrame,
+                                           path: str, checkpoint: str,
+                                           k: int = 5, window: int = 4,
+                                           portable: bool = False) -> None:
+    """Continuous TEXT-fingerprint ingestion — the winnowing member of
+    the store-ingestion family (bands = stream_store_dedup's band
+    store, vectors = :func:`stream_append_ivf_quantized_store`, image
+    hashes = :func:`stream_append_image_hash_store`): documents arrive
+    as a stream, every micro-batch winnows ONCE through
+    :func:`~metadata_enhanced_pretrain_datapipeline_spark.operators.dedup.winnow_fingerprints`
+    (the shared projection, so stream-appended and batch-built stores
+    are byte-compatible) and appends (doc_id, fp) rows to the
+    fingerprint store that
+    :func:`~metadata_enhanced_pretrain_datapipeline_spark.operators.dedup.winnow_dedup_against`
+    probes. The monthly splice-dedup story becomes continuous: pages
+    fingerprint as they land and their text never re-tokenizes.
+
+    Stateless per batch (no watermark, no state store). DELIVERY: the
+    append sink is at-least-once, and for THIS store that is already
+    exact — the probe DISTINCTs the store's fp values before the
+    count-gate join, so a retry-duplicated (doc_id, fp) row cannot
+    change any count or decision; compaction is small-file hygiene
+    only (the image-hash-store argument, text edition)."""
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.dedup import winnow_fingerprints
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            winnow_fingerprints(batch_df, "doc_id", "text", k, window,
+                                portable)
+            .select("doc_id", "fp")
+            .write.mode("append").parquet(path)
+        )
+
+    q = (
+        stream_docs.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

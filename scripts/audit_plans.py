@@ -395,7 +395,8 @@ AUDITS = {
     "cannot double-count; text never shuffles.",
     "q_gopher_quality": "Gopher document rules: every signal and the "
     "composed keep flag are lambda-bound array/regexp expressions in "
-    "one codegen projection over the scan — no shuffle, no Python.",
+    "one codegen projection over the scan — no shuffle, no Python "
+    "(the UNBOUND form measured 54x/decade — SCALE.md r10).",
 }
 
 def _lifecycle_dedup_stage(spark, sf):
