@@ -207,6 +207,8 @@ R10_ADDITIONS = [
     "q_gopher_quality",
     # streaming fingerprint-store ingestion (the winnow member)
     "q_stream_winnow_dedup",
+    # letterbox-robust pHash (strip uniform bars between decode and hash)
+    "q_image_phash_letterbox",
 ]
 
 

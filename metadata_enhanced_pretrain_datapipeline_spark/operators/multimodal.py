@@ -772,14 +772,43 @@ def phash_pixels(pixels: "np.ndarray", grid: int = 32,
     return v
 
 
+def strip_uniform_border(pixels: "np.ndarray") -> "np.ndarray":
+    """Strip letterbox/pillarbox bars before perceptual hashing: crop
+    consecutive UNIFORM rows from the top/bottom and uniform columns
+    from the left/right edges (a row/column is uniform when every pixel
+    equals its first pixel — bars are one flat color; no tolerance, so
+    the rule replays exactly in the oracle). Letterboxing shifts every
+    low-frequency DCT coefficient (the bars ARE low-frequency content),
+    so an un-stripped pHash of a letterboxed re-upload lands far from
+    the original; stripping first restores the bit-identical raster
+    for bar heights that are cell-multiples and a near-zero Hamming
+    distance otherwise. A fully-uniform image (nothing would remain)
+    is returned unchanged — blank media should hash as blank, not
+    crash. Integer compares only; O(h*w) numpy, runs inside the decode
+    stage."""
+    h, w, _ = pixels.shape
+    row_u = (pixels == pixels[:, :1, :]).all(axis=(1, 2))
+    col_u = (pixels == pixels[:1, :, :]).all(axis=(0, 2))
+    top = int(np.argmin(row_u)) if not row_u.all() else h
+    bot = int(np.argmin(row_u[::-1])) if not row_u.all() else 0
+    left = int(np.argmin(col_u)) if not col_u.all() else w
+    right = int(np.argmin(col_u[::-1])) if not col_u.all() else 0
+    if top + bot >= h or left + right >= w:
+        return pixels
+    return pixels[top:h - bot, left:w - right]
+
+
 def image_phash(df: DataFrame, grid: int = 32, keep: int = 8,
                 stub: bool = True, codec_factory=None,
-                cache_key: str | None = None) -> DataFrame:
+                cache_key: str | None = None,
+                strip_border: bool = False) -> DataFrame:
     """DCT perceptual fingerprints for media frames: decode (real
     BMP/netpbm/PNG path, plugged codec, or deterministic stub) →
     :func:`phash_pixels`. Output (media_id, phash) — same 12-byte
     projection contract as :func:`image_dhash`: blobs decode once and
-    never re-serialize past this point."""
+    never re-serialize past this point. ``strip_border=True`` runs
+    :func:`strip_uniform_border` between decode and hash — the
+    letterboxed-re-upload mode."""
     schema = "media_id string, phash long"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -795,8 +824,10 @@ def image_phash(df: DataFrame, grid: int = 32, keep: int = 8,
                 if content is None:
                     out.append((mid, None))
                     continue
-                out.append((mid, phash_pixels(decode(bytes(content)),
-                                              grid, keep)))
+                px = decode(bytes(content))
+                if strip_border:
+                    px = strip_uniform_border(px)
+                out.append((mid, phash_pixels(px, grid, keep)))
             yield pd.DataFrame(out, columns=["media_id", "phash"])
 
     return df.select("media_id", "content").mapInPandas(run, schema)
@@ -806,7 +837,8 @@ def image_phash_near_dup_pairs(df: DataFrame, grid: int = 32,
                                keep: int = 8, max_hamming: int = 2,
                                max_bucket_size: int | None = None,
                                stub: bool = True, codec_factory=None,
-                               cache_key: str | None = None) -> DataFrame:
+                               cache_key: str | None = None,
+                               strip_border: bool = False) -> DataFrame:
     """Visual near-duplicate candidate PAIRS on the DCT hash:
     :func:`image_phash` → dedup.hamming_pairs_from_fingerprints, the
     exact machinery (and exact scale shape — one (chunk, value)
@@ -822,7 +854,8 @@ def image_phash_near_dup_pairs(df: DataFrame, grid: int = 32,
     )
 
     fps = image_phash(df, grid, keep, stub, codec_factory,
-                      cache_key).filter(F.col("phash").isNotNull())
+                      cache_key, strip_border).filter(
+                          F.col("phash").isNotNull())
     return hamming_pairs_from_fingerprints(
         fps, "media_id", "phash", keep * keep, max_hamming,
         max_bucket_size)

@@ -9296,3 +9296,99 @@ def q_stream_winnow_dedup(spark, sf):
         new_docs, seen_fps, "doc_id", "text", k=5, window=4,
         min_shared=5, portable=True)
     return kept.select("doc_id")
+
+
+@register(
+    "q_image_phash_letterbox",
+    # letterboxed re-uploads: doc did's ORIGINAL (_a, 64x64 BMP) as in
+    # q_image_phash_near_dup (selector % 10 == 9); every did also gets a
+    # _b with 8 BLACK BARS top and bottom (80x64 PNG) — +1 brightness
+    # for the twin (must pair at hamming 0), +40 on the left half for
+    # did % 3 == 0 (content edit under the bars; must NOT pair,
+    # measured >= 24). The operator strips consecutive uniform rows /
+    # cols (strip_uniform_border) between decode and hash, so the
+    # oracle never models the bars: post-strip rasters are EXACTLY the
+    # base grid + 3 (twin) or + 120 on j < 16 (edit) — an off-by-one in
+    # the strip would break the hash match. Same integer DCT replay as
+    # q_image_phash_near_dup.
+    "WITH d AS (SELECT doc_id AS did FROM documents WHERE doc_id % 10 = 9), "
+    "px AS (SELECT did, y.g AS y, x.g AS x, "
+    "  CAST((did*131 + y.g*17 + x.g*29 + c.g*53) % 199 AS BIGINT) AS v "
+    "  FROM d, generate_series(0,63) y(g), generate_series(0,63) x(g), "
+    "  generate_series(0,2) c(g)), "
+    "cell AS (SELECT did, y//2 AS i, x//2 AS j, SUM(v)//4 AS v "
+    "  FROM px GROUP BY did, y//2, x//2), "
+    "g AS (SELECT 'm' || did || '_a' AS media_id, i, j, v FROM cell "
+    "  UNION ALL "
+    "  SELECT 'm' || did || '_b', i, j, v + CASE WHEN did % 3 = 0 THEN "
+    "  (CASE WHEN j < 16 THEN 120 ELSE 0 END) ELSE 3 END FROM cell), "
+    "b AS (SELECT u.g AS u, y.g AS y, "
+    "  CAST(round(cos(pi()*(2*y.g+1)*u.g/64)*1000000) AS BIGINT) AS f "
+    "  FROM generate_series(0,7) u(g), generate_series(0,31) y(g)), "
+    "rt AS (SELECT g.media_id, bu.u AS u, g.j, SUM(g.v * bu.f) AS r "
+    "  FROM g JOIN b bu ON bu.y = g.i GROUP BY 1, 2, 3), "
+    "co AS (SELECT rt.media_id, rt.u, bv.u AS v, SUM(rt.r * bv.f) AS c "
+    "  FROM rt JOIN b bv ON bv.y = rt.j GROUP BY 1, 2, 3), "
+    "ac AS (SELECT media_id, SUM(CASE WHEN u = 0 AND v = 0 THEN 0 "
+    "  ELSE c END) AS sumac FROM co GROUP BY media_id), "
+    "bits AS (SELECT co.media_id, co.u, co.v, "
+    "  CASE WHEN 63 * co.c > ac.sumac THEN 1 ELSE 0 END AS bt "
+    "  FROM co JOIN ac USING (media_id)), "
+    "ph AS (SELECT media_id, CAST(SUM(CASE WHEN u*8+v = 63 "
+    "  THEN bt * (-9223372036854775807 - 1) "
+    "  ELSE bt * (1::BIGINT << CAST(u*8+v AS INT)) END) AS BIGINT) "
+    "  AS phash FROM bits GROUP BY media_id) "
+    "SELECT a.media_id AS id_a, b.media_id AS id_b, "
+    "  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming "
+    "FROM ph a JOIN ph b ON a.media_id < b.media_id "
+    "WHERE bit_count(xor(a.phash, b.phash)) <= 2",
+)
+def q_image_phash_letterbox(spark, sf):
+    """Letterbox-robust visual near-dup — the second re-upload
+    transform of VERDICT r9 #6 (rescaling being the first):
+    multimodal.strip_uniform_border crops consecutive uniform rows and
+    columns between decode and hash, so a letterboxed +1-brightness PNG
+    re-upload pairs with its original at hamming 0 while a content
+    edit hiding under the same bars stays >= 24 bits away. The bars
+    are REAL black rows in real PNG bytes; the oracle never models
+    them — it replays the post-strip raster identities (base grid + 3
+    / + 120), so any off-by-one or tolerance bug in the strip breaks
+    the hash match. Uncapped buckets keep the pair replay complete.
+
+    Scale: the strip is an O(h*w) integer compare inside the decode
+    MapInPandas stage — the downstream shape is unchanged (12-byte
+    rows, one (chunk, value) exchange)."""
+    import numpy as np
+    import pandas as pd
+
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import multimodal
+
+    d = (load(spark, sf, "documents").filter(
+        F.col("doc_id") % 10 == 9).select("doc_id").repartition(32))
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            bars = np.zeros((8, 64, 3), dtype=np.int64)
+            for did in pdf["doc_id"].to_numpy():
+                did = int(did)
+                y = np.arange(64).reshape(64, 1, 1)
+                x = np.arange(64).reshape(1, 64, 1)
+                c = np.arange(3).reshape(1, 1, 3)
+                base = (did * 131 + y * 17 + x * 29 + c * 53) % 199
+                rows.append((f"m{did}_a",
+                             multimodal.encode_bmp(base.astype(np.uint8))))
+                if did % 3 == 0:
+                    inner = base.copy()
+                    inner[:, :32, :] += 40
+                else:
+                    inner = base + 1
+                boxed = np.vstack([bars, inner, bars])
+                rows.append((f"m{did}_b",
+                             multimodal.encode_png(boxed.astype(np.uint8))))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = d.mapInPandas(build, "media_id string, content binary")
+    return multimodal.image_phash_near_dup_pairs(
+        media, max_hamming=2, max_bucket_size=None, stub=False,
+        strip_border=True)

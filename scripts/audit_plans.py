@@ -397,6 +397,9 @@ AUDITS = {
     "composed keep flag are lambda-bound array/regexp expressions in "
     "one codegen projection over the scan — no shuffle, no Python "
     "(the UNBOUND form measured 54x/decade — SCALE.md r10).",
+    "q_image_phash_letterbox": "Letterbox pHash: the strip + integer "
+    "DCT both ride the decode MapInPandas stage; downstream is the "
+    "unchanged 12-byte (chunk, value) Exchange shape.",
 }
 
 def _lifecycle_dedup_stage(spark, sf):

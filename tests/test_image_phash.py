@@ -102,3 +102,46 @@ def test_phash_pairs_find_planted_twin_only(spark):
         media, max_hamming=2, max_bucket_size=None, stub=False).collect()
     assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [
         ("m0_a", "m0_twin", 0)]
+
+
+def test_strip_uniform_border_cases():
+    base = _noise(7)
+    bars = np.zeros((8, 64, 3), dtype=np.uint8)
+    boxed = np.vstack([bars, base, bars])
+    assert multimodal.strip_uniform_border(boxed).shape == (64, 64, 3)
+    pillars = np.full((64, 6, 3), 7, dtype=np.uint8)
+    pill = np.hstack([pillars, base, pillars])
+    assert multimodal.strip_uniform_border(pill).shape == (64, 64, 3)
+    assert (multimodal.strip_uniform_border(base) == base).all()
+    blank = np.zeros((40, 40, 3), np.uint8)
+    assert multimodal.strip_uniform_border(blank).shape == (40, 40, 3)
+
+
+def test_phash_letterbox_twin_pairs_after_strip(spark):
+    """A letterboxed +1-brightness PNG re-upload pairs with its original
+    at hamming 0 only through the strip; an edit under the same bars
+    never pairs."""
+    base = _noise(7).astype(np.int64)
+    bars = np.zeros((8, 64, 3), dtype=np.int64)
+    boxed = np.vstack([bars, base + 1, bars])
+    edit = base.copy()
+    edit[:, :32, :] += 40
+    boxed_edit = np.vstack([bars, edit, bars])
+    rows = [
+        ("m0_a", multimodal.encode_bmp(base.astype(np.uint8))),
+        ("m0_box", multimodal.encode_png(boxed.astype(np.uint8))),
+        ("m0_boxedit", multimodal.encode_png(boxed_edit.astype(np.uint8))),
+    ]
+    media = spark.createDataFrame(rows, "media_id string, content binary")
+    with_strip = multimodal.image_phash_near_dup_pairs(
+        media, max_hamming=2, max_bucket_size=None, stub=False,
+        strip_border=True).collect()
+    assert [(p.id_a, p.id_b, p.hamming) for p in with_strip] == [
+        ("m0_a", "m0_box", 0)]
+    without = multimodal.image_phash_near_dup_pairs(
+        media, max_hamming=2, max_bucket_size=None, stub=False,
+        strip_border=False).collect()
+    # un-stripped: the bars dominate the low frequencies — no pair with
+    # the original survives (the boxed twin and boxed edit may pair
+    # with EACH OTHER; both contain the bars)
+    assert not any("m0_a" in (p.id_a, p.id_b) for p in without)
