@@ -209,6 +209,9 @@ R10_ADDITIONS = [
     "q_stream_winnow_dedup",
     # letterbox-robust pHash (strip uniform bars between decode and hash)
     "q_image_phash_letterbox",
+    # unicode-script routing + the LSH S-curve parameter table
+    "q_script_detect",
+    "q_lsh_calibration",
 ]
 
 

@@ -437,3 +437,65 @@ def nfc_normalize_udf():
 
     # hint-free form (module uses `from __future__ import annotations`)
     return pandas_udf(_norm, "string")
+
+
+#: (name, Java-regex class, RE2/DuckDB-regex class) — Java wants the
+#: Is-prefix for script properties, RE2 the bare name; parity is
+#: engine-tested in tests/test_script_detect.py.
+SCRIPT_CLASSES = (
+    ("latin", r"[\p{IsLatin}]", r"[\p{Latin}]"),
+    ("cyrillic", r"[\p{IsCyrillic}]", r"[\p{Cyrillic}]"),
+    ("han", r"[\p{IsHan}]", r"[\p{Han}]"),
+    ("arabic", r"[\p{IsArabic}]", r"[\p{Arabic}]"),
+    ("digit", r"[\p{Nd}]", r"[\p{Nd}]"),
+)
+
+
+def script_fractions(text: Column) -> Column:
+    """Unicode-script composition of a document — the writing-system
+    complement of the marker-word language-ID heuristic
+    (:func:`lang_id_scores` only separates languages WITHIN the Latin
+    script): per-script character fractions over non-whitespace chars
+    (latin / cyrillic / han / arabic / decimal digits), 6dp-rounded,
+    NULL for whitespace-only documents (try_divide). Mixed-script
+    documents (spam, encoding mojibake, code-switched text) and
+    script-based routing (pick the right tokenizer/model per shard)
+    both read directly off these columns. Script classes are Unicode
+    script properties — Java needs ``\\p{IsX}``, RE2 (the DuckDB
+    oracle) the bare ``\\p{X}``; :data:`SCRIPT_CLASSES` carries both
+    spellings. ``text`` is lambda-bound ONCE (the gopher lesson: six
+    sibling references would re-evaluate a computed argument per
+    reference)."""
+    def sig_of(t):
+        denom = F.size(F.regexp_extract_all(t, F.lit(r"[^\s]"), F.lit(0)))
+        return F.struct(*[
+            F.round(F.try_divide(
+                F.size(F.regexp_extract_all(t, F.lit(java_re),
+                                            F.lit(0))).cast("double"),
+                denom), 6).alias(f"{name}_frac")
+            for name, java_re, _ in SCRIPT_CLASSES
+        ])
+
+    return F.get(F.transform(F.array(text), lambda t: sig_of(t)), 0)
+
+
+def dominant_script(text: Column) -> Column:
+    """Argmax of :func:`script_fractions` with the fixed tie order
+    latin > cyrillic > han > arabic (the q_lang_id convention: a
+    deterministic cascade of >= compares, bit-portable because the
+    fractions are 6dp-rounded); 'other' when no listed script reaches
+    0.5, NULL for whitespace-only docs."""
+    def pick(t):
+        s = script_fractions(t)
+        la, cy, ha, ar = (s["latin_frac"], s["cyrillic_frac"],
+                          s["han_frac"], s["arabic_frac"])
+        return (F.when(la.isNull(), F.lit(None).cast("string"))
+                .when((la >= cy) & (la >= ha) & (la >= ar) & (la >= 0.5),
+                      F.lit("latin"))
+                .when((cy >= ha) & (cy >= ar) & (cy >= 0.5),
+                      F.lit("cyrillic"))
+                .when((ha >= ar) & (ha >= 0.5), F.lit("han"))
+                .when(ar >= 0.5, F.lit("arabic"))
+                .otherwise(F.lit("other")))
+
+    return F.get(F.transform(F.array(text), lambda t: pick(t)), 0)

@@ -2336,3 +2336,34 @@ def winnow_dedup_against(new_docs: DataFrame, seen_fps: DataFrame,
             .filter(F.col("__n") >= F.lit(min_shared))
             .select(id_col))
     return new_docs.join(hits, id_col, "left_anti")
+
+
+def lsh_collision_prob(s: float, bands: int, rows: int) -> float:
+    """MinHash-LSH candidate probability for a pair at Jaccard ``s``
+    under (``bands`` x ``rows``) banding: ``1 - (1 - s^rows)^bands``
+    (Leskovec/Rajaraman/Ullman, MMDS ch. 3 — the S-curve)."""
+    return 1.0 - (1.0 - s ** rows) ** bands
+
+
+def choose_lsh_params(threshold: float,
+                      num_hashes: int = 32) -> tuple[int, int]:
+    """Pick the (bands, rows_per_band) factorization of ``num_hashes``
+    whose S-curve midpoint ``(1/bands)^(1/rows)`` lands nearest the
+    target Jaccard ``threshold`` — the principled parameter chooser for
+    :func:`minhash_lsh_pairs` instead of folklore defaults: below the
+    midpoint candidate probability falls off steeply, above it rises
+    steeply, so matching the midpoint to the dedup threshold minimizes
+    both misses and junk candidates. Deterministic: exact divisor
+    enumeration, ties broken toward MORE bands (higher recall — a
+    missed near-dup costs more than an extra verification). Returns
+    (bands, rows_per_band)."""
+    best = None
+    for bands in range(1, num_hashes + 1):
+        if num_hashes % bands:
+            continue
+        rows = num_hashes // bands
+        mid = (1.0 / bands) ** (1.0 / rows)
+        key = (abs(mid - threshold), -bands)
+        if best is None or key < best[0]:
+            best = (key, (bands, rows))
+    return best[1]

@@ -9392,3 +9392,130 @@ def q_image_phash_letterbox(spark, sf):
     return multimodal.image_phash_near_dup_pairs(
         media, max_hamming=2, max_bucket_size=None, stub=False,
         strip_border=True)
+
+
+@register(
+    "q_script_detect",
+    # per-doc mixed-script page: closed-form runs of Cyrillic (chr 1103,
+    # did % 7 copies), Han (chr 27721, did % 4) and Arabic (chr 1588,
+    # did % 3) append to the Latin base text; digits ride whatever the
+    # base contains. The oracle restates fractions over non-whitespace
+    # chars and the fixed-tie-order dominant pick; RE2 spells script
+    # classes \p{X} where Java wants \p{IsX} (SCRIPT_CLASSES carries
+    # both spellings; parity engine-tested).
+    "WITH src AS (SELECT doc_id, text || ' ' "
+    "  || repeat(chr(1103), CAST(doc_id % 7 AS INT)) || ' ' "
+    "  || repeat(chr(27721), CAST(doc_id % 4 AS INT)) || ' ' "
+    "  || repeat(chr(1588), CAST(doc_id % 3 AS INT)) AS t "
+    "  FROM documents), "
+    "f AS (SELECT doc_id, "
+    "  len(regexp_extract_all(t, '[^\\s]')) AS denom, "
+    "  round(len(regexp_extract_all(t, '[\\p{Latin}]')) "
+    "    / len(regexp_extract_all(t, '[^\\s]')), 6) AS latin_frac, "
+    "  round(len(regexp_extract_all(t, '[\\p{Cyrillic}]')) "
+    "    / len(regexp_extract_all(t, '[^\\s]')), 6) AS cyrillic_frac, "
+    "  round(len(regexp_extract_all(t, '[\\p{Han}]')) "
+    "    / len(regexp_extract_all(t, '[^\\s]')), 6) AS han_frac, "
+    "  round(len(regexp_extract_all(t, '[\\p{Arabic}]')) "
+    "    / len(regexp_extract_all(t, '[^\\s]')), 6) AS arabic_frac, "
+    "  round(len(regexp_extract_all(t, '[\\p{Nd}]')) "
+    "    / len(regexp_extract_all(t, '[^\\s]')), 6) AS digit_frac "
+    "  FROM src) "
+    "SELECT doc_id, latin_frac, cyrillic_frac, han_frac, arabic_frac, "
+    "  digit_frac, "
+    "  CASE WHEN latin_frac IS NULL THEN NULL "
+    "  WHEN latin_frac >= cyrillic_frac AND latin_frac >= han_frac "
+    "    AND latin_frac >= arabic_frac AND latin_frac >= 0.5 "
+    "    THEN 'latin' "
+    "  WHEN cyrillic_frac >= han_frac AND cyrillic_frac >= arabic_frac "
+    "    AND cyrillic_frac >= 0.5 THEN 'cyrillic' "
+    "  WHEN han_frac >= arabic_frac AND han_frac >= 0.5 THEN 'han' "
+    "  WHEN arabic_frac >= 0.5 THEN 'arabic' "
+    "  ELSE 'other' END AS script "
+    "FROM f",
+)
+def q_script_detect(spark, sf):
+    """Unicode-script composition + routing decision
+    (functions/text.script_fractions / dominant_script) — the
+    writing-system complement of the marker-word language-ID heuristic
+    (q_lang_id separates languages only WITHIN the Latin script):
+    per-script char fractions over non-whitespace chars and the
+    fixed-tie-order dominant pick, for mixed-script spam/mojibake
+    detection and per-script tokenizer/model routing. The fixture
+    appends closed-form Cyrillic/Han/Arabic runs to the Latin base so
+    every fraction and several tie branches exercise; the oracle
+    restates the arithmetic with RE2's script-class spelling. Narrow
+    codegen projection — no shuffle, no Python."""
+    from metadata_enhanced_pretrain_datapipeline_spark.functions.text import (
+        dominant_script,
+        script_fractions,
+    )
+
+    d = load(spark, sf, "documents")
+    t2 = F.concat(
+        F.col("text"), F.lit(" "),
+        F.repeat(F.lit("я"), (F.col("doc_id") % 7).cast("int")),
+        F.lit(" "),
+        F.repeat(F.lit("汉"), (F.col("doc_id") % 4).cast("int")),
+        F.lit(" "),
+        F.repeat(F.lit("ش"), (F.col("doc_id") % 3).cast("int")))
+    s = script_fractions(t2)
+    return d.select(
+        "doc_id",
+        s["latin_frac"].alias("latin_frac"),
+        s["cyrillic_frac"].alias("cyrillic_frac"),
+        s["han_frac"].alias("han_frac"),
+        s["arabic_frac"].alias("arabic_frac"),
+        s["digit_frac"].alias("digit_frac"),
+        dominant_script(t2).alias("script"))
+
+
+@register(
+    "q_lsh_calibration",
+    # the S-curve parameter table for the repo's 32-hash MinHash family:
+    # every (bands, rows) factorization of 32, the curve midpoint
+    # (1/b)^(1/r), candidate probabilities at three operating points,
+    # and the chosen flag for threshold 0.7 (nearest midpoint, ties ->
+    # more bands). Pure arithmetic both sides (pow/round 6dp; midpoints
+    # are well-separated so the 1-ulp pow caveat cannot flip a pick).
+    "WITH p AS (SELECT b AS bands, 32 // b AS rows_per_band "
+    "  FROM (VALUES (1), (2), (4), (8), (16), (32)) v(b)), "
+    "m AS (SELECT bands, rows_per_band, "
+    "  round(pow(1.0 / bands, 1.0 / rows_per_band), 6) AS s_mid, "
+    "  round(1 - pow(1 - pow(0.5, rows_per_band), bands), 6) AS p_at_05, "
+    "  round(1 - pow(1 - pow(0.7, rows_per_band), bands), 6) AS p_at_07, "
+    "  round(1 - pow(1 - pow(0.9, rows_per_band), bands), 6) AS p_at_09 "
+    "  FROM p) "
+    "SELECT m.*, (abs(s_mid - 0.7), -bands) = (SELECT min((abs(s_mid "
+    "  - 0.7), -bands)) FROM m) AS chosen FROM m",
+)
+def q_lsh_calibration(spark, sf):
+    """MinHash-LSH parameter calibration (dedup.choose_lsh_params /
+    lsh_collision_prob — MMDS ch. 3): for the repo's 32-hash signature
+    family, every (bands, rows) factorization with its S-curve midpoint
+    (1/b)^(1/r) and candidate probabilities at Jaccard 0.5/0.7/0.9,
+    plus the chosen flag for a 0.7 dedup threshold (nearest midpoint,
+    ties toward more bands — recall over verification cost). The table
+    is what an operator consults before setting minhash_lsh_pairs'
+    num_bands; the chosen row must agree with choose_lsh_params (the
+    registry guard evaluates the Python picker against this frame's
+    flag at build time via the oracle). Constant-size output — the
+    query prices nothing, it DOCUMENTS the lever with oracle-checked
+    arithmetic."""
+    pairs = [(b, 32 // b) for b in (1, 2, 4, 8, 16, 32)]
+    df = spark.createDataFrame(pairs, "bands int, rows_per_band int")
+    mid = F.round(F.pow(1.0 / F.col("bands"),
+                        1.0 / F.col("rows_per_band")), 6)
+    def p_at(s):
+        return F.round(
+            1 - F.pow(1 - F.pow(F.lit(s), F.col("rows_per_band")),
+                      F.col("bands")), 6)
+    m = df.select(
+        "bands", "rows_per_band", mid.alias("s_mid"),
+        p_at(0.5).alias("p_at_05"), p_at(0.7).alias("p_at_07"),
+        p_at(0.9).alias("p_at_09"))
+    chosen_b, chosen_r = dedup.choose_lsh_params(0.7, 32)
+    return m.withColumn(
+        "chosen",
+        (F.col("bands") == F.lit(chosen_b))
+        & (F.col("rows_per_band") == F.lit(chosen_r)))

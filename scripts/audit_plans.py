@@ -400,6 +400,9 @@ AUDITS = {
     "q_image_phash_letterbox": "Letterbox pHash: the strip + integer "
     "DCT both ride the decode MapInPandas stage; downstream is the "
     "unchanged 12-byte (chunk, value) Exchange shape.",
+    "q_script_detect": "Script detection: five regexp counts + the "
+    "dominant cascade in one lambda-bound codegen projection over the "
+    "scan — no shuffle, no Python.",
 }
 
 def _lifecycle_dedup_stage(spark, sf):
