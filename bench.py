@@ -212,6 +212,10 @@ R10_ADDITIONS = [
     # unicode-script routing + the LSH S-curve parameter table
     "q_script_detect",
     "q_lsh_calibration",
+    # corpus accounting: per-lang tokenizer fertility + the
+    # quality-threshold retention sweep (one pass, 20 gates)
+    "q_token_fertility",
+    "q_quality_retention_curve",
 ]
 
 

@@ -9519,3 +9519,111 @@ def q_lsh_calibration(spark, sf):
         "chosen",
         (F.col("bands") == F.lit(chosen_b))
         & (F.col("rows_per_band") == F.lit(chosen_r)))
+
+
+@register(
+    "q_token_fertility",
+    # per-language corpus accounting: ws-token parity mirrors tokens_ws
+    # (trim → \s+ split → drop empties), BPE-ish tokens mirror TOKEN_REGEX,
+    # bytes via octet_length; ratios derived in an outer select so both
+    # engines divide the same aggregated values.
+    "WITH a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+    "  CAST(sum(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+    "    x -> x <> ''))) AS BIGINT) AS ws_tokens, "
+    f"  CAST(sum(len(regexp_extract_all(text, '{TOKEN_REGEX}'))) AS BIGINT) "
+    "    AS bpe_tokens, "
+    "  CAST(sum(strlen(text)) AS BIGINT) AS n_bytes "  # DuckDB bytes-of-VARCHAR (octet_length is BLOB-only there)
+    "  FROM documents GROUP BY lang) "
+    "SELECT lang, n_docs, ws_tokens, bpe_tokens, n_bytes, "
+    "  round(CAST(n_bytes AS DOUBLE) / bpe_tokens, 6) AS bytes_per_token, "
+    "  round(CAST(bpe_tokens AS DOUBLE) / ws_tokens, 6) AS fertility "
+    "FROM a",
+)
+def q_token_fertility(spark, sf):
+    """Extension — tokenizer fertility accounting per language
+    (functions/text.token_count_regex; the bytes-per-token /
+    tokens-per-word tables every pretraining-data budget starts from,
+    cf. the reference's token-count verification in
+    gutenberg/create_excerpt.py:101-104 generalized corpus-wide):
+    per-lang document counts, whitespace-token and BPE-ish-token sums,
+    byte sums, and the derived bytes_per_token / fertility ratios.
+    One map-side-combinable groupBy on a low-cardinality key; the scan
+    reads (lang, text) only — nothing else shuffles."""
+    from metadata_enhanced_pretrain_datapipeline_spark.functions.text import token_count_regex
+
+    d = load(spark, sf, "documents")
+    per = d.select(
+        "lang",
+        F.size(tokens_ws(F.col("text"))).alias("ws"),
+        token_count_regex(F.col("text")).alias("bpe"),
+        F.octet_length("text").alias("b"))
+    agg = per.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws").alias("ws_tokens"),
+        F.sum("bpe").alias("bpe_tokens"),
+        F.sum("b").alias("n_bytes"))
+    return agg.select(
+        "lang", "n_docs", "ws_tokens", "bpe_tokens", "n_bytes",
+        F.round(F.col("n_bytes").cast("double") / F.col("bpe_tokens"), 6)
+         .alias("bytes_per_token"),
+        F.round(F.col("bpe_tokens").cast("double") / F.col("ws_tokens"), 6)
+         .alias("fertility"))
+
+
+@register(
+    "q_quality_retention_curve",
+    # threshold sweep over the stopword-ratio quality score: bucket by
+    # floor(ns*20/nt) — integer-exact cross-engine (the ns/nt double
+    # round-trip could flip a boundary bucket) — then every threshold
+    # k/20 sums the buckets at or above it via a tiny k>=bkt join.
+    "WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array("
+    "    trim(text), '\\s+'), x -> x <> '') AS ws FROM documents), "
+    "s AS (SELECT doc_id, len(ws) AS nt, "
+    f"  len(list_filter(ws, x -> x IN {str(tuple(sorted(STOPWORDS)))})) AS ns "
+    "  FROM tok), "
+    "b AS (SELECT least(CAST(floor((ns * 20.0) / nt) AS INT), 19) AS bkt, "
+    "  CAST(count(*) AS BIGINT) AS nd, CAST(sum(nt) AS BIGINT) AS toks "
+    "  FROM s WHERE nt > 0 GROUP BY 1), "
+    "t AS (SELECT unnest(range(0, 20)) AS k) "
+    "SELECT round(k / 20.0, 2) AS threshold, "
+    "  CAST(coalesce(sum(nd), 0) AS BIGINT) AS docs_retained, "
+    "  CAST(coalesce(sum(toks), 0) AS BIGINT) AS tokens_retained "
+    "FROM t LEFT JOIN b ON b.bkt >= t.k GROUP BY k",
+)
+def q_quality_retention_curve(spark, sf):
+    """Extension — quality-threshold retention curve: for each candidate
+    stopword-ratio threshold t ∈ {0.00, 0.05, …, 0.95}, how many
+    documents and tokens survive a `score >= t` gate. This is the
+    calibration table an operator reads BEFORE choosing the reference's
+    toxicity/quality thresholds (threshold_determination.py's quantile
+    estimation answers "what threshold keeps X%"; this answers the
+    inverse "what does threshold t cost") — sweeping 20 gates costs one
+    corpus pass, not 20.
+
+    Scale: score buckets are integer-exact (floor(ns*20/nt) on longs —
+    no double boundary flips cross-engine); the corpus collapses to a
+    ≤20-row bucket table in one map-side-combinable aggregation, and the
+    sweep is a 20x20 range join on that tiny table. Empty documents
+    (nt=0) have no score and are excluded from every gate by
+    construction."""
+    d = load(spark, sf, "documents")
+    stop = F.array([F.lit(w) for w in _STOP])
+    # bind the token array once — unbound expression args re-evaluate
+    # per reference inside a projection (the r10 gopher 54x lesson)
+    t = d.select(tokens_ws(F.col("text")).alias("ws"))
+    s = t.select(
+        F.size("ws").alias("nt"),
+        F.size(F.filter(F.col("ws"), lambda x: F.array_contains(stop, x)))
+         .alias("ns")).where(F.col("nt") > 0)
+    b = s.select(
+        F.least(F.floor((F.col("ns").cast("long") * 20) / F.col("nt")),
+                F.lit(19)).cast("int").alias("bkt"),
+        "nt").groupBy("bkt").agg(
+        F.count("*").alias("nd"), F.sum("nt").alias("toks"))
+    ks = spark.range(0, 20).select(F.col("id").cast("int").alias("k"))
+    return (ks.join(F.broadcast(b), b.bkt >= ks.k, "left")
+              .groupBy("k")
+              .agg(F.coalesce(F.sum("nd"), F.lit(0)).alias("docs_retained"),
+                   F.coalesce(F.sum("toks"), F.lit(0)).alias("tokens_retained"))
+              .select(F.round(F.col("k") / 20.0, 2).alias("threshold"),
+                      "docs_retained", "tokens_retained"))
