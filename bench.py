@@ -216,6 +216,9 @@ R10_ADDITIONS = [
     # quality-threshold retention sweep (one pass, 20 gates)
     "q_token_fertility",
     "q_quality_retention_curve",
+    # encoding health: mojibake signature scan + gated cp1252→UTF-8 repair
+    "q_mojibake_scan",
+    "q_mojibake_repair",
 ]
 
 

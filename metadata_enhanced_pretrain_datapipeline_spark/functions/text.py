@@ -499,3 +499,71 @@ def dominant_script(text: Column) -> Column:
                 .otherwise(F.lit("other")))
 
     return F.get(F.transform(F.array(text), lambda t: pick(t)), 0)
+
+
+def _mojibake_form(c: str) -> str | None:
+    """The cp1252 mis-decoding of ``c``'s UTF-8 bytes — the signature a
+    double-encoded corpus shows for that character — or None when the
+    bytes hit one of cp1252's five unmapped positions (81/8D/8F/90/9D)
+    and no printable signature exists."""
+    try:
+        return c.encode("utf-8").decode("cp1252")
+    except UnicodeDecodeError:
+        return None
+
+
+#: mojibake signatures of the characters that dominate real web-text
+#: encoding damage (accented Latin letters, curly quotes, dashes,
+#: ellipsis, common symbols) — the ftfy sequence-table heuristic as a
+#: fixed alternation, generated (not typed) so every byte is exact.
+MOJIBAKE_SIGNATURES: tuple[str, ...] = tuple(
+    s for s in (_mojibake_form(c) for c in "éèáóúñçüöäâêîôûï’“—–…°£©«»")
+    if s is not None
+)
+
+#: engine-portable detection regex (no metacharacters in any signature;
+#: alternatives are mutually exclusive at any start position, so Java
+#: and RE2 count identically).
+MOJIBAKE_REGEX = "|".join(MOJIBAKE_SIGNATURES)
+
+
+def mojibake_count(text: Column) -> Column:
+    """Occurrences of known mojibake signatures (UTF-8 bytes mis-decoded
+    as cp1252 — 'é' shows as 'Ã©', '—' as 'â€”'). The cheap corpus
+    encoding-health signal: count > 0 flags a document for repair.
+    Pure JVM regexp — no shuffle, no Python."""
+    return F.regexp_count(text, F.lit(MOJIBAKE_REGEX))
+
+
+def fix_mojibake_str(t: str | None) -> str | None:
+    """One-pass mojibake repair: re-encode with the codec the damage came
+    through (cp1252 first — curly quotes/dashes need its 0x80-0x9F
+    graphics row — then latin-1) and re-decode as UTF-8. FAIL-CLOSED:
+    any character outside the codec, or bytes that are not valid UTF-8
+    (i.e. the text was never double-encoded), returns the input
+    unchanged — clean 'café' survives because b'caf\\xe9' is not UTF-8.
+    Pure ASCII round-trips to itself."""
+    if t is None:
+        return None
+    for enc in ("cp1252", "latin-1"):
+        try:
+            return t.encode(enc).decode("utf-8")
+        except (UnicodeEncodeError, UnicodeDecodeError):
+            continue
+    return t
+
+
+def fix_mojibake_udf():
+    """:func:`fix_mojibake_str` as an Arrow-batched pandas UDF — like NFC
+    normalization, a legitimate Python stage (Spark has no charset
+    transcoder expression). Apply under a ``mojibake_count(...) > 0``
+    gate so clean rows never leave codegen. Returns a fresh UDF per call
+    (pyspark UDFs are not shareable across SparkContexts)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _fix(s):
+        return pd.Series([fix_mojibake_str(t) for t in s])
+
+    # hint-free form (module uses `from __future__ import annotations`)
+    return pandas_udf(_fix, "string")

@@ -9627,3 +9627,77 @@ def q_quality_retention_curve(spark, sf):
                    F.coalesce(F.sum("toks"), F.lit(0)).alias("tokens_retained"))
               .select(F.round(F.col("k") / 20.0, 2).alias("threshold"),
                       "docs_retained", "tokens_retained"))
+
+
+from metadata_enhanced_pretrain_datapipeline_spark.functions.text import (  # noqa: E402
+    MOJIBAKE_REGEX,
+    fix_mojibake_udf,
+    mojibake_count,
+)
+
+#: planted encoding damage: the cp1252 mis-decoding of this clean tail's
+#: UTF-8 bytes (generated, not typed — every byte exact; no quotes, SQL-safe)
+_MOJI_CLEAN = " café — naïve «ok»"
+_MOJI_TAIL = _MOJI_CLEAN.encode("utf-8").decode("cp1252")
+
+
+@register(
+    "q_mojibake_scan",
+    # the derived corpus plants the double-encoded tail on every 7th doc;
+    # detection is the same fixed alternation in both engines (signatures
+    # are metacharacter-free and mutually exclusive per start position)
+    "WITH d AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 "
+    f"  THEN text || '{_MOJI_TAIL}' ELSE text END AS t FROM documents) "
+    f"SELECT doc_id, CAST(len(regexp_extract_all(t, '{MOJIBAKE_REGEX}')) "
+    "  AS INT) AS moji_hits, "
+    f"len(regexp_extract_all(t, '{MOJIBAKE_REGEX}')) > 0 AS flagged FROM d",
+)
+def q_mojibake_scan(spark, sf):
+    """Extension — encoding-damage detection (functions/text.
+    mojibake_count; the ftfy sequence-table heuristic as one JVM
+    regexp): count UTF-8-bytes-mis-decoded-as-cp1252 signatures ('é' →
+    'Ã©', '—' → 'â€”') and flag documents for repair. The corpus-health
+    scan every web-crawl ingest runs before text operators — damaged
+    docs corrupt shingles, dedup digests, and language-ID alike.
+    Fixture plants the damage on every 7th doc (5 signature hits);
+    detection is one codegen regexp projection over the scan — no
+    shuffle, no Python."""
+    d = load(spark, sf, "documents")
+    planted = F.when(F.col("doc_id") % 7 == 0,
+                     F.concat(F.col("text"), F.lit(_MOJI_TAIL))) \
+               .otherwise(F.col("text"))
+    # bind the derived text once (unbound args re-evaluate per reference)
+    t = d.select("doc_id", planted.alias("t"))
+    hits = t.select("doc_id", mojibake_count(F.col("t")).alias("moji_hits"))
+    return hits.select("doc_id", "moji_hits",
+                       (F.col("moji_hits") > 0).alias("flagged"))
+
+
+@register(
+    "q_mojibake_repair",
+    # the oracle IS the repair contract: a planted tail must come back as
+    # its clean form, untouched docs byte-identical — this hash-checks the
+    # real cp1252→UTF-8 transcode in the UDF against the closed form
+    f"SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || '{_MOJI_CLEAN}' "
+    "ELSE text END AS text_fixed FROM documents",
+)
+def q_mojibake_repair(spark, sf):
+    """Extension — gated mojibake repair (functions/text.fix_mojibake_udf):
+    re-encode flagged text through the codec the damage came through
+    (cp1252 first — curly quotes need its 0x80-0x9F row — then latin-1)
+    and re-decode as UTF-8. FAIL-CLOSED: clean accented text survives
+    because its cp1252 bytes are not valid UTF-8, pure ASCII round-trips
+    to itself, and any transcode error returns the input. The UDF runs
+    only under the `mojibake_count > 0` gate, so at 100 TB the Arrow
+    path prices per damaged doc, not per doc — clean rows never leave
+    codegen. Oracle states the closed-form repaired corpus."""
+    d = load(spark, sf, "documents")
+    planted = F.when(F.col("doc_id") % 7 == 0,
+                     F.concat(F.col("text"), F.lit(_MOJI_TAIL))) \
+               .otherwise(F.col("text"))
+    t = d.select("doc_id", planted.alias("t"))
+    fix = fix_mojibake_udf()
+    return t.select(
+        "doc_id",
+        F.when(mojibake_count(F.col("t")) > 0, fix(F.col("t")))
+         .otherwise(F.col("t")).alias("text_fixed"))

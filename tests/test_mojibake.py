@@ -1,0 +1,68 @@
+"""Encoding-damage detection + fail-closed repair."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from metadata_enhanced_pretrain_datapipeline_spark.functions.text import (
+    MOJIBAKE_REGEX,
+    MOJIBAKE_SIGNATURES,
+    fix_mojibake_str,
+    fix_mojibake_udf,
+    mojibake_count,
+)
+
+
+def test_signatures_generated_and_printable():
+    assert len(MOJIBAKE_SIGNATURES) >= 20
+    # every signature is >= 2 chars and starts with a cp1252 lead form
+    assert all(len(s) >= 2 for s in MOJIBAKE_SIGNATURES)
+    # U+201D's UTF-8 tail byte 0x9D is unmapped in cp1252 — must be absent
+    assert "”".encode("utf-8")[-1:] == b"\x9d"
+    assert all("\x9d" not in s for s in MOJIBAKE_SIGNATURES)
+
+
+def test_fix_mojibake_str_cases():
+    clean = "café — naïve «ok» …’“"
+    moji = clean.encode("utf-8").decode("cp1252")
+    assert fix_mojibake_str(moji) == clean
+    # fail-closed: clean accented text is NOT valid UTF-8 after re-encode
+    assert fix_mojibake_str(clean) == clean
+    assert fix_mojibake_str("plain ascii 42") == "plain ascii 42"
+    assert fix_mojibake_str("") == ""
+    assert fix_mojibake_str(None) is None
+    # chars outside both codecs fail closed too
+    assert fix_mojibake_str("汉字 ok") == "汉字 ok"
+
+
+def test_detection_count_hand_computed(spark):
+    moji = "café — naïve".encode("utf-8").decode("cp1252")
+    df = spark.createDataFrame(
+        [(1, f"x {moji} y"), (2, "clean ascii"), (3, "clean café")],
+        "id long, t string")
+    rows = {r.id: r.n for r in
+            df.select("id", mojibake_count(F.col("t")).alias("n")).collect()}
+    assert rows[1] == 3  # Ã©, â€<”>, Ã¯
+    assert rows[2] == 0
+    assert rows[3] == 0  # clean accents are not signatures
+
+
+def test_detection_engine_parity():
+    duckdb = pytest.importorskip("duckdb")
+    moji = "é — ï « » … ’".encode("utf-8").decode("cp1252")
+    n = duckdb.sql(
+        "SELECT len(regexp_extract_all(?, ?))", params=[moji, MOJIBAKE_REGEX]
+    ).fetchone()[0]
+    assert n == 7
+
+
+def test_repair_udf_gated(spark):
+    moji = "naïve".encode("utf-8").decode("cp1252")
+    df = spark.createDataFrame(
+        [(1, f"bad {moji}"), (2, "good café")], "id long, t string")
+    fix = fix_mojibake_udf()
+    out = {r.id: r.f for r in df.select(
+        "id",
+        F.when(mojibake_count(F.col("t")) > 0, fix(F.col("t")))
+         .otherwise(F.col("t")).alias("f")).collect()}
+    assert out[1] == "bad naïve"
+    assert out[2] == "good café"
