@@ -219,6 +219,8 @@ R10_ADDITIONS = [
     # encoding health: mojibake signature scan + gated cp1252→UTF-8 repair
     "q_mojibake_scan",
     "q_mojibake_repair",
+    # edit-distance near-dup: LSH candidates + thresholded-Levenshtein verify
+    "q_edit_distance_near_dup",
 ]
 
 

@@ -2367,3 +2367,45 @@ def choose_lsh_params(threshold: float,
         if best is None or key < best[0]:
             best = (key, (bands, rows))
     return best[1]
+
+
+def edit_distance_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", max_edits: int = 4,
+                        num_hashes: int = 8, bands: int = 4,
+                        shingle_n: int = 3, max_bucket_size: int = 64,
+                        portable: bool = False) -> DataFrame:
+    """Edit-distance near-duplicate pairs: MinHash-LSH candidate
+    generation, EXACT thresholded-Levenshtein verification.
+
+    The precise complement of the resemblance family: Jaccard over
+    shingles measures set overlap (robust to reordering, blind to small
+    in-place edits' count), winnowing finds localized shared runs —
+    this returns pairs whose full texts are within ``max_edits``
+    single-character operations, the metric plagiarism/boilerplate
+    review and training-data forensics actually quote. Same recall
+    contract as every LSH op here: a pair is only checked if the
+    banding surfaces it (reference near-dedup semantics,
+    fineweb-2/main.py's minhash stage; calibrate with
+    :func:`choose_lsh_params`).
+
+    Scale shape: candidates come from :func:`minhash_lsh_pairs` (one
+    (band,key) exchange, bucket-capped, never all-pairs); full text
+    then travels ONLY for candidate ids (two id-equi-joins), and the
+    verify runs JVM-side via Spark's thresholded ``levenshtein(a, b,
+    k)`` — banded DP that early-exits at k, O(k·min(m,n)) per pair
+    instead of O(m·n), returning -1 past the threshold so the filter
+    never materializes distances it won't keep.
+    """
+    cand = minhash_lsh_pairs(df, id_col=id_col, text_col=text_col,
+                             num_hashes=num_hashes, bands=bands,
+                             shingle_n=shingle_n,
+                             max_bucket_size=max_bucket_size,
+                             portable=portable)
+    t = df.select(F.col(id_col), F.col(text_col))
+    ta = t.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"))
+    tb = t.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"))
+    return (cand.join(ta, "id_a").join(tb, "id_b")
+                .select("id_a", "id_b",
+                        F.levenshtein(F.col("__ta"), F.col("__tb"),
+                                      int(max_edits)).alias("edit_distance"))
+                .where(F.col("edit_distance") >= 0))

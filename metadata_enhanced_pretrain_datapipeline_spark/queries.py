@@ -1321,7 +1321,7 @@ def _shingle_ctes(where: str, n: int = 3, src: str = "documents") -> str:
 
 
 def _minhash_bands_sql(num_hashes: int, bands: int, shingle_n: int = 3,
-                       where: str = "") -> str:
+                       where: str = "", src: str = "documents") -> str:
     """DuckDB CTE chain ending in ``bands(doc_id, band, key)`` — the twin
     of dedup.minhash_band_keys (and the shared prefix of the LSH-pairs
     oracle below). One chain serves both the 'seen' and 'new' halves of
@@ -1348,7 +1348,7 @@ def _minhash_bands_sql(num_hashes: int, bands: int, shingle_n: int = 3,
         for b in range(bands)
     )
     return (
-        f"{_shingle_ctes(where, shingle_n)}, "
+        f"{_shingle_ctes(where, shingle_n, src)}, "
         f"h AS (SELECT DISTINCT doc_id, {md5_hash64_sql('shingle')} AS h FROM sh), "
         f"mh AS (SELECT doc_id, {mh_cols} FROM h GROUP BY doc_id), "
         f"bands AS ({band_selects})"
@@ -1356,10 +1356,16 @@ def _minhash_bands_sql(num_hashes: int, bands: int, shingle_n: int = 3,
 
 
 def _minhash_pairs_sql(where: str, num_hashes: int, bands: int,
-                       max_bucket_size: int, shingle_n: int = 3) -> str:
-    """DuckDB twin of dedup.minhash_lsh_pairs(portable=True)."""
+                       max_bucket_size: int, shingle_n: int = 3,
+                       src: str = "documents", prefix_ctes: str = "") -> str:
+    """DuckDB twin of dedup.minhash_lsh_pairs(portable=True).
+
+    ``src``/``prefix_ctes`` let a caller band a DERIVED corpus: pass the
+    defining CTE(s) in ``prefix_ctes`` and their name as ``src`` (the
+    edit-distance oracle bands an augmented union this way)."""
+    pre = f"{prefix_ctes}, " if prefix_ctes else ""
     return (
-        f"WITH {_minhash_bands_sql(num_hashes, bands, shingle_n, where)}, "
+        f"WITH {pre}{_minhash_bands_sql(num_hashes, bands, shingle_n, where, src)}, "
         "kept AS (SELECT band, key FROM bands GROUP BY band, key "
         f"         HAVING count(*) BETWEEN 2 AND {max_bucket_size}), "
         "el AS (SELECT b.doc_id, b.band, b.key FROM bands b JOIN kept USING (band, key)) "
@@ -9701,3 +9707,54 @@ def q_mojibake_repair(spark, sf):
         "doc_id",
         F.when(mojibake_count(F.col("t")) > 0, fix(F.col("t")))
          .otherwise(F.col("t")).alias("text_fixed"))
+
+
+#: augmented corpus for the edit-distance fixture: every 5th doc gets a
+#: 6-edit twin (' zz zz' appended — two new trailing tokens leave most
+#: shingles, hence most bands, intact, so LSH surfaces the pair)
+_EDIT_AUG_CTE = (
+    "aug AS (SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT doc_id + 10000000 AS doc_id, text || ' zz zz' AS text "
+    "FROM documents WHERE doc_id % 5 = 0)")
+
+
+@register(
+    "q_edit_distance_near_dup",
+    "WITH " + _EDIT_AUG_CTE + ", "
+    + _minhash_bands_sql(8, 4, 3, "", src="aug") + ", "
+    "kept AS (SELECT band, key FROM bands GROUP BY band, key "
+    "  HAVING count(*) BETWEEN 2 AND 64), "
+    "el AS (SELECT b.doc_id, b.band, b.key FROM bands b "
+    "  JOIN kept USING (band, key)), "
+    "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+    "  FROM el a JOIN el b ON a.band = b.band AND a.key = b.key "
+    "  AND a.doc_id < b.doc_id), "
+    "lev AS (SELECT id_a, id_b, levenshtein(ta.text, tb.text) AS d "
+    "  FROM cand JOIN aug ta ON ta.doc_id = cand.id_a "
+    "  JOIN aug tb ON tb.doc_id = cand.id_b) "
+    "SELECT id_a, id_b, CAST(d AS INT) AS edit_distance FROM lev "
+    "WHERE d <= 8",
+)
+def q_edit_distance_near_dup(spark, sf):
+    """Extension — edit-distance near-duplicate pairs
+    (operators/dedup.edit_distance_pairs): MinHash-LSH candidates,
+    EXACT thresholded-Levenshtein verify — the precise complement of
+    Jaccard resemblance (blind to edit count) and winnowing (localized
+    runs). Fixture plants a 6-edit twin (' zz zz') on every 5th doc;
+    exact-duplicate families in the raw corpus surface as distance-0
+    pairs. The oracle replays the full chain: augmented union → md5
+    shingle minhash → banding → capped buckets → DuckDB levenshtein.
+
+    Scale: text travels only for candidate ids (two equi-joins after
+    the one (band,key) exchange); the verify is Spark's banded-DP
+    ``levenshtein(a, b, k)`` — O(k·min(m,n)) with early exit, -1 past
+    the threshold, so rejected pairs cost one band of DP, not a full
+    matrix."""
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    twins = d.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" zz zz")).alias("text"))
+    aug = d.unionAll(twins)
+    return dedup.edit_distance_pairs(
+        aug, max_edits=8, num_hashes=8, bands=4,
+        max_bucket_size=64, portable=True)

@@ -403,6 +403,11 @@ AUDITS = {
     "q_script_detect": "Script detection: five regexp counts + the "
     "dominant cascade in one lambda-bound codegen projection over the "
     "scan — no shuffle, no Python.",
+    "q_edit_distance_near_dup": "Edit-distance near-dup: LSH candidate "
+    "generation is the one (band,key) exchange (bucket-capped, never "
+    "all-pairs); full text then travels ONLY for candidate ids in two "
+    "equi-joins, and the verify is the JVM's banded-DP levenshtein "
+    "(O(k·min(m,n)), -1 past the threshold) inside codegen.",
 }
 
 def _lifecycle_dedup_stage(spark, sf):
