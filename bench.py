@@ -221,6 +221,9 @@ R10_ADDITIONS = [
     "q_mojibake_repair",
     # edit-distance near-dup: LSH candidates + thresholded-Levenshtein verify
     "q_edit_distance_near_dup",
+    # Count-Min sketch: corpus collapses map-side to 4x64 cells; estimates
+    # for the 20 true-heaviest tokens hash-checked beside exact counts
+    "q_countmin_heavy",
 ]
 
 

@@ -147,3 +147,70 @@ def equi_width_histogram(df: DataFrame, value_col: str,
         .groupBy("bin", "bin_lo")
         .agg(F.count("*").alias("n"))
     )
+
+
+def _cm_cell(key: Column, d: Column, width: int) -> Column:
+    """Count-Min cell index for ``key`` in depth-row ``d``: the portable
+    salted hash (functions/hashing.salted_hash with a per-row salt that
+    is a COLUMN, not a literal) mod width. NULL keys count under the
+    sentinel like every sampler here — dropping them would silently
+    under-count a null-heavy column."""
+    from metadata_enhanced_pretrain_datapipeline_spark.functions.hashing import md5_hash64
+
+    k = F.coalesce(key.cast("string"), F.lit("␀"))
+    return md5_hash64(F.concat(k, F.lit("_"), d.cast("string"))) % F.lit(width)
+
+
+def countmin_sketch(df: DataFrame, key_col: str, width: int = 256,
+                    depth: int = 4) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of a key column:
+    ``depth`` independent hash rows of ``width`` counters, returned as a
+    (d, bucket, cnt) DataFrame of at most depth×width rows.
+
+    The frequency complement of the existing sketch family (HLL++
+    cardinality, quantile digests): point-frequency estimates with a
+    one-sided error — estimates never undercount, and overcount by at
+    most εN with ε = e/width at the usual depth=ln(1/δ). At 100 TB this
+    is THE way to ask "how often does this token/host/url occur"
+    without materializing a full frequency table: the corpus collapses
+    map-side into depth×width integers (one map-side-combinable groupBy
+    on a bounded key space — the shuffle moves ≤ depth×width rows per
+    task, regardless of corpus size), and sketches of shards MERGE by
+    cell-wise addition, so incremental months fold in without re-scans.
+
+    Portability: cells use the md5 salted hash, so a DuckDB oracle (or a
+    different engine's pipeline) reproduces the exact table — estimates
+    included — not just the error bound.
+    """
+    if width < 1 or depth < 1:
+        raise ValueError(f"width/depth must be >= 1, got {width}x{depth}")
+    depths = F.array([F.lit(i) for i in range(depth)])
+    ex = df.select(F.col(key_col).alias("__k")) \
+           .select(F.explode(depths).alias("d"), "__k")
+    return (ex.select("d", _cm_cell(F.col("__k"), F.col("d"), width)
+                      .alias("bucket"))
+              .groupBy("d", "bucket").agg(F.count("*").alias("cnt")))
+
+
+def countmin_estimate(sketch: DataFrame, keys: DataFrame, key_col: str,
+                      width: int, depth: int) -> DataFrame:
+    """Point-frequency estimates for ``keys[key_col]`` from a
+    :func:`countmin_sketch` table built with the same (width, depth):
+    min over the key's ``depth`` cells. Keys absent from the corpus read
+    whatever their cells collected (possibly 0 via the left join) — the
+    one-sided guarantee est >= true still holds.
+
+    Scale: the sketch is at most depth×width rows — broadcast side of
+    the join; the probe costs one narrow projection over ``keys``."""
+    depths = F.array([F.lit(i) for i in range(depth)])
+    # materialize the cell key BEFORE the join — joining on an
+    # expression-defined key makes InferFiltersFromConstraints inline it
+    # into the other side as an unresolvable !Filter (r7 lesson)
+    ex = (keys.select(F.col(key_col))
+              .select(key_col, F.explode(depths).alias("d"))
+              .select(key_col, "d",
+                      _cm_cell(F.col(key_col), F.col("d"), width)
+                      .alias("bucket")))
+    probed = ex.join(F.broadcast(sketch), ["d", "bucket"], "left") \
+               .select(key_col, F.coalesce("cnt", F.lit(0)).alias("cnt"))
+    return probed.groupBy(key_col).agg(F.min("cnt").alias("est_cnt"))

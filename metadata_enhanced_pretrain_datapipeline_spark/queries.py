@@ -9758,3 +9758,56 @@ def q_edit_distance_near_dup(spark, sf):
     return dedup.edit_distance_pairs(
         aug, max_edits=8, num_hashes=8, bands=4,
         max_bucket_size=64, portable=True)
+
+
+_CM_HASH = md5_hash64_sql(
+    "COALESCE(CAST(k AS VARCHAR), '␀') || '_' || CAST(d AS VARCHAR)")
+_CM_HASH_TOP = md5_hash64_sql(
+    "COALESCE(CAST(top.k AS VARCHAR), '␀') || '_' || CAST(dd.d AS VARCHAR)")
+
+
+@register(
+    "q_countmin_heavy",
+    # exact replay: same md5 salted-hash cells, same 4x64 table, same
+    # min-over-depths estimate — the ESTIMATES are hash-checked, not just
+    # the one-sided bound
+    "WITH tok AS (SELECT unnest(list_filter(regexp_split_to_array("
+    "    trim(text), '\\s+'), x -> x <> '')) AS k FROM documents), "
+    "ex AS (SELECT k, CAST(count(*) AS BIGINT) AS exact_cnt "
+    "  FROM tok GROUP BY k), "
+    "top AS (SELECT k, exact_cnt FROM ex "
+    "  ORDER BY exact_cnt DESC, k ASC LIMIT 20), "
+    "dd AS (SELECT unnest(range(0, 4)) AS d), "
+    f"sk AS (SELECT d, {_CM_HASH} % 64 AS bucket, "
+    "  CAST(count(*) AS BIGINT) AS cnt FROM tok CROSS JOIN dd "
+    "  GROUP BY 1, 2), "
+    "est AS (SELECT top.k, min(cnt) AS est_cnt FROM top CROSS JOIN dd "
+    f"  JOIN sk ON sk.d = dd.d AND sk.bucket = {_CM_HASH_TOP} % 64 "
+    "  GROUP BY top.k) "
+    "SELECT top.k AS token, top.exact_cnt, est.est_cnt "
+    "FROM top JOIN est ON est.k = top.k",
+)
+def q_countmin_heavy(spark, sf):
+    """Extension — Count-Min sketch heavy-hitter estimation
+    (operators/aggregates.countmin_sketch/_estimate; Cormode &
+    Muthukrishnan 2005): the corpus token stream collapses map-side
+    into a 4×64 counter table (shuffle moves ≤256 rows per task
+    regardless of corpus size; shard sketches merge by cell-wise add),
+    then the 20 true-heaviest tokens are estimated back from it beside
+    their exact counts. The deliberately narrow width makes collision
+    overcounts VISIBLE — est_cnt ≥ exact_cnt always, equality only
+    when all 4 cells are collision-free — and the md5 cell hash makes
+    the exact estimates engine-portable, so the oracle checks the
+    estimates themselves, not just the bound. The exact wordcount here
+    exists to grade the sketch; production asks the sketch precisely
+    to avoid it."""
+    d = load(spark, sf, "documents")
+    tok = d.select(F.explode(tokens_ws(F.col("text"))).alias("k"))
+    exact = tok.groupBy("k").agg(F.count("*").alias("exact_cnt"))
+    top = exact.orderBy(F.col("exact_cnt").desc(), F.col("k").asc()) \
+               .limit(20)
+    sk = aggregates.countmin_sketch(tok, "k", width=64, depth=4)
+    est = aggregates.countmin_estimate(sk, top.select("k"), "k",
+                                       width=64, depth=4)
+    return top.join(est, "k").select(
+        F.col("k").alias("token"), "exact_cnt", "est_cnt")
