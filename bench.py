@@ -224,6 +224,9 @@ R10_ADDITIONS = [
     # Count-Min sketch: corpus collapses map-side to 4x64 cells; estimates
     # for the 20 true-heaviest tokens hash-checked beside exact counts
     "q_countmin_heavy",
+    # Luhn-gated card-number PII (validation-gated masking, pure codegen)
+    "q_pii_luhn",
+    "q_pii_cc_scrub",
 ]
 
 

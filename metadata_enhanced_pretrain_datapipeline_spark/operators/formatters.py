@@ -196,3 +196,52 @@ def pii_scrub_with_table(text: Column, extra_passes: list[tuple[str, str]]) -> C
     for pat, tag in extra_passes:
         out = F.regexp_replace(out, r"\b" + pat + r"(\.|$|\,|\s)", tag)
     return pii_scrub(out)
+
+
+#: candidate payment-card numbers: 13-19 digits, optional single space/dash
+#: between digits (the grouped forms cards are actually written in).
+#: Identical in Java and RE2 — \b, \d, non-capturing groups only.
+CC_CANDIDATE_REGEX = r"\b\d(?:[ -]?\d){12,18}\b"
+CC_TAG = "<cc-pii>"
+
+
+def _luhn_ok(cand: Column) -> Column:
+    """Luhn checksum over a candidate's digits (ISO/IEC 7812): from the
+    RIGHT, double every second digit, subtract 9 past 9, sum % 10 == 0.
+    Pure array expressions — the digit array is lambda-bound once, the
+    positional doubling uses transform's (element, index) form over the
+    REVERSED array so index parity == right-distance parity."""
+    digits = F.reverse(F.regexp_extract_all(cand, F.lit(r"\d"), F.lit(0)))
+
+    def body(ds: Column) -> Column:
+        vals = F.transform(
+            ds,
+            lambda d, i: F.when(
+                i % 2 == 1,
+                F.when(d.cast("int") * 2 > 9, d.cast("int") * 2 - 9)
+                 .otherwise(d.cast("int") * 2),
+            ).otherwise(d.cast("int")))
+        return F.aggregate(vals, F.lit(0), lambda a, x: a + x) % 10 == 0
+
+    return F.get(F.transform(F.array(digits), body), 0)
+
+
+def cc_candidates(text: Column) -> Column:
+    """All card-shaped digit runs in ``text`` (validation separate —
+    :func:`_luhn_ok` — because a 16-digit order id is NOT PII and
+    masking it destroys data; the validation gate is what makes a card
+    pass deployable)."""
+    return F.regexp_extract_all(text, F.lit(CC_CANDIDATE_REGEX), F.lit(0))
+
+
+def cc_pii_scrub(text: Column) -> Column:
+    """Mask Luhn-VALID card numbers only: extract candidates, keep those
+    passing the checksum, literal-replace each (all occurrences) with
+    ``CC_TAG``. Runs entirely in codegen — regexp extract + array
+    filter + a fold of literal replaces; no shuffle, no Python. Order
+    is immaterial: candidates are non-overlapping matches of the same
+    scan, and literal replace of a digit run cannot create a new
+    candidate."""
+    valid = F.filter(cc_candidates(text), _luhn_ok)
+    return F.aggregate(valid, text,
+                       lambda acc, c: F.replace(acc, c, F.lit(CC_TAG)))

@@ -9811,3 +9811,81 @@ def q_countmin_heavy(spark, sf):
                                        width=64, depth=4)
     return top.join(est, "k").select(
         F.col("k").alias("token"), "exact_cnt", "est_cnt")
+
+
+#: Luhn fixture: a VALID Visa test number and its off-by-one INVALID twin
+_CC_VALID = "4539 1488 0343 6467"
+_CC_INVALID = "4539 1488 0343 6468"
+_CC_PLANT = (f"CASE WHEN doc_id % 6 = 0 THEN text || ' card {_CC_VALID} ok' "
+             f"WHEN doc_id % 6 = 3 THEN text || ' card {_CC_INVALID} ok' "
+             "ELSE text END")
+
+
+@register(
+    "q_pii_luhn",
+    # positional checksum replay: digits list, right-distance parity via
+    # len(dl) - i, doubled-digit folding, sum % 10
+    f"WITH d AS (SELECT doc_id, {_CC_PLANT} AS t FROM documents), "
+    "cands AS (SELECT doc_id, unnest(regexp_extract_all(t, "
+    r"  '\b\d(?:[ -]?\d){12,18}\b')) AS candidate FROM d), "
+    r"dig AS (SELECT doc_id, candidate, regexp_extract_all(candidate, '\d') "
+    "  AS dl FROM cands), "
+    "pos AS (SELECT doc_id, candidate, dl, "
+    "  unnest(range(1, len(dl) + 1)) AS i FROM dig), "
+    "v AS (SELECT doc_id, candidate, CAST(dl[i] AS INT) AS dgt, "
+    "  (len(dl) - i) AS r FROM pos), "
+    "s AS (SELECT doc_id, candidate, sum(CASE WHEN r % 2 = 1 THEN "
+    "  CASE WHEN dgt * 2 > 9 THEN dgt * 2 - 9 ELSE dgt * 2 END "
+    "  ELSE dgt END) AS total FROM v GROUP BY 1, 2) "
+    "SELECT doc_id, candidate, total % 10 = 0 AS luhn_valid FROM s",
+)
+def q_pii_luhn(spark, sf):
+    """Extension — card-number candidate detection with Luhn validation
+    (operators/formatters.cc_candidates/_luhn_ok, extending the
+    reference's regex-only PII family pii_formatter.py:63-70 with the
+    checksum gate production PII passes require — a 16-digit order id
+    is NOT a card, and masking it destroys data): every card-shaped
+    digit run beside its ISO/IEC 7812 verdict. Fixture plants a valid
+    Visa test number on doc_id%6==0 and its off-by-one invalid twin on
+    %6==3; the oracle replays the digit fold positionally. Pure codegen
+    array expressions over the scan; explode emits only docs with
+    candidates."""
+    d = load(spark, sf, "documents")
+    planted = F.when(F.col("doc_id") % 6 == 0,
+                     F.concat("text", F.lit(f" card {_CC_VALID} ok"))) \
+               .when(F.col("doc_id") % 6 == 3,
+                     F.concat("text", F.lit(f" card {_CC_INVALID} ok"))) \
+               .otherwise(F.col("text"))
+    t = d.select("doc_id", planted.alias("t"))
+    ex = t.select("doc_id",
+                  F.explode(formatters.cc_candidates(F.col("t")))
+                   .alias("candidate"))
+    return ex.select("doc_id", "candidate",
+                     formatters._luhn_ok(F.col("candidate"))
+                              .alias("luhn_valid"))
+
+
+@register(
+    "q_pii_cc_scrub",
+    # the oracle IS the masking contract: valid plants come back tagged,
+    # the invalid twin byte-identical
+    "SELECT doc_id, CASE WHEN doc_id % 6 = 0 THEN text || ' card <cc-pii> ok' "
+    f"WHEN doc_id % 6 = 3 THEN text || ' card {_CC_INVALID} ok' "
+    "ELSE text END AS text_scrubbed FROM documents",
+)
+def q_pii_cc_scrub(spark, sf):
+    """Extension — Luhn-gated card masking (formatters.cc_pii_scrub):
+    candidates that pass the checksum are literal-replaced with
+    <cc-pii>; failures stay byte-identical. The closed-form oracle
+    hash-checks the whole extract→validate→fold-replace chain. One
+    codegen projection — no shuffle, no Python; composes before the
+    email→ip→iban chain like any other pass."""
+    d = load(spark, sf, "documents")
+    planted = F.when(F.col("doc_id") % 6 == 0,
+                     F.concat("text", F.lit(f" card {_CC_VALID} ok"))) \
+               .when(F.col("doc_id") % 6 == 3,
+                     F.concat("text", F.lit(f" card {_CC_INVALID} ok"))) \
+               .otherwise(F.col("text"))
+    t = d.select("doc_id", planted.alias("t"))
+    return t.select("doc_id",
+                    formatters.cc_pii_scrub(F.col("t")).alias("text_scrubbed"))

@@ -1,0 +1,53 @@
+"""Luhn-gated credit-card PII pass."""
+
+from pyspark.sql import functions as F
+
+from metadata_enhanced_pretrain_datapipeline_spark.operators.formatters import (
+    CC_TAG,
+    _luhn_ok,
+    cc_candidates,
+    cc_pii_scrub,
+)
+
+
+def _scrub_one(spark, t):
+    df = spark.createDataFrame([(t,)], "t string")
+    return df.select(cc_pii_scrub(F.col("t")).alias("s")).head().s
+
+
+def test_valid_cards_masked_invalid_kept(spark):
+    assert _scrub_one(spark, "pay 4539 1488 0343 6467 now") == f"pay {CC_TAG} now"
+    assert _scrub_one(spark, "ref 4539 1488 0343 6468 no") == "ref 4539 1488 0343 6468 no"
+    # amex (15 digits, compact) and dashed grouping both validate
+    assert _scrub_one(spark, "amex 378282246310005 x") == f"amex {CC_TAG} x"
+    assert _scrub_one(spark, "d 4539-1488-0343-6467 e") == f"d {CC_TAG} e"
+
+
+def test_short_and_long_runs_not_candidates(spark):
+    assert _scrub_one(spark, "zip 123456789012 a") == "zip 123456789012 a"  # 12 digits
+    assert _scrub_one(spark, "plain words only") == "plain words only"
+
+
+def test_multiple_and_repeated_candidates(spark):
+    t = "a 4539 1488 0343 6467 b 378282246310005 c 4539 1488 0343 6467 d"
+    assert _scrub_one(spark, t) == f"a {CC_TAG} b {CC_TAG} c {CC_TAG} d"
+
+
+def test_luhn_matches_reference_impl(spark):
+    def luhn(s):
+        ds = [int(c) for c in s if c.isdigit()]
+        tot = sum(d if r % 2 == 0 else (d * 2 - 9 if d * 2 > 9 else d * 2)
+                  for r, d in enumerate(reversed(ds)))
+        return tot % 10 == 0
+
+    cands = ["4539148803436467", "4539148803436468", "378282246310005",
+             "6011111111111117", "6011111111111118", "30569309025904"]
+    df = spark.createDataFrame([(c,) for c in cands], "c string")
+    got = {r.c: r.v for r in df.select("c", _luhn_ok(F.col("c")).alias("v")).collect()}
+    assert got == {c: luhn(c) for c in cands}
+
+
+def test_candidates_extraction(spark):
+    df = spark.createDataFrame([("x 4539 1488 0343 6467 y 12345 z",)], "t string")
+    arr = df.select(cc_candidates(F.col("t")).alias("a")).head().a
+    assert arr == ["4539 1488 0343 6467"]
