@@ -9754,7 +9754,10 @@ def q_edit_distance_near_dup(spark, sf):
     twins = d.where(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 10_000_000).alias("doc_id"),
         F.concat("text", F.lit(" zz zz")).alias("text"))
-    aug = d.unionAll(twins)
+    # the md5 signature chain rides the scan stage: testdata/replica
+    # document tables ship in O(10) files, which would serialize the
+    # expensive stage on a 32-core runner (the pHash single-file lesson)
+    aug = d.unionAll(twins).repartition(32)
     return dedup.edit_distance_pairs(
         aug, max_edits=8, num_hashes=8, bands=4,
         max_bucket_size=64, portable=True)
@@ -9801,11 +9804,18 @@ def q_countmin_heavy(spark, sf):
     estimates themselves, not just the bound. The exact wordcount here
     exists to grade the sketch; production asks the sketch precisely
     to avoid it."""
-    d = load(spark, sf, "documents")
+    # explode + 4x md5 ride the scan stage — repartition so a low
+    # source file count cannot serialize it (the pHash single-file lesson)
+    d = load(spark, sf, "documents").repartition(32)
     tok = d.select(F.explode(tokens_ws(F.col("text"))).alias("k"))
     exact = tok.groupBy("k").agg(F.count("*").alias("exact_cnt"))
-    top = exact.orderBy(F.col("exact_cnt").desc(), F.col("k").asc()) \
-               .limit(20)
+    # materialize the 20-row top frame: it feeds BOTH the estimate probe
+    # and the final join, and without the boundary Catalyst re-runs the
+    # whole wordcount per consumer (45.3s -> 4.5s at sf1.0 with the
+    # repartition above — SCALE.md r10 session 3)
+    top = materialize(
+        exact.orderBy(F.col("exact_cnt").desc(), F.col("k").asc()).limit(20),
+        eager=False)
     sk = aggregates.countmin_sketch(tok, "k", width=64, depth=4)
     est = aggregates.countmin_estimate(sk, top.select("k"), "k",
                                        width=64, depth=4)

@@ -408,6 +408,17 @@ AUDITS = {
     "all-pairs); full text then travels ONLY for candidate ids in two "
     "equi-joins, and the verify is the JVM's banded-DP levenshtein "
     "(O(k·min(m,n)), -1 past the threshold) inside codegen.",
+    "q_countmin_heavy": "Count-Min: the token stream collapses "
+    "map-side into 4x64 cells (shuffle moves ≤256 rows per task at any "
+    "corpus size); the estimate probe is a broadcast equi-join on a "
+    "PRE-MATERIALIZED bucket column (never an expression-defined join "
+    "key); the exact-count side is an ordinary wordcount + TakeOrdered "
+    "that exists only to grade the sketch.",
+    "q_quality_retention_curve": "Retention sweep: the corpus "
+    "collapses to a ≤20-row bucket table in one map-side-combinable "
+    "aggregation (integer-exact buckets); the 20-gate sweep is a "
+    "broadcast range join on that tiny table — 20 thresholds for one "
+    "corpus pass.",
 }
 
 def _lifecycle_dedup_stage(spark, sf):
