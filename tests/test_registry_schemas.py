@@ -52,6 +52,9 @@ ALLOWED_SCALAR_BNLJ = {
     "q_leakage_safe_split",  # via the shared minhash/cluster subtree
     "q_bm25_topk",           # (n_docs, avgdl) 1-row corpus-stats broadcast
     "q_hybrid_rrf",          # same bm25 stats scalar via its lexical leg
+    "q_quality_retention_curve",  # 20-threshold x <=20-bucket range join
+                                  # on the POST-AGG tables — both sides
+                                  # tiny by construction at any corpus size
     "q_hard_negative_mine",  # bounded (<=max_queries) query-vector
                              # broadcast fanning the corpus out in ONE
                              # scan — the deliberate multi-query ANN
