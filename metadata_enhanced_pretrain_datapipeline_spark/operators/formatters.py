@@ -236,12 +236,25 @@ def cc_candidates(text: Column) -> Column:
 
 def cc_pii_scrub(text: Column) -> Column:
     """Mask Luhn-VALID card numbers only: extract candidates, keep those
-    passing the checksum, literal-replace each (all occurrences) with
-    ``CC_TAG``. Runs entirely in codegen — regexp extract + array
-    filter + a fold of literal replaces; no shuffle, no Python. Order
-    is immaterial: candidates are non-overlapping matches of the same
-    scan, and literal replace of a digit run cannot create a new
+    passing the checksum, replace each occurrence with ``CC_TAG``. The
+    replacement is ``\\b``-anchored (``\\b\\Q<candidate>\\E\\b``), not a
+    literal substring replace — a bare literal replace rewrites the
+    candidate's digits wherever they appear, INCLUDING as a substring
+    of a longer (20+ digit) run that was never a ``\\b``-bounded
+    candidate, corrupting non-card identifiers (a valid 16-digit card
+    string embedded in a 23-digit serial; ADVICE r10). ``\\Q..\\E``
+    quotes the candidate verbatim (digits/spaces/hyphens only, but
+    quoting costs nothing), and both anchors sit against the
+    candidate's digit ends, so the anchored pattern matches exactly
+    the positions the extraction scan matched. Runs entirely in
+    codegen — regexp extract + array filter + a fold of anchored
+    regexp_replaces; no shuffle, no Python. Order is immaterial:
+    candidates are non-overlapping matches of the same scan, and
+    replacing a digit run with the tag cannot create a new
     candidate."""
     valid = F.filter(cc_candidates(text), _luhn_ok)
-    return F.aggregate(valid, text,
-                       lambda acc, c: F.replace(acc, c, F.lit(CC_TAG)))
+    return F.aggregate(
+        valid, text,
+        lambda acc, c: F.regexp_replace(
+            acc, F.concat(F.lit(r"\b\Q"), c, F.lit(r"\E\b")),
+            F.lit(CC_TAG)))

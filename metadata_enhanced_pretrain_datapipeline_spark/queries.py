@@ -1095,11 +1095,15 @@ def q_repetition_signals(spark, sf):
     derived = F.array_join(
         F.concat(F.array_repeat(hdr, reps), F.array(F.col("text"))), "\n"
     )
-    sig = repetition_signals(derived)
-    return d.select(
+    # two-projection compute-once (the q_script_detect r10 lesson):
+    # both output fields reference the struct, and codegen does not CSE
+    # across duplicated transform() lambda trees
+    withs = d.select("doc_id", repetition_signals(derived).alias("sig"))
+    return withs.select(
         "doc_id",
-        F.round(sig["dup_line_frac"], 6).alias("dup_line_frac"),
-        F.round(sig["dup_line_char_frac"], 6).alias("dup_line_char_frac"),
+        F.round(F.col("sig")["dup_line_frac"], 6).alias("dup_line_frac"),
+        F.round(F.col("sig")["dup_line_char_frac"],
+                6).alias("dup_line_char_frac"),
     )
 
 
@@ -8751,11 +8755,19 @@ def q_ngram_repetition(spark, sf):
     reps = (F.col("doc_id") % 4).cast("int")
     derived = F.array_join(
         F.concat(F.array_repeat(hdr, reps), F.array(F.col("text"))), " ")
-    sig = ngram_repetition_signals(derived, top_n=2, dup_n=5)
-    return d.select(
+    # two-projection compute-once (the q_script_detect r10 lesson):
+    # both output fields reference the struct, and codegen does not CSE
+    # across duplicated transform() lambda trees. repartition(32): the
+    # n-gram stage must not serialize on the O(1)-file testdata scan.
+    withs = d.repartition(32).select(
         "doc_id",
-        F.round(sig["top_ngram_char_frac"], 6).alias("top_ngram_char_frac"),
-        F.round(sig["dup_ngram_char_frac"], 6).alias("dup_ngram_char_frac"))
+        ngram_repetition_signals(derived, top_n=2, dup_n=5).alias("sig"))
+    return withs.select(
+        "doc_id",
+        F.round(F.col("sig")["top_ngram_char_frac"],
+                6).alias("top_ngram_char_frac"),
+        F.round(F.col("sig")["dup_ngram_char_frac"],
+                6).alias("dup_ngram_char_frac"))
 
 
 @register(
@@ -9233,14 +9245,26 @@ def q_gopher_quality(spark, sf):
                F.lit("\nsee more...")).otherwise(F.lit("")),
         F.when(F.col("doc_id") % 5 == 0,
                F.lit(" # #")).otherwise(F.lit("")))
-    sig = gopher_quality_signals(t2)
-    return d.select(
+    # compute-once-then-derive (the q_script_detect r10 lesson): the
+    # signals struct and the synthesized page land in a FIRST projection
+    # as attributes; the second derives the four fractions and passes
+    # the struct into the keep via signals= — the old form re-evaluated
+    # the sig tree per field reference AND once more inside the keep
+    # (codegen does not CSE across transform() lambda trees).
+    # CollapseProject keeps the boundary: sig is non-cheap, referenced
+    # five times. repartition(32): the 6x-tokenize stage must not
+    # serialize on the O(1)-file testdata scan (session-3 lesson).
+    withs = d.repartition(32).select(
+        "doc_id", t2.alias("t2"), gopher_quality_signals(t2).alias("sig"))
+    sig = F.col("sig")
+    return withs.select(
         "doc_id",
         sig["alpha_word_frac"].alias("alpha_word_frac"),
         sig["bullet_line_frac"].alias("bullet_line_frac"),
         sig["ellipsis_line_frac"].alias("ellipsis_line_frac"),
         sig["symbol_word_ratio"].alias("symbol_word_ratio"),
-        gopher_quality_keep(t2, min_words=20).alias("keep"))
+        gopher_quality_keep(F.col("t2"), min_words=20,
+                            signals=sig).alias("keep"))
 
 
 @register("q_stream_winnow_dedup", _REGISTRY["q_winnow_dedup_against"][1])
@@ -9450,14 +9474,23 @@ def q_script_detect(spark, sf):
     detection and per-script tokenizer/model routing. The fixture
     appends closed-form Cyrillic/Han/Arabic runs to the Latin base so
     every fraction and several tie branches exercise; the oracle
-    restates the arithmetic with RE2's script-class spelling. Narrow
-    codegen projection — no shuffle, no Python."""
+    restates the arithmetic with RE2's script-class spelling.
+
+    Compute-once-then-derive (the r10 weak item, measured 7.6x): the
+    fractions struct is materialized in a FIRST projection and the
+    dominant pick derives from it via dominant_script_from in a SECOND
+    — calling dominant_script(t2) beside script_fractions(t2) re-ran
+    the whole regex suite because codegen does not CSE across separate
+    transform() lambda trees. CollapseProject keeps the boundary: the
+    struct is non-cheap and referenced six times. Repartitioned off
+    the scan so a low source file count cannot serialize the regex
+    stage on a 32-core runner (the pHash single-file lesson)."""
     from metadata_enhanced_pretrain_datapipeline_spark.functions.text import (
-        dominant_script,
+        dominant_script_from,
         script_fractions,
     )
 
-    d = load(spark, sf, "documents")
+    d = load(spark, sf, "documents").repartition(32)
     t2 = F.concat(
         F.col("text"), F.lit(" "),
         F.repeat(F.lit("я"), (F.col("doc_id") % 7).cast("int")),
@@ -9465,15 +9498,16 @@ def q_script_detect(spark, sf):
         F.repeat(F.lit("汉"), (F.col("doc_id") % 4).cast("int")),
         F.lit(" "),
         F.repeat(F.lit("ش"), (F.col("doc_id") % 3).cast("int")))
-    s = script_fractions(t2)
-    return d.select(
+    withs = d.select("doc_id", script_fractions(t2).alias("sf"))
+    s = F.col("sf")
+    return withs.select(
         "doc_id",
         s["latin_frac"].alias("latin_frac"),
         s["cyrillic_frac"].alias("cyrillic_frac"),
         s["han_frac"].alias("han_frac"),
         s["arabic_frac"].alias("arabic_frac"),
         s["digit_frac"].alias("digit_frac"),
-        dominant_script(t2).alias("script"))
+        dominant_script_from(s).alias("script"))
 
 
 @register(
@@ -9540,9 +9574,14 @@ def q_lsh_calibration(spark, sf):
     "    AS bpe_tokens, "
     "  CAST(sum(strlen(text)) AS BIGINT) AS n_bytes "  # DuckDB bytes-of-VARCHAR (octet_length is BLOB-only there)
     "  FROM documents GROUP BY lang) "
+    # nullif guards: a language whose texts produce ZERO tokens must be
+    # NULL in BOTH engines — unguarded, Spark's non-ANSI Divide yields
+    # NULL but DuckDB's ieee double division yields Infinity (ADVICE r10)
     "SELECT lang, n_docs, ws_tokens, bpe_tokens, n_bytes, "
-    "  round(CAST(n_bytes AS DOUBLE) / bpe_tokens, 6) AS bytes_per_token, "
-    "  round(CAST(bpe_tokens AS DOUBLE) / ws_tokens, 6) AS fertility "
+    "  round(CAST(n_bytes AS DOUBLE) / nullif(bpe_tokens, 0), 6) "
+    "    AS bytes_per_token, "
+    "  round(CAST(bpe_tokens AS DOUBLE) / nullif(ws_tokens, 0), 6) "
+    "    AS fertility "
     "FROM a",
 )
 def q_token_fertility(spark, sf):
@@ -9568,11 +9607,16 @@ def q_token_fertility(spark, sf):
         F.sum("ws").alias("ws_tokens"),
         F.sum("bpe").alias("bpe_tokens"),
         F.sum("b").alias("n_bytes"))
+    # try_divide + nullif in the oracle guard the zero-token language
+    # identically in both engines (unguarded: Spark NULL vs DuckDB
+    # Infinity — a latent oracle-parity mismatch, ADVICE r10)
     return agg.select(
         "lang", "n_docs", "ws_tokens", "bpe_tokens", "n_bytes",
-        F.round(F.col("n_bytes").cast("double") / F.col("bpe_tokens"), 6)
+        F.round(F.try_divide(F.col("n_bytes").cast("double"),
+                             F.col("bpe_tokens")), 6)
          .alias("bytes_per_token"),
-        F.round(F.col("bpe_tokens").cast("double") / F.col("ws_tokens"), 6)
+        F.round(F.try_divide(F.col("bpe_tokens").cast("double"),
+                             F.col("ws_tokens")), 6)
          .alias("fertility"))
 
 
@@ -9679,26 +9723,44 @@ def q_mojibake_scan(spark, sf):
                        (F.col("moji_hits") > 0).alias("flagged"))
 
 
+#: mixed-document prefix for the repair fixture: clean non-ASCII (an
+#: accented Latin char + CJK) that makes the WHOLE-STRING transcode
+#: impossible, forcing the per-segment path (ADVICE r10)
+_MOJI_MIXED = " résumé 漢字"
+
+
 @register(
     "q_mojibake_repair",
     # the oracle IS the repair contract: a planted tail must come back as
     # its clean form, untouched docs byte-identical — this hash-checks the
-    # real cp1252→UTF-8 transcode in the UDF against the closed form
-    f"SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || '{_MOJI_CLEAN}' "
+    # real cp1252→UTF-8 transcode in the UDF against the closed form.
+    # Every 14th doc is MIXED (clean é/CJK beside the damage): the
+    # whole-string transcode fails there and the per-segment sequence
+    # table must repair the spans while the clean chars survive.
+    f"SELECT doc_id, CASE WHEN doc_id % 14 = 0 "
+    f"  THEN text || '{_MOJI_MIXED}' || '{_MOJI_CLEAN}' "
+    f"WHEN doc_id % 7 = 0 THEN text || '{_MOJI_CLEAN}' "
     "ELSE text END AS text_fixed FROM documents",
 )
 def q_mojibake_repair(spark, sf):
     """Extension — gated mojibake repair (functions/text.fix_mojibake_udf):
     re-encode flagged text through the codec the damage came through
     (cp1252 first — curly quotes need its 0x80-0x9F row — then latin-1)
-    and re-decode as UTF-8. FAIL-CLOSED: clean accented text survives
-    because its cp1252 bytes are not valid UTF-8, pure ASCII round-trips
-    to itself, and any transcode error returns the input. The UDF runs
-    only under the `mojibake_count > 0` gate, so at 100 TB the Arrow
-    path prices per damaged doc, not per doc — clean rows never leave
-    codegen. Oracle states the closed-form repaired corpus."""
+    and re-decode as UTF-8; documents MIXING damage with clean
+    non-ASCII (the common case on real crawls — ADVICE r10) fail the
+    whole-string transcode and repair PER SEGMENT via the generated
+    sequence table, clean chars untouched. FAIL-CLOSED for the rest:
+    clean accented text survives because its cp1252 bytes are not valid
+    UTF-8 and no signature matches; pure ASCII round-trips to itself.
+    The UDF runs only under the `mojibake_count > 0` gate, so at 100 TB
+    the Arrow path prices per damaged doc, not per doc — clean rows
+    never leave codegen. Oracle states the closed-form repaired corpus
+    for BOTH paths (every 14th doc is mixed)."""
     d = load(spark, sf, "documents")
-    planted = F.when(F.col("doc_id") % 7 == 0,
+    planted = F.when(F.col("doc_id") % 14 == 0,
+                     F.concat(F.col("text"), F.lit(_MOJI_MIXED),
+                              F.lit(_MOJI_TAIL))) \
+               .when(F.col("doc_id") % 7 == 0,
                      F.concat(F.col("text"), F.lit(_MOJI_TAIL))) \
                .otherwise(F.col("text"))
     t = d.select("doc_id", planted.alias("t"))
@@ -9711,10 +9773,14 @@ def q_mojibake_repair(spark, sf):
 
 #: augmented corpus for the edit-distance fixture: every 5th doc gets a
 #: 6-edit twin (' zz zz' appended — two new trailing tokens leave most
-#: shingles, hence most bands, intact, so LSH surfaces the pair)
+#: shingles, hence most bands, intact, so LSH surfaces the pair).
+#: Offset 10^10, matching scripts/editdist_probe.py: SCALE.md already
+#: prices 7.5M-doc corpora, where a 10^7 offset would collide twin ids
+#: with real doc_ids and fabricate pairs in the text equi-joins
+#: (ADVICE r10) — fixture and probe now share the collision-safe scheme
 _EDIT_AUG_CTE = (
     "aug AS (SELECT doc_id, text FROM documents UNION ALL "
-    "SELECT doc_id + 10000000 AS doc_id, text || ' zz zz' AS text "
+    "SELECT doc_id + 10000000000 AS doc_id, text || ' zz zz' AS text "
     "FROM documents WHERE doc_id % 5 = 0)")
 
 
@@ -9752,7 +9818,7 @@ def q_edit_distance_near_dup(spark, sf):
     matrix."""
     d = load(spark, sf, "documents").select("doc_id", "text")
     twins = d.where(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        (F.col("doc_id") + 10_000_000_000).alias("doc_id"),
         F.concat("text", F.lit(" zz zz")).alias("text"))
     # the md5 signature chain rides the scan stage: testdata/replica
     # document tables ship in O(10) files, which would serialize the
@@ -9899,3 +9965,215 @@ def q_pii_cc_scrub(spark, sf):
     t = d.select("doc_id", planted.alias("t"))
     return t.select("doc_id",
                     formatters.cc_pii_scrub(F.col("t")).alias("text_scrubbed"))
+
+
+# ===========================================================================
+# round-11: the composed crawl front door (VERDICT r10 #2) — raw WARC
+# response records -> HTTP body -> HTML extraction -> mojibake repair ->
+# Gopher keep -> PII (email/ip/iban + Luhn card) -> exact dedup ->
+# MinHash near-dedup, replayed in ONE oracle. Composition is where this
+# repo's last three real bugs lived (trigger explosion r10, AQE-in-cache
+# r9, countmin boundary r10) — the chain the reference framework's
+# pipelines actually start from (datatrove WarcReader -> trafilatura ->
+# quality filters; the reference consumes that output at
+# pipelines/fineweb/main.py:97-99).
+# ===========================================================================
+
+#: the per-doc crawl-page BODY (inside the <p> block), identical order on
+#: both sides: base text, mojibake plant (%7 — oracle states the CLEAN
+#: form, the repair contract itself is hash-checked by q_mojibake_repair),
+#: an email plant (%6=0), a Luhn-valid card plant (%6=3), an ellipsis
+#: junk tail (%9 — its line then FAILS the Gopher ellipsis rule unless a
+#: near-twin's ' zz zz' suffix rescues it), and the near-twin suffix.
+_CRAWL_BODY_SQL = (
+    "d.text"
+    f" || CASE WHEN d.doc_id % 7 = 0 THEN '{_MOJI_CLEAN}' ELSE '' END"
+    " || CASE WHEN d.doc_id % 6 = 0 THEN ' mail user' || "
+    "CAST(d.doc_id AS VARCHAR) || '@example.com ok' ELSE '' END"
+    f" || CASE WHEN d.doc_id % 6 = 3 THEN ' card {_CC_VALID} ok' ELSE '' END"
+    " || CASE WHEN d.doc_id % 9 = 0 THEN ' more ...' ELSE '' END"
+    " || CASE WHEN b.is_twin = 2 THEN ' zz zz' ELSE '' END"
+)
+
+_CRAWL_ORACLE = (
+    # corpus = originals + byte-identical exact twins (%11, rid+2e10) +
+    # 2-token near twins (%13, rid+1e10 — collision-safe offsets, the
+    # edit-distance lesson)
+    "WITH base AS ("
+    "SELECT doc_id AS rid, doc_id AS did, 0 AS is_twin FROM documents "
+    "UNION ALL SELECT doc_id + 20000000000, doc_id, 1 FROM documents "
+    "  WHERE doc_id % 11 = 0 "
+    "UNION ALL SELECT doc_id + 10000000000, doc_id, 2 FROM documents "
+    "  WHERE doc_id % 13 = 0), "
+    # the extraction contract (q_html_extract): h1 + <p> + footer blocks
+    # joined by newlines, head junk gone, &amp; decoded
+    "pg AS (SELECT b.rid, "
+    "array_to_string(list_slice(string_split(d.text, ' '), 1, 3), ' ') "
+    f"|| chr(10) || {_CRAWL_BODY_SQL} || chr(10) || 'footer & nav' AS t "
+    "FROM base b JOIN documents d ON d.doc_id = b.did), "
+    # the Gopher keep replay (q_gopher_quality's contract verbatim)
+    "w AS (SELECT rid, t, "
+    "list_filter(regexp_split_to_array(trim(t), '\\s+'), x -> x <> '') "
+    "  AS ws, "
+    "list_filter(list_transform(string_split(t, chr(10)), l -> trim(l)), "
+    "  l -> l <> '') AS ls FROM pg), "
+    "g AS (SELECT rid, t, ws, "
+    "round(len(list_filter(ws, x -> regexp_matches(x, '\\p{L}'))) "
+    "  / len(ws), 6) AS af, "
+    "round(len(list_filter(ls, l -> regexp_matches(l, '^(- |\\* |•)'))) "
+    "  / len(ls), 6) AS bf, "
+    "round(len(list_filter(ls, l -> regexp_matches(l, '(\\.\\.\\.|…)$'))) "
+    "  / len(ls), 6) AS ef, "
+    "round((len(regexp_extract_all(t, '#')) "
+    "  + len(regexp_extract_all(t, '\\.\\.\\.|…'))) / len(ws), 6) AS sr "
+    "FROM w), "
+    "kp AS (SELECT rid, t FROM g WHERE COALESCE("
+    "len(ws) >= 20 AND len(ws) <= 100000 "
+    "AND round(list_sum(list_transform(ws, x -> len(x))) / len(ws), 6) "
+    "  BETWEEN 3.0 AND 10.0 "
+    f"AND len(list_filter(ws, x -> x IN {str(tuple(sorted(STOPWORDS)))})) "
+    "  >= 2 "
+    "AND af >= 0.8 AND bf <= 0.9 AND ef <= 0.3 AND sr <= 0.1, false)), "
+    # PII: the email->ip->iban regexp passes replayed live (incidental
+    # matches included), the card closed-form (\b-anchored — the corpus
+    # has no incidental Luhn-valid candidates, proven by q_pii_cc_scrub)
+    f"scr AS (SELECT rid, regexp_replace({_pii_scrub_sql('t')}, "
+    f"'\\b{_CC_VALID}\\b', '<cc-pii>', 'g') AS txt FROM kp), "
+    # exact dedup: min-rid row per normalized (lower/collapse-ws/trim) key
+    "dn AS (SELECT rid, txt, row_number() OVER (PARTITION BY "
+    "lower(trim(regexp_replace(txt, '\\s+', ' ', 'g'))) ORDER BY rid) "
+    "  AS rn FROM scr), "
+    "dd AS (SELECT rid AS doc_id, txt AS text FROM dn WHERE rn = 1), "
+    # MinHash-LSH near-dedup over the cleaned corpus (8 hashes, 4 bands)
+    + _minhash_bands_sql(8, 4, 3, "", src="dd") + ", "
+    "bk AS (SELECT band, key FROM bands GROUP BY band, key "
+    "  HAVING count(*) BETWEEN 2 AND 64), "
+    "el2 AS (SELECT b2.doc_id, b2.band, b2.key FROM bands b2 "
+    "  JOIN bk USING (band, key)), "
+    "drops AS (SELECT DISTINCT y.doc_id FROM el2 x JOIN el2 y "
+    "  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id) "
+    "SELECT doc_id, text FROM dd "
+    "WHERE doc_id NOT IN (SELECT doc_id FROM drops)"
+)
+
+
+@register("q_crawl_to_corpus", _CRAWL_ORACLE)
+def q_crawl_to_corpus(spark, sf):
+    """The crawl FRONT DOOR end to end (VERDICT r10 #2): real WARC
+    response records (HTTP bytes in real .warc/.warc.gz files) ->
+    read_warc -> http_body_str -> HTML extraction (head junk dropped,
+    blocks to lines, entities decoded) -> gated mojibake repair ->
+    Gopher document keep -> PII scrub (email/ip/iban passes + the
+    Luhn-gated card pass) -> exact-text dedup (min-id per normalized
+    key) -> MinHash-LSH near-dedup. One oracle replays the whole
+    chain closed-form; any drift in header slicing, extraction,
+    repair, a quality threshold, a PII pass, or the band keys breaks
+    the hash. This is the entry path the reference framework's
+    pipelines consume pre-extracted (datatrove WarcReader ->
+    trafilatura; pipelines/fineweb/main.py:97-99) — here it is ONE
+    composed Spark plan.
+
+    Scale: parallelism unit is the WARC file (a crawl ships 10^5+
+    segments); the fixture repartitions the 8-file read to 32 (the
+    session-3 low-file-count rule) — the extract/repair/quality/PII
+    chain is a straight-line per-row stage, no shuffle until the
+    exact-dedup key exchange. materialize() truncates lineage before
+    the corpus is consumed twice (band generation + the anti-join
+    return — the r7 LeftAnti-through-Union lesson); near-dedup moves
+    (band, key) longs, never text."""
+    import os
+    import shutil
+
+    from metadata_enhanced_pretrain_datapipeline_spark.functions.text import (
+        fix_mojibake_udf,
+        gopher_quality_keep,
+        mojibake_count,
+    )
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.html_extract import (
+        extract_text_col,
+    )
+    from metadata_enhanced_pretrain_datapipeline_spark.sources import readers, writers
+
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    hdr = F.array_join(F.slice(F.split("text", " "), 1, 3), " ")
+    body = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(_MOJI_TAIL))
+         .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 6 == 0,
+               F.concat(F.lit(" mail user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com ok"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 6 == 3,
+               F.lit(f" card {_CC_VALID} ok")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 9 == 0,
+               F.lit(" more ...")).otherwise(F.lit("")),
+    )
+
+    def page_of(b):
+        return F.concat(
+            F.lit("<html><head><title>junk title</title>"
+                  "<script>var x = 1;</script></head><body><h1>"),
+            hdr, F.lit("</h1><p>"), b,
+            F.lit("</p><div>footer &amp; nav</div></body></html>"))
+
+    rows = (
+        d.select(F.col("doc_id").alias("rid"), page_of(body).alias("page"))
+        .unionByName(d.filter(F.col("doc_id") % 11 == 0).select(
+            (F.col("doc_id") + 20_000_000_000).alias("rid"),
+            page_of(body).alias("page")))
+        .unionByName(d.filter(F.col("doc_id") % 13 == 0).select(
+            (F.col("doc_id") + 10_000_000_000).alias("rid"),
+            page_of(F.concat(body, F.lit(" zz zz"))).alias("page")))
+        .repartition(8, F.col("rid") % 8))
+
+    scratch = _scratch_dir(sf, "crawl")
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch, exist_ok=True)
+
+    def build(batches):
+        import gzip
+        import uuid
+
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"n": pd.Series([], dtype="int64")})
+                continue
+            parts = [writers.warcinfo_record()]
+            for rid, page in zip(pdf["rid"], pdf["page"]):
+                parts.append(writers.warc_response_record(
+                    f"https://example.com/{rid}",
+                    "2026-01-01T00:00:00Z", page))
+            gz = int(pdf["rid"].min()) % 2 == 0
+            blob = (b"".join(gzip.compress(p) for p in parts) if gz
+                    else b"".join(parts))
+            name = os.path.join(
+                scratch, f"{uuid.uuid4().hex}.warc" + (".gz" if gz else ""))
+            with open(name, "wb") as f:
+                f.write(blob)
+            yield pd.DataFrame({"n": pd.Series([len(pdf)], dtype="int64")})
+
+    rows.mapInPandas(build, "n long").agg(F.sum("n")).head()  # force build
+
+    raw = readers.read_warc(spark, scratch).repartition(32)
+    parsed = raw.select(
+        F.regexp_extract("url", r"/(\d+)$", 1).cast("long").alias("doc_id"),
+        readers.http_body_str(F.col("content")).alias("html"))
+    extracted = parsed.select(
+        "doc_id", extract_text_col(F.col("html")).alias("t0"))
+    fixu = fix_mojibake_udf()
+    repaired = extracted.select(
+        "doc_id",
+        F.when(mojibake_count(F.col("t0")) > 0, fixu(F.col("t0")))
+         .otherwise(F.col("t0")).alias("t1"))
+    kept = repaired.filter(gopher_quality_keep(F.col("t1"), min_words=20))
+    scrub = kept.select(
+        "doc_id",
+        formatters.cc_pii_scrub(formatters.pii_scrub(F.col("t1")))
+                  .alias("text"))
+    corpus = materialize(dedup.dedup_exact_text(scrub), eager=False)
+    return dedup.minhash_dedup(
+        corpus, num_hashes=8, bands=4, shingle_n=3,
+        max_bucket_size=64, portable=True).select("doc_id", "text")

@@ -276,3 +276,21 @@ def read_warc(spark: SparkSession, path: str,
     return files.select("content").mapInPandas(
         parse, "url string, warc_date string, record_type string, "
                "content_length long, content binary")
+
+
+def http_body_str(content) -> "Column":
+    """UTF-8 HTTP response body of a read_warc ``response`` payload:
+    decode the bytes and return everything after the first CRLFCRLF
+    header terminator (the HTTP header block is metadata, not corpus
+    text). Pure JVM string expressions — the decode+slice rides the
+    parse stage, no Python, no shuffle. The decoded text is
+    lambda-bound once (three sibling references otherwise re-decode
+    per reference). Assumes a well-formed response (writers.
+    warc_response_record always emits one); content without the
+    terminator yields a 3-char-offset garble rather than silently
+    passing headers as text."""
+    from pyspark.sql import functions as F
+
+    s = F.decode(content, "UTF-8")
+    return F.get(F.transform(F.array(s), lambda t: F.substring(
+        t, F.locate("\r\n\r\n", t) + 4, F.length(t))), 0)

@@ -95,6 +95,33 @@ def wet_record(url: str, date: str, text: str) -> bytes:
     return hdr + body + b"\r\n\r\n"
 
 
+def warc_response_record(url: str, date: str, html: str,
+                         status: str = "200 OK") -> bytes:
+    """One WARC ``response`` record wrapping a full HTTP response (the
+    raw-crawl payload unit — what read_warc's default record_type
+    selects), byte-exact: WARC headers, CRLFCRLF, then the HTTP
+    status line + headers + CRLFCRLF + UTF-8 body. Pairs with
+    readers.read_warc + readers.http_body_str; gzip each record
+    separately for the standard multi-member layout."""
+    body = html.encode("utf-8")
+    http = (
+        f"HTTP/1.1 {status}\r\n"
+        "Content-Type: text/html; charset=UTF-8\r\n"
+        f"Content-Length: {len(body)}\r\n"
+        "\r\n"
+    ).encode("ascii") + body
+    hdr = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {date}\r\n"
+        "Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(http)}\r\n"
+        "\r\n"
+    ).encode("utf-8")
+    return hdr + http + b"\r\n\r\n"
+
+
 def warcinfo_record(info: str = "software: metadata-enhanced-pretrain-datapipeline-spark") -> bytes:
     """The ``warcinfo`` preamble record real WET files start with —
     readers must SKIP it when selecting conversion records."""

@@ -400,9 +400,13 @@ AUDITS = {
     "q_image_phash_letterbox": "Letterbox pHash: the strip + integer "
     "DCT both ride the decode MapInPandas stage; downstream is the "
     "unchanged 12-byte (chunk, value) Exchange shape.",
-    "q_script_detect": "Script detection: five regexp counts + the "
-    "dominant cascade in one lambda-bound codegen projection over the "
-    "scan — no shuffle, no Python.",
+    "q_script_detect": "Script detection: the fractions struct is one "
+    "lambda-bound projection computed ONCE; the dominant cascade "
+    "derives from it in a second Project (compute-once-then-derive — "
+    "the r10 7.6x double-eval fix; CollapseProject keeps the boundary "
+    "because the struct is non-cheap and referenced six times). One "
+    "round-robin exchange spreads the regex stage off the "
+    "low-file-count scan; no Python.",
     "q_edit_distance_near_dup": "Edit-distance near-dup: LSH candidate "
     "generation is the one (band,key) exchange (bucket-capped, never "
     "all-pairs); full text then travels ONLY for candidate ids in two "

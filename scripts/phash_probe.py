@@ -16,6 +16,16 @@ back-to-back in fresh JVMs:
 
     python scripts/phash_probe.py .scale/sf1.0
     python scripts/phash_probe.py .scale/sf10
+
+Letterbox mode (``letterbox`` as the second arg) prices
+q_image_phash_letterbox's operator path the same way: the even-id twin
+is additionally wrapped in real 8-row black bars (a letterboxed
+re-upload), and the near-dup runs with ``strip_border=True`` — the
+strip is an O(h*w) integer compare inside the same decode stage, so its
+decade row should track the plain pHash row:
+
+    python scripts/phash_probe.py .scale/sf1.0 letterbox
+    python scripts/phash_probe.py .scale/sf10 letterbox
 """
 
 from __future__ import annotations
@@ -35,6 +45,7 @@ from metadata_enhanced_pretrain_datapipeline_spark.session import get_spark
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else ".scale/sf1.0"
+    letterbox = len(sys.argv) > 2 and sys.argv[2] == "letterbox"
     spark = get_spark("phash-probe")
     spark.sparkContext.setLogLevel("ERROR")
     d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -48,6 +59,7 @@ def main() -> None:
 
         for pdf in batches:
             rows = []
+            bars = np.zeros((8, 64, 3), dtype=np.uint8)
             for did in pdf["doc_id"].to_numpy():
                 rng = np.random.default_rng(int(did))
                 base = rng.integers(0, 255, (64, 64, 3))
@@ -56,20 +68,25 @@ def main() -> None:
                 if did % 2 == 0:
                     tw = np.repeat(np.repeat(base + 0, 2, axis=0), 2,
                                    axis=1)
-                    tw = np.clip(tw + 1, 0, 255)
-                    rows.append((f"m{did}_b",
-                                 multimodal.encode_png(tw.astype(np.uint8))))
+                    tw = np.clip(tw + 1, 0, 255).astype(np.uint8)
+                    if letterbox:
+                        tw = np.vstack(
+                            [np.repeat(bars, 2, axis=1), tw,
+                             np.repeat(bars, 2, axis=1)])
+                    rows.append((f"m{did}_b", multimodal.encode_png(tw)))
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
     def run():
         media = d.mapInPandas(build, "media_id string, content binary")
         multimodal.image_phash_near_dup_pairs(
             media, max_hamming=2, max_bucket_size=256, stub=False,
+            strip_border=letterbox,
         ).write.format("noop").mode("overwrite").save()
 
     t0 = time.time()
     laps = timed_laps(run)
     print(json.dumps({"sf_dir": sf_dir, "n_docs": n_docs,
+                      "mode": "letterbox" if letterbox else "plain",
                       "laps": laps, "best": min(laps),
                       "wall": round(time.time() - t0, 1)}), flush=True)
 

@@ -34,6 +34,27 @@ def test_fix_mojibake_str_cases():
     assert fix_mojibake_str("汉字 ok") == "汉字 ok"
 
 
+def test_fix_mojibake_mixed_documents_repair_per_segment():
+    """ADVICE r10: a document mixing mojibake with even one clean
+    non-ASCII char fails the whole-string transcode; the per-segment
+    sequence-table fallback must repair the flagged spans and leave the
+    clean chars untouched — mixed docs are the COMMON case on crawls."""
+    moji = "café — ok".encode("utf-8").decode("cp1252")  # 'cafÃ© â€” ok'
+    # clean é beside the damage
+    assert fix_mojibake_str(f"résumé and {moji}") == "résumé and café — ok"
+    # clean CJK beside the damage
+    assert fix_mojibake_str(f"漢字 {moji}") == "漢字 café — ok"
+    # clean emoji beside the damage (outside cp1252 AND latin-1)
+    assert fix_mojibake_str(f"ok 🙂 {moji}") == "ok 🙂 café — ok"
+    # repaired text re-scans to zero signatures: detector and repair
+    # can no longer disagree
+    from metadata_enhanced_pretrain_datapipeline_spark.functions.text import (
+        MOJIBAKE_SIGNATURES,
+    )
+    fixed = fix_mojibake_str(f"漢字 {moji}")
+    assert not any(s in fixed for s in MOJIBAKE_SIGNATURES)
+
+
 def test_detection_count_hand_computed(spark):
     moji = "café — naïve".encode("utf-8").decode("cp1252")
     df = spark.createDataFrame(

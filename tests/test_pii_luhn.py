@@ -51,3 +51,16 @@ def test_candidates_extraction(spark):
     df = spark.createDataFrame([("x 4539 1488 0343 6467 y 12345 z",)], "t string")
     arr = df.select(cc_candidates(F.col("t")).alias("a")).head().a
     assert arr == ["4539 1488 0343 6467"]
+
+
+def test_embedded_occurrence_in_longer_run_untouched(spark):
+    """ADVICE r10: a valid card string that ALSO appears as a substring
+    of a longer digit run (a 23-digit serial) must be masked only where
+    it was a \\b-bounded candidate — a literal replace corrupted the
+    serial too."""
+    t = "card 4539148803436467 serial 45391488034364671234567 end"
+    got = _scrub_one(spark, t)
+    assert got == f"card {CC_TAG} serial 45391488034364671234567 end"
+    # and when ONLY the embedded form exists, nothing is a candidate
+    t2 = "serial 45391488034364671234567 only"
+    assert _scrub_one(spark, t2) == t2

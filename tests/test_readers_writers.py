@@ -130,3 +130,24 @@ def test_read_warc_binary_content(spark, tmp_path):
     (tmp_path / "r.warc").write_bytes(hdr + body + b"\r\n\r\n")
     out = readers.read_warc(spark, str(tmp_path)).collect()
     assert len(out) == 1 and bytes(out[0].content) == body
+
+
+def test_warc_response_record_roundtrip(spark, tmp_path):
+    """read_warc + http_body_str recover the exact HTML body from a
+    warc_response_record — the crawl front door's first two steps."""
+    from pyspark.sql import functions as F
+
+    from metadata_enhanced_pretrain_datapipeline_spark.sources import readers, writers
+
+    html = "<html><body><p>héllo &amp; wörld</p></body></html>"
+    rec = writers.warc_response_record("https://x/1",
+                                       "2026-01-01T00:00:00Z", html)
+    (tmp_path / "r.warc").write_bytes(writers.warcinfo_record() + rec)
+    out = readers.read_warc(spark, str(tmp_path))
+    got = out.select("url",
+                     readers.http_body_str(F.col("content")).alias("body")
+                     ).collect()
+    assert [(r.url, r.body) for r in got] == [("https://x/1", html)]
+    # the HTTP header block is metadata, not corpus text
+    raw = bytes(out.head().content)
+    assert raw.startswith(b"HTTP/1.1 200 OK\r\n")
