@@ -230,6 +230,41 @@ R10_ADDITIONS = [
 ]
 
 
+#: round-11 additions: the composed crawl front door (WARC response
+#: records -> HTTP body -> HTML extract -> mojibake repair -> Gopher
+#: keep -> PII -> exact + MinHash dedup in one plan).
+R11_ADDITIONS = [
+    "q_crawl_to_corpus",
+    # baseline JPEG codec roundtrip (the real-crawl image format)
+    "q_jpeg_roundtrip",
+]
+
+#: fixed clean-window reference bests (sf0.1) for CONTROL queries
+#: untouched since round 1 — the medians of the r1/r3/r5/r6/r7 driver
+#: records (the clean windows; r2/r10 were degraded). The bench reports
+#: control_factor = geometric mean of current/reference: ~1.0 in a
+#: clean window, 2x+ flags a degraded host (the r10 record ran at
+#: ~2.4x). Cross-round comparison should divide by it instead of
+#: depending on host luck (VERDICT r10 #3).
+CONTROLS = {
+    "q_flagship": 0.795,
+    "q_join_multiway": 1.007,
+    "q_tpch_q3": 0.622,
+}
+
+
+def control_factor(timings: dict[str, float], sf: float) -> float | None:
+    """Geometric mean of control-query best / clean-window reference.
+    Only meaningful at the reference scale (sf0.1)."""
+    import math
+
+    if abs(sf - 0.1) > 1e-9 or any(n not in timings for n in CONTROLS):
+        return None
+    logs = [math.log(max(timings[n], 1e-9) / ref)
+            for n, ref in CONTROLS.items()]
+    return round(math.exp(sum(logs) / len(logs)), 2)
+
+
 def timed_laps(run) -> list[float]:
     """THE measurement protocol: one warm lap (JIT + IO cache), then two
     timed laps. Shared by bench.py, scripts/abba_lap.py and
@@ -259,7 +294,7 @@ def main() -> None:
     all_laps: dict[str, list[float]] = {}
     for name in (HEADLINE + R3_FAMILIES + R4_ADDITIONS + R5_ADDITIONS
                  + R6_ADDITIONS + R7_ADDITIONS + R8_ADDITIONS
-                 + R9_ADDITIONS + R10_ADDITIONS):
+                 + R9_ADDITIONS + R10_ADDITIONS + R11_ADDITIONS):
         fn = registry[name]
         laps = timed_laps(
             lambda: fn(spark, sf_dir).write.format("noop")
@@ -280,6 +315,7 @@ def main() -> None:
         "r8_additions_total": R8_ADDITIONS,
         "r9_additions_total": R9_ADDITIONS,
         "r10_additions_total": R10_ADDITIONS,
+        "r11_additions_total": R11_ADDITIONS,
     }
     group_totals = {
         k: round(sum(timings[n] for n in names), 3)
@@ -292,11 +328,13 @@ def main() -> None:
     # the round commit preserves it; stdout's final line is the compact
     # driver contract alone — headline per-query bests + group totals,
     # compact separators, well under the 2000-char capture window.
+    cf = control_factor(timings, sf)
     details = {
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
         "sf": sf,
+        "control_factor": cf,
         "queries": timings,
         "laps": all_laps,
         **group_totals,
@@ -312,6 +350,7 @@ def main() -> None:
         "unit": "sec",
         "queries": {n: timings[n] for n in HEADLINE},
         "sf": sf,
+        "control_factor": cf,  # host-window normalizer, ~1.0 when clean
         "details": "bench_details.json",  # full per-query bests + laps
         **group_totals,
     }

@@ -1,0 +1,578 @@
+"""Baseline JPEG (ITU-T T.81 / JFIF) codec in stdlib + numpy — the last
+multimodal format that previously only had a digest-twin stub
+(VERDICT r10 stretch item: real crawls are dominated by JPEG).
+
+The DECODER is the product: fully general baseline sequential DCT —
+quantization and Huffman tables are read from the file's own DQT/DHT
+segments (never assumed), sampling factors h,v ∈ {1,2} cover 4:4:4,
+4:2:2, 4:4:0 and 4:2:0 chroma subsampling, restart markers reset DC
+predictors and byte-align exactly per spec, and grayscale (one
+component) decodes to replicated channels. Progressive (SOF2),
+arithmetic coding (SOF9+), 12-bit precision and sampling factors > 2
+raise loudly — fail-closed beats silently-wrong pixels in a dedup
+pipeline.
+
+The ENCODER exists so the decoder is testable (and fixtures can ship
+real JPEG bytes) in a container with no codec lib: baseline JFIF,
+4:4:4 or 4:2:0, Annex-K-style quantization tables scaled by quality,
+and deliberately simple FIXED-LENGTH Huffman tables (12 DC symbols at
+4 bits, 162 AC symbols at 8 bits — a valid prefix code any conformant
+decoder accepts, because DHT declares it in-stream; compression ratio
+is not the point here). Optional restart intervals exercise the
+decoder's RST path.
+
+Scale shape: decode rides the same mapInPandas decode stage as
+BMP/PNG (operators/multimodal.decode_image dispatches on the SOI
+signature); pure Python entropy decode is the honest in-container
+baseline — the plug-in contract (docs/model_plugins.md) swaps in
+PIL/cv2 where available, byte-compatible at this call site.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# shared constants
+
+
+def _zigzag() -> list[tuple[int, int]]:
+    """The T.81 zigzag scan order, generated (not typed): diagonals of
+    constant y+x, even diagonals walked bottom-left -> top-right."""
+    order: list[tuple[int, int]] = []
+    for s in range(15):
+        ys = (range(min(s, 7), max(0, s - 7) - 1, -1) if s % 2 == 0
+              else range(max(0, s - 7), min(s, 7) + 1))
+        order.extend((y, s - y) for y in ys)
+    return order
+
+
+ZIGZAG = _zigzag()
+assert len(ZIGZAG) == 64 and ZIGZAG[:4] == [(0, 0), (0, 1), (1, 0), (2, 0)]
+
+#: Annex K example luminance/chrominance quantization tables (public
+#: spec constants; the encoder scales them by quality and DECLARES the
+#: result in DQT — the decoder never assumes them).
+QUANT_LUMA = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.int64)
+QUANT_CHROMA = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+], dtype=np.int64)
+
+
+def _dct_matrix() -> np.ndarray:
+    u = np.arange(8).reshape(8, 1)
+    y = np.arange(8).reshape(1, 8)
+    c = np.where(u == 0, np.sqrt(1 / 8), np.sqrt(2 / 8))
+    return c * np.cos((2 * y + 1) * u * np.pi / 16)
+
+
+_DCT = _dct_matrix()
+
+#: encoder Huffman tables: fixed-length canonical codes — 12 DC
+#: categories at 4 bits (12 <= 2^4 - 1 codes, so the all-ones code is
+#: never assigned), 162 AC run/size symbols at 8 bits (162 <= 2^8 - 1).
+#: Valid prefix codes by construction; declared in DHT, so any decoder
+#: (including ours) reads them from the stream.
+_DC_SYMBOLS = list(range(12))
+_AC_SYMBOLS = [16 * r + s for r in range(16) for s in range(1, 11)]
+_AC_SYMBOLS += [0x00, 0xF0]  # EOB and ZRL
+assert len(_AC_SYMBOLS) == 162
+
+
+def _fixed_table(symbols: list[int], length: int):
+    """(bits, vals, code_of) for a fixed-length canonical table."""
+    bits = [0] * 16
+    bits[length - 1] = len(symbols)
+    code_of = {sym: (i, length) for i, sym in enumerate(symbols)}
+    return bits, list(symbols), code_of
+
+
+_DC_BITS, _DC_VALS, _DC_CODE = _fixed_table(_DC_SYMBOLS, 4)
+_AC_BITS, _AC_VALS, _AC_CODE = _fixed_table(_AC_SYMBOLS, 8)
+
+
+def _quality_scale(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg-style quality scaling of a base table (public recipe)."""
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# bit IO
+
+
+class _BitWriter:
+    """MSB-first bit writer with 0xFF byte stuffing (T.81 B.1.1.5)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            self._n -= 8
+            byte = (self._acc >> self._n) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+        self._acc &= (1 << self._n) - 1
+
+    def byte_align(self) -> None:
+        if self._n:
+            self.write((1 << (8 - self._n)) - 1, 8 - self._n)  # 1-fill
+
+
+class _BitReader:
+    """MSB-first bit reader over an already de-stuffed byte segment."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG entropy stream truncated")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _receive_extend(r: _BitReader, cat: int) -> int:
+    """DC/AC magnitude decode (T.81 F.2.2.1 RECEIVE+EXTEND)."""
+    if cat == 0:
+        return 0
+    v = r.read_bits(cat)
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def _category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+# --------------------------------------------------------------------------
+# encoder
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 90,
+                subsample: bool = False, restart_interval: int = 0) -> bytes:
+    """Baseline JFIF encode of an HxWx3 (or HxW grayscale) uint8 array.
+    ``subsample=True`` writes 4:2:0 chroma; ``restart_interval`` > 0
+    emits DRI + RSTn markers every that-many MCUs (exercises the
+    decoder's restart path). See module docstring for the deliberate
+    fixed-length Huffman choice."""
+    px = np.asarray(pixels)
+    gray = px.ndim == 2
+    if gray:
+        px = px[:, :, None].repeat(3, axis=2)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_jpeg wants HxWx3 or HxW uint8")
+    h, w = px.shape[:2]
+    ycc = _rgb_to_ycbcr(px.astype(np.float64))
+
+    qy = _quality_scale(QUANT_LUMA, quality)
+    qc = _quality_scale(QUANT_CHROMA, quality)
+    zz_r = [y * 8 + x for y, x in ZIGZAG]
+
+    def blocks_of(plane: np.ndarray):
+        ph = (plane.shape[0] + 7) // 8 * 8
+        pw = (plane.shape[1] + 7) // 8 * 8
+        padded = np.pad(plane, ((0, ph - plane.shape[0]),
+                                (0, pw - plane.shape[1])), mode="edge")
+        return padded, ph // 8, pw // 8
+
+    if gray:
+        comps = [(1, 1, 1, 0, ycc[..., 0])]
+    elif subsample:
+        # 4:2:0 — chroma planes box-averaged 2x2 (pad odd dims first)
+        cbcr = []
+        for ch in (1, 2):
+            p = ycc[..., ch]
+            p = np.pad(p, ((0, h % 2), (0, w % 2)), mode="edge")
+            cbcr.append((p[0::2, 0::2] + p[0::2, 1::2]
+                         + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0)
+        comps = [(1, 2, 2, 0, ycc[..., 0]),
+                 (2, 1, 1, 1, cbcr[0]), (3, 1, 1, 1, cbcr[1])]
+    else:
+        comps = [(1, 1, 1, 0, ycc[..., 0]),
+                 (2, 1, 1, 1, ycc[..., 1]), (3, 1, 1, 1, ycc[..., 2])]
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+
+    padded = {}
+    for cid, ch_, cv, tq, plane in comps:
+        need_h, need_w = mcus_y * 8 * cv, mcus_x * 8 * ch_
+        padded[cid] = np.pad(
+            plane, ((0, need_h - plane.shape[0]),
+                    (0, need_w - plane.shape[1])), mode="edge")
+
+    def fdct_quant(block: np.ndarray, q: np.ndarray) -> np.ndarray:
+        coef = _DCT @ (block - 128.0) @ _DCT.T
+        return np.round(coef / q).astype(np.int64)
+
+    wtr = _BitWriter()
+    segments: list[bytes] = []
+    dc_pred = {cid: 0 for cid, *_ in comps}
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                wtr.byte_align()
+                segments.append(bytes(wtr.out))
+                wtr = _BitWriter()
+                dc_pred = {cid: 0 for cid, *_ in comps}
+            for cid, ch_, cv, tq, _ in comps:
+                q = qy if tq == 0 else qc
+                for by in range(cv):
+                    for bx in range(ch_):
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch_ + bx) * 8
+                        blk = padded[cid][y0:y0 + 8, x0:x0 + 8]
+                        coef = fdct_quant(blk, q)
+                        flat = coef.reshape(-1)[zz_r]
+                        diff = int(flat[0]) - dc_pred[cid]
+                        dc_pred[cid] = int(flat[0])
+                        cat = _category(diff)
+                        code, ln = _DC_CODE[cat]
+                        wtr.write(code, ln)
+                        if cat:
+                            wtr.write(diff if diff >= 0
+                                      else diff + (1 << cat) - 1, cat)
+                        run = 0
+                        last_nz = max(
+                            (i for i in range(1, 64) if flat[i]), default=0)
+                        for i in range(1, last_nz + 1):
+                            v = int(flat[i])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                c0, l0 = _AC_CODE[0xF0]
+                                wtr.write(c0, l0)
+                                run -= 16
+                            cat = _category(v)
+                            c0, l0 = _AC_CODE[16 * run + cat]
+                            wtr.write(c0, l0)
+                            wtr.write(v if v >= 0 else v + (1 << cat) - 1,
+                                      cat)
+                            run = 0
+                        if last_nz < 63:
+                            c0, l0 = _AC_CODE[0x00]
+                            wtr.write(c0, l0)
+            mcu_count += 1
+    wtr.byte_align()
+    segments.append(bytes(wtr.out))
+
+    # ---- assemble marker stream
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+            + struct.pack(">HHBB", 1, 1, 0, 0))  # APP0, no thumbnail
+
+    def dqt(tid: int, table: np.ndarray) -> bytes:
+        zz = bytes(int(table[y, x]) for y, x in ZIGZAG)
+        return b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + zz
+
+    out += dqt(0, qy)
+    if not gray:
+        out += dqt(1, qc)
+
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for cid, ch_, cv, tq, _ in comps:
+        sof += bytes([cid, (ch_ << 4) | cv, tq])
+    out += b"\xff\xc0" + sof  # SOF0 baseline
+
+    def dht(tclass: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
+        payload = bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+
+    out += dht(0, 0, _DC_BITS, _DC_VALS) + dht(1, 0, _AC_BITS, _AC_VALS)
+    if not gray:
+        out += dht(0, 1, _DC_BITS, _DC_VALS) + dht(1, 1, _AC_BITS, _AC_VALS)
+
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    sos = struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for i, (cid, *_rest) in enumerate(comps):
+        td_ta = 0 if gray else (0 if i == 0 else 0x11)
+        sos += bytes([cid, td_ta])
+    sos += b"\x00\x3f\x00"  # Ss=0 Se=63 Ah/Al=0
+    out += b"\xff\xda" + sos
+    for i, seg in enumerate(segments):
+        out += seg
+        if i < len(segments) - 1:
+            out += bytes([0xFF, 0xD0 + (i % 8)])
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# decoder
+
+
+class _HuffTable:
+    """Canonical Huffman table from a DHT (bits, vals) declaration."""
+
+    def __init__(self, bits: list[int], vals: list[int]) -> None:
+        self.lookup: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                self.lookup[(length, code)] = vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+    def decode(self, r: _BitReader) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | r.read_bit()
+            sym = self.lookup.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _split_entropy(data: bytes, pos: int):
+    """De-stuff the entropy stream from ``pos``: returns (segments split
+    on RSTn, position of the next marker). 0xFF00 -> 0xFF literal."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    i = pos
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        if i + 1 >= n:
+            break
+        m = data[i + 1]
+        if m == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:
+            segments.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # a real marker (EOI or the next header)
+            break
+    segments.append(bytes(cur))
+    return segments, i
+
+
+def decode_jpeg(content: bytes) -> np.ndarray:
+    """Decode baseline sequential JPEG bytes to HxWx3 uint8 (grayscale
+    replicates channels). Fully general within baseline: tables and
+    sampling come from the stream; progressive/arithmetic/12-bit and
+    sampling factors > 2 raise ValueError/NotImplementedError."""
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _HuffTable] = {}
+    frame = None
+    restart = 0
+    i = 2
+    n = len(content)
+    while i < n:
+        if content[i] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = content[i + 1]
+        i += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # parameterless
+        if i + 2 > n:
+            raise ValueError("JPEG truncated")
+        seglen = struct.unpack(">H", content[i:i + 2])[0]
+        seg = content[i + 2:i + seglen]
+        i += seglen
+        if marker == 0xDB:  # DQT (possibly several tables)
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0xF
+                j += 1
+                if pq == 0:
+                    vals = list(seg[j:j + 64])
+                    j += 64
+                else:
+                    vals = [struct.unpack(">H", seg[j + 2 * k:j + 2 * k + 2])[0]
+                            for k in range(64)]
+                    j += 128
+                t = np.zeros((8, 8), dtype=np.int64)
+                for (y, x), v in zip(ZIGZAG, vals):
+                    t[y, x] = v
+                qt[tq] = t
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0xF
+                bits = list(seg[j + 1:j + 17])
+                cnt = sum(bits)
+                vals = list(seg[j + 17:j + 17 + cnt])
+                huff[(tc, th)] = _HuffTable(bits, vals)
+                j += 17 + cnt
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, fh, fw, ncomp = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG precision")
+            comps = []
+            for k in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * k:9 + 3 * k]
+                ch_, cv = hv >> 4, hv & 0xF
+                if not (1 <= ch_ <= 2 and 1 <= cv <= 2):
+                    raise NotImplementedError(
+                        "sampling factors > 2 unsupported")
+                comps.append([cid, ch_, cv, tq])
+            frame = (fh, fw, comps)
+        elif marker in (0xC2, 0xC3) or 0xC5 <= marker <= 0xCF and \
+                marker not in (0xC8,):
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF marker 0xFF{marker:02X}) — "
+                "progressive/arithmetic need a real codec plug-in")
+        elif marker == 0xDD:  # DRI
+            restart = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan_tables = {}
+            for k in range(ns):
+                cid, tdta = seg[1 + 2 * k:3 + 2 * k]
+                scan_tables[cid] = (tdta >> 4, tdta & 0xF)
+            segments, i = _split_entropy(content, i)
+            return _decode_scan(frame, qt, huff, scan_tables,
+                                segments, restart)
+        # else: APPn/COM — skipped
+    raise ValueError("JPEG had no SOS scan")
+
+
+def _decode_scan(frame, qt, huff, scan_tables, segments, restart):
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (fw + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (fh + 8 * vmax - 1) // (8 * vmax)
+    planes = {c[0]: np.zeros((mcus_y * 8 * c[2], mcus_x * 8 * c[1]),
+                             dtype=np.float64) for c in comps}
+
+    seg_idx = 0
+    r = _BitReader(segments[0])
+    dc_pred = {c[0]: 0 for c in comps}
+    mcu_count = 0
+    total = mcus_y * mcus_x
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart and mcu_count and mcu_count % restart == 0:
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError("missing JPEG restart segment")
+                r = _BitReader(segments[seg_idx])
+                dc_pred = {c[0]: 0 for c in comps}
+            for cid, ch_, cv, tq in comps:
+                td, ta = scan_tables[cid]
+                dct_t = huff[(0, td)]
+                act_t = huff[(1, ta)]
+                q = qt[tq]
+                for by in range(cv):
+                    for bx in range(ch_):
+                        flat = np.zeros(64, dtype=np.int64)
+                        cat = dct_t.decode(r)
+                        dc_pred[cid] += _receive_extend(r, cat)
+                        flat[0] = dc_pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = act_t.decode(r)
+                            run, size = rs >> 4, rs & 0xF
+                            if size == 0:
+                                if run == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            flat[k] = _receive_extend(r, size)
+                            k += 1
+                        coef = np.zeros((8, 8), dtype=np.float64)
+                        for idx, (y, x) in enumerate(ZIGZAG):
+                            coef[y, x] = flat[idx]
+                        blk = _DCT.T @ (coef * q) @ _DCT + 128.0
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch_ + bx) * 8
+                        planes[cid][y0:y0 + 8, x0:x0 + 8] = blk
+            mcu_count += 1
+    assert mcu_count == total
+
+    # upsample each plane to full frame resolution (nearest) and crop
+    full = {}
+    for cid, ch_, cv, tq in comps:
+        p = planes[cid]
+        if ch_ < hmax:
+            p = np.repeat(p, hmax // ch_, axis=1)
+        if cv < vmax:
+            p = np.repeat(p, vmax // cv, axis=0)
+        full[cid] = p[:fh, :fw]
+
+    if len(comps) == 1:
+        y = np.clip(full[comps[0][0]].round(), 0, 255).astype(np.uint8)
+        return np.stack([y, y, y], axis=-1)
+    if len(comps) != 3:
+        raise NotImplementedError("JPEG with 2 or 4+ components")
+    c1, c2, c3 = (full[c[0]] for c in comps)
+    return _ycbcr_to_rgb(c1, c2, c3)

@@ -4,11 +4,14 @@ The reference's Document model reserves a ``media: list`` slot
 (pipelines/finemath/main.py:60-66) but never processes media. A 100 TB
 pretraining pipeline does; this module supplies the engine's multimodal
 surface with REAL Spark plumbing — schemas, Arrow batch shapes,
-mapInPandas signatures, partitioning — and STUBBED codecs (image/audio
-libraries are not in this container): ``decode_image``/``decode_audio``
-raise NotImplementedError unless ``stub=True``, in which case a
-deterministic fake decoder (seeded by content hash) produces shaped
-arrays so the downstream plumbing is testable end-to-end.
+mapInPandas signatures, partitioning. Codecs: BMP, binary netpbm,
+8-bit PNG, baseline JPEG (operators/jpeg.py — r11) and PCM WAV decode
+FOR REAL with stdlib+numpy; everything else (progressive JPEG, WebP,
+MP3, video containers) needs a codec lib not in this container:
+``decode_image``/``decode_audio`` raise NotImplementedError unless
+``stub=True``, in which case a deterministic fake decoder (seeded by
+content hash) produces shaped arrays so the downstream plumbing is
+testable end-to-end.
 
 Scale notes:
 - media bytes travel in a BINARY column; all transforms are
@@ -329,10 +332,11 @@ def encode_png(pixels: "np.ndarray", filter_mode: str = "cycle") -> bytes:
 
 def decode_image(content: bytes, stub: bool = False) -> np.ndarray:
     """Decode an image blob to HxWx3 uint8. Uncompressed 24-bit BMP,
-    binary netpbm (P5/P6), and 8-bit non-interlaced PNG decode FOR REAL
-    (struct-defined grids / stdlib-zlib compression — no codec lib
-    needed); other formats need a real codec (PIL/cv2, not in this
-    container) — STUB: deterministic fake pixels when stub=True.
+    binary netpbm (P5/P6), 8-bit non-interlaced PNG, and baseline
+    sequential JPEG (operators/jpeg.py) decode FOR REAL (struct-defined
+    grids / stdlib-zlib / own entropy+IDCT — no codec lib needed);
+    other formats need a real codec (PIL/cv2, not in this container) —
+    STUB: deterministic fake pixels when stub=True.
 
     stub=True GUARANTEES non-raising: a blob that merely starts with
     'BM' but is not a valid BMP (e.g. text beginning 'BMW …') falls back
@@ -355,10 +359,23 @@ def decode_image(content: bytes, stub: bool = False) -> np.ndarray:
         except Exception:  # ValueError, zlib.error
             if not stub:
                 raise
+    if content[:2] == b"\xff\xd8":
+        # baseline JPEG decodes FOR REAL (operators/jpeg.py — r11); the
+        # formats it rejects loudly (progressive/arithmetic/12-bit) fall
+        # to the stub under stub=True like every other codec here
+        from metadata_enhanced_pretrain_datapipeline_spark.operators.jpeg import (
+            decode_jpeg,
+        )
+
+        try:
+            return decode_jpeg(content)
+        except Exception:  # ValueError, NotImplementedError, struct.error
+            if not stub:
+                raise
     if not stub:
         raise NotImplementedError(
-            "only BMP, binary netpbm (PGM/PPM), and 8-bit PNG decode "
-            "without a codec lib in this environment"
+            "only BMP, binary netpbm (PGM/PPM), 8-bit PNG, and baseline "
+            "JPEG decode without a codec lib in this environment"
         )
     return _fake_pixels(content, 16, 16)
 

@@ -10074,10 +10074,10 @@ def q_crawl_to_corpus(spark, sf):
     composed Spark plan.
 
     Scale: parallelism unit is the WARC file (a crawl ships 10^5+
-    segments); the fixture repartitions the 8-file read to 32 (the
-    session-3 low-file-count rule) — the extract/repair/quality/PII
-    chain is a straight-line per-row stage, no shuffle until the
-    exact-dedup key exchange. materialize() truncates lineage before
+    segments); the fixture writes 32 files and the read repartitions
+    to 32 (the session-3 low-file-count rule) — the
+    extract/repair/quality/PII chain is a straight-line per-row
+    stage, no shuffle until the exact-dedup key exchange. materialize() truncates lineage before
     the corpus is consumed twice (band generation + the anti-join
     return — the r7 LeftAnti-through-Union lesson); near-dedup moves
     (band, key) longs, never text."""
@@ -10125,7 +10125,10 @@ def q_crawl_to_corpus(spark, sf):
         .unionByName(d.filter(F.col("doc_id") % 13 == 0).select(
             (F.col("doc_id") + 10_000_000_000).alias("rid"),
             page_of(F.concat(body, F.lit(" zz zz"))).alias("page")))
-        .repartition(8, F.col("rid") % 8))
+        # 32 build tasks -> 32 WARC files: the page-encode stage must
+        # not serialize at decade scales, and the read side's
+        # binaryFile scan gets file-granular parallelism for free
+        .repartition(32, F.col("rid") % 32))
 
     scratch = _scratch_dir(sf, "crawl")
     shutil.rmtree(scratch, ignore_errors=True)
@@ -10177,3 +10180,66 @@ def q_crawl_to_corpus(spark, sf):
     return dedup.minhash_dedup(
         corpus, num_hashes=8, bands=4, shingle_n=3,
         max_bucket_size=64, portable=True).select("doc_id", "text")
+
+
+@register(
+    "q_jpeg_roundtrip",
+    # JPEG is LOSSY — the decoded sum is not closed-form like the
+    # BMP/PNG/WAV roundtrips, so the oracle states the roundtrip
+    # CONTRACT instead: exact dimensions, and the reconstruction error
+    # bounded (measured worst over 600 ids: max 2, mean 0.38 — bounds
+    # 8 / 2.0 leave 4-5x headroom; any entropy/IDCT/upsample bug blows
+    # far past them, a wrong-dimension bug flips the shape columns).
+    "SELECT doc_id, 24 AS width, 16 AS height, "
+    "CAST(384 AS BIGINT) AS n_px, true AS err_bounded "
+    "FROM documents WHERE doc_id % 20 = 2",
+)
+def q_jpeg_roundtrip(spark, sf):
+    """Baseline JPEG codec roundtrip (operators/jpeg.py — the r10
+    stretch item: the one format a real crawl actually dominates in,
+    previously the last honest multimodal stub): per doc, synthesize a
+    smooth 16x24 RGB gradient, ENCODE real baseline JFIF bytes (4:2:0
+    chroma subsampling for even ids, 4:4:4 odd, restart markers every
+    2 MCUs for ids % 3 == 0 — one fixture exercises subsampling,
+    MCU padding, and the RSTn/DC-predictor-reset path), ship the
+    binary through Arrow, DECODE with the pure stdlib+numpy baseline
+    decoder (marker walk, stream-declared DQT/DHT tables, Huffman
+    entropy decode, dequant+IDCT, chroma upsample), and emit the
+    roundtrip contract: exact output dimensions and reconstruction
+    error within the lossy bound. decode_image dispatches real JPEG
+    bytes here (multimodal.py), so every downstream visual-dedup
+    operator (dHash/pHash/letterbox) now prices REAL crawl bytes."""
+    import numpy as np
+    import pandas as pd
+
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    d = load(spark, sf, "documents").filter(
+        F.col("doc_id") % 20 == 2).select("doc_id")
+
+    def roundtrip(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            out = []
+            for did in ids:
+                did = int(did)
+                i = np.arange(16).reshape(16, 1, 1)
+                j = np.arange(24).reshape(1, 24, 1)
+                c = np.arange(3).reshape(1, 1, 3)
+                px = (did % 97 + i * 3 + j * 2 + c * 5).astype(np.uint8)
+                back = decode_jpeg(encode_jpeg(
+                    px, quality=85, subsample=(did % 2 == 0),
+                    restart_interval=(2 if did % 3 == 0 else 0)))
+                err = np.abs(back.astype(np.int64) - px.astype(np.int64))
+                out.append((did, back.shape[1], back.shape[0],
+                            int(back.size // 3),
+                            bool(err.max() <= 8 and err.mean() <= 2.0)))
+            yield pd.DataFrame(out, columns=[
+                "doc_id", "width", "height", "n_px", "err_bounded"])
+
+    return d.mapInPandas(
+        roundtrip,
+        "doc_id long, width int, height int, n_px long, err_bounded boolean")

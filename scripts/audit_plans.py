@@ -407,6 +407,17 @@ AUDITS = {
     "because the struct is non-cheap and referenced six times). One "
     "round-robin exchange spreads the regex stage off the "
     "low-file-count scan; no Python.",
+    "q_crawl_to_corpus": "Crawl front door composed: binaryFile WARC "
+    "scan (parallelism unit = file; repartitioned off the low-file "
+    "fixture) -> one straight-line per-row stage (HTTP slice, HTML "
+    "extract mapInPandas, gated mojibake UDF, Gopher keep, PII "
+    "regexps — no shuffle until dedup) -> exact-dedup key exchange -> "
+    "materialize boundary (the corpus is consumed by band generation "
+    "AND the anti-join return) -> one (band,key) exchange; text never "
+    "travels in the near-dedup.",
+    "q_jpeg_roundtrip": "JPEG codec roundtrip: encode+decode both ride "
+    "one mapInPandas over the id scan; output is 5 tiny typed columns "
+    "(the lossy contract: dims exact, error bounded), no shuffle.",
     "q_edit_distance_near_dup": "Edit-distance near-dup: LSH candidate "
     "generation is the one (band,key) exchange (bucket-capped, never "
     "all-pairs); full text then travels ONLY for candidate ids in two "

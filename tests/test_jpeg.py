@@ -1,0 +1,100 @@
+"""Baseline JPEG codec (operators/jpeg.py): roundtrip error bounds,
+sampling/restart/grayscale paths, fail-closed rejections, and the
+decode_image dispatch."""
+
+import numpy as np
+import pytest
+
+from metadata_enhanced_pretrain_datapipeline_spark.operators.jpeg import (
+    ZIGZAG,
+    decode_jpeg,
+    encode_jpeg,
+)
+from metadata_enhanced_pretrain_datapipeline_spark.operators.multimodal import (
+    decode_image,
+)
+
+
+def _grad(h=48, w=64, seed=42):
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:h, 0:w]
+    base = np.stack([(y * 2 + x) % 256, (x * 3) % 256, (y * 4) % 256],
+                    axis=-1)
+    return np.clip(base + rng.integers(-5, 6, base.shape),
+                   0, 255).astype(np.uint8)
+
+
+def test_zigzag_is_the_spec_order():
+    assert ZIGZAG[:10] == [(0, 0), (0, 1), (1, 0), (2, 0), (1, 1),
+                           (0, 2), (0, 3), (1, 2), (2, 1), (3, 0)]
+    assert len(set(ZIGZAG)) == 64 and ZIGZAG[-1] == (7, 7)
+
+
+@pytest.mark.parametrize("kwargs,max_err,mean_err", [
+    ({}, 12, 4.0),
+    ({"subsample": True}, 14, 4.5),
+    ({"restart_interval": 3}, 12, 4.0),
+    ({"quality": 50}, 16, 5.0),
+])
+def test_roundtrip_error_bounded(kwargs, max_err, mean_err):
+    img = _grad()
+    out = decode_jpeg(encode_jpeg(img, **kwargs))
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= max_err and err.mean() <= mean_err
+
+
+def test_solid_color_exact_and_odd_dims():
+    # a flat block quantizes losslessly at high quality, and 17x23
+    # forces MCU edge padding + crop on both axes
+    solid = np.full((17, 23, 3), 137, np.uint8)
+    out = decode_jpeg(encode_jpeg(solid, quality=95))
+    assert out.shape == (17, 23, 3)
+    assert int(np.abs(out.astype(int) - 137).max()) == 0
+    # 4:2:0 with odd dims pads chroma too
+    out2 = decode_jpeg(encode_jpeg(solid, quality=95, subsample=True))
+    assert out2.shape == (17, 23, 3)
+    assert int(np.abs(out2.astype(int) - 137).max()) <= 1
+
+
+def test_grayscale_single_component():
+    y, x = np.mgrid[0:32, 0:40]
+    g = np.clip(40 + y * 3 + x * 2, 0, 255).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(g, quality=90))
+    assert out.shape == (32, 40, 3)
+    assert np.array_equal(out[..., 0], out[..., 1])
+    assert np.abs(out[..., 0].astype(int) - g.astype(int)).max() <= 6
+
+
+def test_restart_markers_present_and_load_bearing():
+    img = _grad(32, 32)
+    blob = encode_jpeg(img, restart_interval=1)
+    assert any(bytes([0xFF, 0xD0 + k]) in blob for k in range(8))
+    out = decode_jpeg(blob)
+    assert np.abs(out.astype(int) - img.astype(int)).mean() <= 4.0
+
+
+def test_progressive_and_truncation_fail_closed():
+    blob = bytearray(encode_jpeg(_grad(16, 16)))
+    sof = blob.find(b"\xff\xc0")
+    blob[sof + 1] = 0xC2  # masquerade as progressive
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(blob))
+    with pytest.raises(ValueError):
+        decode_jpeg(encode_jpeg(_grad(16, 16))[:40])  # no SOS reached
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01not a jpeg")
+
+
+def test_decode_image_dispatches_jpeg():
+    img = _grad(16, 16)
+    blob = encode_jpeg(img, quality=95)
+    out = decode_image(blob)  # stub=False: must decode FOR REAL
+    assert out.shape == (16, 16, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).mean() <= 3.0
+    # a rejected variant falls back to the stub only under stub=True
+    broken = bytearray(blob)
+    broken[blob.find(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_image(bytes(broken))
+    assert decode_image(bytes(broken), stub=True).shape == (16, 16, 3)
