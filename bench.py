@@ -237,6 +237,9 @@ R11_ADDITIONS = [
     "q_crawl_to_corpus",
     # baseline JPEG codec roundtrip (the real-crawl image format)
     "q_jpeg_roundtrip",
+    # the crawl front door as continuous ingestion (binaryFile stream,
+    # exactly-once file sink, splice-time dedup; batch-parity oracle)
+    "q_stream_crawl_ingest",
 ]
 
 #: fixed clean-window reference bests (sf0.1) for CONTROL queries

@@ -10057,42 +10057,21 @@ _CRAWL_ORACLE = (
 )
 
 
-@register("q_crawl_to_corpus", _CRAWL_ORACLE)
-def q_crawl_to_corpus(spark, sf):
-    """The crawl FRONT DOOR end to end (VERDICT r10 #2): real WARC
-    response records (HTTP bytes in real .warc/.warc.gz files) ->
-    read_warc -> http_body_str -> HTML extraction (head junk dropped,
-    blocks to lines, entities decoded) -> gated mojibake repair ->
-    Gopher document keep -> PII scrub (email/ip/iban passes + the
-    Luhn-gated card pass) -> exact-text dedup (min-id per normalized
-    key) -> MinHash-LSH near-dedup. One oracle replays the whole
-    chain closed-form; any drift in header slicing, extraction,
-    repair, a quality threshold, a PII pass, or the band keys breaks
-    the hash. This is the entry path the reference framework's
-    pipelines consume pre-extracted (datatrove WarcReader ->
-    trafilatura; pipelines/fineweb/main.py:97-99) — here it is ONE
-    composed Spark plan.
-
-    Scale: parallelism unit is the WARC file (a crawl ships 10^5+
-    segments); the fixture writes 32 files and the read repartitions
-    to 32 (the session-3 low-file-count rule) — the
-    extract/repair/quality/PII chain is a straight-line per-row
-    stage, no shuffle until the exact-dedup key exchange. materialize() truncates lineage before
-    the corpus is consumed twice (band generation + the anti-join
-    return — the r7 LeftAnti-through-Union lesson); near-dedup moves
-    (band, key) longs, never text."""
+def _build_crawl_fixture(spark, sf: str, tag: str) -> str:
+    """Write the crawl fixture: every document becomes a real HTML page
+    (head junk, h1 from its first 3 words, the text with mojibake /
+    email / Luhn-card / ellipsis-junk plants in a <p>, an entity-bearing
+    footer), wrapped in a WARC response record (real HTTP bytes) —
+    plus byte-identical exact twins (%11) and 2-token near twins (%13,
+    collision-safe 1e10/2e10 id offsets). 32 build tasks -> 32
+    .warc/.warc.gz files (half multi-member gzip) so neither the
+    page-encode stage nor the read scan serializes at decade scales.
+    Returns the scratch dir; shared by the batch front door and its
+    streaming twin so both ingest IDENTICAL bytes."""
     import os
     import shutil
 
-    from metadata_enhanced_pretrain_datapipeline_spark.functions.text import (
-        fix_mojibake_udf,
-        gopher_quality_keep,
-        mojibake_count,
-    )
-    from metadata_enhanced_pretrain_datapipeline_spark.operators.html_extract import (
-        extract_text_col,
-    )
-    from metadata_enhanced_pretrain_datapipeline_spark.sources import readers, writers
+    from metadata_enhanced_pretrain_datapipeline_spark.sources import writers
 
     d = load(spark, sf, "documents").select("doc_id", "text")
     hdr = F.array_join(F.slice(F.split("text", " "), 1, 3), " ")
@@ -10125,12 +10104,9 @@ def q_crawl_to_corpus(spark, sf):
         .unionByName(d.filter(F.col("doc_id") % 13 == 0).select(
             (F.col("doc_id") + 10_000_000_000).alias("rid"),
             page_of(F.concat(body, F.lit(" zz zz"))).alias("page")))
-        # 32 build tasks -> 32 WARC files: the page-encode stage must
-        # not serialize at decade scales, and the read side's
-        # binaryFile scan gets file-granular parallelism for free
         .repartition(32, F.col("rid") % 32))
 
-    scratch = _scratch_dir(sf, "crawl")
+    scratch = _scratch_dir(sf, tag)
     shutil.rmtree(scratch, ignore_errors=True)
     os.makedirs(scratch, exist_ok=True)
 
@@ -10159,9 +10135,27 @@ def q_crawl_to_corpus(spark, sf):
             yield pd.DataFrame({"n": pd.Series([len(pdf)], dtype="int64")})
 
     rows.mapInPandas(build, "n long").agg(F.sum("n")).head()  # force build
+    return scratch
 
-    raw = readers.read_warc(spark, scratch).repartition(32)
-    parsed = raw.select(
+
+def _crawl_curate(records):
+    """The per-row curation chain shared by q_crawl_to_corpus and its
+    streaming twin, applied to parsed WARC response records
+    (url, content): HTTP body slice -> HTML extraction -> gated
+    mojibake repair -> Gopher document keep -> PII scrub (email/ip/
+    iban passes + the Luhn-gated card pass). Straight-line projection
+    + filter — streamable, no shuffle, no state."""
+    from metadata_enhanced_pretrain_datapipeline_spark.functions.text import (
+        fix_mojibake_udf,
+        gopher_quality_keep,
+        mojibake_count,
+    )
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.html_extract import (
+        extract_text_col,
+    )
+    from metadata_enhanced_pretrain_datapipeline_spark.sources import readers
+
+    parsed = records.select(
         F.regexp_extract("url", r"/(\d+)$", 1).cast("long").alias("doc_id"),
         readers.http_body_str(F.col("content")).alias("html"))
     extracted = parsed.select(
@@ -10172,11 +10166,92 @@ def q_crawl_to_corpus(spark, sf):
         F.when(mojibake_count(F.col("t0")) > 0, fixu(F.col("t0")))
          .otherwise(F.col("t0")).alias("t1"))
     kept = repaired.filter(gopher_quality_keep(F.col("t1"), min_words=20))
-    scrub = kept.select(
+    return kept.select(
         "doc_id",
         formatters.cc_pii_scrub(formatters.pii_scrub(F.col("t1")))
                   .alias("text"))
+
+
+@register("q_crawl_to_corpus", _CRAWL_ORACLE)
+def q_crawl_to_corpus(spark, sf):
+    """The crawl FRONT DOOR end to end (VERDICT r10 #2): real WARC
+    response records (HTTP bytes in real .warc/.warc.gz files) ->
+    read_warc -> http_body_str -> HTML extraction (head junk dropped,
+    blocks to lines, entities decoded) -> gated mojibake repair ->
+    Gopher document keep -> PII scrub (email/ip/iban passes + the
+    Luhn-gated card pass) -> exact-text dedup (min-id per normalized
+    key) -> MinHash-LSH near-dedup. One oracle replays the whole
+    chain closed-form; any drift in header slicing, extraction,
+    repair, a quality threshold, a PII pass, or the band keys breaks
+    the hash. This is the entry path the reference framework's
+    pipelines consume pre-extracted (datatrove WarcReader ->
+    trafilatura; pipelines/fineweb/main.py:97-99) — here it is ONE
+    composed Spark plan.
+
+    Scale: parallelism unit is the WARC file (a crawl ships 10^5+
+    segments); the fixture writes 32 files and the read repartitions
+    to 32 (the session-3 low-file-count rule) — the
+    extract/repair/quality/PII chain (_crawl_curate) is a
+    straight-line per-row stage, no shuffle until the exact-dedup key
+    exchange. materialize() truncates lineage before the corpus is
+    consumed twice (band generation + the anti-join return — the r7
+    LeftAnti-through-Union lesson); near-dedup moves (band, key)
+    longs, never text. Decade row: 10.1 -> 35.4s (3.5x, SCALE.md r11)."""
+    from metadata_enhanced_pretrain_datapipeline_spark.sources import readers
+
+    scratch = _build_crawl_fixture(spark, sf, "crawl")
+    raw = readers.read_warc(spark, scratch).repartition(32)
+    scrub = _crawl_curate(raw)
     corpus = materialize(dedup.dedup_exact_text(scrub), eager=False)
+    return dedup.minhash_dedup(
+        corpus, num_hashes=8, bands=4, shingle_n=3,
+        max_bucket_size=64, portable=True).select("doc_id", "text")
+
+
+@register("q_stream_crawl_ingest", _CRAWL_ORACLE)
+def q_stream_crawl_ingest(spark, sf):
+    """The crawl front door CONTINUOUS (streaming twin of
+    q_crawl_to_corpus, same oracle verbatim — the batch-parity
+    contract every stream query in this repo carries): WARC segments
+    arrive as a binaryFile STREAM (2 micro-batches under
+    maxFilesPerTrigger=16 over the 32-file fixture), each micro-batch
+    runs the identical parse + curation chain (parse_warc_records and
+    _crawl_curate are batch/stream agnostic) and lands curated
+    (doc_id, text) rows through the transactional file sink
+    (exactly-once: the sink manifest, not at-least-once appends —
+    duplicate rows would change exact-dedup groups). Dedup then runs
+    at splice time over the accumulated store — the monthly-splice
+    pattern: per-row curation streams, corpus-wide dedup batches.
+
+    Scale: a production ingest budgets micro-batches by FILES/BYTES
+    per trigger (the availableNow trigger-per-file lesson, SCALE.md
+    r10); the curation stage is stateless so failure recovery is pure
+    checkpoint replay."""
+    import shutil
+
+    from metadata_enhanced_pretrain_datapipeline_spark.sources import readers
+
+    scratch = _build_crawl_fixture(spark, sf, "stream_crawl")
+    store, ck = f"{scratch}_store", f"{scratch}_ck"
+    for p in (store, ck):
+        shutil.rmtree(p, ignore_errors=True)
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(readers.BINARY_FILE_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .load(scratch))
+    curated = _crawl_curate(readers.parse_warc_records(stream))
+    q = (curated.writeStream.format("parquet")
+         .option("path", store)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+    corpus = materialize(
+        dedup.dedup_exact_text(spark.read.parquet(store).repartition(32)),
+        eager=False)
     return dedup.minhash_dedup(
         corpus, num_hashes=8, bands=4, shingle_n=3,
         max_bucket_size=64, portable=True).select("doc_id", "text")

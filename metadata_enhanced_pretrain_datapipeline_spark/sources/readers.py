@@ -249,15 +249,23 @@ def read_wet(spark: SparkSession, path: str,
                "content_length long, text string")
 
 
-def read_warc(spark: SparkSession, path: str,
-              record_type: str | None = "response") -> DataFrame:
-    """Raw WARC reader: like :func:`read_wet` but content stays BINARY
-    (response bodies are HTTP bytes, not text) — feed it to the
-    multimodal decode family or an HTML extractor. Same file-granular
-    scale shape."""
-    import pandas as pd
+#: fixed schema of Spark's binaryFile source — readStream demands an
+#: explicit schema for file sources, and this is the only one binaryFile
+#: can have (streaming crawl ingestion reads WARC segments through it)
+BINARY_FILE_SCHEMA = ("path string, modificationTime timestamp, "
+                      "length long, content binary")
 
-    files = spark.read.format("binaryFile").load(path)
+WARC_RECORD_SCHEMA = ("url string, warc_date string, record_type string, "
+                      "content_length long, content binary")
+
+
+def parse_warc_records(files: DataFrame,
+                       record_type: str | None = "response") -> DataFrame:
+    """WARC record parse over a ``content: binary`` column of whole
+    files — works on BATCH and STREAMING DataFrames alike (mapInPandas
+    is streamable), so continuous crawl ingestion and the batch reader
+    share one parser byte-for-byte."""
+    import pandas as pd
 
     def parse(batches):
         for pdf in batches:
@@ -273,9 +281,18 @@ def read_warc(spark: SparkSession, path: str,
                 rows, columns=["url", "warc_date", "record_type",
                                "content_length", "content"])
 
-    return files.select("content").mapInPandas(
-        parse, "url string, warc_date string, record_type string, "
-               "content_length long, content binary")
+    return files.select("content").mapInPandas(parse, WARC_RECORD_SCHEMA)
+
+
+def read_warc(spark: SparkSession, path: str,
+              record_type: str | None = "response") -> DataFrame:
+    """Raw WARC reader: like :func:`read_wet` but content stays BINARY
+    (response bodies are HTTP bytes, not text) — feed it to the
+    multimodal decode family or an HTML extractor. Same file-granular
+    scale shape. The parse itself lives in :func:`parse_warc_records`
+    so a readStream(binaryFile) source runs the identical code."""
+    return parse_warc_records(
+        spark.read.format("binaryFile").load(path), record_type)
 
 
 def http_body_str(content) -> "Column":

@@ -415,6 +415,11 @@ AUDITS = {
     "materialize boundary (the corpus is consumed by band generation "
     "AND the anti-join return) -> one (band,key) exchange; text never "
     "travels in the near-dedup.",
+    "q_stream_crawl_ingest": "Streaming crawl ingestion: stateless "
+    "per-row curation on the binaryFile stream (no watermark, no state "
+    "store — recovery is checkpoint replay), exactly-once parquet "
+    "sink, then the batch splice dedup over the store (same "
+    "materialize + (band,key) shape as the batch front door).",
     "q_jpeg_roundtrip": "JPEG codec roundtrip: encode+decode both ride "
     "one mapInPandas over the id scan; output is 5 tiny typed columns "
     "(the lossy contract: dims exact, error bounded), no shuffle.",
