@@ -10232,7 +10232,10 @@ def q_stream_crawl_ingest(spark, sf):
     from metadata_enhanced_pretrain_datapipeline_spark.sources import readers
 
     scratch = _build_crawl_fixture(spark, sf, "stream_crawl")
-    store, ck = f"{scratch}_store", f"{scratch}_ck"
+    # sink + checkpoint live in their own scratch dir (atexit-cleaned
+    # like every _scratch_dir; a bare sibling path would leak in /tmp)
+    out = _scratch_dir(sf, "stream_crawl_out")
+    store, ck = f"{out}/store", f"{out}/ck"
     for p in (store, ck):
         shutil.rmtree(p, ignore_errors=True)
 
