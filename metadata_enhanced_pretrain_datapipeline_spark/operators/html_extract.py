@@ -82,12 +82,33 @@ def html_to_text(html: str) -> str:
     return p.text()
 
 
-def extract_text_col(html: Column) -> Column:
+def extract_text_col(html: Column, fix_mojibake: bool = False) -> Column:
     """Column form: Arrow-batched scalar pandas_udf over the stdlib
     extractor. Prefer a real extractor plug-in for production quality —
     the signature is the contract (string in, string out), so swapping
-    trafilatura in is a one-line factory change."""
+    trafilatura in is a one-line factory change.
+
+    ``fix_mojibake=True`` fuses encoding repair (functions/text.
+    fix_mojibake_str) into THIS Python stage: the crawl chain already
+    pays one Arrow round-trip for extraction, and a separate gated
+    repair step cannot actually gate (ExtractPythonUDFs evaluates a
+    CASE-wrapped pandas UDF unconditionally — the r11 review finding),
+    so piggybacking the ~µs-per-clean-row repair check here is strictly
+    cheaper than a second Python stage OR a filter-split-union that
+    would re-run extraction per branch."""
     from pyspark.sql.functions import pandas_udf
+
+    if fix_mojibake:
+        from metadata_enhanced_pretrain_datapipeline_spark.functions.text import (
+            fix_mojibake_str,
+        )
+
+        @pandas_udf("string")
+        def _extract_fix(s: pd.Series) -> pd.Series:
+            return s.map(lambda x: fix_mojibake_str(html_to_text(x))
+                         if x is not None else None)
+
+        return _extract_fix(html)
 
     @pandas_udf("string")
     def _extract(s: pd.Series) -> pd.Series:

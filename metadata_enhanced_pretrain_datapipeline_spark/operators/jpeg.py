@@ -199,15 +199,6 @@ class _BitReader:
         self.n -= k
         self.buf &= (1 << self.n) - 1 if self.n else 0
 
-    def read_bit(self) -> int:
-        if self.n < 1:
-            self._fill()
-        if self.n < 1:
-            raise ValueError("JPEG entropy stream truncated")
-        b = (self.buf >> (self.n - 1)) & 1
-        self.consume(1)
-        return b
-
     def read_bits(self, k: int) -> int:
         if k == 0:
             return 0
@@ -218,14 +209,6 @@ class _BitReader:
         v = (self.buf >> (self.n - k)) & ((1 << k) - 1)
         self.consume(k)
         return v
-
-
-def _receive_extend(r: _BitReader, cat: int) -> int:
-    """DC/AC magnitude decode (T.81 F.2.2.1 RECEIVE+EXTEND)."""
-    if cat == 0:
-        return 0
-    v = r.read_bits(cat)
-    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
 
 def _huff_receive(r: _BitReader, tbl: "_HuffTable") -> tuple[int, int]:
@@ -446,14 +429,6 @@ class _HuffTable:
                 k += 1
             code <<= 1
 
-    def decode(self, r: _BitReader) -> int:
-        w = r.peek16()
-        s = self.sym[w]
-        if s < 0:
-            raise ValueError("invalid JPEG Huffman code")
-        r.consume(int(self.length[w]))
-        return int(s)
-
 
 def _split_entropy(data: bytes, pos: int):
     """De-stuff the entropy stream from ``pos``: returns (segments split
@@ -500,6 +475,14 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     while i < n:
         if content[i] != 0xFF:
             raise ValueError("JPEG marker desync")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker code — skip to the last 0xFF of the run (r11 review:
+        # real crawl files pad with these and a conformant decoder
+        # must accept them)
+        while i + 1 < n and content[i + 1] == 0xFF:
+            i += 1
+        if i + 1 >= n:
+            raise ValueError("JPEG truncated at marker")
         marker = content[i + 1]
         i += 2
         if marker == 0xD9:  # EOI
@@ -560,6 +543,10 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
+            if ns != len(frame[2]):
+                raise NotImplementedError(
+                    "non-interleaved (multi-scan) baseline JPEG — a "
+                    "scan must cover all frame components here")
             scan_tables = {}
             for k in range(ns):
                 cid, tdta = seg[1 + 2 * k:3 + 2 * k]

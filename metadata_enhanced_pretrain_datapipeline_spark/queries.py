@@ -9681,7 +9681,6 @@ def q_quality_retention_curve(spark, sf):
 
 from metadata_enhanced_pretrain_datapipeline_spark.functions.text import (  # noqa: E402
     MOJIBAKE_REGEX,
-    fix_mojibake_udf,
     mojibake_count,
 )
 
@@ -9752,10 +9751,15 @@ def q_mojibake_repair(spark, sf):
     sequence table, clean chars untouched. FAIL-CLOSED for the rest:
     clean accented text survives because its cp1252 bytes are not valid
     UTF-8 and no signature matches; pure ASCII round-trips to itself.
-    The UDF runs only under the `mojibake_count > 0` gate, so at 100 TB
-    the Arrow path prices per damaged doc, not per doc — clean rows
-    never leave codegen. Oracle states the closed-form repaired corpus
-    for BOTH paths (every 14th doc is mixed)."""
+    The gate is a FILTER-SPLIT-UNION (functions/text.repair_mojibake):
+    only the `mojibake_count > 0` branch pays the Arrow round-trip —
+    the naive CASE-wrapped UDF evaluated Python over EVERY row because
+    ExtractPythonUDFs pulls the UDF out unconditionally (r11 review
+    finding, plan-verified; at 1/7 damaged this paid 7x the necessary
+    Arrow cost). Oracle states the closed-form repaired corpus for
+    BOTH repair paths (every 14th doc is mixed)."""
+    from metadata_enhanced_pretrain_datapipeline_spark.functions.text import repair_mojibake
+
     d = load(spark, sf, "documents")
     planted = F.when(F.col("doc_id") % 14 == 0,
                      F.concat(F.col("text"), F.lit(_MOJI_MIXED),
@@ -9764,11 +9768,8 @@ def q_mojibake_repair(spark, sf):
                      F.concat(F.col("text"), F.lit(_MOJI_TAIL))) \
                .otherwise(F.col("text"))
     t = d.select("doc_id", planted.alias("t"))
-    fix = fix_mojibake_udf()
-    return t.select(
-        "doc_id",
-        F.when(mojibake_count(F.col("t")) > 0, fix(F.col("t")))
-         .otherwise(F.col("t")).alias("text_fixed"))
+    return repair_mojibake(t, "t", "text_fixed").select("doc_id",
+                                                        "text_fixed")
 
 
 #: augmented corpus for the edit-distance fixture: every 5th doc gets a
@@ -10141,14 +10142,15 @@ def _build_crawl_fixture(spark, sf: str, tag: str) -> str:
 def _crawl_curate(records):
     """The per-row curation chain shared by q_crawl_to_corpus and its
     streaming twin, applied to parsed WARC response records
-    (url, content): HTTP body slice -> HTML extraction -> gated
-    mojibake repair -> Gopher document keep -> PII scrub (email/ip/
-    iban passes + the Luhn-gated card pass). Straight-line projection
-    + filter — streamable, no shuffle, no state."""
+    (url, content): HTTP body slice -> HTML extraction with mojibake
+    repair FUSED into the same Python stage (one Arrow round-trip for
+    both — a separate CASE-gated repair UDF does not actually gate,
+    the r11 review finding; see extract_text_col) -> Gopher document
+    keep -> PII scrub (email/ip/iban passes + the Luhn-gated card
+    pass). Straight-line projection + filter — streamable, no
+    shuffle, no state."""
     from metadata_enhanced_pretrain_datapipeline_spark.functions.text import (
-        fix_mojibake_udf,
         gopher_quality_keep,
-        mojibake_count,
     )
     from metadata_enhanced_pretrain_datapipeline_spark.operators.html_extract import (
         extract_text_col,
@@ -10158,13 +10160,9 @@ def _crawl_curate(records):
     parsed = records.select(
         F.regexp_extract("url", r"/(\d+)$", 1).cast("long").alias("doc_id"),
         readers.http_body_str(F.col("content")).alias("html"))
-    extracted = parsed.select(
-        "doc_id", extract_text_col(F.col("html")).alias("t0"))
-    fixu = fix_mojibake_udf()
-    repaired = extracted.select(
+    repaired = parsed.select(
         "doc_id",
-        F.when(mojibake_count(F.col("t0")) > 0, fixu(F.col("t0")))
-         .otherwise(F.col("t0")).alias("t1"))
+        extract_text_col(F.col("html"), fix_mojibake=True).alias("t1"))
     kept = repaired.filter(gopher_quality_keep(F.col("t1"), min_words=20))
     return kept.select(
         "doc_id",

@@ -98,3 +98,31 @@ def test_decode_image_dispatches_jpeg():
     with pytest.raises(NotImplementedError):
         decode_image(bytes(broken))
     assert decode_image(bytes(broken), stub=True).shape == (16, 16, 3)
+
+
+def test_fill_bytes_and_lone_ff():
+    """T.81 B.1.1.2: 0xFF fill bytes before a marker must be skipped
+    (real crawl files pad with them); a lone trailing 0xFF raises the
+    documented ValueError, never IndexError (r11 review)."""
+    img = np.full((16, 16, 3), 99, np.uint8)
+    blob = bytearray(encode_jpeg(img))
+    i = blob.find(b"\xff\xdb")
+    padded = bytes(blob[:i]) + b"\xff\xff\xff" + bytes(blob[i:])
+    out = decode_jpeg(padded)
+    assert int(np.abs(out.astype(int) - 99).max()) == 0
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff")
+
+
+def test_multi_scan_rejected_loudly():
+    """A scan covering fewer components than the frame (non-interleaved
+    baseline) must raise NotImplementedError, not KeyError mid-decode."""
+    blob = bytearray(encode_jpeg(np.full((8, 8, 3), 50, np.uint8)))
+    i = blob.find(b"\xff\xda")
+    # shrink the scan to 1 component: patch Ls and Ns, drop 2 comp specs
+    # SOS payload: len(2) ns(1) [cid td_ta]*ns Ss Se AhAl
+    ls = int.from_bytes(blob[i + 2:i + 4], "big")
+    new_sos = bytes([0, 8, 1]) + bytes(blob[i + 5:i + 7]) + b"\x00\x3f\x00"
+    blob2 = bytes(blob[:i + 2]) + new_sos + bytes(blob[i + 2 + ls:])
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(blob2)

@@ -87,3 +87,26 @@ def test_repair_udf_gated(spark):
          .otherwise(F.col("t")).alias("f")).collect()}
     assert out[1] == "bad naïve"
     assert out[2] == "good café"
+
+
+def test_repair_mojibake_gate_is_real(spark):
+    """The split-union gate must keep the Python stage on the damaged
+    branch ONLY — the old CASE-wrapped UDF was pulled into an
+    unconditional ArrowEvalPython over every row (r11 review finding,
+    plan-verified). One ArrowEvalPython node, under a Filter, inside a
+    Union with a pure-JVM clean branch."""
+    from pyspark.sql import functions as F
+
+    from metadata_enhanced_pretrain_datapipeline_spark.functions.text import (
+        repair_mojibake,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "plain"), (2, "cafÃ© â€” ok"), (3, "also plain")],
+        "doc_id long, t string")
+    out = repair_mojibake(df, "t", "t_fixed")
+    got = {r.doc_id: r.t_fixed for r in out.collect()}
+    assert got == {1: "plain", 2: "café — ok", 3: "also plain"}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    assert "Union" in plan
