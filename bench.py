@@ -240,6 +240,8 @@ R11_ADDITIONS = [
     # the crawl front door as continuous ingestion (binaryFile stream,
     # exactly-once file sink, splice-time dedup; batch-parity oracle)
     "q_stream_crawl_ingest",
+    # readability-style main-content extraction (link-density blocks)
+    "q_main_content",
 ]
 
 #: fixed clean-window reference bests (sf0.1) for CONTROL queries

@@ -121,3 +121,92 @@ def extract_text(df: DataFrame, html_col: str = "html",
                  out_col: str = "text") -> DataFrame:
     """Operator form: add ``out_col`` with the extracted text."""
     return df.withColumn(out_col, extract_text_col(F.col(html_col)))
+
+
+class _BlockExtractor(HTMLParser):
+    """Like :class:`_TextExtractor`, but text accumulates into BLOCKS
+    (flushed at every block-tag boundary) with per-block anchor-char
+    counts — the inputs the readability/boilerpipe/trafilatura family
+    scores main content by."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._skip_depth = 0
+        self._a_depth = 0
+        self.blocks: list[tuple[str, int]] = []  # (raw text, link chars)
+        self._cur: list[str] = []
+        self._link = 0
+
+    def flush(self) -> None:
+        if self._cur:
+            self.blocks.append(("".join(self._cur), self._link))
+        self._cur, self._link = [], 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+        elif tag in _BLOCK_TAGS:
+            self.flush()
+        elif tag == "a":
+            self._a_depth += 1
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_TAGS:
+            self._skip_depth = max(0, self._skip_depth - 1)
+        elif tag in _BLOCK_TAGS:
+            self.flush()
+        elif tag == "a":
+            self._a_depth = max(0, self._a_depth - 1)
+
+    def handle_data(self, data):
+        if self._skip_depth or not data:
+            return
+        self._cur.append(data)
+        if self._a_depth:
+            self._link += len(data)
+
+
+def html_main_content(html: str, min_chars: int = 25,
+                      max_link_density: float = 0.3) -> str:
+    """MAIN-CONTENT extraction — the readability/boilerpipe/trafilatura
+    core idea (Arc90 readability, Kohlschütter et al. 2010) as a
+    deterministic, oracle-checkable baseline: segment the page into
+    blocks at block-tag boundaries, score each by length and LINK
+    DENSITY (anchor chars / collapsed block length), and keep blocks
+    that are long enough (``min_chars``, after whitespace collapse +
+    trim) and not link-dominated (``max_link_density``). Navigation
+    bars, footers, tag clouds and sidebars are short and/or almost
+    entirely anchor text — they drop; article paragraphs survive.
+    Kept blocks join with newlines in document order.
+
+    Density counts anchor chars of the RAW block over the COLLAPSED
+    length — exact and documented (single-spaced content makes the two
+    equal); production swaps in trafilatura through the same plug-in
+    slot as :func:`html_to_text`."""
+    p = _BlockExtractor()
+    p.feed(html or "")
+    p.close()
+    p.flush()
+    out = []
+    for raw, link in p.blocks:
+        txt = _WS.sub(" ", raw).strip()
+        if len(txt) < min_chars:
+            continue
+        if link / max(len(txt), 1) > max_link_density:
+            continue
+        out.append(txt)
+    return "\n".join(out)
+
+
+def main_content_col(html: Column, min_chars: int = 25,
+                     max_link_density: float = 0.3) -> Column:
+    """Column form of :func:`html_main_content` (Arrow-batched scalar
+    pandas_udf; same scale shape as extract_text_col)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _main(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: html_main_content(
+            x, min_chars, max_link_density) if x is not None else None)
+
+    return _main(html)

@@ -10319,3 +10319,51 @@ def q_jpeg_roundtrip(spark, sf):
     return d.mapInPandas(
         roundtrip,
         "doc_id long, width int, height int, n_px long, err_bounded boolean")
+
+
+@register(
+    "q_main_content",
+    # per-block keep decisions replayed closed-form: nav + footer are
+    # constant link-bars (always dropped — 18/13 chars, ~0.9 density);
+    # the h1 and the article <p> keep iff their collapsed length >= 25
+    # (density 0); the mixed paragraph is a constant KEEP (anchor 19
+    # chars / 69 total = 0.275 <= 0.3). Kept blocks join with newlines
+    # in document order.
+    "SELECT doc_id, "
+    "CASE WHEN length(array_to_string(list_slice(string_split(text, ' '), "
+    "  1, 3), ' ')) >= 25 THEN array_to_string(list_slice("
+    "  string_split(text, ' '), 1, 3), ' ') || chr(10) ELSE '' END "
+    "|| CASE WHEN length(text) >= 25 THEN text || chr(10) ELSE '' END "
+    "|| 'Read the related article and the longer discussion that "
+    "follows here' AS main_text FROM documents",
+)
+def q_main_content(spark, sf):
+    """Extension — MAIN-CONTENT extraction (operators/html_extract.
+    html_main_content; Arc90 readability / Kohlschütter et al. 2010
+    boilerpipe / trafilatura's core): segment the page into blocks at
+    block-tag boundaries, keep blocks that are long enough AND not
+    link-dominated (anchor chars / collapsed length <= 0.3) — the step
+    that separates article text from nav bars, footers and sidebars,
+    which plain extraction (q_html_extract) keeps. The fixture page
+    wraps each doc in a constant link-bar nav, an h1 from its first 3
+    words, the article <p>, a mixed paragraph whose density sits just
+    under the threshold (0.275 — exercises the boundary), and a
+    constant link footer; the oracle replays every block decision.
+    Same Arrow scale shape as q_html_extract."""
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.html_extract import (
+        main_content_col,
+    )
+
+    d = load(spark, sf, "documents")
+    hdr = F.array_join(F.slice(F.split("text", " "), 1, 3), " ")
+    page = F.concat(
+        F.lit('<html><head><title>junk</title></head><body>'
+              '<div><a href="#">Home</a> <a href="#">About</a> '
+              '<a href="#">Contact</a></div><h1>'),
+        hdr,
+        F.lit('</h1><p>'), F.col("text"),
+        F.lit('</p><p>Read <a href="#">the related article</a> and the '
+              'longer discussion that follows here</p>'
+              '<div><a href="#">Privacy</a> <a href="#">Terms</a></div>'
+              '</body></html>'))
+    return d.select("doc_id", main_content_col(page).alias("main_text"))

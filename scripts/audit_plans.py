@@ -420,6 +420,9 @@ AUDITS = {
     "store — recovery is checkpoint replay), exactly-once parquet "
     "sink, then the batch splice dedup over the store (same "
     "materialize + (band,key) shape as the batch front door).",
+    "q_main_content": "Main-content extraction: one Arrow pandas_udf "
+    "over the page projection (same stage shape as q_html_extract); "
+    "block scoring happens inside the single Python hop, no shuffle.",
     "q_jpeg_roundtrip": "JPEG codec roundtrip: encode+decode both ride "
     "one mapInPandas over the id scan; output is 5 tiny typed columns "
     "(the lossy contract: dims exact, error bounded), no shuffle.",

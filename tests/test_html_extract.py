@@ -27,3 +27,43 @@ def test_extract_text_operator(spark):
         "id long, html string")
     out = {r.id: r.text for r in hx.extract_text(df).collect()}
     assert out == {1: "hello\nworld", 2: None}
+
+
+def test_main_content_drops_boilerplate():
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.html_extract import (
+        html_main_content,
+    )
+
+    page = ('<html><body>'
+            '<div><a href="#">Home</a> <a href="#">About</a></div>'
+            '<p>This is a long enough article paragraph to keep here.</p>'
+            '<ul><li><a href="#">tag1</a></li><li><a href="#">tag2</a>'
+            '</li></ul>'
+            '<p>Short.</p>'
+            '<div><a href="#">Privacy policy</a> <a href="#">Terms of '
+            'service and conditions</a></div>'
+            '</body></html>')
+    out = html_main_content(page)
+    assert out == "This is a long enough article paragraph to keep here."
+    # the long footer is >= 25 chars but link-dominated -> dropped
+    assert "Privacy" not in out and "tag1" not in out
+
+
+def test_main_content_density_boundary_and_edges():
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.html_extract import (
+        html_main_content,
+    )
+
+    # anchor 19 / total 69 = 0.275 <= 0.3 -> kept
+    mixed = ('<p>Read <a href="#">the related article</a> and the longer '
+             'discussion that follows here</p>')
+    assert html_main_content(mixed).startswith("Read the related")
+    # push density past the threshold -> dropped
+    linky = ('<p><a href="#">mostly anchor text in this longer block '
+             'here</a> tail</p>')
+    assert html_main_content(linky) == ""
+    assert html_main_content("") == ""
+    assert html_main_content("<p></p><div></div>") == ""
+    # skip subtrees contribute nothing even with anchors
+    assert html_main_content(
+        "<script>var a = 'a long fake paragraph of code';</script>") == ""

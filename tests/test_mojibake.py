@@ -76,7 +76,10 @@ def test_detection_engine_parity():
     assert n == 7
 
 
-def test_repair_udf_gated(spark):
+def test_repair_udf_case_selects_correctly(spark):
+    """The CASE-wrapped UDF form is VALUE-correct (the CASE selects the
+    right branch) — but it does NOT gate the Arrow cost; that is
+    test_repair_mojibake_gate_is_real's split-union form."""
     moji = "naïve".encode("utf-8").decode("cp1252")
     df = spark.createDataFrame(
         [(1, f"bad {moji}"), (2, "good café")], "id long, t string")
