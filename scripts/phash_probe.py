@@ -26,6 +26,19 @@ decade row should track the plain pHash row:
 
     python scripts/phash_probe.py .scale/sf1.0 letterbox
     python scripts/phash_probe.py .scale/sf10 letterbox
+
+JPEG mode (``jpeg``) prices the REAL baseline-JPEG decoder
+(operators/jpeg.py) inside the same pipeline: the even-id twin is the
+2x-rescaled +1-brightness re-upload ENCODED AS JPEG q95 instead of
+PNG, so the decode mapInPandas stage pays the pure-Python entropy +
+IDCT cost a JPEG-dominated crawl actually pays. This mode prices
+DECODE, not recall: pHash drifts up to 8 bits under q95 re-encode on
+adversarial high-frequency content (12 at q90, 21 at q75 — measured
+r11), so production JPEG-re-upload matching runs at max_hamming ~8-12
+while this probe keeps the default 2 for shape comparability:
+
+    python scripts/phash_probe.py .scale/sf1.0 jpeg
+    python scripts/phash_probe.py .scale/sf10 jpeg
 """
 
 from __future__ import annotations
@@ -45,7 +58,9 @@ from metadata_enhanced_pretrain_datapipeline_spark.session import get_spark
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else ".scale/sf1.0"
-    letterbox = len(sys.argv) > 2 and sys.argv[2] == "letterbox"
+    mode = sys.argv[2] if len(sys.argv) > 2 else "plain"
+    letterbox = mode == "letterbox"
+    jpeg = mode == "jpeg"
     spark = get_spark("phash-probe")
     spark.sparkContext.setLogLevel("ERROR")
     d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -73,7 +88,15 @@ def main() -> None:
                         tw = np.vstack(
                             [np.repeat(bars, 2, axis=1), tw,
                              np.repeat(bars, 2, axis=1)])
-                    rows.append((f"m{did}_b", multimodal.encode_png(tw)))
+                    if jpeg:
+                        from metadata_enhanced_pretrain_datapipeline_spark.operators.jpeg import (
+                            encode_jpeg,
+                        )
+
+                        blob = encode_jpeg(tw, quality=95, subsample=True)
+                    else:
+                        blob = multimodal.encode_png(tw)
+                    rows.append((f"m{did}_b", blob))
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
     def run():
@@ -86,7 +109,7 @@ def main() -> None:
     t0 = time.time()
     laps = timed_laps(run)
     print(json.dumps({"sf_dir": sf_dir, "n_docs": n_docs,
-                      "mode": "letterbox" if letterbox else "plain",
+                      "mode": mode,
                       "laps": laps, "best": min(laps),
                       "wall": round(time.time() - t0, 1)}), flush=True)
 
