@@ -10354,7 +10354,9 @@ def q_main_content(spark, sf):
         main_content_col,
     )
 
-    d = load(spark, sf, "documents")
+    # repartition(32): the per-row Python extraction must not serialize
+    # on the O(10)-file testdata/replica scans (the session-3 rule)
+    d = load(spark, sf, "documents").repartition(32)
     hdr = F.array_join(F.slice(F.split("text", " "), 1, 3), " ")
     page = F.concat(
         F.lit('<html><head><title>junk</title></head><body>'
