@@ -635,9 +635,17 @@ def repair_mojibake(df, text_col: str, out_col: str):
     Python stage (html_extract's ``fix_mojibake=True``).
 
     Row order changes across the union — every oracle/dedup consumer
-    in this repo is order-insensitive by contract."""
-    damaged = df.filter(mojibake_count(F.col(text_col)) > 0)
-    clean = df.filter(~(mojibake_count(F.col(text_col)) > 0))
+    in this repo is order-insensitive by contract.
+
+    NULL-safe (r11 ADVICE): ``mojibake_count(NULL)`` is NULL, so a bare
+    ``filter(count > 0)`` / ``filter(~(count > 0))`` pair drops NULL-text
+    rows from BOTH branches (extract_text_col legitimately yields NULL
+    for NULL html upstream). The predicate is coalesced to FALSE once so
+    NULL-text rows ride the clean branch with NULL output — the same
+    behavior the old CASE-gated form had."""
+    pred = F.coalesce(mojibake_count(F.col(text_col)) > 0, F.lit(False))
+    damaged = df.filter(pred)
+    clean = df.filter(~pred)
     fix = fix_mojibake_udf()
     return (
         damaged.withColumn(out_col, fix(F.col(text_col)))

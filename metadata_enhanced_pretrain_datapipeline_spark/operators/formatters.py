@@ -245,9 +245,18 @@ def cc_pii_scrub(text: Column) -> Column:
     string embedded in a 23-digit serial; ADVICE r10). ``\\Q..\\E``
     quotes the candidate verbatim (digits/spaces/hyphens only, but
     quoting costs nothing), and both anchors sit against the
-    candidate's digit ends, so the anchored pattern matches exactly
-    the positions the extraction scan matched. Runs entirely in
-    codegen — regexp extract + array filter + a fold of anchored
+    candidate's digit ends. ``\\b`` alone is NOT enough (ADVICE r11):
+    inside a longer SEPARATOR-delimited run (``123 4539 1488 0343
+    6467``) the space puts a word boundary at the group edge, yet the
+    greedy extraction scan matched that whole 19-digit run as ONE
+    (non-)candidate — so a valid card extracted elsewhere in the doc
+    must not rewrite its lookalike inside the longer run. The
+    lookarounds replay the scan's greediness: ``(?<!\\d[ -])`` forbids
+    a preceding digit+separator (the scan would have absorbed the
+    group leftward) and ``(?![ -]?\\d)`` forbids a trailing
+    separator+digit (rightward) — the anchored pattern now matches
+    exactly the positions the extraction scan matched. Runs entirely
+    in codegen — regexp extract + array filter + a fold of anchored
     regexp_replaces; no shuffle, no Python. Order is immaterial:
     candidates are non-overlapping matches of the same scan, and
     replacing a digit run with the tag cannot create a new
@@ -256,5 +265,6 @@ def cc_pii_scrub(text: Column) -> Column:
     return F.aggregate(
         valid, text,
         lambda acc, c: F.regexp_replace(
-            acc, F.concat(F.lit(r"\b\Q"), c, F.lit(r"\E\b")),
+            acc, F.concat(F.lit(r"(?<!\d[ -])\b\Q"), c,
+                          F.lit(r"\E\b(?![ -]?\d)")),
             F.lit(CC_TAG)))

@@ -141,10 +141,22 @@ class _BlockExtractor(HTMLParser):
         if self._cur:
             self.blocks.append(("".join(self._cur), self._link))
         self._cur, self._link = [], 0
+        # An <a> that crosses a block boundary is treated as closed:
+        # html.parser synthesizes no end tags, so one unclosed anchor
+        # (ubiquitous in malformed crawl HTML) would otherwise mark
+        # every later block 100%-link and drop the whole article
+        # (r11 ADVICE). Anchors are inline elements — a block boundary
+        # implicitly terminates them in every browser's tree anyway.
+        self._a_depth = 0
 
     def handle_starttag(self, tag, attrs):
         if tag in _SKIP_TAGS:
             self._skip_depth += 1
+        elif self._skip_depth:
+            # Inside <script>/<noscript>/<svg>/... a nested block tag
+            # must NOT split the enclosing content block (r11 ADVICE) —
+            # its text is skipped, so the boundary is meaningless.
+            return
         elif tag in _BLOCK_TAGS:
             self.flush()
         elif tag == "a":
@@ -153,6 +165,8 @@ class _BlockExtractor(HTMLParser):
     def handle_endtag(self, tag):
         if tag in _SKIP_TAGS:
             self._skip_depth = max(0, self._skip_depth - 1)
+        elif self._skip_depth:
+            return
         elif tag in _BLOCK_TAGS:
             self.flush()
         elif tag == "a":

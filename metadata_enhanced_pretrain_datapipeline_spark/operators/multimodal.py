@@ -620,9 +620,79 @@ def image_dhash(df: DataFrame, hash_w: int = 8, hash_h: int = 8,
                     continue
                 out.append((mid, dhash_pixels(decode(bytes(content)),
                                               hash_w, hash_h)))
-            yield pd.DataFrame(out, columns=["media_id", "dhash"])
+            # build the hash column as nullable Int64 from the RAW
+            # python list: a mixed int/None column handed to the
+            # DataFrame constructor becomes float64 on the spot (None
+            # -> NaN), silently zeroing the low bits of every
+            # |hash| > 2^53 in the batch before Arrow ever sees it
+            # (r12 find)
+            yield pd.DataFrame({
+                "media_id": [m for m, _ in out],
+                "dhash": pd.array([h for _, h in out], dtype="Int64"),
+            })
 
     return df.select("media_id", "content").mapInPandas(run, schema)
+
+
+def warc_image_dhash(records: DataFrame, hash_w: int = 8,
+                     hash_h: int = 8, stub: bool = False) -> DataFrame:
+    """The crawl→visual-dedup entry stage: read_warc response records
+    whose bodies are image bytes → (url, fmt, width, height, dhash) in
+    ONE Arrow stage — HTTP body slice (readers.http_body_bytes),
+    magic-byte format sniff, decode (decode_image dispatch: real
+    BMP/netpbm/PNG/JPEG codecs), exact dims, and :func:`dhash_pixels`,
+    all inside a single mapInPandas so the multi-KB image bytes cross
+    the Arrow boundary exactly once and only ~40-byte rows come out.
+    Caller routes with readers.http_content_type BEFORE this stage
+    (text/html records never pay a decode attempt) and keys dedup on a
+    media id derived from the url JVM-side after it. Undecodable
+    bodies yield NULL dims+hash (fmt still sniffed) rather than
+    failing the task — crawls carry truncated bodies; downstream
+    near-dup drops NULL hashes by contract."""
+    schema = ("url string, fmt string, width int, height int, "
+              "dhash long")
+
+    def sniff(b: bytes) -> str:
+        if b[:2] == b"BM":
+            return "bmp"
+        if b[:2] in (b"P5", b"P6"):
+            return "netpbm"
+        if b.startswith(_PNG_SIG):
+            return "png"
+        if b[:2] == b"\xff\xd8":
+            return "jpeg"
+        return "unknown"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from metadata_enhanced_pretrain_datapipeline_spark.sources.readers import http_body_bytes
+
+        for pdf in batches:
+            out = []
+            for url, content in zip(pdf["url"].to_numpy(),
+                                    pdf["content"].to_numpy()):
+                body = http_body_bytes(bytes(content))
+                fmt = sniff(body)
+                try:
+                    px = decode_image(body, stub=stub)
+                except Exception:
+                    out.append((url, fmt, None, None, None))
+                    continue
+                out.append((url, fmt, int(px.shape[1]), int(px.shape[0]),
+                            dhash_pixels(px, hash_w, hash_h)))
+            # nullable Int64/Int32 built from the RAW lists, never via
+            # the DataFrame constructor: a mixed int/None column
+            # becomes float64 on the spot, silently zeroing the low
+            # bits of any |hash| > 2^53 in the batch (r12 find —
+            # 40/142 fixture hashes corrupted before the fix)
+            yield pd.DataFrame({
+                "url": [r[0] for r in out],
+                "fmt": [r[1] for r in out],
+                "width": pd.array([r[2] for r in out], dtype="Int32"),
+                "height": pd.array([r[3] for r in out], dtype="Int32"),
+                "dhash": pd.array([r[4] for r in out], dtype="Int64"),
+            })
+
+    return records.select("url", "content").mapInPandas(run, schema)
 
 
 def image_near_dup_pairs(df: DataFrame, hash_w: int = 8, hash_h: int = 8,
@@ -845,7 +915,12 @@ def image_phash(df: DataFrame, grid: int = 32, keep: int = 8,
                 if strip_border:
                     px = strip_uniform_border(px)
                 out.append((mid, phash_pixels(px, grid, keep)))
-            yield pd.DataFrame(out, columns=["media_id", "phash"])
+            # nullable Int64 from the raw list — same constructor
+            # float64-degradation hazard as image_dhash (r12 find)
+            yield pd.DataFrame({
+                "media_id": [m for m, _ in out],
+                "phash": pd.array([h for _, h in out], dtype="Int64"),
+            })
 
     return df.select("media_id", "content").mapInPandas(run, schema)
 

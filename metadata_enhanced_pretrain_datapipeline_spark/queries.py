@@ -10328,14 +10328,21 @@ def q_jpeg_roundtrip(spark, sf):
     # the h1 and the article <p> keep iff their collapsed length >= 25
     # (density 0); the mixed paragraph is a constant KEEP (anchor 19
     # chars / 69 total = 0.275 <= 0.3). Kept blocks join with newlines
-    # in document order.
+    # in document order. The oracle replays the extractor's WHITESPACE
+    # COLLAPSE (trim + \\s+ -> ' ') on both the h1 and the article
+    # block — scoring raw length() passes on a single-spaced fixture
+    # but diverges the moment a corpus doc has doubled/leading
+    # whitespace near the 25-char threshold (ADVICE r11).
+    "WITH b AS (SELECT doc_id, "
+    "trim(regexp_replace(array_to_string(list_slice(string_split(text, "
+    "' '), 1, 3), ' '), '\\s+', ' ', 'g')) AS h1, "
+    "trim(regexp_replace(text, '\\s+', ' ', 'g')) AS art "
+    "FROM documents) "
     "SELECT doc_id, "
-    "CASE WHEN length(array_to_string(list_slice(string_split(text, ' '), "
-    "  1, 3), ' ')) >= 25 THEN array_to_string(list_slice("
-    "  string_split(text, ' '), 1, 3), ' ') || chr(10) ELSE '' END "
-    "|| CASE WHEN length(text) >= 25 THEN text || chr(10) ELSE '' END "
+    "CASE WHEN length(h1) >= 25 THEN h1 || chr(10) ELSE '' END "
+    "|| CASE WHEN length(art) >= 25 THEN art || chr(10) ELSE '' END "
     "|| 'Read the related article and the longer discussion that "
-    "follows here' AS main_text FROM documents",
+    "follows here' AS main_text FROM b",
 )
 def q_main_content(spark, sf):
     """Extension — MAIN-CONTENT extraction (operators/html_extract.
@@ -10369,3 +10376,301 @@ def q_main_content(spark, sf):
               '<div><a href="#">Privacy</a> <a href="#">Terms</a></div>'
               '</body></html>'))
     return d.select("doc_id", main_content_col(page).alias("main_text"))
+
+
+# ===========================================================================
+# round-12: the MULTIMODAL crawl front door (VERDICT r11 #1) — the image
+# twin of q_crawl_to_corpus: WARC response records whose bodies are real
+# image bytes (JPEG/BMP/PNG, plus text/html decoys that must be routed
+# away and an undecodable GIF that must pass through flagged) ->
+# content-type routing -> HTTP body slice + decode + dHash in ONE Arrow
+# stage -> within-crawl near-dup drop -> against-store drop. Composition
+# is where this repo's last four real bugs lived (VERDICT r11).
+# ===========================================================================
+
+#: closed-form media pixels for the crawl-media fixture: a
+#: multiplicative-hash pattern (NOT the linear gradient the other image
+#: fixtures use) — JPEG q85 smoothing collapses linear-gradient dHashes
+#: to hamming 0 across dids (measured r12), while hash-mixed pixels keep
+#: every JPEG-involved pair far from the threshold (min measured 6
+#: jpeg-jpeg / 16 jpeg-lossless over the sf0.1 did range;
+#: tests/test_crawl_media.py pins the margin). Values < 199 so the +1 /
+#: +17 twin edits never wrap uint8.
+def _media_pixels(did: int, width: int):
+    import numpy as np
+
+    y = np.arange(16).reshape(16, 1, 1)
+    x = np.arange(width).reshape(1, width, 1)
+    c = np.arange(3).reshape(1, 1, 3)
+    return (((did * 2654435761 + (y * width + x) * 40503 + c * 9719)
+             % 8191) % 199)
+
+
+def _media_blob(did: int) -> tuple[str, bytes]:
+    """(format, original image bytes) for one crawl-media doc: format
+    rotates by did % 3 — JPEG (16x24, q85, 4:2:0 for store-month ids),
+    BMP, PNG (both 16x18)."""
+    import numpy as np
+
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import multimodal
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.jpeg import encode_jpeg
+
+    f = did % 3
+    if f == 0:
+        px = _media_pixels(did, 24).astype(np.uint8)
+        return "jpeg", encode_jpeg(px, quality=85,
+                                   subsample=(did % 20 == 2),
+                                   restart_interval=0)
+    px = _media_pixels(did, 18).astype(np.uint8)
+    if f == 1:
+        return "bmp", multimodal.encode_bmp(px)
+    return "png", multimodal.encode_png(px)
+
+
+def _build_media_crawl_fixture(spark, sf: str, tag: str) -> str:
+    """WARC fixture for the multimodal front door: per selected doc
+    (did % 10 == 2) a mixed crawl segment carries a text/html DECOY
+    page (must be routed away by content-type), the original image
+    `_a` (format by did % 3), and a twin ladder exercising every
+    dedup decision: `_r` byte-different re-encode of the same JPEG
+    (restart_interval 2 — identical quantized coefficients, identical
+    decode, the provably-hamming-0 re-encode case), `_x` byte-exact
+    copy (did % 4 == 2), `_p` +1-brightness lossless recompress
+    (did % 4 == 2 — dHash-identical), `_e` +17-checkerboard content
+    EDIT (did % 4 == 0 — must usually survive), and `_u` an
+    undecodable image/gif body (did % 30 == 2 — passes through with
+    NULL hash, never dropped). 32 build tasks -> 32 .warc/.warc.gz
+    files, half multi-member gzip, like the text crawl fixture."""
+    import os
+    import shutil
+
+    from metadata_enhanced_pretrain_datapipeline_spark.sources import writers
+
+    d = (load(spark, sf, "documents").filter(F.col("doc_id") % 10 == 2)
+         .select("doc_id").repartition(32, F.col("doc_id") % 32))
+
+    scratch = _scratch_dir(sf, tag)
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch, exist_ok=True)
+
+    def build(batches):
+        import gzip
+        import uuid
+
+        import numpy as np
+        import pandas as pd
+
+        from metadata_enhanced_pretrain_datapipeline_spark.operators import multimodal
+        from metadata_enhanced_pretrain_datapipeline_spark.operators.jpeg import (
+            encode_jpeg,
+        )
+
+        date = "2026-02-01T00:00:00Z"
+
+        def img(mid, body, sub):
+            return writers.warc_binary_response_record(
+                f"https://img.example.com/{mid}", date, body,
+                f"image/{sub}")
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"n": pd.Series([], dtype="int64")})
+                continue
+            parts = [writers.warcinfo_record()]
+            for did in pdf["doc_id"].to_numpy():
+                did = int(did)
+                parts.append(writers.warc_response_record(
+                    f"https://example.com/page{did}", date,
+                    f"<html><body><p>decoy page {did}</p></body></html>"))
+                fmt, blob = _media_blob(did)
+                parts.append(img(f"m{did}_a", blob, fmt))
+                if did % 3 == 0:
+                    px = _media_pixels(did, 24).astype(np.uint8)
+                    parts.append(img(
+                        f"m{did}_r",
+                        encode_jpeg(px, quality=85,
+                                    subsample=(did % 20 == 2),
+                                    restart_interval=2), "jpeg"))
+                if did % 4 == 2:
+                    parts.append(img(f"m{did}_x", blob, fmt))
+                if did % 3 != 0 and did % 4 == 2:
+                    px = (_media_pixels(did, 18) + 1).astype(np.uint8)
+                    parts.append(img(
+                        f"m{did}_p",
+                        multimodal.encode_png(px)
+                        if did % 3 == 2 else multimodal.encode_bmp(px),
+                        "png" if did % 3 == 2 else "bmp"))
+                if did % 3 != 0 and did % 4 == 0:
+                    yy = np.arange(16).reshape(16, 1, 1)
+                    xx = np.arange(18).reshape(1, 18, 1)
+                    cb = ((xx // 2) + (yy // 2)) % 2 == 0
+                    px = (_media_pixels(did, 18)
+                          + np.where(cb, 17, 0)).astype(np.uint8)
+                    parts.append(img(
+                        f"m{did}_e",
+                        multimodal.encode_png(px)
+                        if did % 3 == 2 else multimodal.encode_bmp(px),
+                        "png" if did % 3 == 2 else "bmp"))
+                if did % 30 == 2:
+                    parts.append(img(
+                        f"m{did}_u",
+                        b"GIF89a" + did.to_bytes(4, "big") * 8, "gif"))
+            gz = int(pdf["doc_id"].min()) % 20 == 2
+            blob = (b"".join(gzip.compress(p) for p in parts) if gz
+                    else b"".join(parts))
+            name = os.path.join(
+                scratch, f"{uuid.uuid4().hex}.warc" + (".gz" if gz else ""))
+            with open(name, "wb") as f:
+                f.write(blob)
+            yield pd.DataFrame({"n": pd.Series([len(pdf)], dtype="int64")})
+
+    d.mapInPandas(build, "n long").agg(F.sum("n")).head()  # force build
+    return scratch
+
+
+#: lossless-media dHash replay CTEs (the q_image_near_dup machinery over
+#: the multiplicative-hash pixels): media universe `m`, per-pixel values
+#: with the twin edits, 2x2 cell sums, gradient bits, signed 64-bit hash.
+_MEDIA_DH_SQL = (
+    "d AS (SELECT doc_id AS did FROM documents WHERE doc_id % 10 = 2), "
+    "m AS (SELECT 'm' || did || '_a' AS media_id, did, did % 3 AS f, "
+    "  0 AS edit FROM d "
+    "UNION ALL SELECT 'm' || did || '_x', did, did % 3, 0 FROM d "
+    "  WHERE did % 4 = 2 "
+    "UNION ALL SELECT 'm' || did || '_p', did, did % 3, 1 FROM d "
+    "  WHERE did % 3 <> 0 AND did % 4 = 2 "
+    "UNION ALL SELECT 'm' || did || '_e', did, did % 3, 2 FROM d "
+    "  WHERE did % 3 <> 0 AND did % 4 = 0), "
+    "lm AS (SELECT * FROM m WHERE f <> 0), "
+    "px AS (SELECT media_id, y.g AS y, x.g AS x, "
+    "  ((did*2654435761 + (y.g*18 + x.g)*40503 + c.g*9719) % 8191) % 199 "
+    "  + CASE WHEN edit = 1 THEN 1 "
+    "         WHEN edit = 2 AND ((x.g//2)+(y.g//2)) % 2 = 0 THEN 17 "
+    "         ELSE 0 END AS v "
+    "  FROM lm, generate_series(0,15) y(g), generate_series(0,17) x(g), "
+    "  generate_series(0,2) c(g)), "
+    "cell AS (SELECT media_id, y//2 AS i, x//2 AS j, SUM(v) AS s "
+    "  FROM px GROUP BY media_id, y//2, x//2), "
+    "bits AS (SELECT l.media_id, l.i, l.j, "
+    "  CASE WHEN r.s > l.s THEN 1 ELSE 0 END AS b "
+    "  FROM cell l JOIN cell r ON r.media_id = l.media_id "
+    "  AND r.i = l.i AND r.j = l.j + 1 WHERE l.j <= 7), "
+    "dh AS (SELECT media_id, CAST(SUM(CASE WHEN i*8+j = 63 "
+    "  THEN b * (-9223372036854775807 - 1) "
+    "  ELSE b * (1::BIGINT << CAST(i*8+j AS INT)) END) AS BIGINT) "
+    "  AS dhash FROM bits GROUP BY media_id)"
+)
+
+
+@register(
+    "q_crawl_to_media",
+    # survivors replayed closed-form. Lossless decisions replay the full
+    # dHash arithmetic; JPEG decisions are STRUCTURAL (byte/re-encode
+    # twins decode identically -> hamming 0 -> the greedy drop keeps
+    # '_a'; identical quantized coefficients make the restart-interval
+    # re-encode provably pixel-identical) and rest on the measured
+    # separation margin every JPEG-involved cross pair clears
+    # (tests/test_crawl_media.py::test_jpeg_hash_separation pins >2
+    # over the whole sf0.1 did range).
+    f"WITH {_MEDIA_DH_SQL}, "
+    # within-crawl greedy smaller-id-wins over lossless hashes
+    "ldrop AS (SELECT DISTINCT b2.media_id FROM dh a2 JOIN dh b2 "
+    "  ON a2.media_id < b2.media_id "
+    "  AND bit_count(xor(a2.dhash, b2.dhash)) <= 2), "
+    "lsurv AS (SELECT lm.media_id, lm.did, lm.f FROM lm "
+    "  WHERE lm.media_id NOT IN (SELECT media_id FROM ldrop)), "
+    # the seen store: last month's originals, did % 20 = 2 (lossless
+    # hashes replayed; JPEG store hashes match only their own '_a')
+    "sdh AS (SELECT h.dhash FROM dh h JOIN lm ON lm.media_id = h.media_id "
+    "  WHERE right(h.media_id, 2) = '_a' AND lm.did % 20 = 2), "
+    "lsurv2 AS (SELECT s.media_id, s.did, s.f FROM lsurv s "
+    "  JOIN dh h ON h.media_id = s.media_id "
+    "  WHERE NOT EXISTS (SELECT 1 FROM sdh "
+    "    WHERE bit_count(xor(h.dhash, sdh.dhash)) <= 2)), "
+    # JPEG survivors: '_a' beats its hamming-0 twins; store month drops
+    "jsurv AS (SELECT media_id, did, f FROM m "
+    "  WHERE f = 0 AND right(media_id, 2) = '_a' AND did % 20 <> 2) "
+    "SELECT media_id, CASE f WHEN 0 THEN 'jpeg' WHEN 1 THEN 'bmp' "
+    "  ELSE 'png' END AS fmt, "
+    "  CASE WHEN f = 0 THEN 24 ELSE 18 END AS width, 16 AS height "
+    "FROM (SELECT * FROM lsurv2 UNION ALL SELECT * FROM jsurv) "
+    "UNION ALL SELECT 'm' || did || '_u', 'unknown', "
+    "  CAST(NULL AS INTEGER), CAST(NULL AS INTEGER) FROM d "
+    "  WHERE did % 30 = 2",
+)
+def q_crawl_to_media(spark, sf):
+    """The MULTIMODAL crawl front door (VERDICT r11 #1) — the image
+    twin of q_crawl_to_corpus, ONE composed plan: real mixed WARC
+    segments (page + image responses interleaved, like a crawl ships
+    them) -> read_warc -> content-type ROUTING (readers.
+    http_content_type, a 256-byte JVM prefix decode — html pages never
+    reach the decode stage) -> HTTP body slice + magic sniff + decode
+    (real JPEG/BMP/PNG codecs) + dHash fused in ONE Arrow stage
+    (multimodal.warc_image_dhash — image bytes cross Arrow once,
+    ~40-byte rows come out) -> within-crawl near-dup drop (Manku
+    chunk-bucket pairs + greedy smaller-id-wins) -> against-store drop
+    (last month's media live on as 8-byte hashes) -> surviving media
+    with format and exact decode dims. Undecodable bodies (the GIF
+    rows) pass through flagged with NULL dims — a crawl pipeline must
+    not crash on, or silently drop, formats it can't price.
+
+    Scale: parallelism unit is the WARC file; the only Python stage is
+    the single fused decode+hash map; the hash frame is materialized
+    ONCE and every downstream consumer (pair generation, the kept
+    anti-join, the store probe) reuses it — no re-decode; the pair and
+    store exchanges move (chunk, value) longs, never pixels. Reference
+    parity: the reference treats media as opaque binary + metadata
+    (SURVEY.md S7/A8 family); the decode/hash chain is this repo's
+    extension surface."""
+    from metadata_enhanced_pretrain_datapipeline_spark.operators import multimodal
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.dedup import (
+        drop_near_duplicates,
+        hamming_dedup_against,
+        hamming_pairs_from_fingerprints,
+    )
+    from metadata_enhanced_pretrain_datapipeline_spark.sources import readers
+
+    scratch = _build_media_crawl_fixture(spark, sf, "crawl_media")
+    raw = readers.read_warc(spark, scratch).repartition(32)
+    imgs = raw.filter(
+        readers.http_content_type(F.col("content")).startswith("image/"))
+    meta = materialize(
+        multimodal.warc_image_dhash(imgs)
+        .withColumn("media_id",
+                    F.regexp_extract("url", r"/(m\d+_[a-z])$", 1))
+        .select("media_id", "fmt", "width", "height", "dhash"),
+        eager=False)
+
+    fps = meta.filter(F.col("dhash").isNotNull())
+    pairs = hamming_pairs_from_fingerprints(
+        fps.select("media_id", "dhash"), "media_id", "dhash", 64,
+        max_hamming=2, max_bucket_size=None)
+    kept = drop_near_duplicates(meta, pairs, "media_id")
+
+    # the seen store: hash last month's blobs through the SAME decode
+    # path (8 bytes per stored image — blobs never cross months)
+    store_docs = (load(spark, sf, "documents")
+                  .filter(F.col("doc_id") % 20 == 2).select("doc_id")
+                  .repartition(32))
+
+    def build_store(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [(f"m{int(did)}_a", _media_blob(int(did))[1])
+                    for did in pdf["doc_id"].to_numpy()]
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    store = multimodal.image_dhash(
+        store_docs.mapInPandas(build_store,
+                               "media_id string, content binary"),
+        stub=False).select("dhash")
+
+    kept_fps = kept.filter(F.col("dhash").isNotNull())
+    surv = hamming_dedup_against(
+        kept_fps.select("media_id", "dhash"), store, "media_id",
+        "dhash", 64, max_hamming=2).select("media_id")
+    dropped = kept_fps.select("media_id").join(surv, "media_id",
+                                               "left_anti")
+    return (kept.join(dropped, "media_id", "left_anti")
+            .select("media_id", "fmt", "width", "height"))

@@ -295,6 +295,35 @@ def read_warc(spark: SparkSession, path: str,
         spark.read.format("binaryFile").load(path), record_type)
 
 
+def http_content_type(content) -> "Column":
+    """MIME type of a read_warc ``response`` payload, from the HTTP
+    Content-Type header — the routing key that splits a mixed crawl
+    into page records (text/html -> the text front door) and media
+    records (image/* -> the visual-dedup front door). Decodes only a
+    256-byte PREFIX of the binary content (ISO-8859-1 round-trips
+    arbitrary bytes, and HTTP headers are ASCII), so multi-megabyte
+    image bodies never pass through a string: pure JVM substring +
+    decode + regexp, riding the parse stage. Lower-cased; parameters
+    (``; charset=...``) stripped; '' when the header is absent."""
+    from pyspark.sql import functions as F
+
+    prefix = F.decode(F.substring(content, 1, 256), "ISO-8859-1")
+    return F.lower(F.regexp_extract(
+        prefix, r"(?i)\r\ncontent-type:\s*([^;\s]+)", 1))
+
+
+def http_body_bytes(payload: bytes) -> bytes:
+    """Binary HTTP body of one WARC response payload: everything after
+    the first CRLFCRLF (driver/executor-side helper for the Python
+    media-decode stage — the binary twin of :func:`http_body_str`,
+    which stays JVM-side for text). Raises on a payload without the
+    terminator rather than silently hashing header bytes as pixels."""
+    at = payload.find(b"\r\n\r\n")
+    if at < 0:
+        raise ValueError("HTTP payload without header terminator")
+    return payload[at + 4:]
+
+
 def http_body_str(content) -> "Column":
     """UTF-8 HTTP response body of a read_warc ``response`` payload:
     decode the bytes and return everything after the first CRLFCRLF

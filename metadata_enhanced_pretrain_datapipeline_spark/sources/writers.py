@@ -122,6 +122,33 @@ def warc_response_record(url: str, date: str, html: str,
     return hdr + http + b"\r\n\r\n"
 
 
+def warc_binary_response_record(url: str, date: str, body: bytes,
+                                content_type: str,
+                                status: str = "200 OK") -> bytes:
+    """:func:`warc_response_record` for BINARY payloads (image/audio/
+    video crawl responses): the HTTP body is raw bytes and the
+    Content-Type header carries the media type readers route on
+    (readers.http_content_type). Byte-layout identical otherwise, so
+    one WARC file can interleave page and media records the way a real
+    crawl segment does."""
+    http = (
+        f"HTTP/1.1 {status}\r\n"
+        f"Content-Type: {content_type}\r\n"
+        f"Content-Length: {len(body)}\r\n"
+        "\r\n"
+    ).encode("ascii") + body
+    hdr = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {date}\r\n"
+        "Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(http)}\r\n"
+        "\r\n"
+    ).encode("utf-8")
+    return hdr + http + b"\r\n\r\n"
+
+
 def warcinfo_record(info: str = "software: metadata-enhanced-pretrain-datapipeline-spark") -> bytes:
     """The ``warcinfo`` preamble record real WET files start with —
     readers must SKIP it when selecting conversion records."""

@@ -67,3 +67,42 @@ def test_main_content_density_boundary_and_edges():
     # skip subtrees contribute nothing even with anchors
     assert html_main_content(
         "<script>var a = 'a long fake paragraph of code';</script>") == ""
+
+
+def test_main_content_unclosed_anchor_does_not_poison_blocks():
+    """html.parser synthesizes no end tags: one unclosed <a> used to
+    leave _a_depth stuck > 0, marking every later block 100%-link and
+    dropping the rest of the article (ADVICE r11). A block boundary
+    now implicitly closes the anchor."""
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.html_extract import (
+        html_main_content,
+    )
+
+    page = ('<body>'
+            '<div><a href="#">Home nav that never closes</div>'
+            '<p>This article paragraph is long enough to keep around.</p>'
+            '<p>And this second paragraph also clears the threshold.</p>'
+            '</body>')
+    out = html_main_content(page)
+    assert "long enough to keep" in out
+    assert "second paragraph also clears" in out
+    assert "Home nav" not in out  # the nav block itself stays link-dominated
+
+
+def test_main_content_block_tag_inside_skip_subtree_does_not_split():
+    """A <table>/<div>/<li> nested inside <noscript>/<svg>/<template>
+    must not split the enclosing content block: its text is skipped,
+    so the boundary is meaningless — splitting scored each half
+    separately and could drop text that passes as one block
+    (ADVICE r11)."""
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.html_extract import (
+        html_main_content,
+    )
+
+    page = ('<p>First half of one block'
+            '<noscript><div>ignored</div></noscript>'
+            ' second half</p>')
+    # split halves are each < 25 chars collapsed... the first is 24;
+    # as ONE block ("First half of one block second half" = 35) it keeps
+    out = html_main_content(page)
+    assert out == "First half of one block second half"

@@ -105,11 +105,15 @@ def test_repair_mojibake_gate_is_real(spark):
     )
 
     df = spark.createDataFrame(
-        [(1, "plain"), (2, "cafÃ© â€” ok"), (3, "also plain")],
+        [(1, "plain"), (2, "cafÃ© â€” ok"), (3, "also plain"),
+         (4, None)],  # NULL text: mojibake_count(NULL) is NULL — a bare
+        # >0 / ~(>0) filter pair drops the row from BOTH branches
+        # (ADVICE r11); the coalesced predicate keeps it on the clean
+        # branch with NULL output, like the old CASE form did.
         "doc_id long, t string")
     out = repair_mojibake(df, "t", "t_fixed")
     got = {r.doc_id: r.t_fixed for r in out.collect()}
-    assert got == {1: "plain", 2: "café — ok", 3: "also plain"}
+    assert got == {1: "plain", 2: "café — ok", 3: "also plain", 4: None}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1
     assert "Union" in plan

@@ -64,3 +64,22 @@ def test_embedded_occurrence_in_longer_run_untouched(spark):
     # and when ONLY the embedded form exists, nothing is a candidate
     t2 = "serial 45391488034364671234567 only"
     assert _scrub_one(spark, t2) == t2
+
+
+def test_embedded_occurrence_in_separated_run_untouched(spark):
+    """ADVICE r11: a valid card embedded in a longer SEPARATOR-delimited
+    run ('123 4539 1488 0343 6467' — 19 digits, one non-candidate to the
+    greedy scan) has a word boundary at the group edge, so the old
+    \\b-only anchors still rewrote it when the same card was a genuine
+    candidate elsewhere in the doc. The lookarounds forbid an adjacent
+    separator+digit on either side."""
+    # the 19-digit runs 123+card / card+124 are Luhn-INVALID whole
+    # (a Luhn-valid 19-digit run WOULD be a legitimate card and mask)
+    t = ("card 4539 1488 0343 6467 ok; serial 123 4539 1488 0343 6467 "
+         "stays; tail 4539 1488 0343 6467 124 stays too")
+    got = _scrub_one(spark, t)
+    assert got == (f"card {CC_TAG} ok; serial 123 4539 1488 0343 6467 "
+                   "stays; tail 4539 1488 0343 6467 124 stays too")
+    # only embedded forms present -> no candidate, nothing rewritten
+    t2 = "just 123 4539 1488 0343 6467 here"
+    assert _scrub_one(spark, t2) == t2
