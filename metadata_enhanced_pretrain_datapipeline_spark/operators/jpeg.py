@@ -7,19 +7,25 @@ quantization and Huffman tables are read from the file's own DQT/DHT
 segments (never assumed), sampling factors h,v ∈ {1,2} cover 4:4:4,
 4:2:2, 4:4:0 and 4:2:0 chroma subsampling, restart markers reset DC
 predictors and byte-align exactly per spec, and grayscale (one
-component) decodes to replicated channels. Progressive (SOF2),
-arithmetic coding (SOF9+), 12-bit precision and sampling factors > 2
-raise loudly — fail-closed beats silently-wrong pixels in a dedup
-pipeline.
+component) decodes to replicated channels. PROGRESSIVE (SOF2) decodes
+for real as of r12 (VERDICT r11 #2): spectral selection AND successive
+approximation — DC/AC first + refinement scans, EOB runs, per-scan
+restart intervals — accumulate quantized coefficients in a store and
+reconstruct once at EOI through the same batched IDCT. Arithmetic
+coding (SOF9+), hierarchical, 12-bit precision and sampling factors
+> 2 still raise loudly — fail-closed beats silently-wrong pixels in a
+dedup pipeline.
 
-The ENCODER exists so the decoder is testable (and fixtures can ship
+The ENCODERS exist so the decoder is testable (and fixtures can ship
 real JPEG bytes) in a container with no codec lib: baseline JFIF,
 4:4:4 or 4:2:0, Annex-K-style quantization tables scaled by quality,
 and deliberately simple FIXED-LENGTH Huffman tables (12 DC symbols at
 4 bits, 162 AC symbols at 8 bits — a valid prefix code any conformant
 decoder accepts, because DHT declares it in-stream; compression ratio
 is not the point here). Optional restart intervals exercise the
-decoder's RST path.
+decoder's RST path. encode_jpeg_progressive quantizes IDENTICALLY to
+encode_jpeg, so decode(progressive) == decode(baseline) pixel-for-
+pixel — the cross-mode contract tests and q_jpeg_progressive pin.
 
 Scale shape: decode rides the same mapInPandas decode stage as
 BMP/PNG (operators/multimodal.decode_image dispatches on the SOI
@@ -460,15 +466,20 @@ def _split_entropy(data: bytes, pos: int):
 
 
 def decode_jpeg(content: bytes) -> np.ndarray:
-    """Decode baseline sequential JPEG bytes to HxWx3 uint8 (grayscale
-    replicates channels). Fully general within baseline: tables and
-    sampling come from the stream; progressive/arithmetic/12-bit and
+    """Decode baseline sequential (SOF0/1) OR progressive (SOF2) JPEG
+    bytes to HxWx3 uint8 (grayscale replicates channels). Fully
+    general within those frames: tables and sampling come from the
+    stream; progressive covers spectral selection AND successive
+    approximation (DC/AC first + refinement scans, EOB runs, restart
+    intervals per scan). Arithmetic coding, hierarchical, 12-bit and
     sampling factors > 2 raise ValueError/NotImplementedError."""
     if content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], _HuffTable] = {}
     frame = None
+    progressive = False
+    store: dict[int, np.ndarray] | None = None
     restart = 0
     i = 2
     n = len(content)
@@ -519,7 +530,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 vals = list(seg[j + 17:j + 17 + cnt])
                 huff[(tc, th)] = _HuffTable(bits, vals)
                 j += 17 + cnt
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             prec, fh, fw, ncomp = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG precision")
@@ -532,29 +543,43 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                         "sampling factors > 2 unsupported")
                 comps.append([cid, ch_, cv, tq])
             frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3) or 0xC5 <= marker <= 0xCF and \
+            progressive = marker == 0xC2
+        elif marker == 0xC3 or 0xC5 <= marker <= 0xCF and \
                 marker not in (0xC8,):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0xFF{marker:02X}) — "
-                "progressive/arithmetic need a real codec plug-in")
+                f"unsupported JPEG frame (SOF marker 0xFF{marker:02X}) "
+                "— lossless/arithmetic/hierarchical need a real codec "
+                "plug-in")
         elif marker == 0xDD:  # DRI
             restart = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
+            scan_comps = []
+            for k in range(ns):
+                cid, tdta = seg[1 + 2 * k:3 + 2 * k]
+                scan_comps.append((cid, tdta >> 4, tdta & 0xF))
+            if progressive:
+                ss, se, ahal = seg[1 + 2 * ns:4 + 2 * ns]
+                segments, i = _split_entropy(content, i)
+                if store is None:
+                    store = _coeff_store(frame)
+                _decode_progressive_scan(
+                    frame, huff, store, scan_comps, ss, se,
+                    ahal >> 4, ahal & 0xF, segments, restart)
+                continue
             if ns != len(frame[2]):
                 raise NotImplementedError(
                     "non-interleaved (multi-scan) baseline JPEG — a "
                     "scan must cover all frame components here")
-            scan_tables = {}
-            for k in range(ns):
-                cid, tdta = seg[1 + 2 * k:3 + 2 * k]
-                scan_tables[cid] = (tdta >> 4, tdta & 0xF)
+            scan_tables = {c[0]: (c[1], c[2]) for c in scan_comps}
             segments, i = _split_entropy(content, i)
             return _decode_scan(frame, qt, huff, scan_tables,
                                 segments, restart)
         # else: APPn/COM — skipped
+    if progressive and store is not None:
+        return _progressive_pixels(frame, qt, store)
     raise ValueError("JPEG had no SOS scan")
 
 
@@ -564,8 +589,6 @@ def _decode_scan(frame, qt, huff, scan_tables, segments, restart):
     vmax = max(c[2] for c in comps)
     mcus_x = (fw + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (fh + 8 * vmax - 1) // (8 * vmax)
-    planes = {c[0]: np.zeros((mcus_y * 8 * c[2], mcus_x * 8 * c[1]),
-                             dtype=np.float64) for c in comps}
 
     # phase 1: entropy-decode every block's zigzag coefficients (the
     # Python-side cost, table-driven); phase 2: ONE batched dequant +
@@ -614,6 +637,21 @@ def _decode_scan(frame, qt, huff, scan_tables, segments, restart):
                                            (mx * ch_ + bx) * 8))
             mcu_count += 1
     assert mcu_count == total
+    return _idct_planes(frame, qt, coeffs, spots)
+
+
+def _idct_planes(frame, qt, coeffs, spots):
+    """Phase 2 shared by the baseline and progressive paths: one
+    batched dequant + unzigzag + IDCT einsum per component over
+    (n, 64) zigzag coefficient rows placed at ``spots``, then nearest
+    upsample, crop, and color conversion."""
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (fw + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (fh + 8 * vmax - 1) // (8 * vmax)
+    planes = {c[0]: np.zeros((mcus_y * 8 * c[2], mcus_x * 8 * c[1]),
+                             dtype=np.float64) for c in comps}
 
     unz = np.array([y * 8 + x for y, x in ZIGZAG])
     for cid, ch_, cv, tq in comps:
@@ -644,3 +682,520 @@ def _decode_scan(frame, qt, huff, scan_tables, segments, restart):
         raise NotImplementedError("JPEG with 2 or 4+ components")
     c1, c2, c3 = (full[c[0]] for c in comps)
     return _ycbcr_to_rgb(c1, c2, c3)
+
+
+# --------------------------------------------------------------------------
+# progressive decoding (T.81 G.2) — scans accumulate quantized
+# coefficients in a per-component store; reconstruction happens once at
+# EOI through the same batched IDCT as the baseline path.
+
+
+def _grid_dims(frame):
+    """((mcus_y, mcus_x), per-cid padded block grid, per-cid non-padded
+    block grid) — non-interleaved scans iterate the NON-padded grid
+    (T.81 A.2.2: single-component scan dimensions come from the
+    component's ceil size, not the MCU-padded frame grid)."""
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (fw + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (fh + 8 * vmax - 1) // (8 * vmax)
+    padded, tight = {}, {}
+    for cid, ch_, cv, tq in comps:
+        padded[cid] = (mcus_y * cv, mcus_x * ch_)
+        cw = -(-fw * ch_ // hmax)
+        chh = -(-fh * cv // vmax)
+        tight[cid] = (-(-chh // 8), -(-cw // 8))
+    return (mcus_y, mcus_x), padded, tight
+
+
+def _coeff_store(frame) -> dict[int, np.ndarray]:
+    """Zigzag coefficient accumulator: one (block_rows, block_cols, 64)
+    int64 array per component, sized to the MCU-padded grid (DC scans
+    are interleaved over padded blocks; AC scans touch the tight
+    prefix)."""
+    _, padded, _ = _grid_dims(frame)
+    return {cid: np.zeros((*padded[cid], 64), dtype=np.int64)
+            for cid in padded}
+
+
+def _decode_progressive_scan(frame, huff, store, scan_comps, ss, se,
+                             ah, al, segments, restart):
+    """One progressive scan into the coefficient store. DC scans
+    (ss == 0): interleaved MCU order when the scan lists several
+    components, tight block raster when one; first pass Huffman-decodes
+    predictor diffs at precision ``al``, refinement reads one raw bit
+    per block. AC scans (single component by spec): spectral band
+    [ss, se] with EOB-run skipping; refinement walks correction bits
+    through already-significant coefficients. Restart intervals reset
+    predictors and EOB runs per spec."""
+    fh, fw, comps = frame
+    byc = {c[0]: (c[1], c[2]) for c in comps}
+    (mcus_y, mcus_x), _, tight = _grid_dims(frame)
+    seg_idx = 0
+    r = _BitReader(segments[0])
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        dc_pred = {cid: 0 for cid, _, _ in scan_comps}
+        if len(scan_comps) > 1:
+            units = []  # (cid, td, block_y, block_x) in MCU order
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for cid, td, _ in scan_comps:
+                        ch_, cv = byc[cid]
+                        for by in range(cv):
+                            for bx in range(ch_):
+                                units.append((cid, td, my * cv + by,
+                                              mx * ch_ + bx, my * mcus_x
+                                              + mx))
+        else:
+            cid, td, _ = scan_comps[0]
+            bh, bw = tight[cid]
+            units = [(cid, td, by, bx, by * bw + bx)
+                     for by in range(bh) for bx in range(bw)]
+        last_mcu = -1
+        for cid, td, by, bx, mcu in units:
+            if restart and mcu != last_mcu and mcu and \
+                    mcu % restart == 0:
+                seg_idx += 1
+                r = _BitReader(segments[seg_idx])
+                dc_pred = {c: 0 for c in dc_pred}
+            last_mcu = mcu
+            blk = store[cid]
+            if ah == 0:
+                _cat, dv = _huff_receive(r, huff[(0, td)])
+                dc_pred[cid] += dv
+                blk[by, bx, 0] = dc_pred[cid] << al
+            elif r.read_bits(1):
+                blk[by, bx, 0] |= 1 << al
+        return
+
+    if len(scan_comps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    cid, _, ta = scan_comps[0]
+    tbl = huff[(1, ta)]
+    bh, bw = tight[cid]
+    eobrun = 0
+    mcu = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart and mcu and mcu % restart == 0:
+                seg_idx += 1
+                r = _BitReader(segments[seg_idx])
+                eobrun = 0
+            blk = store[cid][by, bx]
+            if ah == 0:
+                eobrun = _ac_first_block(r, tbl, blk, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine_block(r, tbl, blk, ss, se, al,
+                                          eobrun)
+            mcu += 1
+
+
+def _ac_first_block(r, tbl, blk, ss, se, al, eobrun):
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        s, v = _huff_receive(r, tbl)
+        run, size = s >> 4, s & 0xF
+        if size == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            n = (1 << run) + (r.read_bits(run) if run else 0)
+            return n - 1  # this block ends; n-1 more follow
+        k += run
+        if k > se:
+            raise ValueError("progressive AC index overflow")
+        blk[k] = v << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(r, tbl, blk, ss, se, al, eobrun):
+    """Successive-approximation AC refinement for one block (T.81
+    G.2 / the libjpeg decode_mcu_AC_refine walk): newly-significant
+    coefficients arrive as run/size=1 symbols with a sign bit; every
+    already-nonzero coefficient passed on the way reads one correction
+    bit; EOB runs carry correction bits for the rest of the band."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            s, v = _huff_receive(r, tbl)
+            run, size = s >> 4, s & 0xF
+            newval = 0
+            if size == 0:
+                if run != 15:  # EOBn
+                    eobrun = (1 << run) + (r.read_bits(run) if run
+                                           else 0)
+                    break
+                # ZRL: skip 16 zero-history positions
+            elif size == 1:
+                newval = v * p1  # _huff_receive returns ±1 for size 1
+            else:
+                raise ValueError("progressive AC refinement size > 1")
+            while k <= se:
+                cur = int(blk[k])
+                if cur != 0:
+                    if r.read_bits(1) and (cur & p1) == 0:
+                        blk[k] = cur + (p1 if cur >= 0 else -p1)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if size and k <= se:
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            cur = int(blk[k])
+            if cur != 0:
+                if r.read_bits(1) and (cur & p1) == 0:
+                    blk[k] = cur + (p1 if cur >= 0 else -p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _progressive_pixels(frame, qt, store):
+    """EOI reconstruction: flatten each component's accumulated zigzag
+    store into the (coeffs, spots) shape the shared batched IDCT
+    consumes."""
+    coeffs, spots = {}, {}
+    for cid, ch_, cv, tq in frame[2]:
+        arr = store[cid]
+        bh, bw = arr.shape[:2]
+        coeffs[cid] = arr.reshape(-1, 64)
+        spots[cid] = [(by * 8, bx * 8) for by in range(bh)
+                      for bx in range(bw)]
+    return _idct_planes(frame, qt, coeffs, spots)
+
+
+# --------------------------------------------------------------------------
+# progressive encoder (T.81 G.1) — exists so the progressive decoder is
+# testable with REAL SOF2 bytes in a codec-lib-free container, exactly
+# like the baseline encoder exists for the baseline decoder. The default
+# scan script exercises BOTH progressive dimensions: spectral selection
+# (split AC bands) and successive approximation (DC and AC refinement
+# scans, two AC precision steps on luma). Because both encoders quantize
+# identically, decode(progressive bytes) must EQUAL decode(baseline
+# bytes) pixel-for-pixel — the cross-mode contract the tests and
+# q_jpeg_progressive pin.
+
+#: progressive AC alphabet: EOBn run-length symbols (r<<4, r 0..14) on
+#: top of the baseline run/size set — 176 symbols <= 2^8 - 1, still a
+#: valid fixed-length prefix code, declared in DHT like everything else.
+_ACP_SYMBOLS = ([r << 4 for r in range(15)] + [0xF0]
+                + [16 * r + s for r in range(16) for s in range(1, 11)])
+assert len(_ACP_SYMBOLS) == 176
+_ACP_BITS, _ACP_VALS, _ACP_CODE = _fixed_table(_ACP_SYMBOLS, 8)
+
+
+def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 90,
+                            subsample: bool = False,
+                            restart_interval: int = 0) -> bytes:
+    """Progressive (SOF2) JFIF encode of an HxWx3 (or HxW grayscale)
+    uint8 array, same quantization as :func:`encode_jpeg`. Scan
+    script: DC first at Al=1 (interleaved), split luma AC bands 1-5 /
+    6-63 at Al=2, chroma AC 1-63 at Al=1, then DC refinement and
+    AC refinement scans down to Al=0 — spectral selection AND
+    successive approximation both on the wire. ``restart_interval``
+    emits DRI + per-scan RSTn segments."""
+    px = np.asarray(pixels)
+    gray = px.ndim == 2
+    if gray:
+        px = px[:, :, None].repeat(3, axis=2)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_jpeg_progressive wants HxWx3 or HxW")
+    h, w = px.shape[:2]
+    ycc = _rgb_to_ycbcr(px.astype(np.float64))
+    qy = _quality_scale(QUANT_LUMA, quality)
+    qc = _quality_scale(QUANT_CHROMA, quality)
+    zz_r = [y * 8 + x for y, x in ZIGZAG]
+
+    if gray:
+        comps = [(1, 1, 1, 0, ycc[..., 0])]
+    elif subsample:
+        cbcr = []
+        for ch in (1, 2):
+            p = ycc[..., ch]
+            p = np.pad(p, ((0, h % 2), (0, w % 2)), mode="edge")
+            cbcr.append((p[0::2, 0::2] + p[0::2, 1::2]
+                         + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0)
+        comps = [(1, 2, 2, 0, ycc[..., 0]),
+                 (2, 1, 1, 1, cbcr[0]), (3, 1, 1, 1, cbcr[1])]
+    else:
+        comps = [(1, 1, 1, 0, ycc[..., 0]),
+                 (2, 1, 1, 1, ycc[..., 1]), (3, 1, 1, 1, ycc[..., 2])]
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+
+    # all quantized zigzag coefficients upfront: (block_y, block_x, 64)
+    coef: dict[int, np.ndarray] = {}
+    tight: dict[int, tuple[int, int]] = {}
+    for cid, ch_, cv, tq, plane in comps:
+        need_h, need_w = mcus_y * 8 * cv, mcus_x * 8 * ch_
+        p = np.pad(plane, ((0, need_h - plane.shape[0]),
+                           (0, need_w - plane.shape[1])), mode="edge")
+        bh, bw = need_h // 8, need_w // 8
+        blocks = p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
+        q = (qy if tq == 0 else qc).astype(np.float64)
+        c = np.einsum("ij,xyjk,kl->xyil", _DCT, blocks, _DCT.T,
+                      optimize=True)
+        coef[cid] = np.round(c / q).astype(np.int64).reshape(
+            bh, bw, 64)[:, :, zz_r]
+        cw = -(-w * ch_ // hmax)
+        chh = -(-h * cv // vmax)
+        tight[cid] = (-(-chh // 8), -(-cw // 8))
+
+    byc = {c[0]: (c[1], c[2]) for c in comps}
+
+    class _Scan:
+        """Per-scan entropy writer with restart segmentation."""
+
+        def __init__(self) -> None:
+            self.segments: list[bytes] = []
+            self.w = _BitWriter()
+            self.mcu = 0
+
+        def tick(self, on_restart) -> None:
+            if restart_interval and self.mcu and \
+                    self.mcu % restart_interval == 0:
+                # flush scan state (pending EOB runs + buffered
+                # correction bits) INTO the closing segment first —
+                # EOB runs cannot cross a restart boundary
+                on_restart()
+                self.w.byte_align()
+                self.segments.append(bytes(self.w.out))
+                self.w = _BitWriter()
+            self.mcu += 1
+
+        def finish(self) -> bytes:
+            self.w.byte_align()
+            self.segments.append(bytes(self.w.out))
+            out = bytearray()
+            for i, seg in enumerate(self.segments):
+                out += seg
+                if i < len(self.segments) - 1:
+                    out += bytes([0xFF, 0xD0 + (i % 8)])
+            return bytes(out)
+
+    def magnitude(wtr, v: int, cat: int) -> None:
+        if cat:
+            wtr.write(v if v >= 0 else v + (1 << cat) - 1, cat)
+
+    def dc_scan(al: int, refine: bool) -> bytes:
+        sc = _Scan()
+        pred = {cid: 0 for cid, *_ in comps}
+
+        def reset() -> None:
+            for cid in pred:
+                pred[cid] = 0
+
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                sc.tick(reset)
+                for cid, ch_, cv, tq, _ in comps:
+                    for by in range(cv):
+                        for bx in range(ch_):
+                            c0 = int(coef[cid][my * cv + by,
+                                               mx * ch_ + bx, 0])
+                            if refine:
+                                sc.w.write((c0 >> al) & 1, 1)
+                                continue
+                            v = c0 >> al
+                            diff = v - pred[cid]
+                            pred[cid] = v
+                            cat = _category(diff)
+                            code, ln = _DC_CODE[cat]
+                            sc.w.write(code, ln)
+                            magnitude(sc.w, diff, cat)
+        return sc.finish()
+
+    def ac_first_scan(cid: int, ss: int, se: int, al: int) -> bytes:
+        sc = _Scan()
+        state = {"eobrun": 0}
+
+        def flush_eob() -> None:
+            while state["eobrun"]:
+                n = min(state["eobrun"], 32767)
+                rr = n.bit_length() - 1
+                code, ln = _ACP_CODE[rr << 4]
+                sc.w.write(code, ln)
+                if rr:
+                    sc.w.write(n - (1 << rr), rr)
+                state["eobrun"] -= n
+
+        bh, bw = tight[cid]
+        for by in range(bh):
+            for bx in range(bw):
+                sc.tick(flush_eob)
+                blk = coef[cid][by, bx]
+                run = 0
+                for k in range(ss, se + 1):
+                    c = int(blk[k])
+                    v = (abs(c) >> al) * (1 if c >= 0 else -1)
+                    if v == 0:
+                        run += 1
+                        continue
+                    flush_eob()
+                    while run > 15:
+                        code, ln = _ACP_CODE[0xF0]
+                        sc.w.write(code, ln)
+                        run -= 16
+                    cat = _category(v)
+                    code, ln = _ACP_CODE[16 * run + cat]
+                    sc.w.write(code, ln)
+                    magnitude(sc.w, v, cat)
+                    run = 0
+                if run > 0:
+                    state["eobrun"] += 1
+        flush_eob()
+        return sc.finish()
+
+    def ac_refine_scan(cid: int, ss: int, se: int, al: int) -> bytes:
+        sc = _Scan()
+        state = {"eobrun": 0, "bbuf": []}
+
+        def flush_eob() -> None:
+            if state["eobrun"] == 0:
+                return
+            while state["eobrun"]:
+                n = min(state["eobrun"], 32767)
+                rr = n.bit_length() - 1
+                code, ln = _ACP_CODE[rr << 4]
+                sc.w.write(code, ln)
+                if rr:
+                    sc.w.write(n - (1 << rr), rr)
+                state["eobrun"] -= n
+            for b in state["bbuf"]:
+                sc.w.write(b, 1)
+            state["bbuf"] = []
+
+        bh, bw = tight[cid]
+        for by in range(bh):
+            for bx in range(bw):
+                sc.tick(flush_eob)
+                blk = coef[cid][by, bx]
+                mags = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+                # last newly-significant position: ZRLs past it fold
+                # into the EOB run instead (the libjpeg walk)
+                eobpos = max((i for i, a in enumerate(mags) if a == 1),
+                             default=-1)
+                run = 0
+                pend: list[int] = []  # correction bits in current run
+                for i, a in enumerate(mags):
+                    if a == 0:
+                        run += 1
+                        continue
+                    # any nonzero position flushes pending ZRLs first —
+                    # the decoder's ZRL advance consumes interleaved
+                    # correction bits positionally, so they must drain
+                    # per 16-zero window, not at the next new coef only
+                    while run > 15 and i <= eobpos:
+                        flush_eob()
+                        code, ln = _ACP_CODE[0xF0]
+                        sc.w.write(code, ln)
+                        run -= 16
+                        for b in pend:
+                            sc.w.write(b, 1)
+                        pend = []
+                    if a > 1:  # already significant: correction bit
+                        pend.append(a & 1)
+                        continue
+                    # newly significant (a == 1)
+                    flush_eob()
+                    code, ln = _ACP_CODE[16 * run + 1]
+                    sc.w.write(code, ln)
+                    sc.w.write(1 if int(blk[ss + i]) >= 0 else 0, 1)
+                    for b in pend:
+                        sc.w.write(b, 1)
+                    pend = []
+                    run = 0
+                if run > 0 or pend:
+                    state["eobrun"] += 1
+                    state["bbuf"].extend(pend)
+        flush_eob()
+        return sc.finish()
+
+    # ---- scan script
+    cids = [c[0] for c in comps]
+    scans: list[tuple[list[tuple[int, int, int]], int, int, int, int,
+                      bytes]] = []
+
+    def add(scomps, ss, se, ah, al, data):
+        scans.append((scomps, ss, se, ah, al, data))
+
+    all_dc = [(cid, 0, 0) for cid in cids]
+    add(all_dc, 0, 0, 0, 1, dc_scan(1, refine=False))
+    if gray:
+        add([(cids[0], 0, 0)], 1, 63, 0, 1,
+            ac_first_scan(cids[0], 1, 63, 1))
+    else:
+        add([(cids[0], 0, 0)], 1, 5, 0, 2,
+            ac_first_scan(cids[0], 1, 5, 2))
+        add([(cids[0], 0, 0)], 6, 63, 0, 2,
+            ac_first_scan(cids[0], 6, 63, 2))
+        add([(cids[1], 0, 0)], 1, 63, 0, 1,
+            ac_first_scan(cids[1], 1, 63, 1))
+        add([(cids[2], 0, 0)], 1, 63, 0, 1,
+            ac_first_scan(cids[2], 1, 63, 1))
+    add(all_dc, 0, 0, 1, 0, dc_scan(0, refine=True))
+    if gray:
+        add([(cids[0], 0, 0)], 1, 63, 1, 0,
+            ac_refine_scan(cids[0], 1, 63, 0))
+    else:
+        add([(cids[0], 0, 0)], 1, 63, 2, 1,
+            ac_refine_scan(cids[0], 1, 63, 1))
+        add([(cids[0], 0, 0)], 1, 63, 1, 0,
+            ac_refine_scan(cids[0], 1, 63, 0))
+        add([(cids[1], 0, 0)], 1, 63, 1, 0,
+            ac_refine_scan(cids[1], 1, 63, 0))
+        add([(cids[2], 0, 0)], 1, 63, 1, 0,
+            ac_refine_scan(cids[2], 1, 63, 0))
+
+    # ---- assemble marker stream
+    out = bytearray(b"\xff\xd8")
+    out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+            + struct.pack(">HHBB", 1, 1, 0, 0))
+
+    def dqt(tid: int, table: np.ndarray) -> bytes:
+        zz = bytes(int(table[y, x]) for y, x in ZIGZAG)
+        return b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + zz
+
+    out += dqt(0, qy)
+    if not gray:
+        out += dqt(1, qc)
+
+    ncomp = len(comps)
+    sof = struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for cid, ch_, cv, tq, _ in comps:
+        sof += bytes([cid, (ch_ << 4) | cv, tq])
+    out += b"\xff\xc2" + sof  # SOF2 progressive
+
+    def dht(tclass, tid, bits, vals) -> bytes:
+        payload = bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+
+    out += dht(0, 0, _DC_BITS, _DC_VALS)
+    out += dht(1, 0, _ACP_BITS, _ACP_VALS)
+
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    for scomps, ss, se, ah, al, data in scans:
+        sos = struct.pack(">HB", 6 + 2 * len(scomps), len(scomps))
+        for cid, td, ta in scomps:
+            sos += bytes([cid, (td << 4) | ta])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + sos + data
+    out += b"\xff\xd9"
+    return bytes(out)

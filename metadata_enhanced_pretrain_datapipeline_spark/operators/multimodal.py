@@ -360,9 +360,10 @@ def decode_image(content: bytes, stub: bool = False) -> np.ndarray:
             if not stub:
                 raise
     if content[:2] == b"\xff\xd8":
-        # baseline JPEG decodes FOR REAL (operators/jpeg.py — r11); the
-        # formats it rejects loudly (progressive/arithmetic/12-bit) fall
-        # to the stub under stub=True like every other codec here
+        # baseline AND progressive JPEG decode FOR REAL
+        # (operators/jpeg.py — r11/r12); the formats it rejects loudly
+        # (arithmetic/hierarchical/12-bit) fall to the stub under
+        # stub=True like every other codec here
         from metadata_enhanced_pretrain_datapipeline_spark.operators.jpeg import (
             decode_jpeg,
         )

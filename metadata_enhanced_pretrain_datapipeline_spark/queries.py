@@ -10674,3 +10674,68 @@ def q_crawl_to_media(spark, sf):
                                                "left_anti")
     return (kept.join(dropped, "media_id", "left_anti")
             .select("media_id", "fmt", "width", "height"))
+
+
+@register(
+    "q_jpeg_progressive",
+    # the cross-mode contract is exact, not just bounded: both encoders
+    # quantize identically, so decode(SOF2 progressive bytes) must be
+    # PIXEL-IDENTICAL to decode(SOF0 baseline bytes) — one boolean per
+    # doc replays it, alongside exact dims and a bytes-differ witness
+    # (the progressive stream really is a different encoding, not an
+    # aliased baseline stream).
+    "SELECT doc_id, 24 AS width, 16 AS height, true AS has_sof2, "
+    "true AS bytes_differ, true AS decode_equal "
+    "FROM documents WHERE doc_id % 20 = 7",
+)
+def q_jpeg_progressive(spark, sf):
+    """PROGRESSIVE JPEG decode (VERDICT r11 #2 — the honesty gap left
+    by r11's baseline-only codec: a real crawl's image mix has a
+    substantial SOF2 share): per doc, synthesize high-frequency pixels
+    (the multiplicative-hash pattern), encode REAL progressive bytes —
+    spectral selection (split luma AC bands) AND successive
+    approximation (DC + two AC refinement precisions), 4:2:0 for
+    ids % 2 == 0, per-scan restart markers for ids % 3 == 0 — decode
+    through the coefficient-store path (operators/jpeg.py
+    _decode_progressive_scan), and assert the exact cross-mode
+    contract: identical pixels to the baseline encoding of the same
+    array. Any desync in EOB runs, refinement correction bits, the
+    tight-vs-padded block grids, or restart resets flips decode_equal
+    somewhere in the id sweep. decode_image dispatches SOF2 via the
+    same SOI sniff, so the whole visual-dedup family now prices
+    progressive crawl bytes too."""
+    import numpy as np
+    import pandas as pd
+
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    d = load(spark, sf, "documents").filter(
+        F.col("doc_id") % 20 == 7).select("doc_id")
+
+    def roundtrip(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"].to_numpy():
+                did = int(did)
+                px = _media_pixels(did, 24).astype(np.uint8)
+                kw = dict(quality=85, subsample=(did % 2 == 0),
+                          restart_interval=(2 if did % 3 == 0 else 0))
+                base = encode_jpeg(px, **kw)
+                prog = encode_jpeg_progressive(px, **kw)
+                back = decode_jpeg(prog)
+                out.append((did, back.shape[1], back.shape[0],
+                            b"\xff\xc2" in prog, prog != base,
+                            bool(np.array_equal(back,
+                                                decode_jpeg(base)))))
+            yield pd.DataFrame(out, columns=[
+                "doc_id", "width", "height", "has_sof2", "bytes_differ",
+                "decode_equal"])
+
+    return d.repartition(32).mapInPandas(
+        roundtrip,
+        "doc_id long, width int, height int, has_sof2 boolean, "
+        "bytes_differ boolean, decode_equal boolean")

@@ -74,11 +74,17 @@ def test_restart_markers_present_and_load_bearing():
     assert np.abs(out.astype(int) - img.astype(int)).mean() <= 4.0
 
 
-def test_progressive_and_truncation_fail_closed():
+def test_unsupported_and_truncation_fail_closed():
     blob = bytearray(encode_jpeg(_grad(16, 16)))
     sof = blob.find(b"\xff\xc0")
-    blob[sof + 1] = 0xC2  # masquerade as progressive
+    blob[sof + 1] = 0xC9  # masquerade as arithmetic-coded
     with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(blob))
+    # SOF2 is now a SUPPORTED frame (r12) — but a baseline stream
+    # relabeled as progressive has an invalid scan header (Ss=0 with
+    # Se=63) and must fail loudly, not decode garbage
+    blob[sof + 1] = 0xC2
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(blob))
     with pytest.raises(ValueError):
         decode_jpeg(encode_jpeg(_grad(16, 16))[:40])  # no SOS reached
@@ -94,7 +100,7 @@ def test_decode_image_dispatches_jpeg():
     assert np.abs(out.astype(int) - img.astype(int)).mean() <= 3.0
     # a rejected variant falls back to the stub only under stub=True
     broken = bytearray(blob)
-    broken[blob.find(b"\xff\xc0") + 1] = 0xC2
+    broken[blob.find(b"\xff\xc0") + 1] = 0xC9
     with pytest.raises(NotImplementedError):
         decode_image(bytes(broken))
     assert decode_image(bytes(broken), stub=True).shape == (16, 16, 3)
@@ -126,3 +132,76 @@ def test_multi_scan_rejected_loudly():
     blob2 = bytes(blob[:i + 2]) + new_sos + bytes(blob[i + 2 + ls:])
     with pytest.raises(NotImplementedError):
         decode_jpeg(blob2)
+
+
+def test_progressive_equals_baseline_decode():
+    """The cross-mode contract: encode_jpeg_progressive quantizes
+    identically to encode_jpeg, so decoding the SOF2 stream must give
+    pixel-identical output — any desync in DC/AC first scans, EOB
+    runs, refinement correction bits, or per-scan restarts breaks
+    equality somewhere in the sweep."""
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(7)
+    cases = [((16, 24), {}), ((17, 23), {}),
+             ((32, 40), {"subsample": True}),
+             ((16, 24), {"restart_interval": 2}),
+             ((48, 64), {"subsample": True, "restart_interval": 3}),
+             ((24, 24), {"quality": 30}), ((8, 8), {}),
+             ((17, 23), {"subsample": True, "restart_interval": 1}),
+             ((40, 40), {"quality": 10})]
+    for shape, kw in cases:
+        px = rng.integers(0, 256, (*shape, 3)).astype(np.uint8)
+        q = kw.pop("quality", 85)
+        prog = encode_jpeg_progressive(px, quality=q, **kw)
+        assert b"\xff\xc2" in prog  # really SOF2
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(px, quality=q, **kw)),
+            decode_jpeg(prog)), (shape, kw, q)
+    # grayscale single-component script + smooth content (long EOB runs)
+    g = rng.integers(0, 256, (24, 24)).astype(np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(g, quality=85)),
+                          decode_jpeg(encode_jpeg_progressive(g, quality=85)))
+    y, x = np.mgrid[0:64, 0:80]
+    sm = np.stack([(y + x) // 2 % 256, y % 256, x % 256],
+                  -1).astype(np.uint8)
+    for kw in ({}, {"subsample": True}, {"restart_interval": 4}):
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(sm, quality=60, **kw)),
+            decode_jpeg(encode_jpeg_progressive(sm, quality=60, **kw)))
+
+
+def test_progressive_randomized_parity():
+    """Property sweep: random dims/quality/flags, progressive decode
+    must equal baseline decode bit-for-bit."""
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(1234)
+    for _ in range(12):
+        h = int(rng.integers(8, 50))
+        w = int(rng.integers(8, 50))
+        q = int(rng.integers(8, 98))
+        sub = bool(rng.integers(0, 2))
+        ri = int(rng.integers(0, 4))
+        px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(px, quality=q, subsample=sub,
+                                    restart_interval=ri)),
+            decode_jpeg(encode_jpeg_progressive(
+                px, quality=q, subsample=sub, restart_interval=ri))), \
+            (h, w, q, sub, ri)
+
+
+def test_progressive_decodes_via_decode_image():
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    img = _grad(16, 16)
+    out = decode_image(encode_jpeg_progressive(img, quality=95))
+    assert out.shape == (16, 16, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).mean() <= 3.0
