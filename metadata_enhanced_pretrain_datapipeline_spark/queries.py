@@ -10739,3 +10739,72 @@ def q_jpeg_progressive(spark, sf):
         roundtrip,
         "doc_id long, width int, height int, has_sof2 boolean, "
         "bytes_differ boolean, decode_equal boolean")
+
+
+def _langid_oracle() -> str:
+    """Oracle for q_langid_ngram, built from the SAME sample literals
+    the Spark side uses (functions/langid.LANG_SAMPLES): the fixture
+    slices a per-doc 200-char window out of the doc's language sample
+    (lang = doc_id % 8 over the sorted codes), empties every 97th doc
+    to exercise the degenerate path (no trigrams -> doc absent from
+    the output in BOTH engines), and the profile/score arithmetic is
+    replayed verbatim by langid_oracle_sql."""
+    from metadata_enhanced_pretrain_datapipeline_spark.functions.langid import (
+        langid_oracle_sql,
+    )
+
+    doc_cte = (
+        "docs AS (SELECT d.doc_id, CASE WHEN d.doc_id % 97 = 0 THEN '' "
+        "ELSE substr(s.sample, CAST(1 + d.doc_id % 50 AS INT), 200) END "
+        "AS text FROM documents d JOIN (SELECT lang, sample, "
+        "CAST(row_number() OVER (ORDER BY lang) - 1 AS BIGINT) AS idx "
+        "FROM samp) s ON d.doc_id % 8 = s.idx)"
+    )
+    return langid_oracle_sql(doc_cte, k=64)
+
+
+@register("q_langid_ngram", _langid_oracle())
+def q_langid_ngram(spark, sf):
+    """Character-n-gram language ID (VERDICT r11 stretch #6): the
+    Cavnar-Trenkle out-of-place method as a closed-form DataFrame
+    pipeline (functions/langid.py) — the statistical Latin-language
+    router the reference world fills with fasttext-LID (reference
+    `fasttext_annotator.py`; the model runtime stays a plug-in, this
+    is the in-engine baseline). Completes the routing stack:
+    script_fractions routes writing systems (q_script_detect), marker
+    words separate a few Latin languages (q_lang_id), this separates
+    eight Latin languages statistically with integer-only arithmetic
+    both engines replay bit-for-bit.
+
+    Fixture: each doc gets a 200-char window (offset doc_id % 50) into
+    its language's self-authored sample paragraph (lang = doc_id % 8),
+    so every language and 50 distinct partial profiles exercise; every
+    97th doc is emptied to pin the degenerate no-trigram path (the doc
+    vanishes from the output of BOTH engines — Spark's sequence(1,0)
+    junk grams are filtered, DuckDB's generate_series is empty).
+
+    Scale: language profiles build from 8 tiny rows and BROADCAST;
+    per-doc profiles are one explode + groupBy keyed by doc_id (the
+    only data-sized shuffle); scoring moves O(docs * 64 * 8) ~20-byte
+    (doc, lang, tri, rank) rows through broadcast joins — no Python
+    anywhere, whole-stage codegen end to end."""
+    from metadata_enhanced_pretrain_datapipeline_spark.functions.langid import (
+        LANG_SAMPLES,
+        langid_ngram,
+    )
+
+    samples = spark.createDataFrame(
+        [(i, lang, s) for i, (lang, s)
+         in enumerate(sorted(LANG_SAMPLES.items()))],
+        "idx long, lang string, sample string")
+    d = load(spark, sf, "documents").select("doc_id")
+    docs = (
+        d.join(F.broadcast(samples), d["doc_id"] % 8 == samples["idx"])
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 97 == 0, F.lit("")).otherwise(
+                F.substring(
+                    F.col("sample"),
+                    (F.lit(1) + F.col("doc_id") % 50).cast("int"),
+                    F.lit(200))).alias("text")))
+    return langid_ngram(docs, "doc_id", "text", k=64)
