@@ -143,38 +143,63 @@ def langid_ngram(df: DataFrame, id_col: str = "doc_id",
                  out_col: str = "lang") -> DataFrame:
     """Cavnar-Trenkle LID over ``df``: returns (id_col, out_col, dist)
     — the winning language and its out-of-place distance. Ties break
-    to the lexicographically smaller language code (deterministic)."""
+    to the lexicographically smaller language code (deterministic).
+
+    Plan shape (the r12 decade-probe fix — the first formulation
+    exploded the doc profile x8 languages and measured 8.8x/decade):
+    the broadcast language profiles PIVOT to one 8-slot rank array per
+    trigram (rank 0 = absent), every language's contribution computes
+    per doc-profile row in ONE projection, and the per-doc distances
+    are 8 sums keyed by ``id_col`` — which reuses the profile window's
+    hash partitioning, so scoring adds NO exchange; the winner is an
+    array_min/array_position projection, not another window. The only
+    data-sized shuffles are the two inside trigram_profile."""
     spark = df.sparkSession
+    codes = sorted(LANG_SAMPLES)
     samples = spark.createDataFrame(
         sorted(LANG_SAMPLES.items()), "lang string, sample string")
-    lang_prof = trigram_profile(samples, "lang", "sample", k) \
-        .withColumnRenamed("rank", "lrank")
+    lang_prof = trigram_profile(samples, "lang", "sample", k)
+    # <=8k tiny rows -> one row per trigram carrying all 8 ranks
+    pivot = (lang_prof.groupBy("tri")
+             .pivot("lang", codes).agg(F.first("rank"))
+             .select("tri", F.array(
+                 *[F.coalesce(F.col(c), F.lit(0)) for c in codes])
+                 .alias("lranks")))
     doc_prof = trigram_profile(df, id_col, text_col, k) \
         .withColumnRenamed("rank", "drank")
 
-    # fan each doc-profile row out to every candidate language via an
-    # exploded LITERAL code array — a Generate node, not a join, so the
-    # registry's no-BNLJ/no-cartesian plan guard holds by construction
-    # (the language set is known at plan time; 8 codes per row)
-    codes = F.array(*[F.lit(c) for c in sorted(LANG_SAMPLES)])
-    scored = (doc_prof.withColumn("lang", F.explode(codes))
-              .join(F.broadcast(lang_prof), ["lang", "tri"], "left")
-              .groupBy(id_col, "lang")
-              .agg(F.sum(F.coalesce(F.abs(F.col("drank")
-                                          - F.col("lrank")),
-                                    F.lit(k))).alias("dist")))
-    w = Window.partitionBy(id_col).orderBy("dist", "lang")
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(id_col, F.col("lang").alias(out_col), "dist"))
+    n = len(codes)
+    contrib = (
+        doc_prof.join(F.broadcast(pivot), "tri", "left")
+        .select(id_col, F.transform(
+            F.coalesce(F.col("lranks"),
+                       F.array_repeat(F.lit(0), n)),
+            lambda el: F.when(el == 0, F.lit(k))
+            .otherwise(F.abs(F.col("drank") - el)).cast("long"))
+            .alias("contrib")))
+    dists = contrib.groupBy(id_col).agg(F.array(
+        *[F.sum(F.element_at("contrib", i + 1)) for i in range(n)])
+        .alias("dists"))
+    best = dists.select(id_col, "dists",
+                        F.array_min("dists").alias("dist"))
+    # first index holding the min == lexicographically smallest code
+    # (codes sorted), replaying the (dist, lang) window tie-break
+    return best.select(
+        id_col,
+        F.element_at(F.array(*[F.lit(c) for c in codes]),
+                     F.array_position("dists", F.col("dist"))
+                     .cast("int")).alias(out_col),
+        "dist")
 
 
-def langid_oracle_sql(doc_cte: str, k: int = 64,
-                      id_col: str = "doc_id",
-                      text_col: str = "text") -> str:
-    """The DuckDB replay of :func:`langid_ngram` over a CTE named
-    ``docs`` (provided by ``doc_cte``): profiles are derived from the
-    SAME sample literals through the same trigram/rank arithmetic."""
+def langid_ctes(doc_cte: str, k: int = 64,
+                id_col: str = "doc_id",
+                text_col: str = "text") -> str:
+    """The classifier's CTE chain (no leading WITH, no final SELECT):
+    ``samp`` (the sample literals), the caller's ``docs``, profile
+    tables, and the result named ``lid`` — one flat scope so composed
+    oracles (:func:`lang_routed_keep_oracle_sql`) can extend the chain
+    and still see samp/docs."""
     values = ", ".join(
         f"('{lang}', '{text}')" for lang, text in
         sorted(LANG_SAMPLES.items()))
@@ -196,7 +221,7 @@ def langid_oracle_sql(doc_cte: str, k: int = 64,
     return (
         # samp first: the caller's docs CTE may join it (fixtures
         # synthesize per-language text from the same samples)
-        f"WITH samp(lang, sample) AS (VALUES {values}), "
+        f"samp(lang, sample) AS (VALUES {values}), "
         f"{doc_cte}, "
         f"lp AS ({prof('samp', 'lang', 'sample', 'lrank')}), "
         f"dp AS ({prof('docs', id_col, text_col, 'drank')}), "
@@ -204,8 +229,128 @@ def langid_oracle_sql(doc_cte: str, k: int = 64,
         f"CAST(SUM(COALESCE(ABS(dp.drank - lp.lrank), {k})) AS BIGINT) "
         f"AS dist FROM dp CROSS JOIN (SELECT lang FROM samp) s "
         f"LEFT JOIN lp ON lp.lang = s.lang AND lp.tri = dp.tri "
-        f"GROUP BY dp.{id_col}, s.lang) "
-        f"SELECT {id_col}, lang, dist FROM (SELECT *, row_number() "
-        f"OVER (PARTITION BY {id_col} ORDER BY dist, lang) AS rn "
-        f"FROM sc) WHERE rn = 1"
+        f"GROUP BY dp.{id_col}, s.lang), "
+        f"lid AS (SELECT {id_col}, lang, dist FROM (SELECT *, "
+        f"row_number() OVER (PARTITION BY {id_col} "
+        f"ORDER BY dist, lang) AS rn FROM sc) WHERE rn = 1)"
+    )
+
+
+def langid_oracle_sql(doc_cte: str, k: int = 64,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> str:
+    """The DuckDB replay of :func:`langid_ngram` over a CTE named
+    ``docs`` (provided by ``doc_cte``): profiles are derived from the
+    SAME sample literals through the same trigram/rank arithmetic."""
+    return (f"WITH {langid_ctes(doc_cte, k, id_col, text_col)} "
+            f"SELECT {id_col}, lang, dist FROM lid")
+
+
+def lang_stopword_table(spark, n: int = 8) -> "DataFrame":
+    """(lang, word): the top-``n`` most frequent words of each
+    language's sample paragraph (count DESC, word ASC tie-break) — a
+    derived per-language function-word list, the resource a
+    language-ROUTED curation gate needs (Gopher's ">= 2 stopwords"
+    rule is English-only; routing by predicted language swaps the
+    list). Derived in-engine from the SAME 8 literals the classifier
+    profiles come from, so the oracle rebuilds it verbatim; 8 rows in,
+    8*n rows out, always broadcastable."""
+    samples = spark.createDataFrame(
+        sorted(LANG_SAMPLES.items()), "lang string, sample string")
+    words = (samples.select(
+        "lang",
+        F.explode(F.split(F.trim(F.col("sample")), " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("lang", "word").agg(F.count("*").alias("cnt")))
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(),
+                                           F.col("word"))
+    return (words.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= n).select("lang", "word"))
+
+
+def lang_routed_keep(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", k: int = 64,
+                     n_stop: int = 8, min_hits: int = 2,
+                     min_words: int = 10, max_words: int = 80
+                     ) -> DataFrame:
+    """Language-routed quality gate: classify each doc with
+    :func:`langid_ngram`, then apply the PER-LANGUAGE stopword rule —
+    at least ``min_hits`` tokens from the predicted language's derived
+    function-word list — plus global word-count bounds. Returns
+    (id_col, lang, dist, n_words, stop_hits, keep).
+
+    Plan shape: the classifier's own plan (profiles broadcast, one
+    per-doc exchange) + ONE BroadcastHashJoin routing each doc to its
+    language's stopword array (8 aggregated rows) + a codegen
+    filter-count — the routing itself adds no data-sized shuffle.
+    Docs the classifier drops (no trigrams) fail closed (absent from
+    the output, same as the classifier)."""
+    spark = df.sparkSession
+    lid = langid_ngram(df, id_col, text_col, k)
+    stops = (lang_stopword_table(spark, n_stop)
+             .groupBy("lang")
+             .agg(F.sort_array(F.collect_list("word")).alias("stops")))
+    toks = F.filter(F.split(F.trim(F.col(text_col)), " "),
+                    lambda t: F.length(t) > 0)
+    # compute-once-then-derive: the token array materializes in its own
+    # projection (it is referenced twice below; codegen does not CSE
+    # across sibling expressions — the r10 lesson)
+    routed = (df.select(id_col, text_col)
+              .join(lid, id_col)
+              .join(F.broadcast(stops), "lang")
+              .select(id_col, "lang", "dist", "stops",
+                      toks.alias("_toks"))
+              .select(
+                  id_col, "lang", "dist",
+                  F.size("_toks").alias("n_words"),
+                  F.size(F.filter(
+                      F.col("_toks"),
+                      lambda t: F.array_contains(F.col("stops"), t)))
+                  .alias("stop_hits")))
+    return routed.withColumn(
+        "keep",
+        (F.col("stop_hits") >= min_hits)
+        & (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words))
+
+
+def lang_routed_keep_oracle_sql(doc_cte: str, k: int = 64,
+                                n_stop: int = 8, min_hits: int = 2,
+                                min_words: int = 10,
+                                max_words: int = 80,
+                                id_col: str = "doc_id",
+                                text_col: str = "text") -> str:
+    """DuckDB replay of :func:`lang_routed_keep` over a ``docs`` CTE:
+    the classifier's CTE chain (:func:`langid_ctes` — samp/docs/lid in
+    one flat scope) extended with the derived stopword table (same
+    top-``n_stop`` (count DESC, word ASC) rank over samp) and the
+    token-membership count (replayed as an explode + EXISTS count — a
+    different but value-identical formulation of Spark's array
+    filter). Tokens split from the RAW text (trim + single-space
+    split), matching the Spark side; docs with no tokens get
+    n_words=0 via the LEFT JOIN."""
+    return (
+        f"WITH {langid_ctes(doc_cte, k, id_col, text_col)}, "
+        f"stops AS (SELECT lang, word FROM ("
+        f"SELECT lang, word, row_number() OVER (PARTITION BY lang "
+        f"ORDER BY cnt DESC, word) AS rn FROM ("
+        f"SELECT lang, w AS word, count(*) AS cnt FROM ("
+        f"SELECT lang, unnest(string_split(trim(sample), ' ')) AS w "
+        f"FROM samp) WHERE strlen(w) > 0 GROUP BY lang, w)) "
+        f"WHERE rn <= {n_stop}), "
+        f"toks AS (SELECT {id_col}, t FROM ("
+        f"SELECT {id_col}, unnest(string_split(trim({text_col}), ' ')) "
+        f"AS t FROM docs) WHERE strlen(t) > 0), "
+        f"counts AS (SELECT lid.{id_col}, "
+        f"CAST(count(t.t) AS INT) AS n_words, "
+        f"CAST(count(CASE WHEN EXISTS (SELECT 1 FROM stops s "
+        f"WHERE s.lang = lid.lang AND s.word = t.t) THEN 1 END) AS INT) "
+        f"AS stop_hits "
+        f"FROM lid LEFT JOIN toks t ON t.{id_col} = lid.{id_col} "
+        f"GROUP BY lid.{id_col}, lid.lang) "
+        f"SELECT lid.{id_col}, lid.lang, lid.dist, c.n_words, "
+        f"c.stop_hits, (c.stop_hits >= {min_hits} AND "
+        f"c.n_words >= {min_words} AND c.n_words <= {max_words}) "
+        f"AS keep "
+        f"FROM lid JOIN counts c ON c.{id_col} = lid.{id_col}"
     )

@@ -10427,7 +10427,43 @@ def _media_blob(did: int) -> tuple[str, bytes]:
     return "png", multimodal.encode_png(px)
 
 
-def _build_media_crawl_fixture(spark, sf: str, tag: str) -> str:
+def _interleave_refs(did: int) -> list:
+    """The ordered <img src> reference list page ``did`` carries in the
+    interleaved fixture — the SAME media ids the image records ship
+    (plus a dangling ref that is never crawled), in the exact pos order
+    the oracle's refs CTE numbers them."""
+    refs = [f"m{did}_a"]
+    if did % 3 == 0:
+        refs.append(f"m{did}_r")
+    if did % 4 == 2:
+        refs.append(f"m{did}_x")
+    if did % 3 != 0 and did % 4 == 2:
+        refs.append(f"m{did}_p")
+    if did % 3 != 0 and did % 4 == 0:
+        refs.append(f"m{did}_e")
+    if did % 30 == 2:
+        refs.append(f"m{did}_u")
+    refs.append(f"m{did}_missing")
+    return refs
+
+
+def _interleave_page(did: int) -> str:
+    """The interleaved page HTML: head junk the extractor must skip,
+    an h1 + two paragraphs (closed-form text), the image refs
+    distributed between the paragraphs in _interleave_refs order."""
+    refs = _interleave_refs(did)
+    tags = [f'<img src="https://img.example.com/{r}">' for r in refs]
+    return (
+        f"<html><head><title>t{did}</title><script>var x=1;"
+        f"</script></head><body><h1>Interleaved page {did}</h1>"
+        f"{tags[0]}<p>Lead paragraph about page {did} with several "
+        f"plain words.</p>{''.join(tags[1:-1])}"
+        f"<p>Closing remarks for page {did} end here.</p>{tags[-1]}"
+        f"</body></html>")
+
+
+def _build_media_crawl_fixture(spark, sf: str, tag: str,
+                               interleave: bool = False) -> str:
     """WARC fixture for the multimodal front door: per selected doc
     (did % 10 == 2) a mixed crawl segment carries a text/html DECOY
     page (must be routed away by content-type), the original image
@@ -10481,6 +10517,7 @@ def _build_media_crawl_fixture(spark, sf: str, tag: str) -> str:
                 did = int(did)
                 parts.append(writers.warc_response_record(
                     f"https://example.com/page{did}", date,
+                    _interleave_page(did) if interleave else
                     f"<html><body><p>decoy page {did}</p></body></html>"))
                 fmt, blob = _media_blob(did)
                 parts.append(img(f"m{did}_a", blob, fmt))
@@ -10561,18 +10598,12 @@ _MEDIA_DH_SQL = (
     "  AS dhash FROM bits GROUP BY media_id)"
 )
 
-
-@register(
-    "q_crawl_to_media",
-    # survivors replayed closed-form. Lossless decisions replay the full
-    # dHash arithmetic; JPEG decisions are STRUCTURAL (byte/re-encode
-    # twins decode identically -> hamming 0 -> the greedy drop keeps
-    # '_a'; identical quantized coefficients make the restart-interval
-    # re-encode provably pixel-identical) and rest on the measured
-    # separation margin every JPEG-involved cross pair clears
-    # (tests/test_crawl_media.py::test_jpeg_hash_separation pins >2
-    # over the whole sf0.1 did range).
-    f"WITH {_MEDIA_DH_SQL}, "
+#: the survival-decision chain over _MEDIA_DH_SQL (within-crawl greedy
+#: near-dup drop, against-store drop, the JPEG structural rules),
+#: ending in `surv` = every DECODABLE surviving media row — shared by
+#: q_crawl_to_media and q_crawl_interleaved (identical image records,
+#: identical decisions).
+_MEDIA_SURV_SQL = (
     # within-crawl greedy smaller-id-wins over lossless hashes
     "ldrop AS (SELECT DISTINCT b2.media_id FROM dh a2 JOIN dh b2 "
     "  ON a2.media_id < b2.media_id "
@@ -10589,11 +10620,26 @@ _MEDIA_DH_SQL = (
     "    WHERE bit_count(xor(h.dhash, sdh.dhash)) <= 2)), "
     # JPEG survivors: '_a' beats its hamming-0 twins; store month drops
     "jsurv AS (SELECT media_id, did, f FROM m "
-    "  WHERE f = 0 AND right(media_id, 2) = '_a' AND did % 20 <> 2) "
+    "  WHERE f = 0 AND right(media_id, 2) = '_a' AND did % 20 <> 2), "
+    "surv AS (SELECT * FROM lsurv2 UNION ALL SELECT * FROM jsurv)"
+)
+
+
+@register(
+    "q_crawl_to_media",
+    # survivors replayed closed-form. Lossless decisions replay the full
+    # dHash arithmetic; JPEG decisions are STRUCTURAL (byte/re-encode
+    # twins decode identically -> hamming 0 -> the greedy drop keeps
+    # '_a'; identical quantized coefficients make the restart-interval
+    # re-encode provably pixel-identical) and rest on the measured
+    # separation margin every JPEG-involved cross pair clears
+    # (tests/test_crawl_media.py::test_jpeg_hash_separation pins >2
+    # over the whole sf0.1 did range).
+    f"WITH {_MEDIA_DH_SQL}, {_MEDIA_SURV_SQL} "
     "SELECT media_id, CASE f WHEN 0 THEN 'jpeg' WHEN 1 THEN 'bmp' "
     "  ELSE 'png' END AS fmt, "
     "  CASE WHEN f = 0 THEN 24 ELSE 18 END AS width, 16 AS height "
-    "FROM (SELECT * FROM lsurv2 UNION ALL SELECT * FROM jsurv) "
+    "FROM surv "
     "UNION ALL SELECT 'm' || did || '_u', 'unknown', "
     "  CAST(NULL AS INTEGER), CAST(NULL AS INTEGER) FROM d "
     "  WHERE did % 30 = 2",
@@ -10622,6 +10668,16 @@ def q_crawl_to_media(spark, sf):
     parity: the reference treats media as opaque binary + metadata
     (SURVEY.md S7/A8 family); the decode/hash chain is this repo's
     extension surface."""
+    scratch = _build_media_crawl_fixture(spark, sf, "crawl_media")
+    return _media_survivor_frame(spark, sf, scratch)
+
+
+def _media_survivor_frame(spark, sf, scratch):
+    """The media half of the crawl front door, from a built WARC dir to
+    the surviving media frame (media_id, fmt, width, height) — shared
+    by q_crawl_to_media and q_crawl_interleaved (whose fixtures differ
+    only in PAGE content; the image records are identical, so the
+    survival decisions and their oracle CTEs are too)."""
     from metadata_enhanced_pretrain_datapipeline_spark.operators import multimodal
     from metadata_enhanced_pretrain_datapipeline_spark.operators.dedup import (
         drop_near_duplicates,
@@ -10630,7 +10686,6 @@ def q_crawl_to_media(spark, sf):
     )
     from metadata_enhanced_pretrain_datapipeline_spark.sources import readers
 
-    scratch = _build_media_crawl_fixture(spark, sf, "crawl_media")
     raw = readers.read_warc(spark, scratch).repartition(32)
     imgs = raw.filter(
         readers.http_content_type(F.col("content")).startswith("image/"))
@@ -10741,26 +10796,51 @@ def q_jpeg_progressive(spark, sf):
         "bytes_differ boolean, decode_equal boolean")
 
 
+#: The shared language-ID fixture CTE (q_langid_ngram and
+#: q_lang_routed_curation): per-doc 200-char window (offset
+#: doc_id % 50) into the doc's language sample (lang = doc_id % 8 over
+#: the sorted codes), every 97th doc emptied to exercise the
+#: degenerate no-trigram path (doc absent from the output in BOTH
+#: engines). References the classifier chain's own `samp` table.
+_LANGID_DOC_CTE = (
+    "docs AS (SELECT d.doc_id, CASE WHEN d.doc_id % 97 = 0 THEN '' "
+    "ELSE substr(s.sample, CAST(1 + d.doc_id % 50 AS INT), 200) END "
+    "AS text FROM documents d JOIN (SELECT lang, sample, "
+    "CAST(row_number() OVER (ORDER BY lang) - 1 AS BIGINT) AS idx "
+    "FROM samp) s ON d.doc_id % 8 = s.idx)"
+)
+
+
+def _langid_fixture_docs(spark, sf):
+    """The Spark twin of _LANGID_DOC_CTE."""
+    from metadata_enhanced_pretrain_datapipeline_spark.functions.langid import (
+        LANG_SAMPLES,
+    )
+
+    samples = spark.createDataFrame(
+        [(i, lang, s) for i, (lang, s)
+         in enumerate(sorted(LANG_SAMPLES.items()))],
+        "idx long, lang string, sample string")
+    d = load(spark, sf, "documents").select("doc_id")
+    return (
+        d.join(F.broadcast(samples), d["doc_id"] % 8 == samples["idx"])
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 97 == 0, F.lit("")).otherwise(
+                F.substring(
+                    F.col("sample"),
+                    (F.lit(1) + F.col("doc_id") % 50).cast("int"),
+                    F.lit(200))).alias("text")))
+
+
 def _langid_oracle() -> str:
-    """Oracle for q_langid_ngram, built from the SAME sample literals
-    the Spark side uses (functions/langid.LANG_SAMPLES): the fixture
-    slices a per-doc 200-char window out of the doc's language sample
-    (lang = doc_id % 8 over the sorted codes), empties every 97th doc
-    to exercise the degenerate path (no trigrams -> doc absent from
-    the output in BOTH engines), and the profile/score arithmetic is
-    replayed verbatim by langid_oracle_sql."""
+    """Oracle for q_langid_ngram: the profile/score arithmetic replayed
+    verbatim by langid_oracle_sql over the shared fixture CTE."""
     from metadata_enhanced_pretrain_datapipeline_spark.functions.langid import (
         langid_oracle_sql,
     )
 
-    doc_cte = (
-        "docs AS (SELECT d.doc_id, CASE WHEN d.doc_id % 97 = 0 THEN '' "
-        "ELSE substr(s.sample, CAST(1 + d.doc_id % 50 AS INT), 200) END "
-        "AS text FROM documents d JOIN (SELECT lang, sample, "
-        "CAST(row_number() OVER (ORDER BY lang) - 1 AS BIGINT) AS idx "
-        "FROM samp) s ON d.doc_id % 8 = s.idx)"
-    )
-    return langid_oracle_sql(doc_cte, k=64)
+    return langid_oracle_sql(_LANGID_DOC_CTE, k=64)
 
 
 @register("q_langid_ngram", _langid_oracle())
@@ -10789,22 +10869,152 @@ def q_langid_ngram(spark, sf):
     (doc, lang, tri, rank) rows through broadcast joins — no Python
     anywhere, whole-stage codegen end to end."""
     from metadata_enhanced_pretrain_datapipeline_spark.functions.langid import (
-        LANG_SAMPLES,
         langid_ngram,
     )
 
-    samples = spark.createDataFrame(
-        [(i, lang, s) for i, (lang, s)
-         in enumerate(sorted(LANG_SAMPLES.items()))],
-        "idx long, lang string, sample string")
-    d = load(spark, sf, "documents").select("doc_id")
-    docs = (
-        d.join(F.broadcast(samples), d["doc_id"] % 8 == samples["idx"])
-        .select(
-            "doc_id",
-            F.when(F.col("doc_id") % 97 == 0, F.lit("")).otherwise(
-                F.substring(
-                    F.col("sample"),
-                    (F.lit(1) + F.col("doc_id") % 50).cast("int"),
-                    F.lit(200))).alias("text")))
-    return langid_ngram(docs, "doc_id", "text", k=64)
+    return langid_ngram(_langid_fixture_docs(spark, sf),
+                        "doc_id", "text", k=64)
+
+
+def _lang_routed_oracle() -> str:
+    from metadata_enhanced_pretrain_datapipeline_spark.functions.langid import (
+        lang_routed_keep_oracle_sql,
+    )
+
+    return lang_routed_keep_oracle_sql(_LANGID_DOC_CTE, k=64)
+
+
+@register("q_lang_routed_curation", _lang_routed_oracle())
+def q_lang_routed_curation(spark, sf):
+    """LANGUAGE-ROUTED curation gate (the composition the LID exists
+    for): classify with langid_ngram, then apply the PER-LANGUAGE
+    stopword rule — Gopher's ">= 2 stopwords" is English-only, and a
+    multilingual corpus routes each doc to its own function-word list
+    (the reference world wires fasttext-LID into per-language filter
+    configs; here BOTH the classifier profiles and the stopword lists
+    derive in-engine from the same 8 sample paragraphs, so the whole
+    routed decision is oracle-replayable). Output per doc: predicted
+    lang, classifier distance, word count, per-lang stopword hits, and
+    the composed keep decision.
+
+    Plan shape: the classifier plan + one doc_id equi-join back to the
+    text + ONE BroadcastHashJoin routing each doc to its language's
+    8-word stopword array + a codegen filter-count — routing adds no
+    data-sized shuffle. The token array materializes once in its own
+    projection (two sibling references — the r10 CSE lesson). Docs
+    with no trigrams fail closed (absent), same as the classifier."""
+    from metadata_enhanced_pretrain_datapipeline_spark.functions.langid import (
+        lang_routed_keep,
+    )
+
+    return lang_routed_keep(_langid_fixture_docs(spark, sf),
+                            "doc_id", "text", k=64)
+
+
+@register(
+    "q_crawl_interleaved",
+    # every decision replayed closed-form: the survival set is the
+    # SHARED media chain (_MEDIA_SURV_SQL — identical image records,
+    # identical decisions as q_crawl_to_media) plus the undecodable
+    # passthrough rows; each page's ordered ref list is enumerated by
+    # the same modulus rules the fixture builds with (pos-numbered in
+    # page order); the interleaved output keeps surviving refs in
+    # DOCUMENT ORDER (string_agg ORDER BY pos) and the page text is
+    # the extraction contract stated directly.
+    f"WITH {_MEDIA_DH_SQL}, {_MEDIA_SURV_SQL}, "
+    "survall AS (SELECT media_id FROM surv "
+    "  UNION ALL SELECT 'm' || did || '_u' FROM d WHERE did % 30 = 2), "
+    "refs AS (SELECT did, 0 AS pos, 'm' || did || '_a' AS ref FROM d "
+    "UNION ALL SELECT did, 1, 'm' || did || '_r' FROM d "
+    "  WHERE did % 3 = 0 "
+    "UNION ALL SELECT did, 2, 'm' || did || '_x' FROM d "
+    "  WHERE did % 4 = 2 "
+    "UNION ALL SELECT did, 3, 'm' || did || '_p' FROM d "
+    "  WHERE did % 3 <> 0 AND did % 4 = 2 "
+    "UNION ALL SELECT did, 4, 'm' || did || '_e' FROM d "
+    "  WHERE did % 3 <> 0 AND did % 4 = 0 "
+    "UNION ALL SELECT did, 5, 'm' || did || '_u' FROM d "
+    "  WHERE did % 30 = 2 "
+    "UNION ALL SELECT did, 6, 'm' || did || '_missing' FROM d), "
+    "kept AS (SELECT r.did, r.pos, r.ref FROM refs r "
+    "  JOIN survall s ON s.media_id = r.ref), "
+    "agg AS (SELECT did, string_agg(ref, ',' ORDER BY pos) AS images, "
+    "  CAST(count(*) AS INT) AS n_kept FROM kept GROUP BY did) "
+    "SELECT d.did AS doc_id, "
+    "  'Interleaved page ' || d.did || chr(10) || "
+    "  'Lead paragraph about page ' || d.did || "
+    "  ' with several plain words.' || chr(10) || "
+    "  'Closing remarks for page ' || d.did || ' end here.' AS text, "
+    "  coalesce(a.images, '') AS images, "
+    "  CAST(2 + CASE WHEN d.did % 3 = 0 THEN 1 ELSE 0 END "
+    "    + CASE WHEN d.did % 4 = 2 THEN 1 ELSE 0 END "
+    "    + CASE WHEN d.did % 3 <> 0 AND d.did % 4 = 2 THEN 1 ELSE 0 END "
+    "    + CASE WHEN d.did % 3 <> 0 AND d.did % 4 = 0 THEN 1 ELSE 0 END "
+    "    + CASE WHEN d.did % 30 = 2 THEN 1 ELSE 0 END AS INT) AS n_refs, "
+    "  coalesce(a.n_kept, 0) AS n_kept "
+    "FROM d LEFT JOIN agg a ON a.did = d.did",
+)
+def q_crawl_interleaved(spark, sf):
+    """IMAGE-TEXT INTERLEAVED corpus builder — the multimodal
+    pretraining artifact (OBELICS / MMC4 shape) the two front doors
+    compose into: ONE crawl carries pages AND their images; pages keep
+    their prose through the text extraction path, images run the full
+    visual-dedup chain (decode -> dHash -> within-crawl near-dup ->
+    against-store), and each page re-attaches the SURVIVING images in
+    original document order — dropped near-dups, store-month repeats
+    and dangling refs vanish from the page's image list while the
+    undecodable passthrough rows stay (a multimodal pipeline must not
+    silently lose media it cannot price).
+
+    Per page: extracted text, the comma-joined surviving image ids in
+    page order, total refs on the page, refs kept.
+
+    Scale: the image half is the shared survivor chain (one fused
+    Arrow decode stage, hash-only exchanges); the page half is pure
+    JVM routing + regexp ref extraction + ONE Arrow extraction stage,
+    materialized before its two consumers (the r10 dual-consumption
+    lesson); the re-attach moves (pos, ref) pairs through a semi-join
+    keyed by media id and one per-page aggregation — pixels and page
+    bytes never meet the shuffle. Reference parity: the reference
+    treats media as opaque binary + metadata (SURVEY.md S7/A8); the
+    interleave composition is this repo's extension surface."""
+    from metadata_enhanced_pretrain_datapipeline_spark.operators.html_extract import (
+        extract_text_col,
+    )
+    from metadata_enhanced_pretrain_datapipeline_spark.sources import readers
+
+    scratch = _build_media_crawl_fixture(spark, sf, "crawl_inter",
+                                         interleave=True)
+    surv = _media_survivor_frame(spark, sf, scratch).select("media_id")
+
+    raw = readers.read_warc(spark, scratch).repartition(32)
+    pages = raw.filter(
+        readers.http_content_type(F.col("content")) == "text/html")
+    html = readers.http_body_str(F.col("content"))
+    pg = materialize(
+        pages.select(
+            F.regexp_extract("url", r"page(\d+)$", 1).cast("long")
+            .alias("doc_id"),
+            extract_text_col(html).alias("text"),
+            F.regexp_extract_all(
+                html,
+                F.lit(r'<img src="https://img\.example\.com/([^"]+)">'),
+                1).alias("refs")),
+        eager=False)
+
+    kept = (pg.select("doc_id", F.posexplode("refs").alias("pos", "ref"))
+            .join(surv.withColumnRenamed("media_id", "ref"), "ref",
+                  "left_semi")
+            .groupBy("doc_id")
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "ref"))),
+                    lambda s: s["ref"]),
+                ",").alias("images"),
+                F.count("*").cast("int").alias("n_kept")))
+    return (pg.select("doc_id", "text", F.size("refs").alias("n_refs"))
+            .join(kept, "doc_id", "left")
+            .select("doc_id", "text",
+                    F.coalesce("images", F.lit("")).alias("images"),
+                    "n_refs",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept")))

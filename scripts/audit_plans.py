@@ -426,6 +426,41 @@ AUDITS = {
     "q_jpeg_roundtrip": "JPEG codec roundtrip: encode+decode both ride "
     "one mapInPandas over the id scan; output is 5 tiny typed columns "
     "(the lossy contract: dims exact, error bounded), no shuffle.",
+    "q_crawl_to_media": "Multimodal crawl front door: the content-type "
+    "router is a JVM 256-byte prefix decode over the binaryFile scan "
+    "(no Python touches the page decoys); image rows then pay ONE "
+    "fused Arrow stage (HTTP body slice + magic sniff + decode + "
+    "dHash — warc_image_dhash); the within-crawl near-dup and the "
+    "against-store drop move 8-byte (media_id, hash) rows only, "
+    "broadcast-joined back for the return. Bytes cross into Python "
+    "once, hashes shuffle, pixels never do.",
+    "q_jpeg_progressive": "Progressive JPEG cross-mode contract: "
+    "encode(SOF0) + encode(SOF2) + both decodes ride one mapInPandas "
+    "over the id scan (same stage shape as q_jpeg_roundtrip); output "
+    "is 6 tiny typed columns, no shuffle.",
+    "q_langid_ngram": "Char-n-gram LID: language profiles build from "
+    "8 tiny rows, PIVOT to one 8-slot rank array per trigram, and "
+    "BROADCAST; every language's contribution computes per doc-profile "
+    "row in ONE projection and the per-doc distances are 8 sums keyed "
+    "by doc_id — reusing the profile window's partitioning, so scoring "
+    "adds NO exchange (the first formulation exploded x8 languages and "
+    "measured 8.8x/decade); the winner is an array_min/array_position "
+    "projection, not a window; the only data-sized shuffles are the "
+    "two inside trigram_profile, with the rank<=k cut pushed into the "
+    "exchange as WindowGroupLimit; no Python anywhere.",
+    "q_lang_routed_curation": "Language-routed gate: the classifier "
+    "plan + one doc_id equi-join back to the text + ONE "
+    "BroadcastHashJoin routing each doc to its language's derived "
+    "8-word stopword array + a codegen filter-count — routing adds no "
+    "data-sized shuffle; the token array materializes once in its own "
+    "projection (two sibling references — the r10 CSE lesson).",
+    "q_crawl_interleaved": "Interleaved image-text corpus: the image "
+    "half is the shared survivor chain (one fused Arrow decode stage, "
+    "hash-only exchanges); the page half is JVM content-type routing + "
+    "regexp ref extraction + one Arrow extraction stage, materialized "
+    "before its two consumers; the re-attach moves (pos, ref) pairs "
+    "through a left-semi join keyed by media id and one per-page "
+    "aggregation — pixels and page bytes never meet the shuffle.",
     "q_edit_distance_near_dup": "Edit-distance near-dup: LSH candidate "
     "generation is the one (band,key) exchange (bucket-capped, never "
     "all-pairs); full text then travels ONLY for candidate ids in two "

@@ -167,3 +167,51 @@ def test_null_hash_in_batch_does_not_corrupt_others(spark):
     gp = {r.media_id: r.phash for r in
           multimodal.image_phash(df, stub=False).collect()}
     assert gp == {"a": phash_pixels(px), "b": None, "c": phash_pixels(px)}
+
+
+def test_interleave_page_refs_in_document_order():
+    """The interleaved page embeds its <img> tags in exactly
+    _interleave_refs order — the pos numbering the oracle's refs CTE
+    replays — and the extraction regexp recovers them in that order."""
+    import re
+
+    from metadata_enhanced_pretrain_datapipeline_spark.queries import (
+        _interleave_page,
+        _interleave_refs,
+    )
+
+    for did in (2, 12, 22, 32, 42, 62, 72, 102, 122, 152, 182, 212):
+        page = _interleave_page(did)
+        found = re.findall(
+            r'<img src="https://img\.example\.com/([^"]+)">', page)
+        assert found == _interleave_refs(did), did
+        assert found[-1] == f"m{did}_missing"
+
+
+def test_crawl_interleaved_end_to_end(spark):
+    """The composed interleave at sf0.001: per page, kept image ids
+    are a subset of the page's refs in page order, the dangling ref
+    never appears, the undecodable passthrough appears exactly when
+    planted, and a store-month page (did % 20 == 2, did % 30 != 2)
+    loses its original."""
+    from metadata_enhanced_pretrain_datapipeline_spark.queries import (
+        _interleave_refs,
+        q_crawl_interleaved,
+    )
+
+    rows = q_crawl_interleaved(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        did = int(r.doc_id)
+        refs = _interleave_refs(did)
+        kept = r.images.split(",") if r.images else []
+        assert r.n_refs == len(refs)
+        assert r.n_kept == len(kept)
+        # subset, in page order
+        idx = [refs.index(k) for k in kept]
+        assert idx == sorted(idx), (did, kept)
+        assert f"m{did}_missing" not in kept
+        assert (f"m{did}_u" in kept) == (did % 30 == 2)
+        if did % 20 == 2 and did % 30 != 2:
+            assert f"m{did}_a" not in kept, did
+        assert r.text.startswith(f"Interleaved page {did}\n")

@@ -104,3 +104,59 @@ def test_trigram_parity_with_duckdb(spark):
             "regexp_replace(lower(?), '[^a-z]+', ' ', 'g')) || ' ' AS pt)",
             params=[t]).fetchone()[0]
         assert spark_grams[i] == sorted(duck), t
+
+
+def test_lang_stopword_table_topn_and_ties(spark):
+    from metadata_enhanced_pretrain_datapipeline_spark.functions.langid import (
+        lang_stopword_table,
+    )
+
+    rows = lang_stopword_table(spark, n=8).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, set()).add(r.word)
+    assert set(by_lang) == set(LANG_SAMPLES)
+    assert all(len(v) == 8 for v in by_lang.values())
+    # the obvious function words surface
+    assert "the" in by_lang["en"] and "and" in by_lang["en"]
+    assert "der" in by_lang["de"] or "die" in by_lang["de"]
+    assert "les" in by_lang["fr"] or "le" in by_lang["fr"]
+
+
+def test_lang_routed_keep_hand_checked(spark):
+    """A fluent en doc keeps; a stopword-free doc (numbers/rare words)
+    drops on stop_hits; an over-long doc drops on n_words."""
+    from metadata_enhanced_pretrain_datapipeline_spark.functions.langid import (
+        lang_routed_keep,
+    )
+
+    fluent = ("the children walk to the school and they want to learn "
+              "about the world")
+    no_stop = "zebra quartz jigsaw vortex plasma nexus oryx fjord " * 2
+    long_doc = "the sun and the light of the morning " * 20
+    df = spark.createDataFrame(
+        [(1, fluent), (2, no_stop), (3, long_doc)],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           lang_routed_keep(df, min_words=5).collect()}
+    assert got[1].lang == "en" and bool(got[1].keep) is True
+    assert got[1].stop_hits >= 2
+    assert bool(got[2].keep) is False and got[2].stop_hits < 2
+    assert bool(got[3].keep) is False and got[3].n_words > 80
+    assert got[3].stop_hits >= 2  # dropped by length, not stopwords
+
+
+def test_lang_routed_counts_are_occurrences(spark):
+    """stop_hits counts token OCCURRENCES in the predicted language's
+    list, not distinct members — 'the the the' is 3 hits."""
+    from metadata_enhanced_pretrain_datapipeline_spark.functions.langid import (
+        lang_routed_keep,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the the the school children morning")],
+        "doc_id long, text string")
+    r = lang_routed_keep(df, min_words=1).collect()[0]
+    assert r.lang == "en"
+    assert r.stop_hits == 3
+    assert r.n_words == 6
