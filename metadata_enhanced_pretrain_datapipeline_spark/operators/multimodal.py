@@ -201,11 +201,15 @@ def decode_png(content: bytes) -> np.ndarray:
     Returns HxWx3 uint8 RGB (alpha dropped, gray replicated) — the one
     shape contract every decoder in this module shares.
 
-    The unfilter loop is per-byte Python for the sequential filters
-    (Sub/Average/Paeth depend on the just-reconstructed left pixel);
-    None/Up vectorize. Fine for the feature-extraction path's pooled
-    thumbnails; a deployment decoding full-resolution corpora plugs a
-    real codec via ``codec_factory`` (docs/model_plugins.md).
+    Unfiltering (r12): None/Up are whole-row numpy; Sub is an exact
+    mod-256 cumulative sum over the pixel axis (byte addition mod 256
+    is associative, so the prefix-sum IS the left-to-right recurrence);
+    Average/Paeth are genuinely sequential (each byte needs the
+    reconstructed left byte through a floor-divide / branch) and run as
+    plain-int Python loops over lists — ~10x over the previous
+    numpy-scalar-indexing loop, byte-identical output. A deployment
+    decoding full-resolution corpora plugs a real codec via
+    ``codec_factory`` (docs/model_plugins.md).
     """
     import struct
     import zlib
@@ -251,17 +255,39 @@ def decode_png(content: bytes) -> np.ndarray:
             cur = line
         elif f == 2:  # Up
             cur = (line + prev) & 0xFF
-        elif f in (1, 3, 4):  # Sub / Average / Paeth: left-sequential
-            cur = line.copy()
-            for i in range(stride):
-                left = cur[i - bpp] if i >= bpp else 0
-                if f == 1:
-                    cur[i] = (cur[i] + left) & 0xFF
-                elif f == 3:
-                    cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
-                else:
-                    ul = prev[i - bpp] if i >= bpp else 0
-                    cur[i] = (cur[i] + _paeth(left, int(prev[i]), int(ul))) & 0xFF
+        elif f == 1:  # Sub: exact vectorization — recon[i] = (x[i] +
+            # recon[i-bpp]) mod 256 is a prefix sum along each of the
+            # bpp byte lanes, and mod-256 addition is associative, so
+            # cumsum-then-mask reproduces the recurrence byte-for-byte
+            cur = (line.reshape(-1, bpp).cumsum(axis=0,
+                                                dtype=np.int64) & 0xFF
+                   ).astype(np.int32).reshape(stride)
+        elif f in (3, 4):  # Average / Paeth: the floor-divide / branch
+            # makes the left-dependence non-associative — sequential by
+            # nature. Plain-int list loop (no numpy scalar indexing).
+            cur_l = line.tolist()
+            prev_l = prev.tolist()
+            if f == 3:
+                for i in range(stride):
+                    left = cur_l[i - bpp] if i >= bpp else 0
+                    cur_l[i] = (cur_l[i] + ((left + prev_l[i]) >> 1)) & 0xFF
+            else:
+                for i in range(stride):
+                    left = cur_l[i - bpp] if i >= bpp else 0
+                    up = prev_l[i]
+                    ul = prev_l[i - bpp] if i >= bpp else 0
+                    p = left + up - ul
+                    pa = p - left if p >= left else left - p
+                    pb = p - up if p >= up else up - p
+                    pc = p - ul if p >= ul else ul - p
+                    if pa <= pb and pa <= pc:
+                        pred = left
+                    elif pb <= pc:
+                        pred = up
+                    else:
+                        pred = ul
+                    cur_l[i] = (cur_l[i] + pred) & 0xFF
+            cur = np.asarray(cur_l, dtype=np.int32)
         else:
             raise ValueError(f"bad PNG filter type {f} on row {y}")
         out[y] = cur.astype(np.uint8)
@@ -311,12 +337,17 @@ def encode_png(pixels: "np.ndarray", filter_mode: str = "cycle") -> bytes:
         elif f == 3:  # Average
             left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
             enc = (cur - ((left + prev) >> 1)) & 0xFF
-        else:  # Paeth
-            enc = cur.copy()
-            for i in range(stride):
-                left = int(cur[i - bpp]) if i >= bpp else 0
-                ul = int(prev[i - bpp]) if i >= bpp else 0
-                enc[i] = (cur[i] - _paeth(left, int(prev[i]), ul)) & 0xFF
+        else:  # Paeth — vectorized exactly: unlike DECODE, the encoder
+            # predicts from the RAW left/up/up-left bytes (all known
+            # arrays up front), so the whole row is elementwise numpy;
+            # the np.where cascade mirrors _paeth's tie-break order
+            left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            ul = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, ul))
+            enc = (cur - pred) & 0xFF
         raw += enc.astype(np.uint8).tobytes()
         prev = cur
 

@@ -420,10 +420,10 @@ def compact_ivf_quantized_store(spark, monthly_paths: list[str],
     vector (the band store's ``distinct`` is right for band keys, which
     are identical across months by construction).
 
-    Scale: one window over id (rows are (id, codes, scale, list) —
-    narrow; the window partitions are per-id, never skewed) and one
-    ``repartition(list_id)`` so each list directory writes one file per
-    shuffle partition. Input directories are left in place
+    Scale: one max_by aggregation over id (rows are (id, codes, scale,
+    list) — narrow; partial aggregation collapses each id map-side, so
+    the exchange moves ~one row per id) and one ``repartition(list_id)``
+    so each list directory writes one file per shuffle partition. Input directories are left in place
     (write-then-swap discipline; ``out_path`` must not be an input).
 
     Codebook safety: stores stamped under DIFFERENT codebooks raise —
@@ -461,11 +461,16 @@ def compact_ivf_quantized_store(spark, monthly_paths: list[str],
         for i, s in enumerate(stores)
     ]
     merged = reduce(lambda a, b: a.unionByName(b), tagged)
-    w = Window.partitionBy(id_col).orderBy(F.desc("__month"))
+    # max_by aggregation instead of a row_number window (r12): same
+    # latest-wins row per id (months are distinct literals, so the max
+    # is unique), but the aggregate gets map-side partial aggregation —
+    # the exchange moves at most one row per (id, map partition)
+    # instead of every monthly row — and skips the window's full sort.
     latest = (
-        merged.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, "qvec", "qscale", "list_id")
+        merged.groupBy(id_col)
+        .agg(F.max_by(F.struct("qvec", "qscale", "list_id"),
+                      F.col("__month")).alias("__s"))
+        .select(id_col, "__s.qvec", "__s.qscale", "__s.list_id")
         .repartition("list_id")
     )
     if stamps:

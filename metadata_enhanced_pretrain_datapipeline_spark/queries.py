@@ -5818,9 +5818,15 @@ def q_band_store_compact(spark, sf):
     dedup.compact_band_store(spark, [f"{scratch}/m1", f"{scratch}/m2"],
                              f"{scratch}/compacted")
     compacted = dedup.read_band_store(spark, f"{scratch}/compacted")
-    # the reclaim contract: compacted rows == distinct union of months
+    # the reclaim contract: compacted rows == distinct union of months.
+    # The expected count reads the WRITTEN monthly stores back (they
+    # hold exactly b1/b2's rows) instead of re-running both months'
+    # shingle+minhash subtrees — same check, parquet-scan price (r12).
     n_compacted = compacted.count()
-    n_expect = b1.unionByName(b2).distinct().count()
+    n_expect = (
+        dedup.read_band_store(spark, f"{scratch}/m1")
+        .unionByName(dedup.read_band_store(spark, f"{scratch}/m2"))
+        .distinct().count())
     _check_plan(n_compacted == n_expect, f"{n_compacted} != {n_expect}",
                 "compaction did not reclaim cross-month duplicate rows")
     probe_store = dedup.read_band_store(spark, f"{scratch}/compacted",
@@ -7227,9 +7233,16 @@ def q_corpus_lifecycle(spark, sf):
 
     # month 1 seeds the dedup state; months 2/3 probe stores, never text
     dedup.write_band_store(_bands(m1), bs1)
-    kept2 = dedup.minhash_dedup_against(
-        m2, dedup.read_band_store(spark, bs1),
-        num_hashes=8, bands=4, portable=True)
+    # materialization boundary (r12, the q_mix_pipeline pattern): kept2
+    # feeds TWO actions (the bs2 band-store write and the survivor
+    # union below) — without it each action re-runs the full m2
+    # minhash + store-probe subtree. Projected to (doc_id, text): the
+    # only columns either consumer reads.
+    kept2 = materialize(
+        dedup.minhash_dedup_against(
+            m2, dedup.read_band_store(spark, bs1),
+            num_hashes=8, bands=4, portable=True).select("doc_id", "text"),
+        eager=False)
     dedup.write_band_store(_bands(kept2), bs2)
     dedup.compact_band_store(spark, [bs1, bs2], bsc)
     kept3 = dedup.minhash_dedup_against(
@@ -7241,7 +7254,11 @@ def q_corpus_lifecycle(spark, sf):
         e.filter(F.col("vec_id") % 3 == 0), s1, cents)
     surv = (kept2.select("doc_id").unionByName(kept3.select("doc_id"))
             .withColumnRenamed("doc_id", "vec_id"))
-    vecs = e.join(surv, "vec_id", "left_semi")
+    # second boundary (r12): vecs is written TWICE (the two stream
+    # source halves) and its lineage carries the kept2+kept3 dedup
+    # chains — materialize so the chain runs once and each half-write
+    # is a cached scan (profiled 4.5s -> ~2.3s for the two writes).
+    vecs = materialize(e.join(surv, "vec_id", "left_semi"), eager=False)
     # repartition(1): each half must stay ONE file at every scale, or
     # maxFilesPerTrigger=1 silently turns "2 micro-batches" into
     # file-count-many — at sf100 the halves fanned out to 77 files and
@@ -8209,14 +8226,25 @@ def q_curation_v2(spark, sf):
     d = load(spark, sf, "documents")
     ref = d.filter(F.col("doc_id") % 37 == 0)
     nov = dedup.ngram_novelty(d, ref, shingle_n=3, portable=True)
-    gated = d.join(nov, "doc_id").filter(F.col("novelty") >= 0.5).drop(
-        "novelty")
     ntok = F.size(tokens_ws(F.col("text")))
+    # materialization boundary (r12, the q_mix_pipeline pattern): the
+    # tail is MULTI-ACTION (the budget total here, doremi_weights'
+    # alpha aggregation, token_budget_cap's bucket offsets, and
+    # keyed_rank's range boundaries each run a driver-side action), and
+    # every action was re-executing the novelty gate's shingle
+    # explosion + broadcast join. Token counts are folded into the
+    # projection so the cached frame is TEXT-FREE — five narrow columns
+    # instead of the corpus (profiled 9.5s -> ~3s).
+    gated = materialize(
+        d.join(nov, "doc_id").filter(F.col("novelty") >= 0.5)
+        .select("doc_id", "source", "lang", "n_chars",
+                ntok.alias("__ntok")),
+        eager=False)
     loss = F.round(
         F.log(F.lit(1.0) + F.col("n_chars") / F.lit(1000.0)), 9)
-    total = gated.agg(F.sum(ntok.cast("long")).alias("t")).head().t
+    total = gated.agg(F.sum(F.col("__ntok").cast("long")).alias("t")).head().t
     mixed = sampling.doremi_mix(
-        gated, "source", loss, ntok, budget=float(total) * 0.5,
+        gated, "source", loss, F.col("__ntok"), budget=float(total) * 0.5,
         key=F.col("doc_id"), temperature=0.5, smoothing=0.2)
     out = sampling.weighted_sample_per_group(
         mixed, "lang", F.col("n_chars"), 15, F.col("doc_id"), salt=5)
