@@ -294,15 +294,38 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
     Every step (abs, max, one divide, one floor) is a correctly-rounded
     IEEE op on doubles, so any engine replaying the formula produces the
     same codes — the property the q_quantized_topk oracle checks.
+
+    The scale is BOUND as a lambda variable before the per-element
+    divide (r12, the word_shingles lambda-bind pattern): higher-order
+    functions are interpreted, not codegen'd, and an inline ``sc``
+    subtree re-evaluates the whole abs+array_max pass PER ELEMENT —
+    O(d²) per row (measured 18s → 0.6s writing the sf0.1 quantized
+    store). The struct result is computed once in its own projection
+    and both output columns derive from its fields.
     """
     x = F.col(vec_col).cast("array<double>")
     amax = F.array_max(F.transform(x, lambda a: F.abs(a)))
-    sc = amax / F.lit(127.0)
-    qx = F.when(
-        sc > 0,
-        F.transform(x, lambda a: F.floor(a / sc + F.lit(0.5)).cast("tinyint")),
-    ).otherwise(F.transform(x, lambda a: F.lit(0).cast("tinyint")))
-    return df.withColumn(scale_col, sc.cast("float")).withColumn(out_col, qx)
+    res = F.get(
+        F.transform(
+            F.array(amax / F.lit(127.0)),
+            lambda sc: F.struct(
+                sc.cast("float").alias("sc"),
+                F.when(
+                    sc > 0,
+                    F.transform(
+                        x, lambda a: F.floor(a / sc + F.lit(0.5)).cast("tinyint")),
+                ).otherwise(
+                    F.transform(x, lambda a: F.lit(0).cast("tinyint"))
+                ).alias("qx"),
+            ),
+        ),
+        0,
+    )
+    bound = df.withColumn("__q12", res)
+    return (bound
+            .withColumn(scale_col, F.col("__q12").getField("sc"))
+            .withColumn(out_col, F.col("__q12").getField("qx"))
+            .drop("__q12"))
 
 
 #: column-metadata key stamping the codebook digest on a stored `qvec`
@@ -366,9 +389,31 @@ def write_ivf_quantized_store(df: DataFrame, path: str,
     metadata does not survive the directory encoding), so probes and
     compaction can verify they carry the SAME codebook the rows were
     assigned under.
+
+    The input is widened to full parallelism first (r12,
+    ensure_min_partitions): quantize+assign is interpreted
+    higher-order-function CPU per row, and the sf0.1 single-file scan
+    ran the whole projection in ONE task; production-wide scans are
+    untouched (the helper no-ops on already-wide inputs). The codes
+    then cluster by ``list_id`` before the dynamic-partition write —
+    the projection stays wide (map side of the exchange), and each
+    list directory gets AQE-sized files instead of one file per
+    (task, list) pair. With production-sized codebooks (hundreds to
+    thousands of lists) the exchange spreads well; a deployment with
+    very few lists and very hot ones should drop to
+    ``repartition(N, "list_id", <salt>)``.
     """
+    from metadata_enhanced_pretrain_datapipeline_spark.partitioning import (
+        ensure_min_partitions,
+    )
+
     (
-        ivf_quantized_codes(df, centroids, id_col, vec_col)
+        ivf_quantized_codes(ensure_min_partitions(df), centroids, id_col,
+                            vec_col)
+        # explicit width: without it AQE coalesces the small exchange
+        # to one task that opens every list's file serially
+        .repartition(df.sparkSession.sparkContext.defaultParallelism,
+                     "list_id")
         .write.mode("overwrite")
         .partitionBy("list_id")
         .parquet(path)

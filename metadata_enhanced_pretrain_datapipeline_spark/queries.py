@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from metadata_enhanced_pretrain_datapipeline_spark.checkpointing import materialize
+from metadata_enhanced_pretrain_datapipeline_spark.partitioning import ensure_min_partitions
 from metadata_enhanced_pretrain_datapipeline_spark.session import tune_for_oracle
 from metadata_enhanced_pretrain_datapipeline_spark.functions.arrays import cosine_similarity
 from metadata_enhanced_pretrain_datapipeline_spark.functions.hashing import (
@@ -6571,20 +6572,33 @@ def q_quantized_store_probe(spark, sf):
     quantization logically — the physical layout must not change a
     value."""
     e = load(spark, sf, "embeddings")
-    qvec = [float(x) for x in
-            e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    # ONE driver action fetches the query vector AND its bucket (r12):
+    # lsh_bucket on the stored embedding column equals lsh_bucket of
+    # the collected literals (same doubles), and the previous separate
+    # spark.range(1) job paid ~1.5s of plan/codegen for one row
+    qrow = (e.filter(F.col("vec_id") == 0)
+            .select("embedding",
+                    similarity.lsh_bucket(F.col("embedding"), 8).alias("qb"))
+            .collect()[0])
+    qvec = [float(x) for x in qrow["embedding"]]
+    qb = qrow["qb"]
     path = _scratch_dir(sf, "qstore_layout")
+    # widen off the single-file scan first (r12): quantize+lsh_bucket
+    # are interpreted HOF CPU per row and otherwise run in ONE task;
+    # then cluster by bucket before the dynamic-partition write so each
+    # of the ~230 bucket directories gets ONE file instead of one per
+    # (task, bucket) pair (1620 tiny files measured, write 2.5x slower)
     (
-        similarity.quantize_embeddings(e)
+        similarity.quantize_embeddings(ensure_min_partitions(e))
         .withColumn("bucket", similarity.lsh_bucket(F.col("embedding"), 8))
         .select("vec_id", "qvec", "qscale", "bucket")
+        # EXPLICIT width: a bare repartition("bucket") lets AQE
+        # coalesce the tiny exchange to ONE task, which then opens all
+        # ~230 bucket files serially (~20ms parquet-writer init each)
+        .repartition(spark.sparkContext.defaultParallelism, "bucket")
         .write.mode("overwrite").partitionBy("bucket").parquet(path)
     )
     back = spark.read.parquet(path)
-    qb = (spark.range(1)
-          .select(similarity.lsh_bucket(
-              F.array(*[F.lit(v) for v in qvec]), 8).alias("qb"))
-          .collect()[0]["qb"])  # tiny driver-side scalar (lsh_topk precedent)
     probe = back.filter((F.col("bucket") == F.lit(qb))
                         & (F.col("vec_id") != 0))
     out = similarity.quantized_topk(probe, qvec, k=10, vec_col="qvec",

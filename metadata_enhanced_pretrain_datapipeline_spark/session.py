@@ -100,6 +100,18 @@ def get_spark(app_name: str = "metadata-enhanced-pretrain-datapipeline-spark",
         # the cluster FS forever; with it, Spark deletes them when the
         # checkpointed RDD is GC'd. Build-time-only conf.
         .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+        # FileOutputCommitter v2: task commits move files to the final
+        # directory directly instead of staging them for a SEQUENTIAL
+        # driver-side merge at job commit. The engine's store layouts
+        # are many-directory dynamic-partition writes (band stores,
+        # IVF lists, LSH buckets: a 230-directory write measured 3.1s
+        # under v1 vs 1.65s under v2, all of the delta driver-side),
+        # and every store write already follows the write-then-swap
+        # discipline documented in compact_*_store, so v2's weaker
+        # job-abort atomicity (a failed job can leave partial files in
+        # the target) is absorbed by the swap. Build-time-only conf.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter"
+                ".algorithm.version", "2")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
     )
