@@ -231,7 +231,6 @@ def minhash_band_keys(sigs: DataFrame, id_col: str = "doc_id",
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
         )
     rows_per_band = num_hashes // bands
-    sigs = sigs.filter(F.col("mh_0").isNotNull())
     band_cols = []
     for b in range(bands):
         members = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -239,7 +238,15 @@ def minhash_band_keys(sigs: DataFrame, id_col: str = "doc_id",
             key = md5_hash64(F.concat_ws("_", *members))
         else:
             key = F.xxhash64(*members)
-        band_cols.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
+        # null-signature docs carry a NULL key (below) instead of being
+        # pre-filtered on mh_0: a `sigs.filter(mh_0 IS NOT NULL)` gets
+        # PUSHED below the signature projection by alias substitution,
+        # re-inlining the ENTIRE shingle+hash+min chain into the Filter
+        # — every row paid the chain TWICE (r12 plan audit; the filter
+        # now sits ABOVE the explode, which is a pushdown barrier).
+        band_cols.append(F.struct(
+            F.lit(b).alias("band"),
+            F.when(F.col("mh_0").isNotNull(), key).alias("key")))
     return sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(
@@ -251,7 +258,7 @@ def minhash_band_keys(sigs: DataFrame, id_col: str = "doc_id",
         # (see minhash_dedup_against) instead of silently matching nothing
         F.col("bk.key").alias(
             "key", metadata={KEYING_METADATA_KEY: _keying_name(portable)}),
-    )
+    ).filter(F.col("key").isNotNull())
 
 
 def lsh_collision_probability(jaccard: float, bands: int,
@@ -1415,7 +1422,13 @@ def excise_repeated_ngrams(df: DataFrame, id_col: str = "doc_id",
     codegen.
     """
     from metadata_enhanced_pretrain_datapipeline_spark.functions.text import tokens_ws
+    from metadata_enhanced_pretrain_datapipeline_spark.partitioning import (
+        ensure_min_partitions,
+    )
 
+    # widen a narrow scan first (r12): tokenize+explode+gram-hash is
+    # per-row CPU in the scan stage, single-tasked on a 1-file input
+    df = ensure_min_partitions(df)
     base = df.select(F.col(id_col), tokens_ws(F.col(text_col)).alias("__ws"))
     starts = F.when(
         F.size("__ws") >= n, F.sequence(F.lit(1), F.size("__ws") - F.lit(n - 1))
@@ -2242,6 +2255,15 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
     oracle replays fingerprints exactly; the bench path keeps xxhash64.
     """
     from metadata_enhanced_pretrain_datapipeline_spark.functions.text import tokens_ws
+    from metadata_enhanced_pretrain_datapipeline_spark.partitioning import (
+        ensure_min_partitions,
+    )
+
+    # widen a narrow scan first (r12): the gram+window chain is pure
+    # per-row CPU and the sf0.1 single-file corpus ran it in ONE task;
+    # wide production scans (and foreachBatch micro-batches, whose
+    # pre-shuffle width is the session conf) are untouched.
+    df = ensure_min_partitions(df)
 
     def gram_struct(toks, i):
         joined = F.concat_ws(

@@ -49,7 +49,14 @@ def char_bigrams(text: Column) -> Column:
 def char_lm_model(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Train the bigram table: (c1, c2, c) counts over the whole corpus —
     one explode + one agg; the result is alphabet-bounded."""
-    bg = df.select(F.explode(char_bigrams(F.col(text_col))).alias("bg"))
+    from metadata_enhanced_pretrain_datapipeline_spark.partitioning import (
+        ensure_min_partitions,
+    )
+
+    # widen a narrow scan first (r12): the char explode + map-side count
+    # is per-row CPU in the scan stage, single-tasked on a 1-file input
+    bg = ensure_min_partitions(df).select(
+        F.explode(char_bigrams(F.col(text_col))).alias("bg"))
     return (
         bg.groupBy("bg").agg(F.count("*").alias("c"))
         .select(
@@ -78,6 +85,9 @@ def char_lm_score(df: DataFrame, model: DataFrame, id_col: str = "doc_id",
     compare.
     """
     from metadata_enhanced_pretrain_datapipeline_spark.checkpointing import materialize
+    from metadata_enhanced_pretrain_datapipeline_spark.partitioning import (
+        ensure_min_partitions,
+    )
 
     # materialize the (tiny, alphabet-bounded) model once: it is consumed
     # three times below (vocab count now, firsts + mdl in the final plan)
@@ -87,7 +97,8 @@ def char_lm_score(df: DataFrame, model: DataFrame, id_col: str = "doc_id",
     model = materialize(model, checkpoint_dir)
     firsts = model.groupBy("c1").agg(F.sum("c").alias("fc"))
     vocab = model.select("c2").distinct().count()  # alphabet scalar
-    doc_bg = df.select(
+    # widen a narrow scan for the scoring-side explode too (r12)
+    doc_bg = ensure_min_partitions(df).select(
         F.col(id_col), F.explode(char_bigrams(F.col(text_col))).alias("bg")
     )
     mdl = model.select(F.concat("c1", "c2").alias("bg"), "c")

@@ -864,8 +864,15 @@ def dsir_weights(raw: DataFrame, target: DataFrame, id_col: str = "doc_id",
 
         feats_arr = F.transform(
             F.array(tokens_ws(F.col(text_col))), _feats)[0]
-        feats = df.select(F.col(id_col).alias("id"),
-                          F.explode(feats_arr).alias("f"))
+        # widen a narrow scan first (r12): tokenize+explode+hash plus
+        # the map-side partial count are per-row CPU in the scan stage,
+        # single-tasked on a 1-file input; wide scans are untouched
+        from metadata_enhanced_pretrain_datapipeline_spark.partitioning import (
+            ensure_min_partitions,
+        )
+
+        feats = ensure_min_partitions(df).select(
+            F.col(id_col).alias("id"), F.explode(feats_arr).alias("f"))
         return (
             feats.select("id", F.pmod(md5_hash64(F.col("f")),
                                       F.lit(num_buckets)).alias("bucket"))
