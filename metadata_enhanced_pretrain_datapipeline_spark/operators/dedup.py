@@ -477,8 +477,15 @@ def write_band_store_bucketed(bands: DataFrame, table: str, path: str,
     a bucket at read time. Size ``num_buckets`` to the monthly probe's
     target parallelism — it is fixed at write time and the probe side
     coalesces to it.
+
+    The frame is repartitioned onto the bucket hash first (r12 — the
+    r6 bucketed-join lesson applied here too): repartition(n, cols)
+    and bucketBy share pmod(murmur3, n), so each bucket lands in ONE
+    task → one file per bucket (instead of task_count files each), and
+    the sortBy survives as the file order with no read-time re-sort.
     """
-    (bands.write.mode(mode).bucketBy(num_buckets, "band", "key")
+    (bands.repartition(num_buckets, "band", "key")
+     .write.mode(mode).bucketBy(num_buckets, "band", "key")
      .sortBy("band", "key").option("path", path).saveAsTable(table))
 
 

@@ -1743,7 +1743,16 @@ def q_mix_pipeline(spark, sf):
     hc = sampling.per_host_cap(d3, "host", 15, F.col("doc_id"))
     d4 = sampling.temperature_mix(hc, "source", F.col("doc_id"),
                                   base_rate=0.7, salt=7)
-    d4 = d4.withColumn("n_tokens", F.size(tokens_ws(F.col("text"))))
+    # project to the three columns the tail actually reads BEFORE the
+    # budget cap (r12, guide "project before the exchange"): text was
+    # riding through the cap's offset aggregation and in-bucket window
+    # shuffles, and the remaining tail is again multi-action (the cap's
+    # offset collect + the final aggregate), so the narrow frame is
+    # also a materialize boundary — the host-cap/mix chain runs once.
+    d4 = materialize(
+        d4.select("doc_id", "source",
+                  F.size(tokens_ws(F.col("text"))).alias("n_tokens")),
+        eager=False)
     d5 = sampling.token_budget_cap(d4, "source", F.col("n_tokens"), 600,
                                    F.col("doc_id"))
     clusters = dedup.duplicate_clusters(pairs)
@@ -5912,8 +5921,11 @@ def q_snapshot_pipeline(spark, sf):
     # (pair generation for the cluster map, then the split projection) —
     # exactly where a production run writes the kept set to durable
     # storage before split assignment (reliable mode via
-    # MEP_SPARK_CHECKPOINT_DIR, see checkpointing.py)
-    kept2 = materialize(kept2, eager=False)
+    # MEP_SPARK_CHECKPOINT_DIR, see checkpointing.py). Projected to the
+    # two columns the tail reads (r12): pair generation needs text,
+    # the split needs doc_id — the other document columns were only
+    # inflating the cache.
+    kept2 = materialize(kept2.select("doc_id", "text"), eager=False)
     pairs = dedup.minhash_lsh_pairs(kept2, num_hashes=8, bands=4,
                                     max_bucket_size=64, portable=True)
     clusters = dedup.duplicate_clusters(pairs)
