@@ -34,6 +34,17 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return F.try_divide(dot_product(a, b), l2_norm(a) * l2_norm(b))
 
 
+def cosine_from_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """:func:`cosine_similarity` with the norms hoisted: bit-identical to
+    ``cosine_similarity(a, b)`` whenever ``na``/``nb`` are
+    ``l2_norm(a)``/``l2_norm(b)`` — the same expressions evaluated on the
+    same values, just factored out of a pair join so each VECTOR's norm is
+    computed once per row instead of once per candidate pair (the
+    higher-order-function fold is interpreted, so a k-wide vector in an
+    n-pair join otherwise pays 2·k·n interpreted ops for norms alone)."""
+    return F.try_divide(dot_product(a, b), na * nb)
+
+
 def positional_dot(a: Column, weight_of_pos) -> Column:
     """Σ aᵢ·w(i) with a deterministic position-dependent weight function —
     the oracle-checkable linear scorer standing in for the MLP

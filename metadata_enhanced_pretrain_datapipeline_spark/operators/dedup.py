@@ -101,6 +101,14 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", num_hashes: int = 
     hashed = ensure_min_partitions(df).withColumn(
         "__hashes", F.array_distinct(F.transform(sh, lambda s: _shingle_hash(s, portable)))
     )
+    # NOTE (r12): a single-pass fold of all k minimums (the simhash
+    # pattern — aggregate with an array<long> accumulator updated by
+    # zip_with) was tried and measured 1.4-1.9x SLOWER than these k
+    # array_min(transform(...)) passes (in-process alternating bench,
+    # k=8 and k=32): transform over primitive longs + array_min is far
+    # cheaper per element than a per-element k-wide zip_with allocation.
+    # simhash keeps the fused form because its per-BIT baseline was a
+    # full interpreted aggregate() per bit, not array_min.
     sig_cols = [
         minhash_expr(F.col("__hashes"), a, b).alias(f"mh_{i}")
         for i, (a, b) in enumerate(_MINHASH_PARAMS[:num_hashes])
@@ -739,19 +747,23 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 16,
     hashed = ensure_min_partitions(df).withColumn(
         "__hashes", F.transform(sh, lambda s: _shingle_hash(s, portable))
     )
-
-    def bit_vote(b: int):
-        # vote for bit b: +1 if hash has bit set, else -1, summed via aggregate
-        return F.aggregate(
-            F.col("__hashes"),
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b) % 2 == 1, F.lit(1)).otherwise(F.lit(-1)),
-        )
-
+    # Per-bit vote via size(filter(...)) instead of a per-bit aggregate()
+    # fold (r12): votes are +1/-1 per shingle, so
+    # vote_b > 0  ⟺  2·setcount_b > n_shingles — integer arithmetic,
+    # fingerprints identical (equivalence-checked old-vs-new over the
+    # corpus + NULL/empty/short edge rows). filter's predicate is a
+    # single cheap mask test per element and avoids the fold machinery;
+    # measured best of three shapes in an in-process alternating bench
+    # (per-bit aggregate, one fused array-accumulator fold, this) at
+    # bits=16 and tied-best at bits=32.
+    n = F.size(F.col("__hashes"))
     fingerprint = F.lit(0).cast("long")
     for b in range(bits):
-        fingerprint = fingerprint + F.when(bit_vote(b) > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        cnt = F.size(F.filter(
+            F.col("__hashes"),
+            lambda h: h.bitwiseAND(F.lit(1 << b)) != F.lit(0)))
+        fingerprint = fingerprint + F.when(
+            cnt * 2 > n, F.lit(1 << b)).otherwise(F.lit(0))
     return hashed.withColumn("simhash", fingerprint).drop("__hashes")
 
 
@@ -954,13 +966,19 @@ def embedding_near_dup(df: DataFrame, id_col: str = "vec_id",
         _nearest_centroid_col,
         lsh_bucket,
     )
-    from metadata_enhanced_pretrain_datapipeline_spark.functions.arrays import cosine_similarity
+    from metadata_enhanced_pretrain_datapipeline_spark.functions.arrays import (
+        cosine_from_norms, l2_norm)
 
     if centroids is not None:
         b = _nearest_centroid_col(F.col(vec_col), centroids)
     else:
         b = lsh_bucket(F.col(vec_col), num_planes)
-    keyed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), b.alias("bucket"))
+    # the norm is hoisted out of the within-bucket pair join (r12):
+    # computed once per vector below the bucket exchange (8 bytes/row of
+    # extra shuffle) instead of once per candidate pair — bit-identical
+    keyed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                      b.alias("bucket"),
+                      l2_norm(F.col(vec_col)).alias("nm"))
     # One exchange on the bucket key (same reasoning as minhash_lsh_pairs:
     # a fork below the shuffle recomputes the bucket projection per
     # consumer); the size guard is then a shuffle-free window count that
@@ -975,7 +993,8 @@ def embedding_near_dup(df: DataFrame, id_col: str = "vec_id",
     return (
         l.join(r, "bucket")
         .filter(F.col("l.id") < F.col("r.id"))
-        .withColumn("cosine", cosine_similarity(F.col("l.v"), F.col("r.v")))
+        .withColumn("cosine", cosine_from_norms(F.col("l.v"), F.col("r.v"),
+                                                F.col("l.nm"), F.col("r.nm")))
         .filter(F.col("cosine") >= F.lit(threshold))
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"), "cosine")
     )
@@ -1324,8 +1343,12 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 64,
     ``stats``, when passed a dict, receives ``{"iterations": n,
     "converged": True}`` for observability/tests.
     """
-    from metadata_enhanced_pretrain_datapipeline_spark.checkpointing import materialize
+    import os as _os
 
+    from metadata_enhanced_pretrain_datapipeline_spark.checkpointing import (
+        CHECKPOINT_DIR_ENV, materialize)
+
+    _reliable = checkpoint_dir or _os.environ.get(CHECKPOINT_DIR_ENV)
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
@@ -1377,11 +1400,26 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 64,
                 F.col("__old"),
             )
         )
-        if checkpoint:
-            stepped = materialize(stepped, checkpoint_dir)
-        changed = (
-            stepped.filter(F.col("label") != F.col("__old")).limit(1).count()
-        )
+        if checkpoint and not _reliable:
+            # LAZY localCheckpoint (r12): the convergence count below is
+            # the round's only action, so it both computes the round AND
+            # materializes the truncated blocks — ONE job per round where
+            # eager-checkpoint-then-count ran two. count() (not
+            # limit(1).count()) so every partition is computed in that
+            # job and the checkpoint needs no fill-in pass; the count
+            # itself is a shuffle-free fold over rows the job already
+            # produced.
+            stepped = stepped.localCheckpoint(eager=False)
+            changed = stepped.filter(F.col("label") != F.col("__old")).count()
+        else:
+            if checkpoint:
+                # reliable mode keeps the eager persist+checkpoint dance
+                # (see materialize: a bare lazy .checkpoint() would
+                # compute the round twice under a reliable dir)
+                stepped = materialize(stepped, checkpoint_dir)
+            changed = (
+                stepped.filter(F.col("label") != F.col("__old")).limit(1).count()
+            )
         labels = stepped.drop("__old")
         if changed == 0:
             converged = True
@@ -1906,7 +1944,8 @@ def semantic_contamination_hits(corpus: DataFrame, benchmark: DataFrame,
     the probed lists are missed by construction — the standard
     IVF recall trade, tunable with nprobe/nlists.
     """
-    from metadata_enhanced_pretrain_datapipeline_spark.functions.arrays import cosine_similarity
+    from metadata_enhanced_pretrain_datapipeline_spark.functions.arrays import (
+        cosine_from_norms, l2_norm)
     from metadata_enhanced_pretrain_datapipeline_spark.operators.similarity import (
         ivf_assign, ivf_probe_lists)
 
@@ -1916,12 +1955,17 @@ def semantic_contamination_hits(corpus: DataFrame, benchmark: DataFrame,
             f"semantic_contamination_hits: benchmark exceeds "
             f"max_benchmark={max_benchmark} — the benchmark side must "
             "stay broadcast-small; split it and union the hit sets.")
+    # norms hoisted out of the |corpus|x|bench| fan-out (r12): once per
+    # corpus row / per broadcast bench row, bit-identical per pair
     bench = benchmark.select(F.col(bench_id_col).alias("__bid"),
-                             F.col(bench_vec_col).alias("__bv"))
+                             F.col(bench_vec_col).alias("__bv"),
+                             l2_norm(F.col(bench_vec_col)).alias("__bn"))
     if centroids is None:
-        paired = corpus.crossJoin(F.broadcast(bench))
+        paired = corpus.withColumn(
+            "__cn", l2_norm(F.col(vec_col))).crossJoin(F.broadcast(bench))
     else:
-        assigned = ivf_assign(corpus, centroids, vec_col)
+        assigned = ivf_assign(corpus, centroids, vec_col).withColumn(
+            "__cn", l2_norm(F.col(vec_col)))
         bench_lists = bench.withColumn(
             "list_id",
             F.explode(ivf_probe_lists(F.col("__bv"), centroids, nprobe)))
@@ -1930,7 +1974,8 @@ def semantic_contamination_hits(corpus: DataFrame, benchmark: DataFrame,
         paired.select(
             F.col(id_col).alias("corpus_id"),
             F.col("__bid").alias("bench_id"),
-            F.round(cosine_similarity(F.col(vec_col), F.col("__bv")), 6)
+            F.round(cosine_from_norms(F.col(vec_col), F.col("__bv"),
+                                      F.col("__cn"), F.col("__bn")), 6)
             .alias("cosine"),
         )
         .filter(F.col("cosine") >= F.lit(float(threshold)))
@@ -2165,28 +2210,35 @@ def embedding_dedup_against(new: DataFrame, seen: DataFrame,
         _nearest_centroid_col,
         lsh_bucket,
     )
-    from metadata_enhanced_pretrain_datapipeline_spark.functions.arrays import cosine_similarity
+    from metadata_enhanced_pretrain_datapipeline_spark.functions.arrays import (
+        cosine_from_norms, l2_norm)
 
     def bucket_of(c):
         return (_nearest_centroid_col(c, centroids) if centroids is not None
                 else lsh_bucket(c, num_planes))
 
+    # norms hoisted out of the bucket-pair join (r12): once per new/seen
+    # vector below the join, bit-identical per pair
     nk = new.select(F.col(id_col).alias("__nid"),
                     F.col(vec_col).alias("__nv"),
-                    bucket_of(F.col(vec_col)).alias("__b"))
+                    bucket_of(F.col(vec_col)).alias("__b"),
+                    l2_norm(F.col(vec_col)).alias("__nn"))
     if seen_bucket_col is not None:
         sk = seen.select(F.col(vec_col).alias("__sv"),
-                         F.col(seen_bucket_col).alias("__b"))
+                         F.col(seen_bucket_col).alias("__b"),
+                         l2_norm(F.col(vec_col)).alias("__sn"))
     else:
         sk = seen.select(F.col(vec_col).alias("__sv"),
-                         bucket_of(F.col(vec_col)).alias("__b"))
+                         bucket_of(F.col(vec_col)).alias("__b"),
+                         l2_norm(F.col(vec_col)).alias("__sn"))
     if max_bucket_size is not None:
         w = Window.partitionBy("__b")
         sk = (sk.repartition("__b")
               .withColumn("__n", F.count("*").over(w))
               .filter(F.col("__n") <= F.lit(max_bucket_size)).drop("__n"))
     hits = (nk.join(sk, "__b")
-            .filter(cosine_similarity(F.col("__nv"), F.col("__sv"))
+            .filter(cosine_from_norms(F.col("__nv"), F.col("__sv"),
+                                      F.col("__nn"), F.col("__sn"))
                     >= F.lit(threshold))
             .select(F.col("__nid").alias(id_col)).distinct())
     return new.join(hits, id_col, "left_anti")

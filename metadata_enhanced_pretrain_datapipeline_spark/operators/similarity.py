@@ -17,8 +17,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from metadata_enhanced_pretrain_datapipeline_spark.functions.arrays import (
+    cosine_from_norms,
     cosine_similarity,
     dot_product,
+    l2_norm,
     positional_dot,
 )
 
@@ -1007,15 +1009,21 @@ def mine_hard_negatives(df: DataFrame, query_ids: list[int],
     qset = [int(q) for q in query_ids]
     qvecs = (
         df.filter(F.col(id_col).isin(qset))
-        .select(F.col(id_col).alias("__qid"), F.col(vec_col).alias("__qv"))
+        .select(F.col(id_col).alias("__qid"), F.col(vec_col).alias("__qv"),
+                l2_norm(F.col(vec_col)).alias("__qn"))
     )
+    # candidate norms once per corpus row, query norms once per broadcast
+    # row (r12): bit-identical to the per-pair cosine, |corpus|·|Q| fewer
+    # interpreted norm folds
     scored = (
-        df.crossJoin(F.broadcast(qvecs))
+        df.withColumn("__vn", l2_norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(qvecs))
         .filter(F.col(id_col) != F.col("__qid"))
         .select(
             F.col("__qid").alias("query_id"),
             F.col(id_col).alias("cand_id"),
-            F.round(cosine_similarity(F.col(vec_col), F.col("__qv")), 6)
+            F.round(cosine_from_norms(F.col(vec_col), F.col("__qv"),
+                                      F.col("__vn"), F.col("__qn")), 6)
             .alias("cosine"),
         )
     )
@@ -1048,11 +1056,13 @@ def mine_hard_negatives_bucketed(df: DataFrame, query_ids: list[int],
             f"exceed max_queries={max_queries} — drop the broadcast "
             "hint expectation and batch, or raise the guard knowingly.")
     qset = [int(q) for q in query_ids]
-    assigned = ivf_assign(df, centroids, vec_col)
+    # norms hoisted below the list_id join (r12, the mine_bitext pattern)
+    assigned = ivf_assign(df, centroids, vec_col).withColumn(
+        "__vn", l2_norm(F.col(vec_col)))
     qvecs = (
         assigned.filter(F.col(id_col).isin(qset))
         .select(F.col(id_col).alias("__qid"), F.col(vec_col).alias("__qv"),
-                "list_id")
+                F.col("__vn").alias("__qn"), "list_id")
     )
     scored = (
         assigned.join(F.broadcast(qvecs), "list_id")
@@ -1060,7 +1070,8 @@ def mine_hard_negatives_bucketed(df: DataFrame, query_ids: list[int],
         .select(
             F.col("__qid").alias("query_id"),
             F.col(id_col).alias("cand_id"),
-            F.round(cosine_similarity(F.col(vec_col), F.col("__qv")), 6)
+            F.round(cosine_from_norms(F.col(vec_col), F.col("__qv"),
+                                      F.col("__vn"), F.col("__qn")), 6)
             .alias("cosine"),
         )
     )
@@ -1121,27 +1132,44 @@ def mine_bitext(x: DataFrame, y: DataFrame, centroids: list[list[float]],
             F.col(id_col).alias("x_id"), F.col(vec_col).alias("__xv"),
             F.explode(ivf_probe_lists(F.col(vec_col), centroids, nprobe))
             .alias("list_id"))
+    # norms hoisted out of the pair join (r12): each side's l2_norm is
+    # computed once per VECTOR below the join instead of once per
+    # candidate pair above it — bit-identical (same fold over the same
+    # array), and the per-pair interpreted work drops from dot+2 norms
+    # to the dot alone.
+    xa = xa.withColumn("__xn", l2_norm(F.col("__xv")))
     ya = ivf_assign(y, centroids, vec_col).select(
-        F.col(id_col).alias("y_id"), F.col(vec_col).alias("__yv"), "list_id")
+        F.col(id_col).alias("y_id"), F.col(vec_col).alias("__yv"), "list_id"
+    ).withColumn("__yn", l2_norm(F.col("__yv")))
     pairs = xa.join(ya, "list_id").select(
         "x_id", "y_id",
-        F.round(cosine_similarity(F.col("__xv"), F.col("__yv")), round_dp)
+        F.round(cosine_from_norms(F.col("__xv"), F.col("__yv"),
+                                  F.col("__xn"), F.col("__yn")), round_dp)
         .alias("cosine"))
 
     from pyspark.sql import Window as W
     wx = W.partitionBy("x_id").orderBy(F.col("cosine").desc(), "y_id")
     wy = W.partitionBy("y_id").orderBy(F.col("cosine").desc(), "x_id")
+    kf = F.lit(int(k))
+    # window order (r12): rank-x, avg-x, rank-y, avg-y — each avg window
+    # shares its rank window's partitioning (x_id / y_id), so the four
+    # window ops plan as TWO exchanges instead of the four the
+    # rank-rank-avg-avg order produced (each avg needs only partitioning,
+    # no ordering, and sits directly on its same-key rank output).
     ranked = (pairs
               .withColumn("__rx", F.row_number().over(wx))
-              .withColumn("__ry", F.row_number().over(wy)))
-    kf = F.lit(int(k))
-    dx = F.avg(F.when(F.col("__rx") <= kf, F.col("cosine"))).over(
-        W.partitionBy("x_id"))
-    dy = F.avg(F.when(F.col("__ry") <= kf, F.col("cosine"))).over(
-        W.partitionBy("y_id"))
+              .withColumn("__dx",
+                          F.avg(F.when(F.col("__rx") <= kf, F.col("cosine")))
+                          .over(W.partitionBy("x_id")))
+              .withColumn("__ry", F.row_number().over(wy))
+              .withColumn("__dy",
+                          F.avg(F.when(F.col("__ry") <= kf, F.col("cosine")))
+                          .over(W.partitionBy("y_id"))))
     scored = ranked.withColumn(
         "margin",
-        F.round(F.try_divide(F.col("cosine"), (dx + dy) / F.lit(2.0)), 6))
+        F.round(F.try_divide(F.col("cosine"),
+                             (F.col("__dx") + F.col("__dy")) / F.lit(2.0)),
+                6))
     keep = (F.col("__rx") == 1) & (F.col("margin") >= F.lit(
         float(margin_threshold)))
     if mutual:
