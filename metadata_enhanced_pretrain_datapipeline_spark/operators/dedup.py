@@ -973,12 +973,7 @@ def embedding_near_dup(df: DataFrame, id_col: str = "vec_id",
         b = _nearest_centroid_col(F.col(vec_col), centroids)
     else:
         b = lsh_bucket(F.col(vec_col), num_planes)
-    # the norm is hoisted out of the within-bucket pair join (r12):
-    # computed once per vector below the bucket exchange (8 bytes/row of
-    # extra shuffle) instead of once per candidate pair — bit-identical
-    keyed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                      b.alias("bucket"),
-                      l2_norm(F.col(vec_col)).alias("nm"))
+    keyed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), b.alias("bucket"))
     # One exchange on the bucket key (same reasoning as minhash_lsh_pairs:
     # a fork below the shuffle recomputes the bucket projection per
     # consumer); the size guard is then a shuffle-free window count that
@@ -988,7 +983,13 @@ def embedding_near_dup(df: DataFrame, id_col: str = "vec_id",
     w = Window.partitionBy("bucket")
     counted = keyed.withColumn("__n", F.count("*").over(w))
     upper = (F.col("__n") <= F.lit(max_bucket_size)) if max_bucket_size is not None else F.lit(True)
-    keyed = counted.filter((F.col("__n") >= 2) & upper).drop("__n")
+    # the norm is hoisted out of the within-bucket pair join (r12):
+    # computed once per vector AFTER the bucket-survivor filter (below
+    # the filter it would also tax the singleton-bucket majority, which
+    # never pairs — a chunk-level corpus measured that as a net loss)
+    # instead of once per candidate pair — bit-identical
+    keyed = (counted.filter((F.col("__n") >= 2) & upper).drop("__n")
+             .withColumn("nm", l2_norm(F.col("v"))))
     l, r = keyed.alias("l"), keyed.alias("r")
     return (
         l.join(r, "bucket")
@@ -2225,17 +2226,18 @@ def embedding_dedup_against(new: DataFrame, seen: DataFrame,
                     l2_norm(F.col(vec_col)).alias("__nn"))
     if seen_bucket_col is not None:
         sk = seen.select(F.col(vec_col).alias("__sv"),
-                         F.col(seen_bucket_col).alias("__b"),
-                         l2_norm(F.col(vec_col)).alias("__sn"))
+                         F.col(seen_bucket_col).alias("__b"))
     else:
         sk = seen.select(F.col(vec_col).alias("__sv"),
-                         bucket_of(F.col(vec_col)).alias("__b"),
-                         l2_norm(F.col(vec_col)).alias("__sn"))
+                         bucket_of(F.col(vec_col)).alias("__b"))
     if max_bucket_size is not None:
         w = Window.partitionBy("__b")
         sk = (sk.repartition("__b")
               .withColumn("__n", F.count("*").over(w))
               .filter(F.col("__n") <= F.lit(max_bucket_size)).drop("__n"))
+    # store-side norm AFTER the guard (rows a capped bucket drops never
+    # pay it); once per surviving store row, not once per probe pair
+    sk = sk.withColumn("__sn", l2_norm(F.col("__sv")))
     hits = (nk.join(sk, "__b")
             .filter(cosine_from_norms(F.col("__nv"), F.col("__sv"),
                                       F.col("__nn"), F.col("__sn"))
