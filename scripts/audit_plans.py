@@ -319,9 +319,10 @@ AUDITS = {
     "the cap is token_budget_cap's bucketed two-phase window — corpus "
     "text never shuffles.",
     "q_bitext_mine": "Margin bitext mining: both sides' IVF assignment "
-    "is a narrow projection, candidates meet in ONE list_id equi-join "
-    "(broadcast while a side is small), and the rank/average windows "
-    "partition by the high-cardinality sentence ids — never |X|x|Y|.",
+    "AND l2 norms are narrow per-side projections (norms never recompute "
+    "per pair), candidates meet in ONE list_id equi-join (broadcast "
+    "while a side is small), and the four rank/average windows share "
+    "per-key sorts — two exchanges (x_id, y_id), never |X|x|Y|.",
     "q_ngram_novelty": "N-gram novelty: reference shingle hashes "
     "BroadcastExchange into a marked left join over the corpus "
     "shingle stream; one per-doc HashAggregate — the only Exchange "
