@@ -1331,8 +1331,10 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 64,
     appearing in pairs are emitted (singletons are trivially their own
     cluster).
 
-    Scale: per-round cost is three id-only joins (two on the PAIR graph,
-    one label self-join) — orders of magnitude smaller than the corpus.
+    Scale: per-round cost is two id-only joins (the neighbor-min over
+    the self-looped PAIR graph — the self-loops fold the "own label"
+    term into the same join — and the pointer-jump label self-join) —
+    orders of magnitude smaller than the corpus.
     Lineage is truncated each round (eager, so the convergence count
     reuses it): ``localCheckpoint`` by default, or a RELIABLE checkpoint
     when ``checkpoint_dir`` is set (or MEP_SPARK_CHECKPOINT_DIR is
@@ -1356,32 +1358,34 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 64,
     if checkpoint:
         # without this, every round's join re-evaluates the FULL upstream
         # pair lineage (e.g. the whole MinHash-LSH subtree) — the loop is
-        # only "joins on the pair graph" if the graph is materialized
+        # only "joins on the pair graph" if the graph is materialized.
+        # Materialize BEFORE deriving nodes/self-loops: both read edges,
+        # and unmaterialized they would each re-run the pair subtree.
         edges = materialize(edges, checkpoint_dir)
-    labels = (
-        edges.select(F.col("src").alias("id")).distinct()
-        .withColumn("label", F.col("id"))
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    if checkpoint:
+        # consumed every round (self-loop branch of the graph join) and
+        # once for the label init — one tiny distinct, computed once
+        nodes = materialize(nodes, checkpoint_dir)
+    # self-loop edges (r12): appending (id, id) for every node folds the
+    # "min(own label, neighbors' labels)" combine into the SAME
+    # neighbor-min join — each round is ONE graph join + the pointer
+    # jump, where the old shape ran nbr-join, a labels⨝nbr combine join,
+    # then the jump (three joins). The self-loop guarantees every node
+    # survives the inner join/groupBy with at least its own label.
+    edges = edges.union(
+        nodes.select(F.col("id").alias("src"), F.col("id").alias("dst"))
     )
+    labels = nodes.withColumn("label", F.col("id"))
     converged = False
     rounds = 0
+    prev_sum = None
     for _ in range(max_iterations):
         rounds += 1
-        nbr = (
-            edges.join(labels, edges["dst"] == labels["id"])
-            .groupBy("src").agg(F.min("label").alias("nbr_min"))
-        )
         propagated = (
-            labels.join(nbr, labels["id"] == nbr["src"], "left")
-            .select(
-                labels["id"],
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
-                ).alias("label"),
-                # the pre-round label rides along so the convergence check
-                # is a filter on the checkpointed rows — not an extra join
-                # per round against the previous iteration's DataFrame
-                labels["label"].alias("__old"),
-            )
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src").agg(F.min("label").alias("label"))
+            .select(F.col("src").alias("id"), "label")
         )
         # pointer doubling: l(u) <- min(l(u), l(l(u))). Every label value
         # is itself a node id in the graph, so the self-join always hits
@@ -1398,33 +1402,39 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 64,
                     F.col("label"),
                     F.coalesce(F.col("__jlabel"), F.col("label")),
                 ).alias("label"),
-                F.col("__old"),
             )
         )
         if checkpoint and not _reliable:
-            # LAZY localCheckpoint (r12): the convergence count below is
-            # the round's only action, so it both computes the round AND
-            # materializes the truncated blocks — ONE job per round where
-            # eager-checkpoint-then-count ran two. count() (not
-            # limit(1).count()) so every partition is computed in that
-            # job and the checkpoint needs no fill-in pass; the count
-            # itself is a shuffle-free fold over rows the job already
-            # produced.
+            # LAZY localCheckpoint (r12): the convergence aggregate below
+            # is the round's only action, so it both computes the round
+            # AND materializes the truncated blocks — ONE job per round
+            # where eager-checkpoint-then-count ran two; the agg computes
+            # every partition, so the checkpoint needs no fill-in pass.
             stepped = stepped.localCheckpoint(eager=False)
-            changed = stepped.filter(F.col("label") != F.col("__old")).count()
-        else:
-            if checkpoint:
-                # reliable mode keeps the eager persist+checkpoint dance
-                # (see materialize: a bare lazy .checkpoint() would
-                # compute the round twice under a reliable dir)
-                stepped = materialize(stepped, checkpoint_dir)
-            changed = (
-                stepped.filter(F.col("label") != F.col("__old")).limit(1).count()
-            )
-        labels = stepped.drop("__old")
-        if changed == 0:
+        elif checkpoint:
+            # reliable mode keeps the eager persist+checkpoint dance
+            # (see materialize: a bare lazy .checkpoint() would
+            # compute the round twice under a reliable dir)
+            stepped = materialize(stepped, checkpoint_dir)
+        # labels only ever DECREASE, so their exact sum is a monotone
+        # convergence witness: sum unchanged between rounds ⟺ no label
+        # changed (every term can only fall). Summing as decimal(38,0)
+        # keeps it exact — n·2^63 ≈ 10^31 even at 10^12 nodes, far
+        # inside 38 digits — and spares the per-row __old carry + filter
+        # the old changed-count check needed.
+        cur_sum = stepped.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
+        labels = stepped
+        if cur_sum is None:
+            # sum over ZERO rows — an empty pair graph has no labels to
+            # propagate; trivially at fixpoint
             converged = True
             break
+        if prev_sum is not None and cur_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = cur_sum
     if stats is not None:
         stats["iterations"] = rounds
         stats["converged"] = converged
