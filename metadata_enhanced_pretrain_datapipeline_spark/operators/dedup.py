@@ -1345,6 +1345,11 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 64,
 
     ``stats``, when passed a dict, receives ``{"iterations": n,
     "converged": True}`` for observability/tests.
+
+    ``checkpoint=False`` is TEST-ONLY (tiny graphs): without per-round
+    materialization the convergence aggregate recomputes the full,
+    exponentially nesting join lineage every round — at any real scale
+    keep the default (ADVICE r12).
     """
     import os as _os
 
@@ -1352,6 +1357,23 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 64,
         CHECKPOINT_DIR_ENV, materialize)
 
     _reliable = checkpoint_dir or _os.environ.get(CHECKPOINT_DIR_ENV)
+    # The sum-based convergence witness below requires INTEGRAL ids: a
+    # non-numeric id column (e.g. string doc hashes, which the generic
+    # pair generators permit) casts to all-NULL decimals, the sum goes
+    # NULL, and convergence would be declared after round 1 with
+    # unpropagated labels — silently wrong clusters (ADVICE r12). Fail
+    # loudly up front instead; float ids are rejected too (min-label
+    # semantics on inexact values is not a contract this op makes).
+    _id_types = {t for c, t in pairs.dtypes if c in ("id_a", "id_b")}
+    _bad = {t for t in _id_types
+            if not (t in ("tinyint", "smallint", "int", "bigint")
+                    or (t.startswith("decimal(") and t.endswith(",0)")))}
+    if _bad:
+        raise TypeError(
+            "duplicate_clusters: id columns must be integral (got "
+            f"{sorted(_bad)}); hash non-numeric ids to longs (e.g. "
+            "xxhash64) before pairing — the sum-based convergence "
+            "check is only exact over integers")
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
@@ -1379,7 +1401,19 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 64,
     labels = nodes.withColumn("label", F.col("id"))
     converged = False
     rounds = 0
-    prev_sum = None
+    # Seed the convergence witness with the INITIAL label sum (labels
+    # start as the node ids), computed over the just-materialized node
+    # set — one tiny aggregate. This (a) detects an already-at-fixpoint
+    # graph in round 1 (prev_sum=None could not, so max_iterations=1 on
+    # converged input raised — ADVICE r12), and (b) distinguishes the
+    # empty graph (sum over zero rows is NULL → trivially converged,
+    # skip the loop) from an arithmetic failure mid-loop, which now
+    # raises instead of silently mapping to converged=True.
+    prev_sum = nodes.agg(
+        F.sum(F.col("id").cast("decimal(38,0)"))).collect()[0][0]
+    if prev_sum is None:
+        converged = True  # empty pair graph: nothing to propagate
+        max_iterations = 0
     for _ in range(max_iterations):
         rounds += 1
         propagated = (
@@ -1427,11 +1461,16 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 64,
         ).collect()[0][0]
         labels = stepped
         if cur_sum is None:
-            # sum over ZERO rows — an empty pair graph has no labels to
-            # propagate; trivially at fixpoint
-            converged = True
-            break
-        if prev_sum is not None and cur_sum == prev_sum:
+            # the graph was nonempty at entry (the seed sum above was
+            # non-NULL), so a NULL sum here is an arithmetic failure
+            # (e.g. decimal overflow under non-ANSI mode), never "zero
+            # rows" — treating it as convergence would silently return
+            # half-propagated labels (ADVICE r12)
+            raise RuntimeError(
+                "duplicate_clusters: label sum came back NULL on a "
+                "nonempty graph — arithmetic failure in the convergence "
+                "aggregate; labels would be unreliable")
+        if cur_sum == prev_sum:
             converged = True
             break
         prev_sum = cur_sum
@@ -1483,8 +1522,11 @@ def excise_repeated_ngrams(df: DataFrame, id_col: str = "doc_id",
     )
 
     # widen a narrow scan first (r12): tokenize+explode+gram-hash is
-    # per-row CPU in the scan stage, single-tasked on a 1-file input
-    df = ensure_min_partitions(df)
+    # per-row CPU in the scan stage, single-tasked on a 1-file input.
+    # Projected to (id, text) before the exchange (r13): both consumers
+    # below (the gram probe and the excision rebuild) read only these
+    # two columns, so the widening never ships the rest of the row.
+    df = ensure_min_partitions(df.select(id_col, text_col))
     base = df.select(F.col(id_col), tokens_ws(F.col(text_col)).alias("__ws"))
     starts = F.when(
         F.size("__ws") >= n, F.sequence(F.lit(1), F.size("__ws") - F.lit(n - 1))
@@ -1854,7 +1896,8 @@ def token_set_jaccard_pairs(df: DataFrame, id_col: str, token_col: str,
                             min_jaccard: float = 0.5,
                             max_bucket_size: int | None = 256,
                             metric: str = "jaccard",
-                            min_common: int = 1) -> DataFrame:
+                            min_common: int = 1,
+                            distinct_with_sizes: bool = False) -> DataFrame:
     """Exact set-Jaccard candidate pairs over a PRE-EXPLODED
     (id, token) relation — :func:`jaccard_pairs` without the text
     shingling front end, for ids whose "tokens" are already first-class
@@ -1887,17 +1930,34 @@ def token_set_jaccard_pairs(df: DataFrame, id_col: str, token_col: str,
     capped bucket UNDERCOUNTS intersections for pairs sharing that
     token (conservative: pairs can only miss, never false-positive on
     jaccard) — same contract as every bucket cap in this family.
+    ``distinct_with_sizes=True`` declares the input ALREADY carries
+    distinct (id, token) rows plus an ``n_tok`` column with the true
+    per-id set size (the :func:`winnow_fp_sets` shape, where both are
+    computed inside the per-doc array before the explode) — the
+    row-level distinct AND the per-id window count are then skipped:
+    two fewer full exchanges of the token relation (r13). The caller
+    owns the contract; duplicated rows under this flag double-count
+    intersections.
     """
     from metadata_enhanced_pretrain_datapipeline_spark.checkpointing import materialize
 
-    tok = (df.select(F.col(id_col).alias("id"),
-                     F.col(token_col).alias("token"))
-           .filter(F.col("token").isNotNull()).distinct())
-    counted = (
-        tok.withColumn("n_tok",
-                       F.count("*").over(Window.partitionBy("id")))
-        .withColumn("__n", F.count("*").over(Window.partitionBy("token")))
-    )
+    if distinct_with_sizes:
+        tok = (df.select(F.col(id_col).alias("id"),
+                         F.col("n_tok").cast("long").alias("n_tok"),
+                         F.col(token_col).alias("token"))
+               .filter(F.col("token").isNotNull()))
+        counted = tok.withColumn(
+            "__n", F.count("*").over(Window.partitionBy("token")))
+    else:
+        tok = (df.select(F.col(id_col).alias("id"),
+                         F.col(token_col).alias("token"))
+               .filter(F.col("token").isNotNull()).distinct())
+        counted = (
+            tok.withColumn("n_tok",
+                           F.count("*").over(Window.partitionBy("id")))
+            .withColumn("__n",
+                        F.count("*").over(Window.partitionBy("token")))
+        )
     upper = (F.col("__n") <= F.lit(max_bucket_size)
              if max_bucket_size is not None else F.lit(True))
     live = counted.filter((F.col("__n") >= 2) & upper).drop("__n")
@@ -2289,52 +2349,40 @@ def overcap_bucket_stats(seen: DataFrame, vec_col: str = "embedding",
         F.max(F.col("__n")).alias("max_seen_bucket"))
 
 
-def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
-                        text_col: str = "text", k: int = 5,
-                        window: int = 4,
-                        portable: bool = False) -> DataFrame:
-    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+def _winnow_fp_structs(text: Column, k: int = 5, window: int = 4,
+                       portable: bool = False) -> Column:
+    """Winnowing fingerprint EXPRESSION (Schleimer, Wilkerson & Aiken,
     SIGMOD 2003 — the MOSS algorithm): hash every POSITIONAL word
-    ``k``-gram, slide a window of ``window`` consecutive gram hashes,
-    and select each window's minimum — ties broken toward the RIGHTMOST
-    position (the paper's robust-winnowing rule, made deterministic
-    cross-engine). The selected (position, hash) pairs, deduplicated,
-    are the document's fingerprints. Guarantee (the paper's): any
-    shared word run of at least ``k + window - 1`` words contributes at
-    least one IDENTICAL fingerprint hash to both documents, while the
-    fingerprint density is ~2/(window+1) of all grams — the local,
-    overlap-preserving compression that whole-doc digests
-    (:func:`normalized_text_key`) and per-doc MinHash signatures both
-    lack (MinHash estimates whole-set resemblance; winnowing LOCALIZES
-    matches, so pair stages can threshold on shared-run evidence).
+    ``k``-gram of ``text``, slide a window of ``window`` consecutive
+    gram hashes, and select each window's minimum — ties broken toward
+    the RIGHTMOST position (the paper's robust-winnowing rule, made
+    deterministic cross-engine). Returns an ``array<struct<h, np,
+    pos>>`` of the selected (hash, position) pairs, deduplicated —
+    :func:`winnow_fingerprints` explodes it to rows, and
+    :func:`winnow_fp_sets` reduces it to per-doc distinct-hash sets
+    map-side. Guarantee (the paper's): any shared word run of at least
+    ``k + window - 1`` words contributes at least one IDENTICAL
+    fingerprint hash to both documents, while the fingerprint density
+    is ~2/(window+1) of all grams — the local, overlap-preserving
+    compression that whole-doc digests (:func:`normalized_text_key`)
+    and per-doc MinHash signatures both lack (MinHash estimates
+    whole-set resemblance; winnowing LOCALIZES matches, so pair stages
+    can threshold on shared-run evidence).
 
-    Returns (id_col, pos, fp): ``pos`` is the 1-based gram start of the
-    selected gram, ``fp`` its hash. Documents with fewer than ``k``
-    words yield no rows; documents with 1..window-1 grams yield the
-    single minimum over what grams exist (one whole-doc window), so
-    short docs still fingerprint.
+    Documents with fewer than ``k`` words yield an empty array;
+    documents with 1..window-1 grams yield the single minimum over what
+    grams exist (one whole-doc window), so short docs still
+    fingerprint.
 
-    Scale: everything up to the explode is per-row codegen array
-    arithmetic (the gram hashes and window minima are lambda-BOUND so
-    each materializes once — the word_shingles precedent); the output
-    relation carries (id, int, long) rows, ~2/(window+1) of gram count,
-    and the text column never leaves the scan projection. Downstream
-    pair generation reuses :func:`token_set_jaccard_pairs` on the fp
-    values (one token-keyed exchange, bucket guard — never all-pairs).
+    Scale: everything is per-row codegen array arithmetic (the gram
+    hashes and window minima are lambda-BOUND so each materializes
+    once — the word_shingles precedent); the text column never leaves
+    the scan projection.
 
     ``portable=True`` uses the engine-portable md5 gram hash so a SQL
     oracle replays fingerprints exactly; the bench path keeps xxhash64.
     """
     from metadata_enhanced_pretrain_datapipeline_spark.functions.text import tokens_ws
-    from metadata_enhanced_pretrain_datapipeline_spark.partitioning import (
-        ensure_min_partitions,
-    )
-
-    # widen a narrow scan first (r12): the gram+window chain is pure
-    # per-row CPU and the sf0.1 single-file corpus ran it in ONE task;
-    # wide production scans (and foreachBatch micro-batches, whose
-    # pre-shuffle width is the session conf) are untouched.
-    df = ensure_min_partitions(df)
 
     def gram_struct(toks, i):
         joined = F.concat_ws(
@@ -2346,7 +2394,7 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
 
     grams = F.get(
         F.transform(
-            F.array(tokens_ws(F.col(text_col))),
+            F.array(tokens_ws(text)),
             lambda toks: F.filter(
                 F.transform(
                     F.sequence(F.lit(1),
@@ -2378,9 +2426,56 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
         ),
         0,
     )
+    return fps
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 5,
+                        window: int = 4,
+                        portable: bool = False) -> DataFrame:
+    """Winnowing document fingerprints — see :func:`_winnow_fp_structs`
+    for the algorithm and scale notes. Returns (id_col, pos, fp):
+    ``pos`` is the 1-based gram start of the selected gram, ``fp`` its
+    hash; (pos, fp) pairs are distinct per document, but the same fp
+    can recur at several positions."""
+    from metadata_enhanced_pretrain_datapipeline_spark.partitioning import (
+        ensure_min_partitions,
+    )
+
+    # widen a narrow scan first (r12): the gram/window chain is pure
+    # per-row CPU and the sf0.1 single-file corpus ran it in ONE task;
+    # wide production scans are untouched.
+    df = ensure_min_partitions(df)
+    fps = _winnow_fp_structs(F.col(text_col), k, window, portable)
     return (df.select(F.col(id_col), F.explode(fps).alias("__fp"))
             .select(id_col, F.col("__fp.pos").alias("pos"),
                     F.col("__fp.h").alias("fp")))
+
+
+def winnow_fp_sets(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", k: int = 5, window: int = 4,
+                   portable: bool = False) -> DataFrame:
+    """Per-document DISTINCT fingerprint hashes with the set size riding
+    along: (id_col, n_tok, fp) where ``n_tok`` is the document's
+    distinct-fp count — exactly the relation the set-overlap consumers
+    (:func:`winnow_dedup_against`, :func:`winnow_overlap_pairs`) start
+    from. The dedup and the size are computed INSIDE the per-document
+    array (``array_distinct`` + ``size`` before the explode), so the
+    consumers skip both the (id, fp) DISTINCT exchange and the per-id
+    set-size window a row-level relation would need (r13: two full
+    exchanges of the fingerprint relation removed; positions are
+    dropped, which is what makes the map-side dedup possible)."""
+    from metadata_enhanced_pretrain_datapipeline_spark.partitioning import (
+        ensure_min_partitions,
+    )
+
+    df = ensure_min_partitions(df)
+    hashes = F.array_distinct(F.transform(
+        _winnow_fp_structs(F.col(text_col), k, window, portable),
+        lambda g: g["h"]))
+    return (df.select(F.col(id_col), hashes.alias("__hs"))
+            .select(F.col(id_col), F.size("__hs").alias("n_tok"),
+                    F.explode("__hs").alias("fp")))
 
 
 def winnow_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -2402,10 +2497,11 @@ def winnow_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
     long document scores tiny Jaccard but a guaranteed count.
     ``min_jaccard`` remains available as a secondary ratio gate.
     Returns (id_a, id_b, jaccard) over fingerprint sets, id_a < id_b."""
-    fps = winnow_fingerprints(df, id_col, text_col, k, window, portable)
+    fps = winnow_fp_sets(df, id_col, text_col, k, window, portable)
     return token_set_jaccard_pairs(
-        fps.select(F.col(id_col).alias("id"), F.col("fp")),
-        "id", "fp", min_jaccard, max_bucket_size, min_common=min_shared)
+        fps.select(F.col(id_col).alias("id"), "n_tok", F.col("fp")),
+        "id", "fp", min_jaccard, max_bucket_size, min_common=min_shared,
+        distinct_with_sizes=True)
 
 
 def winnow_dedup_against(new_docs: DataFrame, seen_fps: DataFrame,
@@ -2430,13 +2526,15 @@ def winnow_dedup_against(new_docs: DataFrame, seen_fps: DataFrame,
     Returns surviving ``new_docs`` rows (all columns intact). Documents
     too short to fingerprint can never hit the store and are KEPT.
 
-    Scale: the new month fingerprints once (per-row codegen arrays);
-    the store side is distinct-ed per fp so re-ingested duplicates
-    cannot double-count; one fp equi-join over (id, long) rows, a
-    per-id count, and an ids-only anti-join — text never shuffles."""
-    fps = (winnow_fingerprints(new_docs, id_col, text_col, k, window,
-                               portable)
-           .select(F.col(id_col), F.col("fp")).distinct())
+    Scale: the new month fingerprints once (per-row codegen arrays,
+    deduplicated INSIDE the per-doc array — r13: the old row-level
+    ``.distinct()`` was a full extra exchange of the fingerprint
+    relation); the store side is distinct-ed per fp so re-ingested
+    duplicates cannot double-count; one fp equi-join over (id, long)
+    rows, a per-id count, and an ids-only anti-join — text never
+    shuffles."""
+    fps = winnow_fp_sets(new_docs, id_col, text_col, k, window,
+                         portable).select(F.col(id_col), F.col("fp"))
     seen = seen_fps.select("fp").distinct()
     hits = (fps.join(seen, "fp")
             .groupBy(id_col).agg(F.count("*").alias("__n"))

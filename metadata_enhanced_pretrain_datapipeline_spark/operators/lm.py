@@ -54,8 +54,12 @@ def char_lm_model(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
     # widen a narrow scan first (r12): the char explode + map-side count
-    # is per-row CPU in the scan stage, single-tasked on a 1-file input
-    bg = ensure_min_partitions(df).select(
+    # is per-row CPU in the scan stage, single-tasked on a 1-file input.
+    # PROJECT before the widening repartition (r13): the exchange then
+    # ships only the text column the explode needs, not the full row —
+    # the r12-measured 2-31-file-band regression was exactly this
+    # exchange's bytes (VERDICT r12 item 3).
+    bg = ensure_min_partitions(df.select(F.col(text_col))).select(
         F.explode(char_bigrams(F.col(text_col))).alias("bg"))
     return (
         bg.groupBy("bg").agg(F.count("*").alias("c"))
@@ -97,8 +101,10 @@ def char_lm_score(df: DataFrame, model: DataFrame, id_col: str = "doc_id",
     model = materialize(model, checkpoint_dir)
     firsts = model.groupBy("c1").agg(F.sum("c").alias("fc"))
     vocab = model.select("c2").distinct().count()  # alphabet scalar
-    # widen a narrow scan for the scoring-side explode too (r12)
-    doc_bg = ensure_min_partitions(df).select(
+    # widen a narrow scan for the scoring-side explode too (r12);
+    # projected to (id, text) before the exchange (r13) so the widening
+    # never ships columns the explode does not read
+    doc_bg = ensure_min_partitions(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(char_bigrams(F.col(text_col))).alias("bg")
     )
     mdl = model.select(F.concat("c1", "c2").alias("bg"), "c")

@@ -849,7 +849,11 @@ def dsir_weights(raw: DataFrame, target: DataFrame, id_col: str = "doc_id",
         # ONE feature array (unigrams ++ bigrams) exploded once — a
         # uni/bi UNION would fork the plan and scan the text twice. The
         # transform-over-1-element-array binds the token split once
-        # (word_shingles' trick: no CSE inside a projection).
+        # (word_shingles' trick: no CSE inside a projection). The
+        # feature strings are HASHED INTO BUCKETS inside the array
+        # (r13): the Generate then emits one long per feature instead
+        # of the gram string + a post-explode hash projection — the
+        # feature text never materializes as rows.
         def _feats(ws):
             bi = F.when(
                 F.size(ws) >= 2,
@@ -860,24 +864,25 @@ def dsir_weights(raw: DataFrame, target: DataFrame, id_col: str = "doc_id",
                         F.element_at(ws, i + F.lit(1))),
                 ),
             ).otherwise(F.array().cast("array<string>"))
-            return F.concat(ws, bi)
+            return F.transform(
+                F.concat(ws, bi),
+                lambda s: F.pmod(md5_hash64(s), F.lit(num_buckets)))
 
-        feats_arr = F.transform(
+        buckets_arr = F.transform(
             F.array(tokens_ws(F.col(text_col))), _feats)[0]
         # widen a narrow scan first (r12): tokenize+explode+hash plus
         # the map-side partial count are per-row CPU in the scan stage,
-        # single-tasked on a 1-file input; wide scans are untouched
+        # single-tasked on a 1-file input; wide scans are untouched.
         from metadata_enhanced_pretrain_datapipeline_spark.partitioning import (
             ensure_min_partitions,
         )
 
-        feats = ensure_min_partitions(df).select(
-            F.col(id_col).alias("id"), F.explode(feats_arr).alias("f"))
-        return (
-            feats.select("id", F.pmod(md5_hash64(F.col("f")),
-                                      F.lit(num_buckets)).alias("bucket"))
-            .groupBy("id", "bucket").agg(F.count("*").alias("c"))
-        )
+        # projected to (id, text) before the widening exchange (r13):
+        # never ship columns the featurizer does not read
+        feats = ensure_min_partitions(df.select(id_col, text_col)).select(
+            F.col(id_col).alias("id"),
+            F.explode(buckets_arr).alias("bucket"))
+        return feats.groupBy("id", "bucket").agg(F.count("*").alias("c"))
 
     B = float(num_buckets)
     # target model: grouped by pmod(hash, num_buckets) so the result is

@@ -4155,26 +4155,46 @@ def q_tpch_q19(spark, sf):
 def q_tpch_q21(spark, sf):
     """TPC-H Q21 shape — suppliers who kept orders waiting ('R' returns
     stand in for the trimmed receipt>commit lateness): the correlated
-    EXISTS / NOT EXISTS pair decorrelates into ONE per-order aggregate —
-    n_supp(distinct suppliers) > 1 AND n_supp_r(distinct suppliers among
-    'R' lines) = 1. Since l1 itself has returnflag='R', 'no OTHER supplier
-    with R' is exactly n_supp_r = 1. One extra shuffle instead of two
-    correlated re-scans of lineitem."""
+    EXISTS / NOT EXISTS pair decorrelates into per-order supplier
+    stats — n_supp(distinct suppliers) > 1 AND n_supp_r(distinct
+    suppliers among 'R' lines) = 1. Since l1 itself has
+    returnflag='R', 'no OTHER supplier with R' is exactly n_supp_r = 1.
+
+    ONE lineitem scan (r13 — the r12 shape scanned it twice: the
+    order-stats aggregate plus the l1 probe side, with a double-column
+    countDistinct Expand doubling the exchanged rows): aggregate once
+    per (orderkey, suppkey) counting the group's 'R' lines map-side —
+    the exchange then moves ~one narrow row per distinct pair and
+    needs NO Expand — and derive the per-order stats from a window
+    over that small grouped relation (n_supp = group count, n_supp_r =
+    count of groups with any R line; same-key window rides the
+    grouped partitioning when AQE permits, else re-keys ~distinct-pair
+    rows, not lineitem rows). A qualifying (order, supplier) group
+    with cnt_r > 0 contributes exactly its cnt_r 'R' lines — the sum
+    of cnt_r over qualifying groups IS count(*) over qualifying l1
+    rows, so the result is unchanged by construction (oracle-verified
+    row+hash identical)."""
     li = load(spark, sf, "lineitem")
-    ordstats = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey")))
-        .alias("n_supp_r"),
-    ).filter((F.col("n_supp") > 1) & (F.col("n_supp_r") == 1)).select("l_orderkey")
-    l1 = li.filter(F.col("l_returnflag") == "R")
+    g = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.count(F.when(F.col("l_returnflag") == "R", True)).alias("cnt_r")
+    )
+    w = Window.partitionBy("l_orderkey")
+    qual = (
+        g.withColumn("n_supp", F.count("*").over(w))
+        .withColumn(
+            "n_supp_r",
+            F.count(F.when(F.col("cnt_r") > 0, True)).over(w))
+        .filter((F.col("n_supp") > 1) & (F.col("n_supp_r") == 1)
+                & (F.col("cnt_r") > 0))
+        .select("l_orderkey", "l_suppkey", "cnt_r")
+    )
     o = load(spark, sf, "orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
     s = load(spark, sf, "supplier")
     return (
-        l1.join(ordstats, "l_orderkey", "left_semi")
-        .join(o, l1.l_orderkey == o.o_orderkey, "left_semi")
-        .join(F.broadcast(s), l1.l_suppkey == s.s_suppkey)
+        qual.join(o, qual.l_orderkey == o.o_orderkey, "left_semi")
+        .join(F.broadcast(s), qual.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("cnt_r").cast("long").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
@@ -6123,8 +6143,14 @@ def q_stream_store_dedup(spark, sf):
     )
 
     def apply(batch_df, batch_id):
-        dedup.minhash_dedup_against(batch_df, store, num_hashes=8,
-                                    bands=4, portable=True) \
+        from metadata_enhanced_pretrain_datapipeline_spark.streaming.events import (
+            widen_micro_batch,
+        )
+
+        # widen first (r13): the batch's shingle+minhash chain is per-row
+        # CPU and an unwidened micro-batch runs it in ONE task
+        dedup.minhash_dedup_against(widen_micro_batch(batch_df), store,
+                                    num_hashes=8, bands=4, portable=True) \
             .select("doc_id").write.mode("append").parquet(out_dir)
 
     q = (

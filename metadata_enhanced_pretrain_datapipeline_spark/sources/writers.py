@@ -4,6 +4,21 @@ K1 parity: zstd parquet with a rolling size cap. The reference rolls files
 at max_file_size=1 GiB (fineweb/main.py:144-148); Spark's equivalent knob
 is `maxRecordsPerFile` plus partition sizing — same outcome (bounded
 shards), expressed declaratively.
+
+WRITER CONTRACT — FileOutputCommitter v2 (session.py): every session
+built by ``get_spark`` commits task output DIRECTLY to the destination
+directory (no job-commit merge), trading job-abort atomicity for the
+many-directory store writes' speed. Consequence for ANY writer added to
+this package: a failed/aborted job can leave PARTIAL FILES at the target
+path. Every current store writer absorbs this with the write-then-swap
+discipline (write to a fresh path, verify, then swap/point readers —
+see compact_band_store / compact_ivf_quantized_store); a new writer that
+streams straight into a live, reader-visible path inherits
+partial-file-on-abort semantics and must either follow the same swap
+discipline or override the committer for its write
+(``spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version=1`` on
+a dedicated session). Do not remove this note without re-auditing
+session.py's committer conf (VERDICT r12 item 4).
 """
 
 from __future__ import annotations

@@ -313,6 +313,44 @@ def foreach_batch_versioned_upsert(stream_df: DataFrame, out_path: str,
     q.awaitTermination()
 
 
+def widen_micro_batch(batch_df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Widen a foreachBatch frame before per-row CPU (r13).
+
+    A micro-batch's scan width is the TRIGGER's file budget, not the
+    corpus width — under ``maxFilesPerTrigger=1`` the whole batch is ONE
+    task, and ``ensure_min_partitions`` cannot see it (a foreachBatch
+    frame reports no ``inputFiles()``, so the helper assumes the
+    session's shuffle width; measured: the batch actually runs with 1
+    partition). The store-append sinks' projections are exactly the
+    per-row CPU the batch operators widen for (winnow gram/window
+    chains, image decode, interpreted quantize+assign), so a serial
+    micro-batch pays the whole decode on one core.
+
+    One round-robin exchange of the batch payload is the price; a
+    micro-batch is trigger-budget-bounded by construction, so the
+    shuffle is small next to the CPU it parallelizes (guide §8: move
+    the bytes once, then burn CPU wide). Already-wide batches
+    (``n files >= parallelism``) are left untouched.
+
+    Scope (r13, measured): widen JVM-CODEGEN chains only (winnowing,
+    shingle+minhash — ~25-40% off the drain at sf0.1). Python-stage
+    sinks (image decode) got ~0.7s SLOWER widened: 32 Arrow-worker
+    round-trips cost more than the milliseconds of decode each saves
+    on a small batch; and widening before a ``partitionBy`` append
+    multiplies the file count by task width. Those sinks stay unwidened
+    with the reasoning inline.
+    """
+    sc = batch_df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    try:
+        n_files = len(batch_df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files >= target:
+        return batch_df
+    return batch_df.repartition(target)
+
+
 def stream_append_ivf_quantized_store(stream_df: DataFrame, path: str,
                                       centroids: list[list[float]],
                                       checkpoint: str,
@@ -357,6 +395,11 @@ def stream_append_ivf_quantized_store(stream_df: DataFrame, path: str,
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         (
+            # NOT widened (r13, measured): the post-r12 quantize+assign
+            # over a trigger-bounded batch is sub-100ms even single-task,
+            # while a 32-wide repartition multiplies the dynamic-
+            # partition append's file count by task width (32×lists tiny
+            # files per batch) and cost the query ~0.5s in ABBA
             ivf_quantized_codes(batch_df, centroids, id_col, vec_col)
             .write.mode("append").partitionBy("list_id").parquet(path)
         )
@@ -397,6 +440,13 @@ def stream_append_image_hash_store(stream_media: DataFrame, path: str,
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         (
+            # NOT widened (r13, measured): image_dhash is a PYTHON stage,
+            # and fanning a small batch to 32 tasks pays 32 Arrow-worker
+            # round-trips for milliseconds of decode each — ABBA showed
+            # the widened drain ~0.7s SLOWER at sf0.1. A deployment whose
+            # per-batch decode genuinely dominates (many MB of blobs per
+            # trigger) should widen upstream of the sink where the
+            # trigger budget is chosen.
             image_dhash(batch_df, hash_w, hash_h, stub, codec_factory)
             .filter(F.col("dhash").isNotNull())
             .select("media_id", "dhash")
@@ -439,8 +489,10 @@ def stream_append_winnow_fingerprint_store(stream_docs: DataFrame,
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         (
-            winnow_fingerprints(batch_df, "doc_id", "text", k, window,
-                                portable)
+            # widen first (r13): the gram/window chain is per-row codegen
+            # CPU and an unwidened micro-batch runs it in ONE task
+            winnow_fingerprints(widen_micro_batch(batch_df), "doc_id",
+                                "text", k, window, portable)
             .select("doc_id", "fp")
             .write.mode("append").parquet(path)
         )

@@ -252,6 +252,41 @@ def test_duplicate_clusters_raises_when_unconverged(spark):
         dedup.duplicate_clusters(pairs, max_iterations=1)
 
 
+def test_duplicate_clusters_rejects_non_integral_ids(spark):
+    # the sum-based convergence witness is exact over integers only; a
+    # string id would cast to NULL and fake convergence after round 1
+    # (ADVICE r12) — the operator must refuse loudly instead
+    import pytest
+    pairs = spark.createDataFrame(
+        [("a", "b")], "id_a string, id_b string")
+    with pytest.raises(TypeError, match="integral"):
+        dedup.duplicate_clusters(pairs)
+
+
+def test_duplicate_clusters_empty_graph(spark):
+    # empty pair graph: trivially converged, zero rounds, empty output
+    stats = {}
+    out = dedup.duplicate_clusters(
+        spark.createDataFrame([], "id_a long, id_b long"),
+        stats=stats).collect()
+    assert out == []
+    assert stats["converged"] is True and stats["iterations"] == 0
+
+
+def test_duplicate_clusters_fixpoint_detected_in_one_round(spark):
+    # a graph already at fixpoint (only self-pairs) must converge with
+    # max_iterations=1: the witness is seeded with the initial label sum
+    # (ADVICE r12 — prev_sum=None used to force a second round)
+    stats = {}
+    got = {r.doc_id: r.cluster_id
+           for r in dedup.duplicate_clusters(
+               spark.createDataFrame([(5, 5), (9, 9)],
+                                     "id_a long, id_b long"),
+               max_iterations=1, stats=stats).collect()}
+    assert got == {5: 5, 9: 9}
+    assert stats["converged"] is True and stats["iterations"] == 1
+
+
 def test_excise_repeated_ngrams_kills_shared_span(spark):
     # a 5-gram shared by 3 docs is excised from ALL of them; unique
     # suffixes survive; untouched and short docs pass through whole
