@@ -142,6 +142,17 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     sigs = minhash_signatures(df.select(id_col, text_col), text_col, num_hashes,
                               shingle_n, portable)
     buckets = minhash_band_keys(sigs, id_col, num_hashes, bands, portable)
+    return lsh_pairs_from_band_keys(buckets, id_col, max_bucket_size)
+
+
+def lsh_pairs_from_band_keys(buckets: DataFrame, id_col: str = "doc_id",
+                             max_bucket_size: int | None = 64) -> DataFrame:
+    """The bucket-join half of :func:`minhash_lsh_pairs`, taking an
+    ALREADY-COMPUTED (id, band, key) relation — for callers that hold
+    one from an earlier stage (r13: a store probe's band keys restricted
+    to survivors, :func:`minhash_dedup_against_bands`) so the
+    shingle→minhash projection never runs twice. Emits exactly what
+    minhash_lsh_pairs emits over the same band relation."""
     # ONE explicit exchange on the bucket key. Everything downstream (the
     # size guard and both sides of the self-join) hangs off this single
     # shuffle of tiny (id, band, key) rows, so the expensive
@@ -354,6 +365,39 @@ def minhash_estimate_jaccard(pairs: DataFrame, sigs: DataFrame,
     )
 
 
+def _check_band_store_probe(seen_bands: DataFrame, portable: bool) -> None:
+    """Shared probe-side guards for band-store consumers
+    (:func:`minhash_dedup_against` / :func:`minhash_dedup_against_bands`):
+    a STRING key column is a pre-round-6 concatenated-component store
+    (its keys join against the probe's long keys as NULL casts —
+    silently matching nothing, every duplicate admitted), and a
+    keying-mode mismatch (portable vs native, recorded as column
+    metadata by minhash_band_keys) is the same silent-miss failure
+    between two long-key hash families. Absent metadata stays
+    permissive — the guard catches the recorded case."""
+    from pyspark.sql.types import StringType
+
+    if isinstance(seen_bands.schema["key"].dataType, StringType):
+        raise ValueError(
+            "minhash_dedup_against: seen_bands has a STRING key column — "
+            "a pre-round-6 concatenated-component store. Probing it with "
+            "hashed 64-bit keys would silently match nothing (every "
+            "duplicate admitted); rebuild the store with the current "
+            "minhash_band_keys/write_band_store."
+        )
+    stored = (seen_bands.schema["key"].metadata or {}).get(KEYING_METADATA_KEY)
+    if stored is not None and stored != _keying_name(portable):
+        raise ValueError(
+            f"minhash_dedup_against: seen_bands was keyed "
+            f"'{stored}' but this probe uses "
+            f"'{_keying_name(portable)}' (portable={portable}) — the two "
+            "hash families never collide, so the probe would silently "
+            "match nothing and admit every duplicate. Pass "
+            f"portable={stored == 'portable'} to match the store, or "
+            "rebuild the store with the probe's keying."
+        )
+
+
 def minhash_dedup_against(new_docs: DataFrame, seen_bands: DataFrame,
                           id_col: str = "doc_id", text_col: str = "text",
                           num_hashes: int = 32, bands: int = 8,
@@ -389,36 +433,7 @@ def minhash_dedup_against(new_docs: DataFrame, seen_bands: DataFrame,
     selects both the shingle hash and the band-key hash, and a store
     probed with the other keying silently matches nothing.
     """
-    from pyspark.sql.types import StringType
-
-    if isinstance(seen_bands.schema["key"].dataType, StringType):
-        raise ValueError(
-            "minhash_dedup_against: seen_bands has a STRING key column — "
-            "a pre-round-6 concatenated-component store. Probing it with "
-            "hashed 64-bit keys would silently match nothing (every "
-            "duplicate admitted); rebuild the store with the current "
-            "minhash_band_keys/write_band_store."
-        )
-    # keying-mode guard: both keyings produce long keys, so a
-    # portable-store/native-probe mismatch is NOT detectable from the
-    # schema type — it would silently match nothing (every duplicate
-    # admitted). The store's key column carries its keying as column
-    # metadata (stamped by minhash_band_keys, persisted through parquet
-    # footers and catalog schemas); when present it must match this
-    # probe's ``portable`` flag. Absent metadata (a store written by an
-    # older build, or a frame reshaped through an operation that drops
-    # metadata) stays permissive — the guard catches the recorded case.
-    stored = (seen_bands.schema["key"].metadata or {}).get(KEYING_METADATA_KEY)
-    if stored is not None and stored != _keying_name(portable):
-        raise ValueError(
-            f"minhash_dedup_against: seen_bands was keyed "
-            f"'{stored}' but this probe uses "
-            f"'{_keying_name(portable)}' (portable={portable}) — the two "
-            "hash families never collide, so the probe would silently "
-            "match nothing and admit every duplicate. Pass "
-            f"portable={stored == 'portable'} to match the store, or "
-            "rebuild the store with the probe's keying."
-        )
+    _check_band_store_probe(seen_bands, portable)
     sigs = minhash_signatures(new_docs.select(id_col, text_col), text_col,
                               num_hashes, shingle_n, portable)
     new_bands = minhash_band_keys(sigs, id_col, num_hashes, bands, portable)
@@ -428,6 +443,50 @@ def minhash_dedup_against(new_docs: DataFrame, seen_bands: DataFrame,
         .select(id_col).distinct()
     )
     return new_docs.join(hits, id_col, "left_anti")
+
+
+def minhash_dedup_against_bands(new_docs: DataFrame, seen_bands: DataFrame,
+                                id_col: str = "doc_id",
+                                text_col: str = "text",
+                                num_hashes: int = 32, bands: int = 8,
+                                shingle_n: int = 3,
+                                portable: bool = False) -> tuple[DataFrame, DataFrame]:
+    """:func:`minhash_dedup_against` that ALSO returns the survivors'
+    band keys — for the monthly-splice workflow where the surviving
+    month's keys become its own store
+    (``write_band_store(bands(kept))``): the probe already computed
+    every new document's band keys, so re-shingling the survivors for
+    the store write is a full second minhash pass over the month's text
+    (guide §7.2 duplicated subtrees; r13). Returns ``(kept_docs,
+    kept_bands)`` where ``kept_bands`` is row-identical to
+    ``minhash_band_keys(minhash_signatures(kept_docs, ...), ...)`` —
+    minhash is per-document deterministic, so restricting the probe's
+    band relation to surviving ids IS the survivors' band relation
+    (keying metadata rides the column through the join).
+
+    The probe's band relation and the hit id set are each consumed
+    twice (collision join + survivor restriction; anti-join + band
+    restriction), so both materialize lazily — without the boundaries
+    each consumer would re-run the minhash subtree (the
+    LeftAnti-through-Union lesson). Same guards and same store contract
+    as :func:`minhash_dedup_against`.
+    """
+    from metadata_enhanced_pretrain_datapipeline_spark.checkpointing import materialize
+
+    _check_band_store_probe(seen_bands, portable)
+    sigs = minhash_signatures(new_docs.select(id_col, text_col), text_col,
+                              num_hashes, shingle_n, portable)
+    new_bands = materialize(
+        minhash_band_keys(sigs, id_col, num_hashes, bands, portable),
+        eager=False)
+    hits = materialize(
+        new_bands
+        .join(seen_bands.select("band", "key").distinct(), ["band", "key"])
+        .select(id_col).distinct(),
+        eager=False)
+    kept = new_docs.join(hits, id_col, "left_anti")
+    kept_bands = new_bands.join(hits, id_col, "left_anti")
+    return kept, kept_bands
 
 
 def write_band_store(bands: DataFrame, path: str, mode: str = "overwrite",

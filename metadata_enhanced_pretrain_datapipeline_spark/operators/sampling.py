@@ -446,6 +446,16 @@ def keyed_window_suite(df: DataFrame, keys: list[str], order: list[Column],
         .withColumn("__msum", F.sum(value_col).over(
             w_pid.rowsBetween(-2, Window.currentRow)))
     )
+    # aug feeds TWO actions — the boundary-row collect below and the
+    # final projection — and its subtree is the ranked construction plus
+    # every frame window; without a boundary the whole keyed sort ran
+    # TWICE per call (r13; measured ~2x the suite's window phase at
+    # sf0.1). Lazy persist: the collect computes it once, the final
+    # action reads the cache (reliable-checkpoint semantics are not
+    # needed — both consumers live inside one driver call).
+    from metadata_enhanced_pretrain_datapipeline_spark.checkpointing import materialize
+
+    aug = materialize(aug, eager=False)
 
     # boundary rows: first 2 / last 2 of each (key, range). Every value a
     # fix needs (rn+1 for a last-row lead; rn-1, rn-2 for a first-2

@@ -5935,19 +5935,22 @@ def q_snapshot_pipeline(spark, sf):
         dedup.minhash_signatures(old.select("doc_id", "text"),
                                  num_hashes=8, portable=True),
         num_hashes=8, bands=4, portable=True)
-    kept2 = dedup.minhash_dedup_against(kept1, store, num_hashes=8,
-                                        bands=4, portable=True)
+    # fused probe+bands (r13): the store probe already computed every
+    # kept1 band key, and the survivors' pair generation needs exactly
+    # that relation restricted to survivors — minhash_lsh_pairs(kept2)
+    # re-shingled the whole surviving snapshot (guide §7.2).
+    kept2_raw, kept2_bands = dedup.minhash_dedup_against_bands(
+        kept1, store, num_hashes=8, bands=4, portable=True)
     # the monthly persist point: the deduped snapshot is consumed twice
     # (pair generation for the cluster map, then the split projection) —
     # exactly where a production run writes the kept set to durable
     # storage before split assignment (reliable mode via
     # MEP_SPARK_CHECKPOINT_DIR, see checkpointing.py). Projected to the
-    # two columns the tail reads (r12): pair generation needs text,
-    # the split needs doc_id — the other document columns were only
-    # inflating the cache.
-    kept2 = materialize(kept2.select("doc_id", "text"), eager=False)
-    pairs = dedup.minhash_lsh_pairs(kept2, num_hashes=8, bands=4,
-                                    max_bucket_size=64, portable=True)
+    # two columns the tail reads (r12; with the band reuse only doc_id
+    # is read downstream, but text stays in the boundary as the
+    # production persist-point contract).
+    kept2 = materialize(kept2_raw.select("doc_id", "text"), eager=False)
+    pairs = dedup.lsh_pairs_from_band_keys(kept2_bands, max_bucket_size=64)
     clusters = dedup.duplicate_clusters(pairs)
     out = sampling.leakage_safe_split(kept2, clusters,
                                       boundaries=(0.9, 0.95), salt=13)
@@ -7285,17 +7288,17 @@ def q_corpus_lifecycle(spark, sf):
 
     # month 1 seeds the dedup state; months 2/3 probe stores, never text
     dedup.write_band_store(_bands(m1), bs1)
-    # materialization boundary (r12, the q_mix_pipeline pattern): kept2
-    # feeds TWO actions (the bs2 band-store write and the survivor
-    # union below) — without it each action re-runs the full m2
-    # minhash + store-probe subtree. Projected to (doc_id, text): the
-    # only columns either consumer reads.
-    kept2 = materialize(
-        dedup.minhash_dedup_against(
-            m2, dedup.read_band_store(spark, bs1),
-            num_hashes=8, bands=4, portable=True).select("doc_id", "text"),
-        eager=False)
-    dedup.write_band_store(_bands(kept2), bs2)
+    # fused probe+bands (r13): the probe computes every m2 band key
+    # already, so bands2 is the SURVIVING SUBSET of that relation —
+    # writing bands(kept2) re-minhashed the whole surviving month
+    # (guide §7.2). kept2 keeps its materialization boundary (r12): it
+    # feeds two actions (the survivor union and the vec-source build)
+    # projected to the only columns either consumer reads.
+    kept2_raw, bands2 = dedup.minhash_dedup_against_bands(
+        m2, dedup.read_band_store(spark, bs1),
+        num_hashes=8, bands=4, portable=True)
+    kept2 = materialize(kept2_raw.select("doc_id", "text"), eager=False)
+    dedup.write_band_store(bands2, bs2)
     dedup.compact_band_store(spark, [bs1, bs2], bsc)
     kept3 = dedup.minhash_dedup_against(
         m3, dedup.read_band_store(spark, bsc),
@@ -10185,7 +10188,13 @@ def _build_crawl_fixture(spark, sf: str, tag: str) -> str:
         .unionByName(d.filter(F.col("doc_id") % 13 == 0).select(
             (F.col("doc_id") + 10_000_000_000).alias("rid"),
             page_of(F.concat(body, F.lit(" zz zz"))).alias("page")))
-        .repartition(32, F.col("rid") % 32))
+        # hash the full rid, not rid % 32: hashing a 32-valued synthetic
+        # key into 32 partitions collides (guide §2.5) — only ~20 of the
+        # 32 build tasks got rows, so the WARC files were skewed 0-2x
+        # and the stream's second micro-batch ran nearly empty (r13;
+        # page content per rid is unchanged, so parse output and every
+        # downstream result are identical)
+        .repartition(32, F.col("rid")))
 
     scratch = _scratch_dir(sf, tag)
     shutil.rmtree(scratch, ignore_errors=True)
@@ -10330,8 +10339,13 @@ def q_stream_crawl_ingest(spark, sf):
          .start())
     q.awaitTermination()
 
+    # NO repartition before the dedup (r13): dedup_exact_text's window
+    # exchange re-shuffles the full row on the digest key anyway, so a
+    # round-robin widen here was a second back-to-back text shuffle
+    # (~0.4s at sf0.1, A/B row-identical); the store scan is already
+    # file-per-sink-task wide and the normalization is map-side cheap.
     corpus = materialize(
-        dedup.dedup_exact_text(spark.read.parquet(store).repartition(32)),
+        dedup.dedup_exact_text(spark.read.parquet(store)),
         eager=False)
     return dedup.minhash_dedup(
         corpus, num_hashes=8, bands=4, shingle_n=3,
