@@ -911,6 +911,16 @@ def hamming_dedup_against(new_fps: DataFrame, seen_fps: DataFrame,
     thumbnail flood makes hot chunk values — cap such content upstream
     (the same guidance as the pair generator's max_bucket_size).
     """
+    from metadata_enhanced_pretrain_datapipeline_spark.checkpointing import materialize
+
+    # new_fps feeds TWO consumers — the chunk probe and the anti-join
+    # return — and for every caller its subtree is the DECODE stage
+    # (image_dhash over blobs / a fingerprint projection), the heaviest
+    # per-row work in the pipeline; without a boundary that stage runs
+    # twice per action (r13 — the LeftAnti-through-Union class, measured
+    # ~0.7 s of re-decode at sf0.1 on the image probes). The cached
+    # relation is (id, fp) — ~12 bytes/row by contract.
+    new_fps = materialize(new_fps, eager=False)
     new_ch = _fingerprint_chunks(
         new_fps.select(F.col(id_col).alias("id"),
                        F.col(fp_col).alias("__fp")),

@@ -794,10 +794,18 @@ def image_dedup_against(new_media: DataFrame, seen_hashes: DataFrame,
     Media too small to hash (NULL dhash) can never be near-dups and
     are KEPT — the drop set is derived, so they are never named in
     it."""
+    from metadata_enhanced_pretrain_datapipeline_spark.checkpointing import materialize
     from metadata_enhanced_pretrain_datapipeline_spark.operators.dedup import hamming_dedup_against
 
-    fps = image_dhash(new_media, hash_w, hash_h, stub, codec_factory,
-                      cache_key).filter(F.col("dhash").isNotNull())
+    # the hash relation feeds THREE consumers (the chunk probe and the
+    # anti-join inside hamming_dedup_against, plus the dropped-set join
+    # below) and its subtree is the image DECODE — materialize once so
+    # the blobs decode exactly once per action (r13; the boundary inside
+    # hamming_dedup_against is a cache no-op on the same plan)
+    fps = materialize(
+        image_dhash(new_media, hash_w, hash_h, stub, codec_factory,
+                    cache_key).filter(F.col("dhash").isNotNull()),
+        eager=False)
     kept_ids = hamming_dedup_against(
         fps, seen_hashes.select("dhash"), "media_id", "dhash",
         hash_w * hash_h, max_hamming).select("media_id")

@@ -5852,11 +5852,14 @@ def q_band_store_compact(spark, sf):
     # The expected count reads the WRITTEN monthly stores back (they
     # hold exactly b1/b2's rows) instead of re-running both months'
     # shingle+minhash subtrees — same check, parquet-scan price (r12).
-    n_compacted = compacted.count()
-    n_expect = (
-        dedup.read_band_store(spark, f"{scratch}/m1")
-        .unionByName(dedup.read_band_store(spark, f"{scratch}/m2"))
-        .distinct().count())
+    # Both counts in ONE driver action (r13): a scalar cross-join of
+    # the two aggregates collapses two job round-trips into one.
+    n_compacted, n_expect = (
+        compacted.agg(F.count("*").alias("a")).crossJoin(
+            dedup.read_band_store(spark, f"{scratch}/m1")
+            .unionByName(dedup.read_band_store(spark, f"{scratch}/m2"))
+            .distinct().agg(F.count("*").alias("b")))
+        .collect()[0])
     _check_plan(n_compacted == n_expect, f"{n_compacted} != {n_expect}",
                 "compaction did not reclaim cross-month duplicate rows")
     probe_store = dedup.read_band_store(spark, f"{scratch}/compacted",
@@ -6997,9 +7000,12 @@ def q_stream_ivf_append(spark, sf):
     src, store, ck = f"{scratch}/src", f"{scratch}/store", f"{scratch}/ck"
     for p in (src, store, ck):
         shutil.rmtree(p, ignore_errors=True)
-    # two input files -> two micro-batches under maxFilesPerTrigger=1
-    e.filter(F.col("vec_id") % 2 == 0).write.parquet(f"{src}/part_a")
-    e.filter(F.col("vec_id") % 2 == 1).write.parquet(f"{src}/part_b")
+    # two input files -> two micro-batches under maxFilesPerTrigger=1.
+    # Both halves in ONE job (r13): repartition(1) + partitionBy emits
+    # exactly one file per half, replacing two filter writes that each
+    # re-scanned the embeddings.
+    e.withColumn("half", (F.col("vec_id") % 2).cast("int")) \
+        .repartition(1).write.partitionBy("half").parquet(src)
     stream = (
         spark.readStream.schema(e.schema)
         .option("maxFilesPerTrigger", 1)
@@ -7314,18 +7320,18 @@ def q_corpus_lifecycle(spark, sf):
     # chains — materialize so the chain runs once and each half-write
     # is a cached scan (profiled 4.5s -> ~2.3s for the two writes).
     vecs = materialize(e.join(surv, "vec_id", "left_semi"), eager=False)
-    # repartition(1): each half must stay ONE file at every scale, or
-    # maxFilesPerTrigger=1 silently turns "2 micro-batches" into
-    # file-count-many — at sf100 the halves fanned out to 77 files and
-    # the drain paid 77 full micro-batch commits per lap (the r10 probe
-    # found the composed chain ingestion-bound on trigger overhead, not
-    # data). Found-and-fixed in SCALE.md round 10; a production
-    # backfill makes the same choice by draining availableNow with a
-    # BYTES/file budget, never one trigger per small file.
-    vecs.filter(F.col("vec_id") % 2 == 0).repartition(1) \
-        .write.parquet(f"{src}/part_a")
-    vecs.filter(F.col("vec_id") % 2 == 1).repartition(1) \
-        .write.parquet(f"{src}/part_b")
+    # ONE file per half at every scale (or maxFilesPerTrigger=1 silently
+    # turns "2 micro-batches" into file-count-many — at sf100 the halves
+    # fanned out to 77 files and the drain paid 77 micro-batch commits
+    # per lap; SCALE.md round 10). r13: both halves in ONE job — a
+    # repartition(1) + dynamic-partition write emits exactly one file
+    # per half value where the old two filter+repartition(1) writes each
+    # re-read vecs and paid a second job round-trip. recursiveFileLookup
+    # on the stream side reads the half= dirs' files as plain parquet
+    # (partition inference is off under an explicit schema), so the
+    # micro-batch contents are unchanged.
+    vecs.withColumn("half", (F.col("vec_id") % 2).cast("int")) \
+        .repartition(1).write.partitionBy("half").parquet(src)
     stream = (
         spark.readStream.schema(e.schema)
         .option("maxFilesPerTrigger", 1)
@@ -9391,11 +9397,12 @@ def q_stream_winnow_dedup(spark, sf):
     for p in (src, store, ck):
         shutil.rmtree(p, ignore_errors=True)
     # two input files -> two micro-batches under maxFilesPerTrigger=1
-    # (parity split: seen dids are % 3 in (0, 1), both parities present)
-    seen_docs.filter(F.col("doc_id") % 2 == 0).repartition(1) \
-        .write.parquet(f"{src}/part_a")
-    seen_docs.filter(F.col("doc_id") % 2 == 1).repartition(1) \
-        .write.parquet(f"{src}/part_b")
+    # (parity split: seen dids are % 3 in (0, 1), both parities
+    # present). Both halves in ONE job (r13): repartition(1) +
+    # partitionBy emits exactly one file per half, replacing two
+    # filter+repartition(1) writes that each re-scanned the corpus.
+    seen_docs.withColumn("half", (F.col("doc_id") % 2).cast("int")) \
+        .repartition(1).write.partitionBy("half").parquet(src)
     stream = (
         spark.readStream.schema("doc_id bigint, text string")
         .option("maxFilesPerTrigger", 1)
