@@ -2516,7 +2516,20 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
     # wide production scans are untouched.
     df = ensure_min_partitions(df)
     fps = _winnow_fp_structs(F.col(text_col), k, window, portable)
-    return (df.select(F.col(id_col), F.explode(fps).alias("__fp"))
+    # barrier-staged explode (r13): exploding the fingerprint array
+    # directly lets InferFiltersFromGenerate's size/isnotnull predicate
+    # push below the projection by alias substitution, re-inlining the
+    # ENTIRE winnow chain into a Filter — every row paid the chain
+    # twice (the r12 minhash_band_keys pushdown class, seen in this
+    # op's own r13 plan audit). Staging through a 1-element-array
+    # Generate folds the first inferred filter to a constant, and the
+    # second explode's inferred filter references the Generate-output
+    # ATTRIBUTE — a Generate is a pushdown barrier, so the chain now
+    # evaluates exactly once per row.
+    one = df.select(
+        F.col(id_col),
+        F.explode(F.array(F.struct(fps.alias("a")))).alias("__g1"))
+    return (one.select(F.col(id_col), F.explode("__g1.a").alias("__fp"))
             .select(id_col, F.col("__fp.pos").alias("pos"),
                     F.col("__fp.h").alias("fp")))
 
@@ -2542,9 +2555,15 @@ def winnow_fp_sets(df: DataFrame, id_col: str = "doc_id",
     hashes = F.array_distinct(F.transform(
         _winnow_fp_structs(F.col(text_col), k, window, portable),
         lambda g: g["h"]))
-    return (df.select(F.col(id_col), hashes.alias("__hs"))
-            .select(F.col(id_col), F.size("__hs").alias("n_tok"),
-                    F.explode("__hs").alias("fp")))
+    # barrier-staged explode — see winnow_fingerprints: without it the
+    # Generate-inferred size/isnotnull filter re-inlines the whole
+    # winnow chain below this projection (r13 plan audit measured the
+    # chain 3x per row at sf1.0)
+    one = df.select(
+        F.col(id_col),
+        F.explode(F.array(F.struct(hashes.alias("a")))).alias("__g1"))
+    return one.select(F.col(id_col), F.size("__g1.a").alias("n_tok"),
+                      F.explode("__g1.a").alias("fp"))
 
 
 def winnow_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
