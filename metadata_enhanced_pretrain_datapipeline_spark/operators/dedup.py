@@ -727,13 +727,22 @@ def _shingle_pair_counts(df: DataFrame, id_col: str, text_col: str,
     a hot shingle (stopword trigram) can skew; AQE skew-join splits it."""
     from metadata_enhanced_pretrain_datapipeline_spark.partitioning import ensure_min_partitions
 
-    # materialize the shingle array once, then size/explode the column —
-    # two raw word_shingles references would shingle every row twice
+    # bind the shingle array once, then size/explode the column — two
+    # raw word_shingles references would shingle every row twice. The
+    # explode is STAGED through a 1-element-array Generate (r13, the
+    # winnow_fp_sets fix): exploding the aliased column directly lets
+    # the Generate-inferred size/isnotnull predicate push below the
+    # projection by alias substitution, re-inlining the whole shingle
+    # chain into a Filter — the plan audit showed the chain 3x per
+    # self-join side; the barrier makes it evaluate exactly once.
     sh = (
         ensure_min_partitions(df)
         .select(F.col(id_col).alias("id"),
-                word_shingles(F.col(text_col), shingle_n).alias("__sh"))
-        .select("id", F.size("__sh").alias("n_sh"), F.explode("__sh").alias("shingle"))
+                F.explode(F.array(F.struct(
+                    word_shingles(F.col(text_col), shingle_n).alias("a")
+                ))).alias("__g1"))
+        .select("id", F.size("__g1.a").alias("n_sh"),
+                F.explode("__g1.a").alias("shingle"))
     )
     a, b = sh.alias("a"), sh.alias("b")
     return (
